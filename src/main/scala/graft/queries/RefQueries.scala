@@ -1,0 +1,516 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.star.{Star, StarSql}
+
+/** One verifiable query: a Spark DataFrame builder plus (when SQL-expressible)
+  * an equivalent DuckDB oracle over the same parquet tables. */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The reference's OLAP suite (`Analysis_Queries.sql`, 20 queries: 16
+  * implemented + Q20 view + our completions of declared-blank Q9/Q15;
+  * Q12/Q19 have no spec text in the reference — skipped, see SURVEY §7.4.7),
+  * re-expressed over the [[Star]] schema.
+  *
+  * Translation decisions (SURVEY §2.8, §7.4):
+  *  - The reference data is all year-2020; testdata ships 1995-2001 →
+  *    "current year" filters use 2000 (a full 12-month year) on both sides.
+  *  - Q10/Q11/Q18 compare lowercase literals against capitalized stored
+  *    values and only work under MySQL's case-insensitive collation
+  *    (reference `Analysis_Queries.sql:83,97,151-158`) → normalized with
+  *    `lower()` on BOTH the Spark and oracle side.
+  *  - `date_sub(... interval 6 month)` (Q6) → `add_months` (Spark date_sub
+  *    is days-only).
+  *  - Top-k queries get deterministic tiebreakers appended to ORDER BY in
+  *    both dialects (MySQL LIMIT-after-sort ties are nondeterministic).
+  *  - Money aggregates: exact DECIMAL sums cast to double at the edge;
+  *    AVG/STDDEV computed from exact sums so both engines see bit-identical
+  *    doubles (no parallel-reduction float drift).
+  *
+  * Scale notes: every fact⋈dim join broadcasts the dim; the only big-big
+  * joins are fact construction (order key) and Q16's self-join (order key) —
+  * both co-partition on the same key, so at cluster scale bucketing
+  * lineitem/orders by order key makes the whole suite shuffle-light.
+  */
+object RefQueries {
+
+  private def star(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (Star.saleFact(s, dir),
+      broadcast(Star.productDim(s, dir)),
+      broadcast(Star.customerDim(s, dir)),
+      broadcast(Star.timeDim(s, dir)))
+
+  private def dmoney(c: Column): Column = c.cast(DoubleType)
+  private val H1 = Seq("january", "february", "march", "april", "may", "june")
+  private val H2 = Seq("july", "august", "september", "october", "november", "december")
+
+  val all: Seq[QueryDef] = Seq(
+    // Q1: top 5 product×month×day_type revenue rows (global LIMIT as written
+    // in the reference — `Analysis_Queries.sql:6-15`).
+    QueryDef("q01_top5_products_daytype",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        f.join(p, "product_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .withColumn("day_type",
+            when(col("day_of_week").isin("Saturday", "Sunday"), "weekend")
+              .otherwise("weekday"))
+          .groupBy(col("product_id"), col("product_category"), col("month"), col("day_type"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_revenue"))
+          .orderBy(col("total_revenue").desc, col("product_id"), col("month"), col("day_type"))
+          .limit(5)
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_id, p.product_category, t.month,
+               CASE WHEN t.day_of_week IN ('Saturday','Sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY p.product_id, p.product_category, t.month, day_type
+        ORDER BY total_revenue DESC, p.product_id, t.month, day_type
+        LIMIT 5"""))),
+
+    // Q2: purchase by gender/age/city (`Analysis_Queries.sql:17-22`).
+    QueryDef("q02_gender_age_city",
+      (s, dir) => {
+        val (f, _, c, _) = star(s, dir)
+        f.join(c, "customer_id")
+          .groupBy(col("gender"), col("age"), col("city_category"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_purchase"))
+          .orderBy(col("gender"), col("age"), col("city_category"))
+      },
+      Some(StarSql.withStar("""
+        SELECT c.gender, c.age, c.city_category,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_purchase
+        FROM salefact f JOIN customer_dim c ON f.customer_id = c.customer_id
+        GROUP BY c.gender, c.age, c.city_category
+        ORDER BY c.gender, c.age, c.city_category"""))),
+
+    // Q3: category × occupation sales (`Analysis_Queries.sql:24-29`).
+    QueryDef("q03_category_occupation",
+      (s, dir) => {
+        val (f, p, c, _) = star(s, dir)
+        f.join(p, "product_id").join(c, "customer_id")
+          .groupBy(col("product_category"), col("occupation"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .orderBy(col("product_category"), col("occupation"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_category, c.occupation,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_sales
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        GROUP BY p.product_category, c.occupation
+        ORDER BY p.product_category, c.occupation"""))),
+
+    // Q4: gender/age by quarter for the current year (`Analysis_Queries.sql:31-41`).
+    QueryDef("q04_gender_age_quarter",
+      (s, dir) => {
+        val (f, _, c, t) = star(s, dir)
+        f.join(c, "customer_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .groupBy(col("gender"), col("age"), col("quarter"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_purchase"))
+          .orderBy(col("gender"), col("age"), col("quarter"))
+      },
+      Some(StarSql.withStar("""
+        SELECT c.gender, c.age, t.quarter,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_purchase
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY c.gender, c.age, t.quarter
+        ORDER BY c.gender, c.age, t.quarter"""))),
+
+    // Q5: top 5 occupation rows by sales (global LIMIT as written,
+    // `Analysis_Queries.sql:43-50`).
+    QueryDef("q05_top5_occupations",
+      (s, dir) => {
+        val (f, p, c, _) = star(s, dir)
+        f.join(p, "product_id").join(c, "customer_id")
+          .groupBy(col("product_category"), col("occupation"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .orderBy(col("product_category"), col("total_sales").desc, col("occupation"))
+          .limit(5)
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_category, c.occupation,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_sales
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        GROUP BY p.product_category, c.occupation
+        ORDER BY p.product_category, total_sales DESC, c.occupation
+        LIMIT 5"""))),
+
+    // Q6: city/marital over the trailing 6 months (`Analysis_Queries.sql:52-59`;
+    // date_sub(interval month) → add_months, SURVEY F3).
+    QueryDef("q06_city_marital_6m",
+      (s, dir) => {
+        val (f, _, c, t) = star(s, dir)
+        f.join(c, "customer_id").join(t, "date_id")
+          .where(col("full_date") >= add_months(lit("2000-12-31").cast(DateType), -6))
+          .groupBy(col("city_category"), col("marital_status"), col("month"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_purchase"))
+          .orderBy(col("city_category"), col("marital_status"), col("month"))
+      },
+      Some(StarSql.withStar("""
+        SELECT c.city_category, c.marital_status, t.month,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_purchase
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.full_date >= DATE '2000-12-31' - INTERVAL 6 MONTH
+        GROUP BY c.city_category, c.marital_status, t.month
+        ORDER BY c.city_category, c.marital_status, t.month"""))),
+
+    // Q7: average purchase by stay-years × gender (`Analysis_Queries.sql:61-66`).
+    // AVG from exact sum/count so both engines divide identical doubles.
+    QueryDef("q07_avg_stay_gender",
+      (s, dir) => {
+        val (f, _, c, _) = star(s, dir)
+        f.join(c, "customer_id")
+          .groupBy(col("stay_in_current_city_years"), col("gender"))
+          .agg((dmoney(sum(col("purchase_amount"))) / count(lit(1))).as("avg_purchase"))
+          .orderBy(col("stay_in_current_city_years"), col("gender"))
+      },
+      Some(StarSql.withStar("""
+        SELECT c.stay_in_current_city_years, c.gender,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) / COUNT(*) AS avg_purchase
+        FROM salefact f JOIN customer_dim c ON f.customer_id = c.customer_id
+        GROUP BY c.stay_in_current_city_years, c.gender
+        ORDER BY c.stay_in_current_city_years, c.gender"""))),
+
+    // Q8: top 5 city×category revenue rows (`Analysis_Queries.sql:68-76`).
+    QueryDef("q08_top5_city_category",
+      (s, dir) => {
+        val (f, p, c, _) = star(s, dir)
+        f.join(c, "customer_id").join(p, "product_id")
+          .groupBy(col("city_category"), col("product_category"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_revenue"))
+          .orderBy(col("total_revenue").desc, col("city_category"), col("product_category"))
+          .limit(5)
+      },
+      Some(StarSql.withStar("""
+        SELECT c.city_category, p.product_category,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN product_dim p ON f.product_id = p.product_id
+        GROUP BY c.city_category, p.product_category
+        ORDER BY total_revenue DESC, c.city_category, p.product_category
+        LIMIT 5"""))),
+
+    // Q9 (declared-blank in the reference, spec at `Analysis_Queries.sql:78-79`):
+    // month-over-month sales growth % per product category, year 2000.
+    QueryDef("q09_mom_growth",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        val monthly = f.join(p, "product_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .groupBy(col("product_category"), month(col("full_date")).as("month_num"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("revenue"))
+        val w = Window.partitionBy(col("product_category")).orderBy(col("month_num"))
+        monthly
+          .withColumn("growth_pct",
+            (col("revenue") - lag(col("revenue"), 1).over(w)) / lag(col("revenue"), 1).over(w) * 100)
+          .orderBy(col("product_category"), col("month_num"))
+      },
+      Some(StarSql.withStar("""
+        , monthly AS (
+          SELECT p.product_category, month(t.full_date) AS month_num,
+                 CAST(SUM(f.purchase_amount) AS DOUBLE) AS revenue
+          FROM salefact f
+          JOIN product_dim p ON f.product_id = p.product_id
+          JOIN time_dim t ON f.date_id = t.date_id
+          WHERE t.year = 2000
+          GROUP BY p.product_category, month(t.full_date))
+        SELECT product_category, month_num, revenue,
+               (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100 AS growth_pct
+        FROM monthly
+        WINDOW w AS (PARTITION BY product_category ORDER BY month_num)
+        ORDER BY product_category, month_num"""))),
+
+    // Q10: weekend vs weekday by age, current year (`Analysis_Queries.sql:81-89`;
+    // lower() collation normalization, SURVEY F5).
+    QueryDef("q10_age_daytype",
+      (s, dir) => {
+        val (f, _, c, t) = star(s, dir)
+        f.join(c, "customer_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .withColumn("day_type",
+            when(lower(col("day_of_week")).isin("saturday", "sunday"), "weekend")
+              .otherwise("weekday"))
+          .groupBy(col("age"), col("day_type"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .orderBy(col("age"), col("day_type"))
+      },
+      Some(StarSql.withStar("""
+        SELECT c.age,
+               CASE WHEN lower(t.day_of_week) IN ('saturday','sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_sales
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY c.age, day_type
+        ORDER BY c.age, day_type"""))),
+
+    // Q11: top 5 category×month×day_type revenue rows (`Analysis_Queries.sql:91-105`).
+    QueryDef("q11_top5_category_month",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        f.join(p, "product_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .withColumn("day_type",
+            when(lower(col("day_of_week")).isin("saturday", "sunday"), "weekend")
+              .otherwise("weekday"))
+          .groupBy(col("product_category"), col("month"), col("day_type"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_revenue"))
+          .orderBy(col("total_revenue").desc, col("product_category"), col("month"), col("day_type"))
+          .limit(5)
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_category, t.month,
+               CASE WHEN lower(t.day_of_week) IN ('saturday','sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY p.product_category, t.month, day_type
+        ORDER BY total_revenue DESC, p.product_category, t.month, day_type
+        LIMIT 5"""))),
+
+    // Q13: supplier contribution by store and product (`Analysis_Queries.sql:109-115`).
+    QueryDef("q13_supplier_store_product",
+      (s, dir) => {
+        val (f, p, _, _) = star(s, dir)
+        f.join(p, "product_id")
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"),
+            col("supplier_name"), col("product_id"), col("product_category"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .orderBy(col("store_name"), col("supplier_name"), col("product_id"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.store_id, p.store_name, p.supplier_id, p.supplier_name,
+               p.product_id, p.product_category,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_sales
+        FROM salefact f JOIN product_dim p ON f.product_id = p.product_id
+        GROUP BY p.store_id, p.store_name, p.supplier_id, p.supplier_name,
+                 p.product_id, p.product_category
+        ORDER BY p.store_name, p.supplier_name, p.product_id"""))),
+
+    // Q14: seasonal drill-down (`Analysis_Queries.sql:117-124`).
+    QueryDef("q14_seasonal",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        f.join(p, "product_id").join(t, "date_id")
+          .groupBy(col("product_id"), col("product_category"), col("season"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .orderBy(col("product_id"), col("season"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_id, p.product_category, t.season,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_sales
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY p.product_id, p.product_category, t.season
+        ORDER BY p.product_id, t.season"""))),
+
+    // Q15 (declared-blank, spec at `Analysis_Queries.sql:126`): store×supplier
+    // monthly revenue volatility. Sample stddev computed from exact decimal
+    // Σx and Σx² so both engines evaluate identical doubles (Spark's
+    // stddev_samp merges partial moments in partition order — nondeterministic
+    // last-ulp on doubles; this formulation is order-independent).
+    QueryDef("q15_revenue_volatility",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        val monthly = f.join(p, "product_id").join(t, "date_id")
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"),
+            col("supplier_name"), col("year"), month(col("full_date")).as("mon"))
+          .agg(sum(col("purchase_amount")).cast(DecimalType(18, 4)).as("rev"))
+        monthly
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"))
+          .agg(
+            count(lit(1)).as("n_months"),
+            sum(col("rev")).as("s1"),
+            sum(col("rev") * col("rev")).as("s2"))
+          .where(col("n_months") >= 2)
+          .select(
+            col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"),
+            col("n_months"),
+            sqrt(greatest(lit(0.0),
+              (col("n_months").cast(DoubleType) * col("s2").cast(DoubleType)
+                - col("s1").cast(DoubleType) * col("s1").cast(DoubleType))
+                / (col("n_months").cast(DoubleType) * (col("n_months").cast(DoubleType) - 1))))
+              .as("revenue_stddev"))
+          .orderBy(col("store_id"), col("supplier_id"))
+      },
+      Some(StarSql.withStar("""
+        , monthly AS (
+          SELECT p.store_id, p.store_name, p.supplier_id, p.supplier_name,
+                 t.year AS year, month(t.full_date) AS mon,
+                 CAST(SUM(f.purchase_amount) AS DECIMAL(19,4)) AS rev
+          FROM salefact f
+          JOIN product_dim p ON f.product_id = p.product_id
+          JOIN time_dim t ON f.date_id = t.date_id
+          GROUP BY p.store_id, p.store_name, p.supplier_id, p.supplier_name,
+                   t.year, month(t.full_date))
+        SELECT store_id, store_name, supplier_id, supplier_name,
+               COUNT(*) AS n_months,
+               -- decimal→double via VARCHAR: DuckDB's direct hugeint-decimal
+               -- cast is not correctly rounded (1 ulp off vs Java BigDecimal)
+               sqrt(greatest(0.0,
+                 (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(rev*rev) AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)))) AS revenue_stddev
+        FROM monthly
+        GROUP BY store_id, store_name, supplier_id, supplier_name
+        HAVING COUNT(*) >= 2
+        ORDER BY store_id, supplier_id"""))),
+
+    // Q16: top 5 product pairs bought together — self-join with theta
+    // predicate (`Analysis_Queries.sql:128-137`). Equi on order_id, `<` on
+    // product_id dedupes unordered pairs; at scale both sides co-partition
+    // on order_id (one shuffle, or zero if the fact is bucketed).
+    QueryDef("q16_basket_pairs",
+      (s, dir) => {
+        val f = Star.saleFact(s, dir).select(col("order_id"), col("product_id"))
+        f.as("a").join(f.as("b"),
+            col("a.order_id") === col("b.order_id") &&
+              col("a.product_id") < col("b.product_id"))
+          .groupBy(col("a.product_id").as("product_01"), col("b.product_id").as("product_02"))
+          .agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("product_01"), col("product_02"))
+          .limit(5)
+      },
+      Some(StarSql.withStar("""
+        SELECT a.product_id AS product_01, b.product_id AS product_02,
+               COUNT(*) AS pair_count
+        FROM salefact a
+        JOIN salefact b ON a.order_id = b.order_id AND a.product_id < b.product_id
+        GROUP BY a.product_id, b.product_id
+        ORDER BY pair_count DESC, product_01, product_02
+        LIMIT 5"""))),
+
+    // Q17: ROLLUP over store/supplier/product (`Analysis_Queries.sql:139-147`).
+    // NULL super-aggregate rows ordered NULLS FIRST on both sides (Spark's
+    // ASC default; DuckDB defaults NULLS LAST → explicit).
+    QueryDef("q17_rollup",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        f.join(p, "product_id").join(t, "date_id")
+          .where(col("year") === 2000)
+          .rollup(col("store_id"), col("supplier_id"), col("product_id"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_revenue"))
+          .orderBy(asc_nulls_first("store_id"), asc_nulls_first("supplier_id"),
+            asc_nulls_first("product_id"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.store_id, p.supplier_id, p.product_id,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY ROLLUP(p.store_id, p.supplier_id, p.product_id)
+        ORDER BY p.store_id NULLS FIRST, p.supplier_id NULLS FIRST, p.product_id NULLS FIRST"""))),
+
+    // Q18: H1/H2 revenue & volume per product (`Analysis_Queries.sql:149-164`;
+    // conditional aggregation / manual pivot, lower() normalization).
+    QueryDef("q18_h1_h2",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        val m = lower(col("month"))
+        f.join(p, "product_id").join(t, "date_id")
+          .groupBy(col("product_id"))
+          .agg(
+            dmoney(sum(when(m.isin(H1: _*), col("purchase_amount")))).as("half_01_revenue"),
+            dmoney(sum(when(m.isin(H2: _*), col("purchase_amount")))).as("half_02_revenue"),
+            dmoney(sum(col("purchase_amount"))).as("yearly_revenue"),
+            sum(when(m.isin(H1: _*), col("quantity"))).cast(LongType).as("half_01_qty"),
+            sum(when(m.isin(H2: _*), col("quantity"))).cast(LongType).as("half_02_qty"),
+            sum(col("quantity")).cast(LongType).as("yearly_qty"))
+          .orderBy(col("product_id"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.product_id,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.purchase_amount END) AS DOUBLE) AS half_01_revenue,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.purchase_amount END) AS DOUBLE) AS half_02_revenue,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS yearly_revenue,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.quantity END) AS BIGINT) AS half_01_qty,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.quantity END) AS BIGINT) AS half_02_qty,
+               CAST(SUM(f.quantity) AS BIGINT) AS yearly_qty
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY p.product_id
+        ORDER BY p.product_id"""))),
+
+    // Q20: the store_quarterly_sales VIEW (`Analysis_Queries.sql:168-176`) —
+    // registered in the session catalog, then queried (exercises D3).
+    QueryDef("q20_store_quarterly_view",
+      (s, dir) => {
+        val (f, p, _, t) = star(s, dir)
+        f.join(p, "product_id").join(t, "date_id")
+          .groupBy(col("store_name"), col("quarter"))
+          .agg(dmoney(sum(col("purchase_amount"))).as("total_revenue"))
+          .createOrReplaceTempView("store_quarterly_sales")
+        s.sql("SELECT store_name, quarter, total_revenue FROM store_quarterly_sales " +
+          "ORDER BY store_name, quarter")
+      },
+      Some(StarSql.withStar("""
+        SELECT p.store_name, t.quarter,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY p.store_name, t.quarter
+        ORDER BY p.store_name, t.quarter""")))
+  )
+
+  /** ETL-derivation checks: the four star tables themselves (exercises the
+    * P1-P7 transform semantics and the dimension-distinctness invariants
+    * against the oracle's independent reconstruction). */
+  val starTables: Seq[QueryDef] = Seq(
+    QueryDef("dim_customer",
+      (s, dir) => Star.customerDim(s, dir).orderBy(col("customer_id")),
+      Some(StarSql.withStar("SELECT * FROM customer_dim ORDER BY customer_id"))),
+    QueryDef("dim_product",
+      (s, dir) => Star.productDim(s, dir)
+        .withColumn("price", col("price").cast(DoubleType))
+        .orderBy(col("product_id")),
+      Some(StarSql.withStar(
+        """SELECT product_id, product_category, CAST(price AS DOUBLE) AS price,
+           store_id, store_name, supplier_id, supplier_name
+           FROM product_dim ORDER BY product_id"""))),
+    QueryDef("dim_time",
+      (s, dir) => Star.timeDim(s, dir).orderBy(col("date_id")),
+      Some(StarSql.withStar("SELECT * FROM time_dim ORDER BY date_id"))),
+    QueryDef("fact_sales",
+      (s, dir) => Star.saleFact(s, dir)
+        .withColumn("purchase_amount", col("purchase_amount").cast(DoubleType))
+        .orderBy(col("sales_id")),
+      Some(StarSql.withStar(
+        """SELECT sales_id, order_id, customer_id, product_id, date_id, quantity,
+           CAST(purchase_amount AS DOUBLE) AS purchase_amount
+           FROM salefact ORDER BY sales_id""")))
+  )
+}
