@@ -1,24 +1,77 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.warehouse.Warehouse
+
+/** Benchmark harness (driver-run per round → BENCH_r{N}.json).
+  *
+  * Protocol per BASELINE.md: warm JVM + warm session, 3 timed runs per query,
+  * median reported. Execution is a noop-format write — unlike `count()` it
+  * cannot let Catalyst eliminate the final ORDER BY (EliminateSorts under an
+  * aggregate) and it materializes every output row without driver collection.
+  * Warehouse setup (the one-time star load) is timed separately and included
+  * in the reported total; failures are recorded per query, never swallowed
+  * into a fast timing (VERDICT r1 "What's wrong" #1/#4).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // star-schema tuning: dims always broadcast; local fact sizes keep the
+      // one big-big join (fact build) broadcastable too at bench scale
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def runOnce(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted // stable order
+    val failed = scala.collection.mutable.ListBuffer[String]()
+
+    // Cold bring-up, untimed: first warehouse build + one pass of every
+    // query, so JVM/codegen/classloading warmup isn't charged to whichever
+    // work happens to run first (BASELINE.md: warm JVM + warm session).
+    Warehouse.tables(spark, sfDir)
+    names.foreach { n => try runOnce(n) catch { case _: Throwable => () } }
+
+    // Timed warehouse load (lineitem⋈orders + dim builds + bucketed write),
+    // re-run warm so the number reflects the load itself.
+    val setupT0 = System.nanoTime()
+    Warehouse.rebuild(spark, sfDir)
+    val setupSec = (System.nanoTime() - setupT0) / 1e9
+
+    val timings: Seq[(String, Double)] = names.map { name =>
+      val runs = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { runOnce(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        }
+      }
+      if (runs.isEmpty) { failed += name; name -> -1.0 }
+      else name -> runs.sorted.apply(runs.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val ok = timings.filter(_._2 >= 0)
+    val total = setupSec + ok.map(_._2).sum
+    val qs = (timings :+ ("warehouse_setup" -> setupSec))
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
