@@ -12,7 +12,7 @@ import graft.queries.{QueryDef, RefQueries}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RefQueries.all ++ RefQueries.starTables
+    RefQueries.all ++ RefQueries.starTables ++ graft.llm.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Text._
+
+/** Document deduplication operators over the `documents` table — the four
+  * standard tiers of a training-data pipeline: exact (hash), exhaustive
+  * n-gram Jaccard (inverted index), MinHash+LSH (banded), and SimHash
+  * (bit-sampled). All are pure DataFrame compositions of codegen'd
+  * expressions with bit-exact DuckDB oracles.
+  *
+  * 100 TB design notes:
+  *  - Exact dedup is a hash shuffle on a 16-byte digest — embarrassingly
+  *    scalable; group sizes are bounded by true duplicate multiplicity.
+  *  - The n-gram inverted-index join scales with Σ shingle-frequency² —
+  *    exact but quadratic in hot shingles. At 100 TB you'd add prefix
+  *    filtering (keep each doc's rarest-k shingles) before the self-join;
+  *    the LSH path below is the sub-quadratic workhorse.
+  *  - MinHash-LSH: cost is (docs × perms) hashing + a self-join on (band,
+  *    key) buckets. Bucket sizes concentrate near true near-dup groups, so
+  *    the join output is ~linear in the number of real pairs. Never
+  *    all-pairs. Exact-Jaccard verification touches candidates only.
+  *  - SimHash banding (4 chunks of 15 bits) is pigeonhole-exact for
+  *    hamming ≤ 3: any qualifying pair collides on ≥1 chunk, so banding
+  *    introduces NO false negatives (unlike probabilistic MinHash bands).
+  */
+object Dedup {
+
+  val ShingleK = 3
+  val MinhashPerms = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == MinhashPerms
+  val JaccardThreshold = 0.5
+  val SimhashBits = 60 // 15 hex chars of md5
+  val SimhashChunks = 4 // pigeonhole: hamming <= chunks-1 guaranteed caught
+  val HammingThreshold = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id as
+    * canonical. Emits every content group (n_copies=1 for uniques) so the
+    * operator is verifiable even on corpora without exact duplicates. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  /** (doc_id, shingle) inverted-index relation, shingles distinct per doc. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(shingles(col("text"), ShingleK)).as("sh"))
+
+  /** Exhaustive n-gram Jaccard near-dup pairs via the shingle inverted
+    * index: self-join on shingle counts the intersection; set sizes give
+    * the union. Exact (no approximation) and distributed — the shuffle key
+    * is the shingle, never the doc pair space. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures: per doc, 64 permutations approximated by 64 keyed
+    * md5-hashes; signature i = min over the doc's shingles. */
+  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleIndex(s, dir).select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), lit(MinhashPerms - 1)),
+        i => hash64(concat(i.cast(StringType), lit("|"), col("sh")))
+      ).as("hs"))
+    hashed.groupBy(col("doc_id")).agg(
+      min(element_at(col("hs"), 1)).as("m0"),
+      (1 until MinhashPerms).map(i =>
+        min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (16 bands × 4 rows),
+    * bucket-join on (band, key), then verify candidates with exact Jaccard.
+    * Output = verified pairs ≥ threshold. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignature(s, dir)
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          col(s"m${b * RowsPerBand + r}").cast(StringType)): _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact verification over candidates only (arrays are per-doc shingle
+    // sets; candidate count ~ true near-dup count, so this join is cheap).
+    val sets = docs(s, dir).select(col("doc_id"),
+      shingles(col("text"), ShingleK).as("sset"))
+      .withColumn("n", size(col("sset")))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sset"), col("sb.sset"))).cast(DoubleType) /
+          (col("sa.n") + col("sb.n") -
+            size(array_intersect(col("sa.sset"), col("sb.sset"))))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Per-doc 60-bit SimHash over shingle features: bit b is the sign of
+    * Σ_features (±1 by feature-hash bit b). */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val h = shingleIndex(s, dir).select(col("doc_id"), hash64(col("sh")).as("h"))
+    val bitSums = h.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("s0"),
+      (1 until SimhashBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"s$b")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until SimhashBits)
+        .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ 3 via 4×15-bit chunk banding
+    * (pigeonhole-exact, no false negatives) + bit_count(xor) filter. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashSignatures(s, dir)
+    val chunkBits = SimhashBits / SimhashChunks
+    val mask = (1L << chunkBits) - 1
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashChunks).map(c =>
+        shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk", "cval")))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
+      .where(col("hamming") <= HammingThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

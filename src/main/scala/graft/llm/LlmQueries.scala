@@ -1,0 +1,239 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.streaming.Events
+
+/** Driver-verifiable entries for the LLM-data-pipeline operators (dedup /
+  * similarity / text analysis / multimodal) and the event-time operators.
+  * Every entry has a bit-exact DuckDB oracle over the same parquet tables
+  * (`documents`, `embeddings`, `events` are registered as views by the
+  * driver's compare harness).
+  */
+object LlmQueries {
+
+  /** Shared DuckDB CTE: distinct word 3-shingles per document (the
+    * lockstep twin of [[Text.shingles]]). */
+  private val ShinglesCte =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |              unnest(list_distinct(list_transform(
+      |                generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |       FROM tk WHERE len(t) >= 3)""".stripMargin
+
+  /** DuckDB twin of [[Text.hash64]]. */
+  private def hash64Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB sequential-fold dot product of two list expressions (twin of
+    * [[Similarity.dot]]). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("dedup_exact",
+      (s, dir) => Dedup.exact(s, dir),
+      Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
+
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccard(s, dir),
+      Some(s"""
+        WITH $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLsh(s, dir),
+      Some(s"""
+        WITH $ShinglesCte,
+        hs AS (SELECT doc_id, i,
+                      min(${hash64Sql("concat(i, '|', sh)")}) AS m
+               FROM sh CROSS JOIN generate_series(0, 63) g(i)
+               GROUP BY doc_id, i),
+        bd AS (SELECT doc_id, i // 4 AS band,
+                      string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+               FROM hs GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bd a JOIN bd b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        ver AS (SELECT c.doc_a, c.doc_b,
+                       CAST(coalesce(pr.inter, 0) AS DOUBLE) /
+                         (sa.n + sb.n - coalesce(pr.inter, 0)) AS jaccard
+                FROM cand c
+                LEFT JOIN pr ON pr.doc_a = c.doc_a AND pr.doc_b = c.doc_b
+                JOIN sz sa ON c.doc_a = sa.doc_id
+                JOIN sz sb ON c.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM ver
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")),
+
+    QueryDef("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(s, dir),
+      Some(s"""
+        WITH $ShinglesCte,
+        hh AS (SELECT doc_id, ${hash64Sql("sh")} AS h FROM sh),
+        bs AS (SELECT doc_id, b,
+                      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM hh CROSS JOIN generate_series(0, 59) g(b)
+               GROUP BY doc_id, b),
+        sim AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b
+                                     ELSE 0::BIGINT END) AS BIGINT) AS simhash
+                FROM bs GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b""")),
+
+    QueryDef("text_stats",
+      (s, dir) => TextAnalysis.stats(s, dir),
+      Some("""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               round(CAST(list_sum(list_transform(string_split(text, ' '),
+                       x -> length(x))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS alpha_ratio
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("text_langid",
+      (s, dir) => TextAnalysis.langId(s, dir),
+      Some {
+        val scores = TextAnalysis.Profiles.map { case (lang, words) =>
+          val inList = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS score_$lang"
+        }.mkString(",\n               ")
+        val langs = TextAnalysis.Profiles.map(_._1)
+        val mx = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN score_$l = $mx THEN '$l'")
+          .mkString("CASE ", " ", " END")
+        s"""
+        WITH sc AS (
+          SELECT doc_id,
+               $scores
+          FROM documents)
+        SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+               $cases AS predicted_lang
+        FROM sc ORDER BY doc_id"""
+      }),
+
+    QueryDef("doc_fingerprint",
+      (s, dir) => TextAnalysis.fingerprint(s, dir),
+      Some("""
+        SELECT doc_id,
+               list_min(list_transform(generate_series(1, length(text) - 7),
+                 i -> md5(substr(text, i, 8)))) AS fingerprint,
+               CAST(length(text) - 7 AS BIGINT) AS n_grams
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("similarity_topk",
+      (s, dir) => Similarity.bruteTopK(s, dir),
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosineSql("q.qv", "e.embedding")} AS cosine
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk""")),
+
+    QueryDef("similarity_ann_lsh",
+      (s, dir) => Similarity.annLshTopK(s, dir),
+      Some {
+        val bktExpr = (0 until Similarity.Planes).map { p =>
+          val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
+            s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
+          s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bkt AS qbkt
+              FROM b WHERE vec_id < ${Similarity.QueryCount}),
+        pr AS (SELECT query_id, qv,
+                      CASE WHEN i = -1 THEN qbkt ELSE xor(qbkt, 1 << i) END AS probe
+               FROM q CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
+        p AS (SELECT pr.query_id, b.vec_id AS neighbor_id,
+                     ${cosineSql("pr.qv", "b.embedding")} AS cosine
+              FROM b JOIN pr ON b.bkt = pr.probe AND b.vec_id <> pr.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk"""
+      }),
+
+    QueryDef("multimodal_features",
+      (s, dir) => Multimodal.features(s, dir),
+      Some("""
+        SELECT doc_id AS media_id, source AS kind,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS digest,
+               CAST(320 + strlen(text) % 320 AS BIGINT) AS width,
+               CAST(240 + (strlen(text) * 7) % 240 AS BIGINT) AS height,
+               CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+        FROM documents ORDER BY media_id""")),
+
+    QueryDef("events_hourly",
+      (s, dir) => Events.hourly(s, dir),
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    QueryDef("events_sessions",
+      (s, dir) => Events.sessions(s, dir),
+      Some(s"""
+        WITH x AS (SELECT *, lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                   FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+                               OR epoch_us(ts) - prev_us > ${Events.SessionGapMinutes * 60L * 1000000L}
+                             THEN 1 ELSE 0 END AS is_new FROM x),
+        z AS (SELECT *, SUM(is_new) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx FROM y)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM z GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""))
+  )
+}

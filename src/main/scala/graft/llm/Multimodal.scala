@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted partition-wise.
+  *
+  * The decode itself is a ===== STUB ===== (this container has no
+  * image/audio codecs): [[DecodeStub.decode]] derives deterministic fake
+  * dimensions/frame counts from the byte stream. Everything AROUND the stub
+  * is the real Spark shape a 100 TB media pipeline needs:
+  *  - an explicit typed schema ([[MediaBlob]] → [[MediaFeatures]]) with
+  *    case-class Encoders (binary payload + metadata columns);
+  *  - `mapPartitions` batch execution — one decoder instance per partition,
+  *    streaming over rows (exactly the batch shape of `mapInPandas` /
+  *    Arrow-batched Python decode, expressed Scala-native);
+  *  - per-row work only — no shuffle, no driver collection; partitioning
+  *    is inherited from the source scan, so it scales with input splits.
+  *
+  * Because the stub is a pure function of the bytes, the whole pipeline is
+  * oracle-checkable in SQL (byte length + md5 + arithmetic).
+  */
+object Multimodal {
+
+  final case class MediaBlob(media_id: Long, blob: Array[Byte], kind: String)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      digest: String,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  object DecodeStub {
+    /** ===== STUB ===== deterministic fake decode: real codecs would parse
+      * the container header here. Fake dimensions are pure functions of the
+      * payload so results stay verifiable. */
+    def decode(b: MediaBlob): MediaFeatures = {
+      val n = b.blob.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(b.blob).map("%02x".format(_)).mkString
+      MediaFeatures(
+        media_id = b.media_id,
+        kind = b.kind,
+        n_bytes = n,
+        digest = digest,
+        width = 320 + n % 320,
+        height = 240 + (n * 7) % 240,
+        n_frames = 1 + n % 30)
+    }
+  }
+
+  /** The documents table doubles as the media corpus: its text bytes are the
+    * opaque payload (in production: image/audio/video bytes from parquet
+    * binary columns), `source` is the media kind. */
+  def blobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("blob"),
+        col("source").as("kind"))
+      .as[MediaBlob]
+  }
+
+  /** Partition-wise decode + feature extraction. */
+  def features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir)
+      .mapPartitions { rows =>
+        // one decoder context per partition (where a codec would init once)
+        rows.map(DecodeStub.decode)
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+}

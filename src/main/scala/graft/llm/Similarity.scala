@@ -1,0 +1,130 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search over the `embeddings` table
+  * (`embedding: ArrayType(FloatType)`, 64 dims).
+  *
+  * Two tiers:
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. All
+  *    arithmetic is widened to double and folded SEQUENTIALLY in array
+  *    order (`aggregate` over `zip_with`) so both engines compute
+  *    bit-identical sums; cosines are rounded to 6 dp and ranked on the
+  *    rounded value with an id tiebreaker, making top-k selection
+  *    deterministic across engines.
+  *  - [[annLshTopK]]: sign-random-projection LSH — the scale path. 8
+  *    hyperplanes with ±1 components generated deterministically at plan
+  *    time and inlined as literals into BOTH the Spark plan and the SQL
+  *    oracle, so the two engines share the exact same planes. Candidates =
+  *    multi-probe — the query's bucket plus its 8 hamming-1 neighbor
+  *    buckets (probes exploded into an equi-join key, so candidate
+  *    generation stays a hash join, never a cross join); exact rerank
+  *    within candidates. Bucket bits scale with corpus size (256 buckets
+  *    suits the test corpus; a 100 TB corpus uses more planes + the same
+  *    multi-probe pattern).
+  *
+  * 100 TB design: queries are broadcast (a query set is always small);
+  * brute force scans the corpus once per batch of queries — at scale the
+  * per-partition scan computes partial top-k before the final merge (the
+  * window over Q×N pairs keyed by query id; AQE handles the 10-key skew).
+  * The LSH path prunes the scan to one bucket (1/2^16 of the corpus per
+  * probe at uniform spread); recall is tuned by bucket bits / multi-probe,
+  * verified against brute force in the test suite.
+  */
+object Similarity {
+
+  val QueryCount = 10 // vec_id < 10 are the query vectors
+  val TopK = 5
+  val Planes = 8
+  val Dims = 64
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Sequential double fold of an elementwise product — deterministic,
+    * engine-portable dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .where(col("query_id") < QueryCount)
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplane components, generated host-side and
+    * inlined as literals into both dialects (see [[planeSql]]). */
+  lazy val planeSigns: Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dims) { (p, i) =>
+      val h = md.digest(s"plane|$p|$i".getBytes(StandardCharsets.UTF_8))
+      if ((h(0) & 0x80) != 0) 1 else -1
+    }
+  }
+
+  /** The signed projection Σ_i sign_pi · v_i for plane p. */
+  private def projection(v: Column, p: Int): Column =
+    aggregate(
+      zip_with(v, array(planeSigns(p).map(x => lit(x.toDouble)): _*),
+        (x, sgn) => x.cast(DoubleType) * sgn),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 16-bit LSH bucket: bit p = sign of the projection onto plane p. */
+  def bucket(v: Column): Column =
+    (0 until Planes)
+      .map(p => when(projection(v, p) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      bucket(col("embedding")).as("bkt"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("bkt").as("qbkt"))
+      .where(col("query_id") < QueryCount)
+    // multi-probe: the query's own bucket + every hamming-1 neighbor bucket,
+    // exploded so candidate generation is a plain equi-join on bucket id
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array(
+        col("qbkt") +:
+          (0 until Planes).map(p => col("qbkt").bitwiseXOR(lit(1 << p))): _*))
+        .as("probe"))
+    val cand = e.join(broadcast(probes),
+      col("bkt") === col("probe") && col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** DuckDB literal for plane p's sign vector. */
+  def planeSql(p: Int): String =
+    planeSigns(p).mkString("[", ",", "]")
+}

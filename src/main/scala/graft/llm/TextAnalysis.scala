@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Text._
+
+/** Text-analysis operators over `documents`: quality stats, token counting,
+  * language identification (function-word heuristic), and rolling-hash
+  * document fingerprinting. All codegen'd column expressions (no UDFs),
+  * each with a bit-exact DuckDB oracle.
+  *
+  * 100 TB design: every operator here is per-row (no shuffle at all except
+  * the final presentation sort) — they pipeline inside one whole-stage
+  * codegen pass over the corpus scan, which is exactly what a quality-
+  * filtering stage over 100 TB needs.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Function-word profiles per language. Tiny by design — the operator's
+    * contract is the scoring mechanism, not lexicon quality. */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3"))
+
+  /** Per-document quality/statistics signals: token counts, uniqueness,
+    * average token length, stopword ratio, alphabetic ratio. */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      n.as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      round(aggregate(transform(t, x => length(x)), lit(0),
+        (acc, v) => acc + v).cast(DoubleType) / n, 6).as("avg_token_len"),
+      round(size(filter(t, x => x.isin("the", "a"))).cast(DoubleType) / n, 6)
+        .as("stopword_ratio"),
+      round(length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
+        length(col("text")), 6).as("alpha_ratio")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by function-word hit counts: score per profile, predict
+    * the argmax with first-listed-wins tie-breaking (deterministic). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scores: Seq[(String, Column)] = Profiles.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isin(words: _*)))
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = scores.tail.foldLeft(
+      when(scores.head._2 === mx, scores.head._1)) { case (acc, (lang, c)) =>
+        acc.when(c === mx, lang)
+    }
+    docs(s, dir).select(
+      col("doc_id") +:
+        scores.map { case (lang, c) => c.as(s"score_$lang") } :+
+        predicted.as("predicted_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
+    * 1-permutation MinHash over character shingles — the winnowing
+    * primitive), plus the shingle count. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      array_min(transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => md5(col("text").substr(i, lit(8))))).as("fingerprint"),
+      (length(col("text")) - 7).cast(LongType).as("n_grams")
+    ).orderBy(col("doc_id"))
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time operators over the `events` table (ts, user_id, event_type,
+  * value). The batch builders here are the verifiable form; the streaming
+  * form (readStream + watermark over the same expressions) is exercised in
+  * the test suite with MemoryStream — stream-batch equivalence is the
+  * Structured Streaming contract (same Catalyst plan per micro-batch).
+  *
+  * Money-free doubles hazard: SUM(double) is partition-order-dependent, so
+  * sums are carried as DECIMAL(18,6) (exact, order-independent) and cast to
+  * double only at the edge — mirroring the star schema's money discipline.
+  *
+  * 100 TB design: tumbling windows aggregate by (window, type) — a plain
+  * hash shuffle keyed by time bucket, which parallelizes across any window
+  * count; sessionization shuffles once by user_id, then does a linear
+  * in-partition pass (window functions over user partitions). Skewed users
+  * would be handled by AQE skew-join/salting at real scale.
+  */
+object Events {
+
+  /** The events parquet carries TIMESTAMP(NANOS) — Spark's reader rejects
+    * nanos outright, so read them as raw int64 and floor to micros (DuckDB
+    * does the same nanos→micros truncation natively, so both engines see
+    * identical microsecond instants). `div` is integral division — a
+    * double-typed `/` would corrupt 19-digit nano epochs (> 2^53). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows per event type (ST4 surface in
+    * batch form). */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val SessionGapMinutes = 30
+
+  /** Session windows: per user, a session breaks after a 30-minute silence.
+    * Implemented as lag → gap flag → running sum (the standard two-window
+    * formulation); deterministic ordering tiebreaks on event_id. */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = SessionGapMinutes.toLong * 60L * 1000000L
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+}
