@@ -195,6 +195,29 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
       }),
 
+    QueryDef("dedup_embedding_cosine",
+      (s, dir) => Similarity.embeddingNearDups(s, dir),
+      Some {
+        val bktExpr = (0 until Similarity.Planes).map { p =>
+          val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
+            s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
+          s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
+        pr AS (SELECT vec_id, embedding,
+                      CASE WHEN i = -1 THEN bkt ELSE xor(bkt, 1 << i) END AS probe
+               FROM b CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
+                                 b2.vec_id AS vec_b, b2.embedding AS eb
+                 FROM pr a JOIN b b2
+                   ON a.probe = b2.bkt AND a.vec_id < b2.vec_id)
+        SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS cosine
+        FROM cand
+        WHERE ${cosineSql("ea", "eb")} >= ${Similarity.NearDupCosine}
+        ORDER BY vec_a, vec_b"""
+      }),
+
     QueryDef("multimodal_features",
       (s, dir) => Multimodal.features(s, dir),
       Some("""

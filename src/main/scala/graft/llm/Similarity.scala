@@ -124,6 +124,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  val NearDupCosine = 0.4
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation
+    * (each vector's probe set = own bucket + hamming-1 neighbors, exploded
+    * into an equi-join — symmetric coverage of bucket distance ≤ 1), then
+    * exact cosine verification of candidates only. The pair space is never
+    * enumerated; candidate volume ~ Σ bucket-size², tuned by plane count. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      bucket(col("embedding")).as("bkt"))
+    val probes = e.select(col("vec_id"), col("embedding"),
+      explode(array(
+        col("bkt") +:
+          (0 until Planes).map(p => col("bkt").bitwiseXOR(lit(1 << p))): _*))
+        .as("probe"))
+    val cand = probes.as("a")
+      .join(e.as("b"),
+        col("a.probe") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("a.embedding").as("ea"),
+        col("b.vec_id").as("vec_b"), col("b.embedding").as("eb"))
+      .distinct()
+    cand
+      .select(col("vec_a"), col("vec_b"), cosine(col("ea"), col("eb")).as("cosine"))
+      .where(col("cosine") >= NearDupCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** DuckDB literal for plane p's sign vector. */
   def planeSql(p: Int): String =
     planeSigns(p).mkString("[", ",", "]")
