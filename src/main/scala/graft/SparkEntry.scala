@@ -12,7 +12,8 @@ import graft.queries.{QueryDef, RefQueries}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    RefQueries.all ++ RefQueries.starTables ++ graft.llm.LlmQueries.all
+    RefQueries.all ++ RefQueries.starTables ++ graft.llm.LlmQueries.all ++
+      graft.etl.EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
