@@ -38,8 +38,13 @@ object Dedup {
   val SimhashChunks = 4 // pigeonhole: hamming <= chunks-1 guaranteed caught
   val HammingThreshold = 3
 
+  /** The corpus ships as one small parquet file → one input split → one
+    * task; hash-heavy per-row work (64 md5s per shingle) would run on a
+    * single core. Re-spread to full parallelism up front — the local
+    * analogue of sizing `spark.sql.files.maxPartitionBytes` at 100 TB. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Exact dedup: group by content digest, keep the smallest doc_id as
     * canonical. Emits every content group (n_copies=1 for uniques) so the

@@ -59,6 +59,7 @@ object Multimodal {
   def blobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("blob"),

@@ -44,8 +44,11 @@ object Similarity {
   val Planes = 8
   val Dims = 64
 
+  /** Single-file corpus → re-spread for per-row projection work (see
+    * [[Dedup.docs]]). */
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Sequential double fold of an elementwise product — deterministic,
     * engine-portable dot product. */
@@ -59,8 +62,17 @@ object Similarity {
       transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composable-built-ins formulation (kept as the reference for the
+    * bit-equality test against the fused native expression). */
+  def cosineFold(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Production cosine: the fused single-pass native Catalyst expression
+    * ([[org.apache.spark.sql.graft.CosineSimilarity]]) — bit-identical to
+    * [[cosineFold]] (same index-sequential accumulation), one vector walk
+    * instead of three and no intermediate arrays. */
+  def cosine(a: Column, b: Column): Column =
+    round(org.apache.spark.sql.graft.functions.cosine_sim(a, b), 6)
 
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

@@ -18,8 +18,11 @@ import graft.llm.Text._
   */
 object TextAnalysis {
 
+  /** Single-file corpus → re-spread for per-row hash work (see
+    * [[Dedup.docs]]). */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** Function-word profiles per language. Tiny by design — the operator's
     * contract is the scoring mechanism, not lexicon quality. */

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.star.StarSql
+import graft.warehouse.Warehouse
+
+/** The reference suite is also served as ANSI SQL through `spark.sql`
+  * against the materialized catalog tables (SURVEY §7.1 promised both
+  * forms; this exercises the parser/analyzer/catalog path end-to-end —
+  * D1/D2 — on top of the DataFrame builders in [[RefQueries]]).
+  *
+  * A representative slice is registered as verifiable entries (each shares
+  * its DuckDB oracle with the DataFrame twin): top-k with CASE day-type
+  * (Q1), interval arithmetic (Q6), theta self-join (Q16), ROLLUP with NULL
+  * ordering (Q17), conditional-aggregation pivot (Q18). The full-suite
+  * SQL==DataFrame equivalence is asserted in the test suite.
+  */
+object SqlQueries {
+
+  /** Session-scoped canonical view names over the per-sf catalog tables.
+    * Re-registered on every call (cheap, idempotent); one sf per session
+    * is the operating mode of Verify/Bench. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val t = Warehouse.tables(spark, dir)
+    t.fact.createOrReplaceTempView("salefact")
+    t.product.createOrReplaceTempView("product_dim")
+    t.customer.createOrReplaceTempView("customer_dim")
+    t.time.createOrReplaceTempView("time_dim")
+  }
+
+  private def sql(body: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { registerViews(s, dir); s.sql(body) }
+
+  /** Spark-dialect rewrites vs the DuckDB oracle text: `CAST(x AS VARCHAR)`
+    * → `CAST(x AS STRING)`, `INTERVAL 6 MONTH` date arithmetic →
+    * `add_months` (Spark's `date_sub` is days-only, SURVEY F3). Everything
+    * else is shared ANSI. */
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("sql_q01_top5_products_daytype",
+      sql("""
+        SELECT p.product_id, p.product_category, t.month,
+               CASE WHEN t.day_of_week IN ('Saturday','Sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY p.product_id, p.product_category, t.month, day_type
+        ORDER BY total_revenue DESC, p.product_id, t.month, day_type
+        LIMIT 5"""),
+      Some(StarSql.withStar("""
+        SELECT p.product_id, p.product_category, t.month,
+               CASE WHEN t.day_of_week IN ('Saturday','Sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+               CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY p.product_id, p.product_category, t.month, day_type
+        ORDER BY total_revenue DESC, p.product_id, t.month, day_type
+        LIMIT 5"""))),
+
+    QueryDef("sql_q06_city_marital_6m",
+      sql("""
+        SELECT c.city_category, c.marital_status, t.month,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_purchase
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.full_date >= add_months(DATE '2000-12-31', -6)
+          AND t.full_date <= DATE '2000-12-31'
+        GROUP BY c.city_category, c.marital_status, t.month
+        ORDER BY c.city_category, c.marital_status, t.month"""),
+      Some(StarSql.withStar("""
+        SELECT c.city_category, c.marital_status, t.month,
+               CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS total_purchase
+        FROM salefact f
+        JOIN customer_dim c ON f.customer_id = c.customer_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.full_date >= DATE '2000-12-31' - INTERVAL 6 MONTH
+          AND t.full_date <= DATE '2000-12-31'
+        GROUP BY c.city_category, c.marital_status, t.month
+        ORDER BY c.city_category, c.marital_status, t.month"""))),
+
+    QueryDef("sql_q16_basket_pairs",
+      sql("""
+        SELECT a.product_id AS product_01, b.product_id AS product_02,
+               COUNT(*) AS pair_count
+        FROM salefact a
+        JOIN salefact b ON a.order_id = b.order_id AND a.product_id < b.product_id
+        GROUP BY a.product_id, b.product_id
+        ORDER BY pair_count DESC, product_01, product_02
+        LIMIT 5"""),
+      Some(StarSql.withStar("""
+        SELECT a.product_id AS product_01, b.product_id AS product_02,
+               COUNT(*) AS pair_count
+        FROM salefact a
+        JOIN salefact b ON a.order_id = b.order_id AND a.product_id < b.product_id
+        GROUP BY a.product_id, b.product_id
+        ORDER BY pair_count DESC, product_01, product_02
+        LIMIT 5"""))),
+
+    QueryDef("sql_q17_rollup",
+      sql("""
+        SELECT p.store_id, p.supplier_id, p.product_id,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY ROLLUP(p.store_id, p.supplier_id, p.product_id)
+        ORDER BY p.store_id ASC NULLS FIRST, p.supplier_id ASC NULLS FIRST,
+                 p.product_id ASC NULLS FIRST"""),
+      Some(StarSql.withStar("""
+        SELECT p.store_id, p.supplier_id, p.product_id,
+               CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        WHERE t.year = 2000
+        GROUP BY ROLLUP(p.store_id, p.supplier_id, p.product_id)
+        ORDER BY p.store_id NULLS FIRST, p.supplier_id NULLS FIRST, p.product_id NULLS FIRST"""))),
+
+    QueryDef("sql_q18_h1_h2",
+      sql("""
+        SELECT p.product_id,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.purchase_amount END) AS DOUBLE) AS half_01_revenue,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.purchase_amount END) AS DOUBLE) AS half_02_revenue,
+               CAST(SUM(f.purchase_amount) AS DOUBLE) AS yearly_revenue,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.quantity END) AS BIGINT) AS half_01_qty,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.quantity END) AS BIGINT) AS half_02_qty,
+               CAST(SUM(f.quantity) AS BIGINT) AS yearly_qty
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY p.product_id
+        ORDER BY p.product_id"""),
+      Some(StarSql.withStar("""
+        SELECT p.product_id,
+               CAST(CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.purchase_amount END) AS VARCHAR) AS DOUBLE) AS half_01_revenue,
+               CAST(CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.purchase_amount END) AS VARCHAR) AS DOUBLE) AS half_02_revenue,
+               CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS yearly_revenue,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('january','february','march','april','may','june')
+                    THEN f.quantity END) AS BIGINT) AS half_01_qty,
+               CAST(SUM(CASE WHEN lower(t.month) IN ('july','august','september','october','november','december')
+                    THEN f.quantity END) AS BIGINT) AS half_02_qty,
+               CAST(SUM(f.quantity) AS BIGINT) AS yearly_qty
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY p.product_id
+        ORDER BY p.product_id""")))
+  )
+}

@@ -58,13 +58,20 @@ def main():
             print(f"FAIL {name}: rows differ: oracle={len(w)} spark={len(g)}")
             n_bad += 1
             continue
-        # exact, order-sensitive compare first; fall back to sorted compare
+        # exact, order-sensitive compare first; a sorted-only match is a
+        # FAILURE when the query declares ORDER BY (ADVICE r1: ordering
+        # regressions must not pass the local gate)
         if w == g:
             print(f"OK   {name} ({len(w)} rows, ordered)")
             n_ok += 1
         elif sorted(w) == sorted(g):
-            print(f"OK   {name} ({len(w)} rows, unordered only!)")
-            n_ok += 1
+            if "ORDER BY" in sql.upper():
+                print(f"FAIL {name}: values match only after sorting, "
+                      f"but the query declares ORDER BY")
+                n_bad += 1
+            else:
+                print(f"OK   {name} ({len(w)} rows, unordered)")
+                n_ok += 1
         else:
             n_bad += 1
             sw, sg = sorted(w), sorted(g)
