@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The streaming ETL pipeline (the reference's entire engine,
   * `hybrid_join.py`, re-expressed Spark-native — SURVEY §3.1):
@@ -29,14 +29,18 @@ object Pipeline {
     Transforms.productDimFromMaster(
       spark.read.option("header", "true").schema(Schemas.productMaster).csv(path))
 
-  /** Run the full pipeline to completion (AvailableNow drain). */
-  def run(
+  /** Start the pipeline. The default `Trigger.AvailableNow` drains the
+    * source and stops (ST6, batch-like completion); pass
+    * `Trigger.ProcessingTime(...)` for a continuously-running deployment
+    * (ST2) — the caller then owns `query.stop()` (ST7). */
+  def start(
       spark: SparkSession,
       txnCsvDir: String,
       customerCsv: String,
       productCsv: String,
       whDir: String,
-      maxFilesPerTrigger: Int = 3): Unit = {
+      maxFilesPerTrigger: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val customers = loadCustomerMaster(spark, customerCsv)
     val products = loadProductMaster(spark, productCsv)
     val stream = spark.readStream
@@ -44,15 +48,25 @@ object Pipeline {
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(txnCsvDir)
-    val query = Enrich.enrich(stream, customers, products)
+    Enrich.enrich(stream, customers, products)
       .writeStream
       .queryName("graft-etl")
       .option("checkpointLocation", s"$whDir/_checkpoint")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         WarehouseSink.load(batch, batchId, whDir)
       }
       .start()
-    query.awaitTermination()
   }
+
+  /** Run the full pipeline to completion (AvailableNow drain). */
+  def run(
+      spark: SparkSession,
+      txnCsvDir: String,
+      customerCsv: String,
+      productCsv: String,
+      whDir: String,
+      maxFilesPerTrigger: Int = 3): Unit =
+    start(spark, txnCsvDir, customerCsv, productCsv, whDir, maxFilesPerTrigger)
+      .awaitTermination()
 }

@@ -67,8 +67,12 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // shuffle-hash instead of sort-merge: the exploded shingle relation is
+    // large and the join output is consumed by a hash aggregate — sorting
+    // both sides buys nothing (SHJ spills since Spark 3.1, so the hint
+    // stays safe when a partition's build side grows)
     val inter = sh.as("a")
-      .join(sh.as("b"),
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -110,7 +114,7 @@ object Dedup {
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val cand = bands.as("a")
-      .join(bands.as("b"),
+      .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -158,7 +162,7 @@ object Dedup {
         shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cval")))
     val cand = chunks.as("a")
-      .join(chunks.as("b"),
+      .join(chunks.as("b").hint("shuffle_hash"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
