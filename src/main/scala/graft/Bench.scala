@@ -29,11 +29,6 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // single-node: every task is process-local; never wait for locality
       .config("spark.locality.wait", "0")
-      // Plans here are fully explicit (broadcast hints, bucketed layouts,
-      // no skew at bench scale) — AQE's per-stage materialization barriers
-      // only add latency on sub-second queries. A real cluster deployment
-      // re-enables it for runtime skew/size re-planning.
-      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -119,7 +119,8 @@ object LlmQueries {
                        x -> x IN ('the', 'a'))) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS stopword_ratio,
                round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                     / length(text), 6) AS alpha_ratio
+                     / length(text), 6) AS alpha_ratio,
+               len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens
         FROM documents ORDER BY doc_id""")),
 
     QueryDef("text_langid",

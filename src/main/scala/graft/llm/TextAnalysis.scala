@@ -48,7 +48,11 @@ object TextAnalysis {
       round(size(filter(t, x => x.isin("the", "a"))).cast(DoubleType) / n, 6)
         .as("stopword_ratio"),
       round(length(regexp_replace(col("text"), "[^a-z]", "")).cast(DoubleType) /
-        length(col("text")), 6).as("alpha_ratio")
+        length(col("text")), 6).as("alpha_ratio"),
+      // BPE-ish subword count: greedy ≤4-char alpha chunks — a
+      // deterministic stand-in for learned-merge subword tokenization
+      size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+        .as("n_subtokens")
     ).orderBy(col("doc_id"))
   }
 
