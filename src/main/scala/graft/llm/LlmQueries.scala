@@ -240,6 +240,16 @@ object LlmQueries {
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    QueryDef("events_hourly_streamed",
+      (s, dir) => Events.hourlyStreamed(s, dir),
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
     QueryDef("events_sessions",
       (s, dir) => Events.sessions(s, dir),
       Some(s"""

@@ -46,6 +46,63 @@ object Events {
           .as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** The same hourly windows computed by an actual STREAMING query
+    * (ST1-ST4 end-to-end): file-source `readStream` over the events
+    * parquet, event-time watermark, windowed aggregation, complete-mode
+    * `foreachBatch` overwriting the result table each trigger, drained
+    * with `Trigger.AvailableNow`. The final table equals the batch
+    * aggregation (stream-batch equivalence), so it shares the batch
+    * oracle — a hash match certifies the streaming path itself.
+    * Memoized per (session, sf). */
+  def hourlyStreamed(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
+    val out = s"/root/repo/target/graft-events/$tag/hourly"
+    val key = (System.identityHashCode(s), dir)
+    synchronized {
+      if (!streamedRan(key)) {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos (nanosAsLong)
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        // file streams take a directory: stream the sf dir filtered to the
+        // events file (a production deployment streams an events/ dir)
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("total_value"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$out/_checkpoint_" +
+            java.util.UUID.randomUUID().toString.take(8))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/result")
+          }
+          .start()
+        q.awaitTermination()
+        streamedRan += key
+      }
+    }
+    s.read.parquet(s"$out/result")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val streamedRan = scala.collection.mutable.Set[(Int, String)]()
+
   val SessionGapMinutes = 30
 
   /** Session windows: per user, a session breaks after a 30-minute silence.
