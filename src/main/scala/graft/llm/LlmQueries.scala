@@ -196,6 +196,36 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
       }),
 
+    QueryDef("similarity_ivf_topk",
+      (s, dir) => Similarity.ivfTopK(s, dir),
+      Some(s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.CentroidBase}
+                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
+        a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS sim
+               FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, embedding, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cent_id) AS rn FROM a0)
+              WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, embedding AS qv, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn
+                 FROM a0 WHERE vec_id < ${Similarity.QueryCount})
+               WHERE rn <= ${Similarity.NProbe}),
+        p AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+                     ${cosineSql("qp.qv", "a.embedding")} AS cosine
+              FROM qp JOIN a ON a.cent_id = qp.cent_id
+                            AND a.vec_id <> qp.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk""")),
+
     QueryDef("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDups(s, dir),
       Some {

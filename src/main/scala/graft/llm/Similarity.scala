@@ -136,6 +136,48 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  val CentroidBase = 100 // centroid ids: [CentroidBase, CentroidBase+Centroids)
+  val Centroids = 16
+  val NProbe = 2
+
+  /** IVF-style ANN: partition the corpus into inverted lists by nearest
+    * centroid (deterministic centroid set — production would k-means;
+    * the LIST/PROBE mechanics are identical), probe the query's `NProbe`
+    * nearest lists, exact-rerank candidates.
+    *
+    * 100 TB: the assignment pass is one broadcast of K centroids over the
+    * corpus scan; the index is just a partitioned layout keyed by
+    * `cent_id` (write the corpus bucketed by it and probing becomes
+    * partition pruning); candidates per query = NProbe/K of the corpus. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e.where(col("vec_id") >= CentroidBase &&
+        col("vec_id") < CentroidBase + Centroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val sims = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = sims.withColumn("rn", row_number().over(byVec))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val qprobe = sims.where(col("vec_id") < QueryCount)
+      .withColumn("rn", row_number().over(byVec))
+      .where(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(qprobe),
+        assigned("cent_id") === qprobe("cent_id") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val NearDupCosine = 0.4
 
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate generation
