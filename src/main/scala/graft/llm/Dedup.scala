@@ -33,6 +33,23 @@ object Dedup {
   val MinhashPerms = 64
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == MinhashPerms
+
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
+    * 30-bit base hash (products stay < 2^61 — no overflow in either
+    * engine). One md5 per shingle + 64 affine maps replaces 64 md5s per
+    * shingle: the textbook construction, and ~40× less hashing work at
+    * 100 TB. Constants are host-generated and inlined into BOTH dialects. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  val BaseHashMod = 1L << 30
+  lazy val minhashSeeds: IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until MinhashPerms).map { i =>
+      val d = md.digest(s"mh|$i".getBytes("UTF-8"))
+      val v1 = new java.math.BigInteger(1, d.take(8)).longValue() & Long.MaxValue
+      val v2 = new java.math.BigInteger(1, d.drop(8)).longValue() & Long.MaxValue
+      (v1 % (MinhashP - 1) + 1, v2 % MinhashP)
+    }
+  }
   val JaccardThreshold = 0.5
   val SimhashBits = 60 // 15 hex chars of md5
   val SimhashChunks = 4 // pigeonhole: hamming <= chunks-1 guaranteed caught
@@ -86,19 +103,19 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signatures: per doc, 64 permutations approximated by 64 keyed
-    * md5-hashes; signature i = min over the doc's shingles. */
+  /** MinHash signatures: per doc, 64 universal-hash permutations over the
+    * shingle base hash; signature i = min over the doc's shingles. */
   private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingleIndex(s, dir).select(
       col("doc_id"),
-      transform(
-        sequence(lit(0), lit(MinhashPerms - 1)),
-        i => hash64(concat(i.cast(StringType), lit("|"), col("sh")))
-      ).as("hs"))
+      pmod(hash64(col("sh")), lit(BaseHashMod)).as("hr"))
+    def h(i: Int) = {
+      val (a, b) = minhashSeeds(i)
+      pmod(lit(a) * col("hr") + lit(b), lit(MinhashP))
+    }
     hashed.groupBy(col("doc_id")).agg(
-      min(element_at(col("hs"), 1)).as("m0"),
-      (1 until MinhashPerms).map(i =>
-        min(element_at(col("hs"), i + 1)).as(s"m$i")): _*)
+      min(h(0)).as("m0"),
+      (1 until MinhashPerms).map(i => min(h(i)).as(s"m$i")): _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the signature (16 bands × 4 rows),

@@ -60,12 +60,17 @@ object LlmQueries {
 
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
-      Some(s"""
+      Some {
+        val seeds = Dedup.minhashSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        s"""
         WITH $ShinglesCte,
-        hs AS (SELECT doc_id, i,
-                      min(${hash64Sql("concat(i, '|', sh)")}) AS m
-               FROM sh CROSS JOIN generate_series(0, 63) g(i)
-               GROUP BY doc_id, i),
+        hr AS (SELECT doc_id, ${hash64Sql("sh")} % ${Dedup.BaseHashMod} AS hr
+               FROM sh),
+        hs AS (SELECT doc_id, s.i,
+                      min((s.a * hr + s.b) % ${Dedup.MinhashP}) AS m
+               FROM hr CROSS JOIN (VALUES $seeds) s(i, a, b)
+               GROUP BY doc_id, s.i),
         bd AS (SELECT doc_id, i // 4 AS band,
                       string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
                FROM hs GROUP BY doc_id, i // 4),
@@ -84,7 +89,8 @@ object LlmQueries {
                 JOIN sz sa ON c.doc_a = sa.doc_id
                 JOIN sz sb ON c.doc_b = sb.doc_id)
         SELECT doc_a, doc_b, jaccard FROM ver
-        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")),
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+      }),
 
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(s, dir),
