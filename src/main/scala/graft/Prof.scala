@@ -21,7 +21,6 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    val t = Warehouse.tables(spark, sfDir)
 
     def bench(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit =
       (1 to 5).foreach { i =>
@@ -30,6 +29,54 @@ object Prof {
         println(f"[prof] $name run$i exec=${(System.nanoTime() - t0) / 1e9}%.3f")
       }
 
+    // named-entry mode: profile specific registered entries
+    if (args.nonEmpty) {
+      if (args.head == "minhash_parts") {
+        import graft.llm.{Dedup, Text}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        bench("shingle_sets")(
+          docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sset")))
+        bench("base_hashes")(
+          docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sset"))
+            .withColumn("hrs", transform(col("sset"),
+              x => pmod(Text.hash64(x), lit(Dedup.BaseHashMod)))))
+        bench("signatures")(
+          docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sset"))
+            .withColumn("hrs", transform(col("sset"),
+              x => pmod(Text.hash64(x), lit(Dedup.BaseHashMod))))
+            .select(col("doc_id") +: (0 until 64).map { i =>
+              val (a, b) = Dedup.minhashSeeds(i)
+              array_min(transform(col("hrs"),
+                hr => pmod(lit(a) * hr + lit(b), lit(Dedup.MinhashP)))).as(s"m$i")
+            }: _*))
+        val sig = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sset"))
+          .withColumn("hrs", transform(col("sset"),
+            x => pmod(Text.hash64(x), lit(Dedup.BaseHashMod))))
+          .select(col("doc_id") +: (0 until 64).map { i =>
+            val (a, b) = Dedup.minhashSeeds(i)
+            array_min(transform(col("hrs"),
+              hr => pmod(lit(a) * hr + lit(b), lit(Dedup.MinhashP)))).as(s"m$i")
+          }: _*)
+        val bandKeys = (0 until 16).map { bnd =>
+          concat_ws(",", (0 until 4).map(r => col(s"m${bnd * 4 + r}").cast("string")): _*)
+        }
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+        bench("bands")(bands)
+        val cand = bands.as("a")
+          .join(bands.as("b").hint("shuffle_hash"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        bench("cand")(cand)
+      } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
+      spark.stop()
+      return
+    }
+
+    val t = Warehouse.tables(spark, sfDir)
     bench("scan_only")(t.fact.select(col("quantity")))
     bench("scan_agg")(t.fact.groupBy(col("customer_id")).agg(sum(col("quantity"))))
     bench("scan_join_agg")(
