@@ -122,7 +122,25 @@ object Dedup {
     * bucket-join on (band, key), then verify candidates with exact Jaccard.
     * Output = verified pairs ≥ threshold. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(s, dir)
+    // The per-doc shingle-set relation is the operator's working set — it
+    // feeds BOTH band-join legs and BOTH verification legs. Persist it once
+    // (bounded: one row per doc with its distinct shingles) instead of
+    // recomputing the corpus scan + shingling four times inside one plan.
+    val sets = docs(s, dir).select(col("doc_id"),
+      shingles(col("text"), ShingleK).as("sset"))
+      .where(size(col("sset")) >= 1)
+      .withColumn("n", size(col("sset")))
+      .persist()
+    def h(i: Int): Column = {
+      val (a, b) = minhashSeeds(i)
+      array_min(transform(col("hrs"),
+        hr => pmod(lit(a) * hr + lit(b), lit(MinhashP))))
+    }
+    val sig = sets
+      .withColumn("hrs",
+        transform(col("sset"), x => pmod(hash64(x), lit(BaseHashMod))))
+      .select(col("doc_id") +:
+        (0 until MinhashPerms).map(i => h(i).as(s"m$i")): _*)
     val bandKeys = (0 until Bands).map { b =>
       concat_ws(",",
         (0 until RowsPerBand).map(r =>
@@ -139,9 +157,6 @@ object Dedup {
 
     // Exact verification over candidates only (arrays are per-doc shingle
     // sets; candidate count ~ true near-dup count, so this join is cheap).
-    val sets = docs(s, dir).select(col("doc_id"),
-      shingles(col("text"), ShingleK).as("sset"))
-      .withColumn("n", size(col("sset")))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
