@@ -150,6 +150,32 @@ object LlmQueries {
         FROM sc ORDER BY doc_id"""
       }),
 
+    QueryDef("text_quality_filter",
+      (s, dir) => TextAnalysis.qualityFilter(s, dir),
+      Some("""
+        WITH q AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS uniq_ratio,
+                 round(CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS stopword_ratio
+          FROM documents)
+        SELECT doc_id, n_tokens, uniq_ratio, stopword_ratio FROM q
+        WHERE n_tokens >= 10 AND n_tokens <= 200
+          AND uniq_ratio >= 0.35 AND stopword_ratio <= 0.2
+        ORDER BY doc_id""")),
+
+    QueryDef("text_vocab",
+      (s, dir) => TextAnalysis.vocab(s, dir),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+        SELECT token, count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS term_freq
+        FROM tok GROUP BY token ORDER BY token""")),
+
     QueryDef("doc_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(s, dir),
       Some("""

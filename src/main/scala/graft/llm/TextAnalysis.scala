@@ -75,6 +75,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality filter: the scoring signals turned into a keep/drop decision —
+    * the shape of a pretraining corpus filter (C4/Gopher-style rules, tiny
+    * thresholds since the corpus is synthetic). Emits kept docs with the
+    * reasons-evaluated columns so the decision is auditable. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val uniqRatio = size(array_distinct(t)).cast(DoubleType) / n
+    docs(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(size(filter(t, x => x.isin("the", "a"))).cast(DoubleType) / n, 6)
+          .as("stopword_ratio"))
+      .where(col("n_tokens") >= 10 && col("n_tokens") <= 200 &&
+        col("uniq_ratio") >= 0.35 && col("stopword_ratio") <= 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary statistics: per token, document frequency and total
+    * term frequency — the aggregation feeding tokenizer training / idf
+    * tables. Shuffle key is the token; scales with vocabulary, not corpus. */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    tok.groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+      .orderBy(col("token"))
+  }
+
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
     * primitive), plus the shingle count. */
