@@ -176,6 +176,22 @@ object LlmQueries {
                count(*) AS term_freq
         FROM tok GROUP BY token ORDER BY token""")),
 
+    QueryDef("text_tfidf_topk",
+      (s, dir) => TextAnalysis.tfidfTopK(s, dir),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        x AS (SELECT tf.doc_id, tf.token, tf.tf,
+                     round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+              FROM tf JOIN df USING(token) CROSS JOIN nd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, token) AS rnk FROM x)
+        SELECT doc_id, token, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
     QueryDef("doc_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(s, dir),
       Some("""

@@ -106,6 +106,32 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** TF-IDF top-3 tokens per document: term frequency × ln(N/df), ranked on
+    * the 6-dp-rounded weight with a token tiebreak (ln differs by ≤1 ulp
+    * across libm implementations — rounding makes ranking deterministic).
+    * Corpus size enters as a broadcast scalar, never a driver-side collect. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+        col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
     * primitive), plus the shingle count. */
