@@ -308,6 +308,20 @@ object LlmQueries {
                CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
         FROM documents ORDER BY media_id""")),
 
+    QueryDef("multimodal_frames",
+      (s, dir) => Multimodal.frameSamples(s, dir),
+      Some("""
+        WITH f AS (SELECT doc_id AS media_id, md5(text) AS digest,
+                          CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+                   FROM documents),
+        g AS (SELECT media_id, digest, n_frames,
+                     greatest(1, n_frames // 4) AS stride FROM f)
+        SELECT media_id, i AS frame_idx,
+               md5(concat(digest, '|', i)) AS frame_hash
+        FROM g CROSS JOIN generate_series(0, 29) t(i)
+        WHERE i < n_frames AND i % stride = 0
+        ORDER BY media_id, frame_idx""")),
+
     QueryDef("events_hourly",
       (s, dir) => Events.hourly(s, dir),
       Some("""

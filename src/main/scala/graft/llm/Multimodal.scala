@@ -78,4 +78,23 @@ object Multimodal {
       .toDF()
       .orderBy(col("media_id"))
   }
+
+  /** Frame sampling: explode each media item into evenly-strided frame
+    * rows (stride = max(1, n_frames/4) → ≤5 samples per item). The frame
+    * "content" hash is the ===== STUB ===== stand-in for decoding the
+    * frame; the explode-into-rows shape (one row per sampled frame,
+    * partitioning inherited, no shuffle) is the real 100 TB pipeline
+    * plumbing a video corpus needs. */
+  def frameSamples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val stride = greatest(lit(1L), floor(col("n_frames") / 4).cast(LongType))
+    features(s, dir)
+      .select(col("media_id"), col("digest"), col("n_frames"), stride.as("stride"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
+      .select(col("media_id"), col("frame_idx"),
+        md5(concat(col("digest"), lit("|"), col("frame_idx").cast("string")))
+          .as("frame_hash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
 }
