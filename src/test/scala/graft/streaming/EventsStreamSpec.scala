@@ -58,6 +58,28 @@ class EventsStreamSpec extends SparkSpec {
       Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming exact dedup: duplicate event ids within the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = mem.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:01"), 99.0), // in-batch duplicate
+      (2L, ts("2024-01-01 00:01:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 00:02:00"), 98.0)) // cross-batch duplicate
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 05:00:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_dedup")
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))) // first wins
+  }
+
   test("batch sessionization: gap splits, session stats") {
     import graft.streaming.Events
     // hand-built timeline: user 1 has two sessions (35-min gap), user 2 one
