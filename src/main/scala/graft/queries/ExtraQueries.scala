@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.star.StarSql
+import graft.warehouse.Warehouse
+
+/** Operators the reference's SQL never used but a complete engine must
+  * serve (SURVEY §2.4/§2.6/§2.7 "not present" rows): set operations,
+  * CUBE grouping sets, distinct aggregates, and per-group top-k via
+  * window ranking (the reference's prose intent for its "top 5 per
+  * group" queries, which its SQL implemented as a global LIMIT — both
+  * forms are now served). */
+object ExtraQueries {
+
+  private def star(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Warehouse.tables(s, dir)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // UNION / INTERSECT / EXCEPT over customer populations: buyers of two
+    // product categories (exercises all three set operators in one plan).
+    QueryDef("setops_buyers",
+      (s, dir) => {
+        val t = star(s, dir)
+        val buyers = t.fact.join(broadcast(t.product), "product_id")
+          .select(col("customer_id"), col("product_category"))
+        def of(cat: String) =
+          buyers.where(col("product_category") === cat)
+            .select(col("customer_id")).distinct()
+        val a = of("Brand#11"); val b = of("Brand#12")
+        a.intersect(b).withColumn("relation", lit("both"))
+          .union(a.except(b).withColumn("relation", lit("only_a")))
+          .union(b.except(a).withColumn("relation", lit("only_b")))
+          .orderBy(col("relation"), col("customer_id"))
+      },
+      Some(StarSql.withStar("""
+        , buyers AS (
+          SELECT f.customer_id, p.product_category
+          FROM salefact f JOIN product_dim p ON f.product_id = p.product_id),
+        a AS (SELECT DISTINCT customer_id FROM buyers WHERE product_category = 'Brand#11'),
+        b AS (SELECT DISTINCT customer_id FROM buyers WHERE product_category = 'Brand#12')
+        SELECT customer_id, 'both' AS relation FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        UNION ALL
+        SELECT customer_id, 'only_a' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        UNION ALL
+        SELECT customer_id, 'only_b' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        ORDER BY relation, customer_id"""))),
+
+    // CUBE over (store, season) + exact distinct-customer counts: grouping
+    // sets beyond the reference's ROLLUP, plus a distinct aggregate.
+    QueryDef("agg_cube_distinct",
+      (s, dir) => {
+        val t = star(s, dir)
+        t.fact.join(broadcast(t.product), "product_id")
+          .join(broadcast(t.time), "date_id")
+          .cube(col("store_id"), col("season"))
+          .agg(
+            countDistinct(col("customer_id")).as("n_customers"),
+            sum(col("purchase_amount")).cast(StringType).cast(DoubleType)
+              .as("total_revenue"))
+          .orderBy(asc_nulls_first("store_id"), asc_nulls_first("season"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.store_id, t.season,
+               count(DISTINCT f.customer_id) AS n_customers,
+               CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM salefact f
+        JOIN product_dim p ON f.product_id = p.product_id
+        JOIN time_dim t ON f.date_id = t.date_id
+        GROUP BY CUBE(p.store_id, t.season)
+        ORDER BY p.store_id NULLS FIRST, t.season NULLS FIRST"""))),
+
+    // Per-group top-k (window form of the reference's "top 5 per group"
+    // intent): top 3 products per category by revenue, rank over rounded-
+    // free exact decimal sums with product tiebreak.
+    QueryDef("q_top3_per_category",
+      (s, dir) => {
+        val t = star(s, dir)
+        val rev = t.fact.join(broadcast(t.product), "product_id")
+          .groupBy(col("product_category"), col("product_id"))
+          .agg(sum(col("purchase_amount")).cast(StringType).cast(DoubleType)
+            .as("revenue"))
+        val w = Window.partitionBy(col("product_category"))
+          .orderBy(col("revenue").desc, col("product_id"))
+        rev.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("product_category"), col("product_id"), col("revenue"),
+            col("rnk").cast(LongType).as("rnk"))
+          .orderBy(col("product_category"), col("rnk"))
+      },
+      Some(StarSql.withStar("""
+        , rev AS (
+          SELECT p.product_category, p.product_id,
+                 CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS revenue
+          FROM salefact f JOIN product_dim p ON f.product_id = p.product_id
+          GROUP BY p.product_category, p.product_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY product_category
+                        ORDER BY revenue DESC, product_id) AS rnk FROM rev)
+        SELECT product_category, product_id, revenue, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3
+        ORDER BY product_category, rnk""")))
+  )
+}
