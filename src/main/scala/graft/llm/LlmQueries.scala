@@ -196,9 +196,10 @@ object LlmQueries {
       (s, dir) => TextAnalysis.fingerprint(s, dir),
       Some("""
         SELECT doc_id,
-               list_min(list_transform(generate_series(1, length(text) - 7),
-                 i -> md5(substr(text, i, 8)))) AS fingerprint,
-               CAST(length(text) - 7 AS BIGINT) AS n_grams
+               CASE WHEN length(text) >= 8 THEN
+                 list_min(list_transform(generate_series(1, length(text) - 7),
+                   i -> md5(substr(text, i, 8)))) END AS fingerprint,
+               CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_grams
         FROM documents ORDER BY doc_id""")),
 
     QueryDef("similarity_topk",

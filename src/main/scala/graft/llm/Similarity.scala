@@ -33,8 +33,9 @@ import org.apache.spark.sql.types._
   * brute force scans the corpus once per batch of queries — at scale the
   * per-partition scan computes partial top-k before the final merge (the
   * window over Q×N pairs keyed by query id; AQE handles the 10-key skew).
-  * The LSH path prunes the scan to one bucket (1/2^16 of the corpus per
-  * probe at uniform spread); recall is tuned by bucket bits / multi-probe,
+  * The LSH path prunes the scan to one bucket (1/2^Planes = 1/256 of the
+  * corpus per probe at uniform spread with the current 8 planes); recall
+  * is tuned by bucket bits / multi-probe,
   * verified against brute force in the test suite.
   */
 object Similarity {
@@ -105,7 +106,8 @@ object Similarity {
         (x, sgn) => x.cast(DoubleType) * sgn),
       lit(0.0), (acc, x) => acc + x)
 
-  /** 16-bit LSH bucket: bit p = sign of the projection onto plane p. */
+  /** 8-bit LSH bucket (2^Planes = 256): bit p = sign of the projection onto
+    * plane p. */
   def bucket(v: Column): Column =
     (0 until Planes)
       .map(p => when(projection(v, p) >= 0, lit(1 << p)).otherwise(lit(0)))

@@ -134,13 +134,18 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
-    * primitive), plus the shingle count. */
+    * primitive), plus the shingle count. Docs shorter than 8 chars have no
+    * 8-gram → NULL fingerprint, 0 grams (guard needed: Spark's
+    * `sequence(a,b)` runs DESCENDING when a>b rather than returning empty,
+    * while the oracle's generate_series returns empty). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      array_min(transform(
-        sequence(lit(1), length(col("text")) - 7),
-        i => md5(col("text").substr(i, lit(8))))).as("fingerprint"),
-      (length(col("text")) - 7).cast(LongType).as("n_grams")
+      when(length(col("text")) >= 8,
+        array_min(transform(
+          sequence(lit(1), length(col("text")) - 7),
+          i => md5(col("text").substr(i, lit(8))))))
+        .otherwise(lit(null).cast(StringType)).as("fingerprint"),
+      greatest(length(col("text")) - 7, lit(0)).cast(LongType).as("n_grams")
     ).orderBy(col("doc_id"))
 }

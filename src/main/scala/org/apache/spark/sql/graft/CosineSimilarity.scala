@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * candidate volumes (billions of reranked pairs) the fused kernel is the
   * difference between memory-bandwidth-bound and allocation-bound.
   * Accumulation is index-sequential per accumulator — BIT-IDENTICAL to the
-  * sequential double folds, so the DuckDB oracles are unaffected (asserted
-  * in CosineExpressionSpec).
+  * sequential double folds FOR EQUAL-LENGTH, NULL-FREE vectors (asserted in
+  * CosineExpressionSpec; all engine embeddings are fixed-width non-null).
+  * Outside that contract the two forms diverge by design: this kernel
+  * truncates to the shorter length and reads array slots raw, while the
+  * fold form norms the full arrays and propagates element nulls to NULL.
   *
   * Whole-stage codegen via [[doGenCode]]; interpreted [[nullSafeEval]]
   * keeps the expression usable where codegen is disabled.
