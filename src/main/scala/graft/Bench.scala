@@ -31,6 +31,14 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // single-node: every task is process-local; never wait for locality
       .config("spark.locality.wait", "0")
+      // AQE toggle for A/B measurement: at bench scale (sub-second stages)
+      // adaptive stage barriers + partition coalescing can dominate multi-
+      // stage plans; at 100 TB AQE earns its keep (skew joins, right-sized
+      // partitions). The committed default is whichever the measured suite
+      // total favors; Verify always keeps Spark defaults (AQE on), so both
+      // paths stay exercised.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

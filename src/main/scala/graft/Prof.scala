@@ -17,6 +17,10 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROF_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("PROF_COALESCE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("PROF_MIN_PART", "1m"))
       .config("spark.shuffle.compress", sys.env.getOrElse("PROF_SHUFFLE_COMPRESS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -71,6 +75,70 @@ object Prof {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         bench("cand")(cand)
+      } else if (args.head == "ngram_parts") {
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.Dedup
+        val sets = Dedup.shingleSets(spark, sfDir)
+        bench("sets")(sets)
+        val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+        bench("explode")(ex)
+        val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        bench("dfreq")(dfreq)
+        val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+        val prefix = ex.join(dfreq, "sh")
+          .withColumn("rn", row_number().over(byRarity))
+          .where(col("rn") <= col("n") - ceil(col("n") * lit(0.5)) + 1)
+          .select(col("doc_id"), col("n"), col("rn"), col("sh"))
+        bench("prefix")(prefix)
+        val alpha = ceil((col("a.n") + col("b.n")) * lit(0.5 / 1.5))
+        val cand = prefix.as("a")
+          .join(prefix.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") >= ceil(col("a.n") * lit(0.5)) &&
+              col("b.n") <= floor(col("a.n") / lit(0.5)) &&
+              lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        bench("cand")(cand)
+        val verifyPlain = cand
+          .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+        bench("verify_plain")(verifyPlain)
+        val verifyBcast = cand
+          .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
+          .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+          .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+        bench("verify_bcast")(verifyBcast)
+        val candP = cand.persist()
+        println(s"[prof] cand_count=${candP.count()}  prefix_count=${prefix.count()}  ex_count=${ex.count()}")
+        val verifyOnly = candP
+          .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
+          .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+          .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+        bench("verify_only")(verifyOnly)
+        val verifyOnlyShj = candP
+          .join(sets.as("sa").hint("shuffle_hash"), col("doc_a") === col("sa.doc_id"))
+          .join(sets.as("sb").hint("shuffle_hash"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+        bench("verify_only_shj")(verifyOnlyShj)
+        bench("entry_full")(Dedup.ngramJaccard(spark, sfDir))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return

@@ -77,25 +77,62 @@ object Dedup {
     docs(s, dir).select(col("doc_id"),
       explode(shingles(col("text"), ShingleK)).as("sh"))
 
-  /** Exhaustive n-gram Jaccard near-dup pairs via the shingle inverted
-    * index: self-join on shingle counts the intersection; set sizes give
-    * the union. Exact (no approximation) and distributed — the shuffle key
-    * is the shingle, never the doc pair space. */
+  /** Exact n-gram Jaccard near-dup pairs with PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    *
+    * A naive inverted-index self-join costs Σ df² over every shingle —
+    * quadratic in hot shingles (round-2 bench: 15.8s, 27% of the whole
+    * suite, and the term only grows with corpus size). Prefix filtering is
+    * the exact fix: order each doc's shingles by a GLOBAL total order
+    * (document frequency ascending, rarest first), and keep only the first
+    * `n - ceil(t·n) + 1` as its prefix. Any pair with Jaccard ≥ t MUST
+    * share a prefix shingle under the shared order (pigeonhole: two sets
+    * whose prefixes are disjoint can overlap on at most ceil(t·n)-1 of
+    * each side's tail — too few to reach t), so joining on prefix shingles
+    * only has NO false negatives; candidates are then verified with exact
+    * Jaccard over the full shingle sets. Hot shingles sort to the suffix
+    * and never enter the join — the df² term is confined to rare shingles
+    * where df is small.
+    *
+    * 100 TB: shuffle keys are the shingle (df count, candidate join) and
+    * the doc (prefix ranking) — never the pair space. Output is identical
+    * to the exhaustive formulation (the oracle still runs that one). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleIndex(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // shuffle-hash instead of sort-merge: the exploded shingle relation is
-    // large and the join output is consumed by a hash aggregate — sorting
-    // both sides buys nothing (SHJ spills since Spark 3.1, so the hint
-    // stays safe when a partition's build side grows)
-    val inter = sh.as("a")
-      .join(sh.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val t = JaccardThreshold
+    val sets = shingleSets(s, dir)
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+    // df as a window count (one shuffle keyed by shingle) instead of a
+    // groupBy + join-back (two exchanges over the same exploded relation).
+    // rarest-first global order; sh as tiebreaker keeps the order total.
+    // rn (the shingle's position in the doc's full ordered set) rides along
+    // for the positional filter below.
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("n") - ceil(col("n") * lit(t)) + 1)
+      .select(col("doc_id"), col("n"), col("rn"), col("sh"))
+    // Candidate join with PPJoin's two further EXACT filters fused in:
+    //  - length: J ≥ t forces t·na ≤ nb ≤ na/t;
+    //  - positional: for the FIRST shared shingle in the global order, every
+    //    other shared shingle follows it in both lists, so the true overlap
+    //    is ≤ 1 + min(na-rn_a, nb-rn_b); prune when that bound can't reach
+    //    the overlap threshold α = ceil(t/(1+t)·(na+nb)). A qualifying pair
+    //    always survives via its first shared prefix shingle.
+    val alpha = ceil((col("a.n") + col("b.n")) * lit(t / (1 + t)))
+    val cand = prefix.as("a")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(col("a.n") * lit(t)) &&
+          col("b.n") <= floor(col("a.n") / lit(t)) &&
+          lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
@@ -132,7 +169,7 @@ object Dedup {
     * re-resolves. */
   private val setsCache = scala.collection.mutable.Map[(Int, String), DataFrame]()
 
-  private[llm] def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
     synchronized {
       setsCache.getOrElseUpdate(
         (System.identityHashCode(s), dir),
