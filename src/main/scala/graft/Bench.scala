@@ -31,14 +31,15 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // single-node: every task is process-local; never wait for locality
       .config("spark.locality.wait", "0")
-      // AQE toggle for A/B measurement: at bench scale (sub-second stages)
-      // adaptive stage barriers + partition coalescing can dominate multi-
-      // stage plans; at 100 TB AQE earns its keep (skew joins, right-sized
-      // partitions). The committed default is whichever the measured suite
-      // total favors; Verify always keeps Spark defaults (AQE on), so both
-      // paths stay exercised.
+      // AQE off for the bench session — measured A/B at sf0.1 (r3): suite
+      // total 42.4s off vs 48.0s on; adaptive coalescing serializes CPU-
+      // dense tiny shuffles onto 1-2 cores (dedup_ngram_jaccard 2.0s→8.8s)
+      // and per-stage re-planning barriers dominate sub-second stages. At
+      // 100 TB the trade inverts (skew joins, right-sizing) — AQE is a
+      // session flag, not an engine property, and Verify keeps Spark
+      // defaults (AQE on) so both paths stay exercised for correctness.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
+        sys.env.getOrElse("GRAFT_BENCH_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

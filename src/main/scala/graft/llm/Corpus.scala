@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Text._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * overlapping token chunking (context-window packing), deterministic
+  * stratified sampling, int8 embedding quantization, and BM25 retrieval
+  * scoring. All per-row or token-keyed — no pair-space joins anywhere.
+  *
+  * 100 TB design notes:
+  *  - chunk/quantize/sample are per-row map work: they pipeline inside one
+  *    whole-stage-codegen pass over the corpus scan, and chunking's explode
+  *    inherits the scan partitioning (no shuffle).
+  *  - BM25 shuffles by token (df/tf aggregation) — vocabulary-sized, not
+  *    corpus-sized; corpus constants (N, avgdl) ride along as broadcast
+  *    scalars, never a driver collect.
+  */
+object Corpus {
+
+  val ChunkSize = 50
+  val ChunkStride = 40 // 10-token overlap between consecutive chunks
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Overlapping token chunks: starts at 1, 1+stride, 1+2·stride, … while
+    * ≤ n_tokens; each chunk is `ChunkSize` tokens (shorter at the tail).
+    * Emits the chunk's md5 so content equality is assertable without
+    * shipping chunk text through the compare harness. */
+  def chunks(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    // chunk structs are built INSIDE one per-row transform and then
+    // exploded — no join back to the text, no text duplication per chunk
+    val chunkArr = transform(
+      sequence(lit(1), n, lit(ChunkStride)),
+      st => struct(
+        st.as("chunk_start"),
+        least(lit(ChunkSize), n - st + 1).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(t, st, lit(ChunkSize)))).as("chunk_md5")))
+    docs(s, dir)
+      .where(n >= 1)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("c.chunk_start").as("chunk_start"),
+        col("c.chunk_tokens").as("chunk_tokens"),
+        col("c.chunk_md5").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied via
+    * a salted content-independent hash of the doc id — reproducible across
+    * runs/engines (the property a training-data pipeline needs so reshuffles
+    * don't resample), no RNG state anywhere. */
+  val SampleRates: Seq[(String, Int)] = // per-mille keep rates by stratum
+    Seq("en" -> 500, "de" -> 250)
+  val SampleDefaultRate = 100
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(hash64(concat(lit("smp|"), col("doc_id").cast(StringType))),
+      lit(1000L))
+    val rate = SampleRates.foldLeft(lit(SampleDefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .where(col("bucket") < rate)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Int8 embedding quantization (symmetric absmax, the standard LLM
+    * weight/activation scheme): scale = 127/max|v|, q_i = round(v_i·scale).
+    * Emits per-vector audit scalars (exact |q| mass and 6-dp RMS
+    * reconstruction error) rather than the array so the oracle compare is
+    * list-free; max|v| is order-independent, and the error fold runs
+    * index-sequentially for cross-engine bit parity. */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val maxAbs = array_max(transform(v, x => abs(x.cast(DoubleType))))
+    val scale = lit(127.0) / col("max_abs")
+    val q = transform(v, x => round(x.cast(DoubleType) * scale))
+    emb(s, dir)
+      .select(col("vec_id"), v, maxAbs.as("max_abs"))
+      .withColumn("sum_abs_q",
+        aggregate(q, lit(0.0), (acc, x) => acc + abs(x)).cast(LongType))
+      .withColumn("err_rms",
+        round(sqrt(
+          aggregate(
+            zip_with(v, q, (x, qi) =>
+              (x.cast(DoubleType) - qi / scale) * (x.cast(DoubleType) - qi / scale)),
+            lit(0.0), (acc, e) => acc + e) / size(v)), 6))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs"),
+        col("sum_abs_q"), col("err_rms"))
+      .orderBy(col("vec_id"))
+  }
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("join", "scan", "vector")
+  val Bm25TopK = 20
+
+  /** BM25 scoring of the corpus against a fixed query-term set; top-20 docs.
+    * Per-term scores are rounded to 9 dp and summed as exact DECIMALs so the
+    * 3-term sum is addition-order-independent (`ln` can differ by an ulp
+    * across libm builds — 9 dp is far above ulp noise, far below score
+    * resolution); ranking uses the 6-dp score with doc_id tiebreak. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val dl = d.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+    val consts = d.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      sum(size(tokens(col("text")))).cast(DoubleType).as("total_tokens"))
+      .select(col("n_docs"), (col("total_tokens") / col("n_docs")).as("avgdl"))
+    val tf = tok.where(col("token").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).cast(DoubleType).as("df"))
+    // constants as folded ADDs (lit(1.2)+lit(1.0)), mirrored literally in
+    // the oracle SQL — both engines fold the same IEEE add, so the shared
+    // inexact constants are bit-identical
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val lenNorm = lit(1.0) - lit(Bm25B) + col("dl") * lit(Bm25B) / col("avgdl")
+    val termScore = round(
+      idf * col("tf") * (lit(Bm25K1) + lit(1.0)) /
+        (col("tf") + lenNorm * lit(Bm25K1)), 9)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(consts))
+      .withColumn("term_score", termScore.cast(DecimalType(28, 9)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")).cast(DoubleType), 6).as("score"),
+        count(lit(1)).as("n_matched_terms"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= Bm25TopK)
+      .select(col("doc_id"), col("score"), col("n_matched_terms"),
+        col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("rnk"))
+  }
+}

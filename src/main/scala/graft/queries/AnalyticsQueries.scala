@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.star.StarSql
+import graft.streaming.Events
+import graft.warehouse.Warehouse
+
+/** Time-series and analytics operators beyond the reference's SQL surface:
+  * as-of join, range (point-in-interval) join, exact percentiles, and SCD2
+  * dimension history (the reference's dims are SCD0 first-write-wins —
+  * `hybrid_join.py:364-378`; SCD2 is the versioned extension a real
+  * warehouse needs). Each is a named entry with a bit-exact DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  val DayMicros: Long = 86400L * 1000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Backward as-of join: each purchase event picks up the most recent
+    // click (≤ its timestamp) by the same user. Oracle = DuckDB ASOF LEFT
+    // JOIN; the Spark side is the union + single-window-pass encoding
+    // (operators/AsOfJoin.scala). Clicks are deduped to one per (user, ts)
+    // — both encodings are otherwise tie-ambiguous.
+    QueryDef("asof_click_purchase",
+      (s, dir) => {
+        val ev = Events.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_event_id"))
+        AsOfJoin.backward(purchases, clicks, "user_id", "ts")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("prev_click_event_id").as("click_event_id"),
+            col("prev_ts").as("click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_event_id, c.ts AS click_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id""")),
+
+    // Point-in-interval join: events × 30 overlapping 5-day campaign
+    // windows (3-day cadence), via the bucketed equi-join encoding
+    // (operators/RangeJoin.scala). The oracle runs the plain theta join.
+    // Both engines compare epoch MICROseconds so the parquet's nanosecond
+    // timestamps truncate identically.
+    QueryDef("range_join_campaigns",
+      (s, dir) => {
+        val ev = Events.events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val camp = s.range(30).select(
+          col("id").as("campaign_id"),
+          unix_micros(expr(
+            "timestampadd(DAY, CAST(id*3 AS INT), TIMESTAMP'2024-01-01 00:00:00')"))
+            .as("start_us"),
+          unix_micros(expr(
+            "timestampadd(DAY, CAST(id*3+5 AS INT), TIMESTAMP'2024-01-01 00:00:00')"))
+            .as("end_us"))
+        RangeJoin.pointInInterval(ev, camp, "ts_us", "start_us", "end_us", DayMicros)
+          .select(col("event_id"), col("campaign_id"))
+          .orderBy(col("event_id"), col("campaign_id"))
+      },
+      Some("""
+        WITH camp AS (SELECT i AS campaign_id,
+                             epoch_us(TIMESTAMP '2024-01-01' + to_days(CAST(i*3 AS INT))) AS cs,
+                             epoch_us(TIMESTAMP '2024-01-01' + to_days(CAST(i*3+5 AS INT))) AS ce
+                      FROM range(30) t(i))
+        SELECT e.event_id, c.campaign_id
+        FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e
+        JOIN camp c ON e.ts_us >= c.cs AND e.ts_us < c.ce
+        ORDER BY event_id, campaign_id""")),
+
+    // Exact interpolated percentiles (median/p90) of the sale amount per
+    // store: Spark `percentile` and DuckDB `quantile_cont` share the
+    // (n-1)·p linear-interpolation definition; inputs are the same exact
+    // DECIMAL cast to double, results rounded to 6 dp.
+    QueryDef("percentiles_by_store",
+      (s, dir) => {
+        val t = Warehouse.tables(s, dir)
+        t.fact.join(broadcast(t.product), "product_id")
+          .groupBy(col("store_id"))
+          .agg(
+            round(percentile(col("purchase_amount").cast(DoubleType), lit(0.5)), 6).as("p50"),
+            round(percentile(col("purchase_amount").cast(DoubleType), lit(0.9)), 6).as("p90"),
+            count(lit(1)).as("n_sales"))
+          .orderBy(col("store_id"))
+      },
+      Some(StarSql.withStar("""
+        SELECT store_id,
+               round(quantile_cont(CAST(purchase_amount AS DOUBLE), 0.5), 6) AS p50,
+               round(quantile_cont(CAST(purchase_amount AS DOUBLE), 0.9), 6) AS p90,
+               count(*) AS n_sales
+        FROM salefact JOIN product_dim USING (product_id)
+        GROUP BY store_id ORDER BY store_id"""))),
+
+    // SCD2 history: collapse each user's event stream into versioned state
+    // rows (state = event_type run) with [valid_from, valid_to) validity
+    // and an is_current flag — lag→change-flag→running-sum→group, one
+    // shuffle keyed by user.
+    QueryDef("scd2_user_state",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        Events.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+              .otherwise(0))
+          .withColumn("version", sum(col("chg")).over(run))
+          .groupBy(col("user_id"), col("version"))
+          .agg(
+            min(col("event_type")).as("state"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""
+        WITH x AS (SELECT user_id, ts, event_id, event_type,
+                          lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                   FROM events),
+        y AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                             THEN 1 ELSE 0 END AS chg FROM x),
+        z AS (SELECT *, SUM(chg) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS version FROM y),
+        g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                     min(event_type) AS state, min(ts) AS valid_from,
+                     count(*) AS n_events
+              FROM z GROUP BY user_id, version)
+        SELECT user_id, version, state, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current,
+               n_events
+        FROM g ORDER BY user_id, version"""))
+  )
+}

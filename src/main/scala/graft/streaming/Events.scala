@@ -27,7 +27,7 @@ object Events {
     * does the same nanos→micros truncation natively, so both engines see
     * identical microsecond instants). `div` is integral division — a
     * double-typed `/` would corrupt 19-digit nano epochs (> 2^53). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
