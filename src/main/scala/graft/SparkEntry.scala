@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtraQueries, QueryDef, RefQueries, SqlQueries}
+import graft.queries.{AnalyticsQueries, ExtraQueries, QueryDef, RefQueries, SqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,9 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     RefQueries.all ++ RefQueries.starTables ++ SqlQueries.all ++
-      ExtraQueries.all ++ graft.llm.LlmQueries.all ++ graft.etl.EtlQueries.all
+      ExtraQueries.all ++ AnalyticsQueries.all ++
+      graft.llm.LlmQueries.all ++ graft.llm.CorpusQueries.all ++
+      graft.etl.EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

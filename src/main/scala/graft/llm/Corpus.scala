@@ -52,8 +52,8 @@ object Corpus {
       .where(n >= 1)
       .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
-        col("c.chunk_start").as("chunk_start"),
-        col("c.chunk_tokens").as("chunk_tokens"),
+        col("c.chunk_start").cast(LongType).as("chunk_start"),
+        col("c.chunk_tokens").cast(LongType).as("chunk_tokens"),
         col("c.chunk_md5").as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
@@ -133,7 +133,11 @@ object Corpus {
     val termScore = round(
       idf * col("tf") * (lit(Bm25K1) + lit(1.0)) /
         (col("tf") + lenNorm * lit(Bm25K1)), 9)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    // (per-partition partial top-20, driver merge of 20-row heaps) — never
+    // a global single-partition window. rnk is derived AFTER the limit, so
+    // its window ranks only Bm25TopK rows (one tiny task, not a funnel).
+    val wTop = Window.orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(dft), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(consts))
@@ -141,10 +145,10 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")).cast(DoubleType), 6).as("score"),
         count(lit(1)).as("n_matched_terms"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= Bm25TopK)
-      .select(col("doc_id"), col("score"), col("n_matched_terms"),
-        col("rnk").cast(LongType).as("rnk"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .select(col("doc_id"), col("score"), col("n_matched_terms"), col("rnk"))
       .orderBy(col("rnk"))
   }
 }

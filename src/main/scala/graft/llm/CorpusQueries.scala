@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.queries.QueryDef
+
+/** Driver-verifiable entries for the [[Corpus]] operators (token chunking,
+  * stratified sampling, int8 quantization, BM25 retrieval). Each oracle is
+  * the lockstep DuckDB twin of the Spark plan: the same tokenization
+  * (string split on ' '), the same 60-bit md5-prefix hash, the same
+  * fold/round discipline as the rest of the LLM suite (see [[LlmQueries]]).
+  */
+object CorpusQueries {
+
+  /** DuckDB twin of [[Text.hash64]]. */
+  private def hash64Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Overlapping token chunks. chunk_idx is derivable from chunk_start
+    // ((start-1)/stride) so the oracle needs no unnest-with-ordinality;
+    // DuckDB's list slice t[a:b] is inclusive-both-ends 1-based = Spark's
+    // slice(t, a, 50) → t[a : a+49].
+    QueryDef("corpus_chunks",
+      (s, dir) => Corpus.chunks(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t), ${Corpus.ChunkStride})) AS chunk_start
+               FROM tk WHERE len(t) >= 1)
+        SELECT doc_id,
+               CAST((chunk_start - 1) / ${Corpus.ChunkStride} AS BIGINT) AS chunk_idx,
+               chunk_start,
+               least(${Corpus.ChunkSize}, len(t) - chunk_start + 1) AS chunk_tokens,
+               md5(array_to_string(t[chunk_start : chunk_start + ${Corpus.ChunkSize - 1}], ' ')) AS chunk_md5
+        FROM st ORDER BY doc_id, chunk_idx""")),
+
+    // Deterministic stratified sampling: salted hash64 of the doc id mod
+    // 1000 vs per-language keep rates. Both buckets are 60-bit positive →
+    // pmod and % agree.
+    QueryDef("corpus_stratified_sample",
+      (s, dir) => Corpus.stratifiedSample(s, dir),
+      Some(s"""
+        WITH b AS (SELECT doc_id, lang,
+                          ${hash64Sql("concat('smp|', CAST(doc_id AS VARCHAR))")} % 1000 AS bucket
+                   FROM documents)
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < CASE lang WHEN 'en' THEN ${Corpus.SampleRates.head._2}
+                                 WHEN 'de' THEN ${Corpus.SampleRates(1)._2}
+                                 ELSE ${Corpus.SampleDefaultRate} END
+        ORDER BY doc_id""")),
+
+    // Int8 absmax quantization audit scalars. scale is the UNROUNDED
+    // 127/max|v| in both engines; |q| values are whole numbers ≤ 127 so
+    // sum_abs_q is exactly representable (order-independent); err_rms
+    // rounds to 6 dp (way above fold-order ulp noise).
+    QueryDef("corpus_quantize_int8",
+      (s, dir) => Corpus.quantizeInt8(s, dir),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding AS v,
+                          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+                   FROM embeddings),
+        q AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale,
+                     list_transform(v, x -> round(CAST(x AS DOUBLE) * (127.0 / max_abs))) AS qv
+              FROM e)
+        SELECT vec_id, round(max_abs, 6) AS max_abs,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+               round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> (CAST(v[i] AS DOUBLE) - qv[i] / scale) * (CAST(v[i] AS DOUBLE) - qv[i] / scale)))
+                 / len(v)), 6) AS err_rms
+        FROM q ORDER BY vec_id""")),
+
+    // BM25 top-20. The scoring expression mirrors the Spark column tree
+    // token for token (same literals, same left-assoc order, ln rounded to
+    // 9 dp before the DECIMAL(28,9) sum, final score rounded to 6 dp).
+    QueryDef("corpus_bm25_topk",
+      (s, dir) => Corpus.bm25TopK(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+                   FROM tk),
+        dl AS (SELECT doc_id, len(t) AS dl FROM tk),
+        tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+               FROM tok WHERE token IN (${Corpus.Bm25Query.map("'" + _ + "'").mkString(", ")})
+               GROUP BY 1, 2),
+        dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT tf.doc_id,
+                          CAST(round(
+                            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (${Corpus.Bm25K1} + 1.0)
+                              / (tf + (1.0 - ${Corpus.Bm25B} + dl * ${Corpus.Bm25B} / avgdl) * ${Corpus.Bm25K1}),
+                            9) AS DECIMAL(28, 9)) AS term_score
+                   FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
+        agg AS (SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS score,
+                       count(*) AS n_matched_terms
+                FROM scored GROUP BY doc_id)
+        SELECT doc_id, score, n_matched_terms,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM agg ORDER BY score DESC, doc_id LIMIT ${Corpus.Bm25TopK}"""))
+  )
+}
