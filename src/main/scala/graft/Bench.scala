@@ -56,35 +56,54 @@ object Bench {
     Warehouse.tables(spark, sfDir)
     names.foreach { n => try runOnce(n) catch { case _: Throwable => () } }
 
-    // Timed warehouse load (lineitem⋈orders + dim builds + bucketed write),
-    // re-run warm, min of 3 like the queries (host contention spikes).
-    val setupSec = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
+    // Three timed passes, INTERLEAVED round-robin over the whole suite
+    // (pass p = warehouse rebuild + q1…qN), per-query min across passes.
+    // Same total work as 3-consecutive-runs-per-query, but a sustained
+    // host-contention burst now hits each query in at most one pass instead
+    // of all three of its runs — BENCH_r04.json read 2.7× the oracle for
+    // code that measured 1.29× under a quiet host an hour later (VERDICT r4
+    // "What's wrong" #1). All samples are emitted so a contaminated run is
+    // diagnosable from the artifact itself.
+    val passes: Seq[(Double, Seq[(String, Double)])] = (1 to 3).map { _ =>
+      val s0 = System.nanoTime()
       Warehouse.rebuild(spark, sfDir)
-      (System.nanoTime() - t0) / 1e9
-    }.min
-
-    val timings: Seq[(String, Double)] = names.map { name =>
-      val runs = (1 to 3).flatMap { _ =>
+      val setup = (System.nanoTime() - s0) / 1e9
+      val qs = names.map { name =>
         val t0 = System.nanoTime()
-        try { runOnce(name); Some((System.nanoTime() - t0) / 1e9) }
+        try { runOnce(name); name -> (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
+            name -> -1.0
         }
       }
-      // Minimum of the warm runs, not median: the host shows multi-second
-      // contention spikes that can hit 2 of 3 runs; min measures the engine
-      // (protocol documented in BASELINE.md).
-      if (runs.isEmpty) { failed += name; name -> -1.0 }
-      else name -> runs.min
+      (setup, qs)
     }
 
-    val ok = timings.filter(_._2 >= 0)
-    val total = setupSec + ok.map(_._2).sum
-    val qs = (timings :+ ("warehouse_setup" -> setupSec))
+    val setupSamples = passes.map(_._1)
+    val samples: Seq[(String, Seq[Double])] =
+      (names.zipWithIndex.map { case (name, i) =>
+        name -> passes.map(_._2(i)._2)
+      } :+ ("warehouse_setup" -> setupSamples))
+    // Min of the warm passes, not median: min measures the engine, median
+    // measures the neighbor's workload (protocol in BASELINE.md).
+    val timings: Seq[(String, Double)] = samples.map { case (name, ss) =>
+      val ok = ss.filter(_ >= 0)
+      if (ok.isEmpty) { failed += name; name -> -1.0 } else name -> ok.min
+    }
+    // Contention indicator: worst max/min spread among non-trivial queries.
+    // ~1 on a quiet host; a large value means some pass was contaminated
+    // (the per-query min is then still trustworthy, the mean is not).
+    val spreadMax = samples.collect {
+      case (_, ss) if ss.forall(_ >= 0) && ss.min >= 0.2 => ss.max / ss.min
+    }.foldLeft(1.0)(math.max)
+
+    val total = timings.filter(_._2 >= 0).map(_._2).sum
+    val qs = timings
       .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val samplesJson = samples
+      .map { case (k, ss) => "\"" + k + "\":" + ss.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The streaming-ETL ingest (run once during bring-up) is a LOAD-phase
@@ -95,6 +114,7 @@ object Bench {
     val loadRate = if (loadSec > 0) loadRows / loadSec else -1.0
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""samples":$samplesJson,"contention_spread_max":$spreadMax,""" +
         s""""failed":$failedJson,"etl_load_sec":$loadSec,""" +
         s""""etl_load_rows":$loadRows,"etl_rows_per_sec":$loadRate,""" +
         s""""sf":"$sfDir"}""")

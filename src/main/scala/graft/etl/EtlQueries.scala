@@ -1,6 +1,5 @@
 package graft.etl
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,7 +18,8 @@ import graft.star.StarSql
   */
 object EtlQueries {
 
-  private val ran = mutable.Set[(Int, String)]()
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val ran = new graft.SessionMemo[Unit]
 
   /** Rows ingested and wall-clock of the last pipeline run (read by the
     * bench to report ingest throughput as a separate load-phase metric). */
@@ -33,8 +33,7 @@ object EtlQueries {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + Integer.toHexString(sfDir.hashCode)
     val root = s"/root/repo/target/graft-etl/$tag"
-    val key = (System.identityHashCode(spark), sfDir)
-    if (!ran(key)) {
+    if (!ran.contains(spark, sfDir)) {
       val fx = s"$root/fixtures"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$root/wh"))
       EtlFixtures.write(spark, sfDir, fx, nFiles = 8)
@@ -47,7 +46,7 @@ object EtlQueries {
         maxFilesPerTrigger = 3)
       lastLoadSeconds = (System.nanoTime() - t0) / 1e9
       lastLoadRows = spark.read.parquet(s"$root/wh/salefact").count()
-      ran += key
+      ran.put(spark, sfDir, ())
     }
     s"$root/wh"
   }

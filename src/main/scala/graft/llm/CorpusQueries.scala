@@ -28,7 +28,7 @@ object CorpusQueries {
                       unnest(generate_series(1, len(t), ${Corpus.ChunkStride})) AS chunk_start
                FROM tk WHERE len(t) >= 1)
         SELECT doc_id,
-               CAST((chunk_start - 1) / ${Corpus.ChunkStride} AS BIGINT) AS chunk_idx,
+               CAST((chunk_start - 1) // ${Corpus.ChunkStride} AS BIGINT) AS chunk_idx,
                chunk_start,
                least(${Corpus.ChunkSize}, len(t) - chunk_start + 1) AS chunk_tokens,
                md5(array_to_string(t[chunk_start : chunk_start + ${Corpus.ChunkSize - 1}], ' ')) AS chunk_md5
@@ -44,8 +44,8 @@ object CorpusQueries {
                           ${hash64Sql("concat('smp|', CAST(doc_id AS VARCHAR))")} % 1000 AS bucket
                    FROM documents)
         SELECT doc_id, lang, bucket FROM b
-        WHERE bucket < CASE lang WHEN 'en' THEN ${Corpus.SampleRates.head._2}
-                                 WHEN 'de' THEN ${Corpus.SampleRates(1)._2}
+        WHERE bucket < CASE lang ${Corpus.SampleRates
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")}
                                  ELSE ${Corpus.SampleDefaultRate} END
         ORDER BY doc_id""")),
 
@@ -61,7 +61,7 @@ object CorpusQueries {
                    FROM embeddings),
         q AS (SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale,
                      list_transform(v, x -> round(CAST(x AS DOUBLE) * (127.0 / max_abs))) AS qv
-              FROM e)
+              FROM e WHERE max_abs > 0)
         SELECT vec_id, round(max_abs, 6) AS max_abs,
                CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
                round(sqrt(list_sum(list_transform(generate_series(1, len(v)),

@@ -167,18 +167,15 @@ object Dedup {
     * (round-2 ADVICE: the leak distorted later timings under memory
     * pressure). A DataFrame is bound to its session, so a fresh session
     * re-resolves. */
-  private val setsCache = scala.collection.mutable.Map[(Int, String), DataFrame]()
+  private val setsCache = new graft.SessionMemo[DataFrame]
 
   private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
-    synchronized {
-      setsCache.getOrElseUpdate(
-        (System.identityHashCode(s), dir),
-        docs(s, dir).select(col("doc_id"),
-          shingles(col("text"), ShingleK).as("sset"))
-          .where(size(col("sset")) >= 1)
-          .withColumn("n", size(col("sset")))
-          .persist())
-    }
+    setsCache.getOrElseUpdate(s, dir)(
+      docs(s, dir).select(col("doc_id"),
+        shingles(col("text"), ShingleK).as("sset"))
+        .where(size(col("sset")) >= 1)
+        .withColumn("n", size(col("sset")))
+        .persist())
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir)

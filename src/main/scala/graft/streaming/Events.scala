@@ -58,9 +58,8 @@ object Events {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + Integer.toHexString(dir.hashCode)
     val out = s"/root/repo/target/graft-events/$tag/hourly"
-    val key = (System.identityHashCode(s), dir)
     synchronized {
-      if (!streamedRan(key)) {
+      if (!streamedRan.contains(s, dir)) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = StructType(Seq(
           StructField("event_id", LongType),
@@ -94,14 +93,15 @@ object Events {
           }
           .start()
         q.awaitTermination()
-        streamedRan += key
+        streamedRan.put(s, dir, ())
       }
     }
     s.read.parquet(s"$out/result")
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  private val streamedRan = scala.collection.mutable.Set[(Int, String)]()
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val streamedRan = new graft.SessionMemo[Unit]
 
   val SessionGapMinutes = 30
 

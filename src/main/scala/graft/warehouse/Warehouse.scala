@@ -1,6 +1,5 @@
 package graft.warehouse
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,8 +47,9 @@ object Warehouse {
       time: DataFrame)
 
   /** Memoize per (session, sfDir): a DataFrame is bound to its session, so a
-    * fresh session (new JVM or restarted driver) re-resolves the tables. */
-  private val cache = mutable.Map[(Int, String), StarTables]()
+    * fresh session (new JVM or restarted driver) re-resolves the tables.
+    * Weakly keyed by the session — see [[graft.SessionMemo]]. */
+  private val cache = new graft.SessionMemo[StarTables]
 
   private def tag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + Integer.toHexString(dir.hashCode)
@@ -57,21 +57,19 @@ object Warehouse {
   private def warehouseRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/target/graft-warehouse")
 
-  def tables(spark: SparkSession, dir: String): StarTables = synchronized {
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir), setup(spark, dir))
-  }
+  def tables(spark: SparkSession, dir: String): StarTables =
+    cache.getOrElseUpdate(spark, dir)(setup(spark, dir))
 
   /** Force a full re-materialization (used by the bench to time the
     * warehouse load with a warm JVM, per BASELINE.md's warm-session
     * protocol — the cold first build absorbs codegen/classload costs that
     * are session bring-up, not warehouse work). */
   def rebuild(spark: SparkSession, dir: String): StarTables = synchronized {
-    val key = (System.identityHashCode(spark), dir)
-    cache.get(key).foreach { old =>
+    cache.get(spark, dir).foreach { old =>
       old.product.unpersist(); old.customer.unpersist(); old.time.unpersist()
     }
     val t = setup(spark, dir)
-    cache(key) = t
+    cache.put(spark, dir, t)
     t
   }
 
