@@ -38,7 +38,10 @@ object Corpus {
     * ≤ n_tokens; each chunk is `ChunkSize` tokens (shorter at the tail).
     * Emits the chunk's md5 so content equality is assertable without
     * shipping chunk text through the compare harness. */
-  def chunks(s: SparkSession, dir: String): DataFrame = {
+  def chunks(s: SparkSession, dir: String): DataFrame = chunksOf(docs(s, dir))
+
+  /** [[chunks]] over any (doc_id, text) relation — unit-testable form. */
+  def chunksOf(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     // chunk structs are built INSIDE one per-row transform and then
@@ -49,7 +52,7 @@ object Corpus {
         st.as("chunk_start"),
         least(lit(ChunkSize), n - st + 1).as("chunk_tokens"),
         md5(concat_ws(" ", slice(t, st, lit(ChunkSize)))).as("chunk_md5")))
-    docs(s, dir)
+    d
       .where(n >= 1)
       .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "c")))
       .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
@@ -85,12 +88,17 @@ object Corpus {
     * reconstruction error) rather than the array so the oracle compare is
     * list-free; max|v| is order-independent, and the error fold runs
     * index-sequentially for cross-engine bit parity. */
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizeOf(emb(s, dir))
+
+  /** [[quantizeInt8]] over any (vec_id, embedding) relation —
+    * unit-testable form. */
+  def quantizeOf(e: DataFrame): DataFrame = {
     val v = col("embedding")
     val maxAbs = array_max(transform(v, x => abs(x.cast(DoubleType))))
     val scale = lit(127.0) / col("max_abs")
     val q = transform(v, x => round(x.cast(DoubleType) * scale))
-    emb(s, dir)
+    e
       .select(col("vec_id"), v, maxAbs.as("max_abs"))
       // degenerate all-zero (or empty) vectors have no absmax scale
       // (127/0 = Inf ⇒ NaN quants); both engines filter them identically

@@ -79,6 +79,42 @@ object ExtraQueries {
         GROUP BY CUBE(p.store_id, t.season)
         ORDER BY p.store_id NULLS FIRST, t.season NULLS FIRST"""))),
 
+    // Sketch aggregates (SURVEY §2.4's last open line): HyperLogLog++
+    // distinct counting and t-digest-style approximate percentiles. Sketch
+    // estimates are engine-specific (Spark HLL++ vs DuckDB's HLL differ by
+    // design), so the cross-engine contract is ERROR-BOUNDED: the entry
+    // emits the exact value plus booleans asserting the sketch landed
+    // within its published error envelope (±15% = 3σ at rsd 0.05 for
+    // HLL++; approx-p50 inside the exact [p25, p75]); the oracle computes
+    // the exact values and pins the booleans TRUE. Both sketches are
+    // deterministic given the data, so the compare is stable. At 100 TB
+    // these are the mergeable one-pass aggregates that replace exact
+    // distinct/percentile shuffles; SketchSpec pins the error behavior.
+    QueryDef("sketch_approx_agg",
+      (s, dir) => {
+        val t = star(s, dir)
+        t.fact.join(broadcast(t.product), "product_id")
+          .groupBy(col("store_id"))
+          .agg(
+            countDistinct(col("customer_id")).as("n_exact"),
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(10000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), 0.25)").as("p25"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), 0.75)").as("p75"))
+          .select(col("store_id"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
+            (col("p50_approx") >= col("p25") &&
+              col("p50_approx") <= col("p75")).as("p50_in_iqr"))
+          .orderBy(col("store_id"))
+      },
+      Some(StarSql.withStar("""
+        SELECT p.store_id, count(DISTINCT f.customer_id) AS n_exact,
+               TRUE AS acd_within_3sigma, TRUE AS p50_in_iqr
+        FROM salefact f JOIN product_dim p ON f.product_id = p.product_id
+        GROUP BY p.store_id ORDER BY p.store_id"""))),
+
     // Per-group top-k (window form of the reference's "top 5 per group"
     // intent): top 3 products per category by revenue, rank over rounded-
     // free exact decimal sums with product tiebreak.
