@@ -38,6 +38,11 @@ object Bench {
       // 100 TB the trade inverts (skew joins, right-sizing) — AQE is a
       // session flag, not an engine property, and Verify keeps Spark
       // defaults (AQE on) so both paths stay exercised for correctness.
+      // Re-measured r5 with coalescing disabled too (AQE on + coalesce
+      // off, min-of-5 warm at sf0.1): OLAP family gains are small (q13
+      // 1.23→1.18, q17 1.08→0.86, q15 noisy) but dedup_ngram_jaccard
+      // still loses 2.38→3.66s to per-stage barriers — fails the
+      // adopt-if-wins-both bar, so off stays the bench default.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_BENCH_AQE", "false"))
       .getOrCreate()

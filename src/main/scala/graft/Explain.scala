@@ -14,6 +14,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
+      // match the bench session's AQE setting when inspecting bench plans
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

@@ -100,13 +100,14 @@ object ExtraQueries {
             approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
             percentile_approx(col("purchase_amount").cast(DoubleType),
               lit(0.5), lit(10000)).as("p50_approx"),
-            expr("percentile(CAST(purchase_amount AS DOUBLE), 0.25)").as("p25"),
-            expr("percentile(CAST(purchase_amount AS DOUBLE), 0.75)").as("p75"))
+            // one sort-agg for both exact quartiles, not one per quantile
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
           .select(col("store_id"), col("n_exact"),
             (abs(col("n_approx") - col("n_exact")) <=
               round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
-            (col("p50_approx") >= col("p25") &&
-              col("p50_approx") <= col("p75")).as("p50_in_iqr"))
+            (col("p50_approx") >= col("iqr").getItem(0) &&
+              col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
           .orderBy(col("store_id"))
       },
       Some(StarSql.withStar("""
