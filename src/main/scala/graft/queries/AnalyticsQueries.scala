@@ -91,9 +91,16 @@ object AnalyticsQueries {
         t.fact.join(broadcast(t.product), "product_id")
           .groupBy(col("store_id"))
           .agg(
-            round(percentile(col("purchase_amount").cast(DoubleType), lit(0.5)), 6).as("p50"),
-            round(percentile(col("purchase_amount").cast(DoubleType), lit(0.9)), 6).as("p90"),
+            // ONE sort-agg buffers the group's values once for both
+            // quantiles (two separate percentile aggregates each hold and
+            // sort their own copy of the full group)
+            percentile(col("purchase_amount").cast(DoubleType),
+              array(lit(0.5), lit(0.9))).as("ps"),
             count(lit(1)).as("n_sales"))
+          .select(col("store_id"),
+            round(col("ps").getItem(0), 6).as("p50"),
+            round(col("ps").getItem(1), 6).as("p90"),
+            col("n_sales"))
           .orderBy(col("store_id"))
       },
       Some(StarSql.withStar("""

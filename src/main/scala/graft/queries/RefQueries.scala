@@ -300,13 +300,21 @@ object RefQueries {
         LIMIT 5"""))),
 
     // Q13: supplier contribution by store and product (`Analysis_Queries.sql:109-115`).
+    // Aggregate BELOW the join: every grouped dim attribute is functionally
+    // dependent on product_id (product_dim is keyed by it), so the fact
+    // pre-aggregates to per-product sums first and the broadcast join runs
+    // over |products| rows — the shuffle carries key-level rows with an int
+    // key instead of the whole fact widened by 5 dim strings. Exact decimal
+    // sums make the pre-agg value-identical to the join-first form.
     QueryDef("q13_supplier_store_product",
       (s, dir) => {
         val (f, p, _, _) = star(s, dir)
-        f.join(p, "product_id")
-          .groupBy(col("store_id"), col("store_name"), col("supplier_id"),
-            col("supplier_name"), col("product_id"), col("product_category"))
+        f.groupBy(col("product_id"))
           .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .join(p, "product_id")
+          .select(col("store_id"), col("store_name"), col("supplier_id"),
+            col("supplier_name"), col("product_id"), col("product_category"),
+            col("total_sales"))
           .orderBy(col("store_name"), col("supplier_name"), col("product_id"))
       },
       Some(StarSql.withStar("""
@@ -344,10 +352,20 @@ object RefQueries {
     QueryDef("q15_revenue_volatility",
       (s, dir) => {
         val (f, p, _, t) = star(s, dir)
-        val monthly = f.join(p, "product_id").join(t, "date_id")
+        // aggregate below the wide join (see q13): per-(product, month)
+        // partial decimal sums first — the heavy shuffle carries
+        // |products|×|months| int-keyed rows, not the dim-widened fact;
+        // store/supplier attributes attach to the rollup via broadcast.
+        // Decimal partial sums re-sum exactly, and the (18,4) cast happens
+        // at the same point (the monthly total), so rev is bit-identical.
+        val perProdMonth = f.join(t.select(col("date_id"), col("year"),
+            month(col("full_date")).as("mon")), "date_id")
+          .groupBy(col("product_id"), col("year"), col("mon"))
+          .agg(sum(col("purchase_amount")).as("ppm"))
+        val monthly = perProdMonth.join(p, "product_id")
           .groupBy(col("store_id"), col("store_name"), col("supplier_id"),
-            col("supplier_name"), col("year"), month(col("full_date")).as("mon"))
-          .agg(sum(col("purchase_amount")).cast(DecimalType(18, 4)).as("rev"))
+            col("supplier_name"), col("year"), col("mon"))
+          .agg(sum(col("ppm")).cast(DecimalType(18, 4)).as("rev"))
         monthly
           .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"))
           .agg(
