@@ -187,7 +187,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    // explicit aliases: both legs share the `ranked` lineage, so
+    // explicit aliases: both legs share the index relation's lineage, so
     // `assigned("cent_id") === qprobe("cent_id")` would resolve to the SAME
     // attribute (a trivially-true predicate = accidental brute force)
     assigned.as("asg").join(broadcast(qprobe.as("qp")),

@@ -327,12 +327,20 @@ object RefQueries {
         ORDER BY p.store_name, p.supplier_name, p.product_id"""))),
 
     // Q14: seasonal drill-down (`Analysis_Queries.sql:117-124`).
+    // Aggregate below the wide join (see q13): the fact needs only the
+    // season from time_dim, so it joins a 2-column dim projection and
+    // groups by (product_id, season) — key-level shuffle — before the
+    // broadcast attach of product_category (functionally dependent on
+    // product_id). Decimal sums keep values bit-identical.
     QueryDef("q14_seasonal",
       (s, dir) => {
         val (f, p, _, t) = star(s, dir)
-        f.join(p, "product_id").join(t, "date_id")
-          .groupBy(col("product_id"), col("product_category"), col("season"))
+        f.join(t.select(col("date_id"), col("season")), "date_id")
+          .groupBy(col("product_id"), col("season"))
           .agg(dmoney(sum(col("purchase_amount"))).as("total_sales"))
+          .join(p.select(col("product_id"), col("product_category")), "product_id")
+          .select(col("product_id"), col("product_category"), col("season"),
+            col("total_sales"))
           .orderBy(col("product_id"), col("season"))
       },
       Some(StarSql.withStar("""
