@@ -139,6 +139,23 @@ object Prof {
           .where(col("jaccard") >= 0.5)
         bench("verify_only_shj")(verifyOnlyShj)
         bench("entry_full")(Dedup.ngramJaccard(spark, sfDir))
+      } else if (args.head == "q15_parts") {
+        import org.apache.spark.sql.types._
+        val t = Warehouse.tables(spark, sfDir)
+        val td = t.time.select(col("date_id"), col("year"),
+          month(col("full_date")).as("mon"))
+        bench("join_only")(t.fact.join(td, "date_id")
+          .select(col("product_id"), col("purchase_amount")))
+        val ppm = t.fact.join(td, "date_id")
+          .groupBy(col("product_id"), col("year"), col("mon"))
+          .agg(sum(col("purchase_amount")).as("ppm"))
+        bench("ppm")(ppm)
+        val monthly = ppm.join(t.product, "product_id")
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"),
+            col("year"), col("mon"))
+          .agg(sum(col("ppm")).cast(DecimalType(18, 4)).as("rev"))
+        bench("monthly")(monthly)
+        bench("entry_full")(SparkEntry.queries("q15_revenue_volatility")(spark, sfDir))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return

@@ -102,14 +102,21 @@ object Dedup {
     val t = JaccardThreshold
     val sets = shingleSets(s, dir)
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
-    // df as a window count (one shuffle keyed by shingle) instead of a
-    // groupBy + join-back (two exchanges over the same exploded relation).
-    // rarest-first global order; sh as tiebreaker keeps the order total.
-    // rn (the shingle's position in the doc's full ordered set) rides along
-    // for the positional filter below.
+    // df via a vocabulary-sized groupBy broadcast back onto the exploded
+    // relation: the corpus-scale token rows are never shuffled at all —
+    // the df aggregate map-side-combines to vocabulary size, and the
+    // doc-partitioned cache (see shingleSets) already satisfies the
+    // prefix-ranking window's clustering, so the only exchanges left in
+    // candidate generation are prefix-by-shingle for the self-join. (At
+    // 100 TB, broadcast holds while the shingle vocabulary fits the
+    // executors; beyond that this reverts to the shuffled join-back —
+    // a hint swap, not a plan rewrite.) rarest-first global order; sh as
+    // tiebreaker keeps the order total. rn (the shingle's position in the
+    // doc's full ordered set) rides along for the positional filter below.
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .join(broadcast(dfreq), "sh")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("n") - ceil(col("n") * lit(t)) + 1)
       .select(col("doc_id"), col("n"), col("rn"), col("sh"))
@@ -175,6 +182,13 @@ object Dedup {
         shingles(col("text"), ShingleK).as("sset"))
         .where(size(col("sset")) >= 1)
         .withColumn("n", size(col("sset")))
+        // partition the persisted index by doc_id at build time (the
+        // shingle map work runs on the round-robin-spread scan FIRST, then
+        // one slim build-time shuffle): every doc-keyed consumer — the
+        // prefix-ranking window, minhash's per-doc signature aggregation,
+        // the verification joins — then reads its required clustering
+        // straight from the cache, shuffle-free
+        .repartition(col("doc_id"))
         .persist())
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {

@@ -93,16 +93,25 @@ object ExtraQueries {
     QueryDef("sketch_approx_agg",
       (s, dir) => {
         val t = star(s, dir)
-        t.fact.join(broadcast(t.product), "product_id")
+        val byStore = t.fact.join(broadcast(t.product), "product_id")
+        // exact distinct via dedup-then-count instead of countDistinct in
+        // the shared agg: a distinct aggregate alongside plain aggregates
+        // plans an Expand that doubles every fact row through the
+        // aggregation; deduped (store, customer) pairs shuffle map-side-
+        // combined and the 8-row results broadcast-join back
+        val exact = byStore.select(col("store_id"), col("customer_id"))
+          .distinct()
+          .groupBy(col("store_id")).agg(count(lit(1)).as("n_exact"))
+        val sketches = byStore
           .groupBy(col("store_id"))
           .agg(
-            countDistinct(col("customer_id")).as("n_exact"),
             approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
             percentile_approx(col("purchase_amount").cast(DoubleType),
               lit(0.5), lit(10000)).as("p50_approx"),
             // one sort-agg for both exact quartiles, not one per quantile
             expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
               .as("iqr"))
+        sketches.join(broadcast(exact), "store_id")
           .select(col("store_id"), col("n_exact"),
             (abs(col("n_approx") - col("n_exact")) <=
               round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
