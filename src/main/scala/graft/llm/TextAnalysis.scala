@@ -110,6 +110,11 @@ object TextAnalysis {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        // the groupBy leaves hashpartitioning(doc_id, token), which does
+        // NOT cluster by doc alone; re-partition by doc_id at build time so
+        // tfidf's per-doc ranking window reads the cache shuffle-free
+        // (same build-time move as Dedup.shingleSets)
+        .repartition(col("doc_id"))
         .persist())
 
   /** Corpus vocabulary statistics: per token, document frequency and total
