@@ -467,15 +467,22 @@ object RefQueries {
     QueryDef("q18_h1_h2",
       (s, dir) => {
         val (f, p, _, t) = star(s, dir)
+        // the half-year predicates are functions of the time dim: evaluate
+        // the lower()+IN string tests once per dim row (2.5k) on the
+        // broadcast side, not 4x per fact row; the fact pass then sums
+        // under cheap boolean flags. p is joined for row-set fidelity with
+        // the oracle but contributes no columns.
         val m = lower(col("month"))
-        f.join(p, "product_id").join(t, "date_id")
+        val t2 = t.select(col("date_id"), m.isin(H1: _*).as("h1"),
+          m.isin(H2: _*).as("h2"))
+        f.join(p.select(col("product_id")), "product_id").join(t2, "date_id")
           .groupBy(col("product_id"))
           .agg(
-            dmoney(sum(when(m.isin(H1: _*), col("purchase_amount")))).as("half_01_revenue"),
-            dmoney(sum(when(m.isin(H2: _*), col("purchase_amount")))).as("half_02_revenue"),
+            dmoney(sum(when(col("h1"), col("purchase_amount")))).as("half_01_revenue"),
+            dmoney(sum(when(col("h2"), col("purchase_amount")))).as("half_02_revenue"),
             dmoney(sum(col("purchase_amount"))).as("yearly_revenue"),
-            sum(when(m.isin(H1: _*), col("quantity"))).cast(LongType).as("half_01_qty"),
-            sum(when(m.isin(H2: _*), col("quantity"))).cast(LongType).as("half_02_qty"),
+            sum(when(col("h1"), col("quantity"))).cast(LongType).as("half_01_qty"),
+            sum(when(col("h2"), col("quantity"))).cast(LongType).as("half_02_qty"),
             sum(col("quantity")).cast(LongType).as("yearly_qty"))
           .orderBy(col("product_id"))
       },
