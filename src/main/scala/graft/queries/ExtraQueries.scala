@@ -57,6 +57,15 @@ object ExtraQueries {
 
     // CUBE over (store, season) + exact distinct-customer counts: grouping
     // sets beyond the reference's ROLLUP, plus a distinct aggregate.
+    // Plan note (measured, r5): the single cube + countDistinct Expands
+    // each fact row 4 grouping-sets x 2 (distinct rewrite) = 8x through
+    // one aggregation. The split alternative — revenue margins rolled up
+    // from a (store, season) pre-agg, distinct counts cubed over deduped
+    // triples, null-safe-joined — trades that for 3 extra stages and
+    // measured SLOWER at sf0.1 (1.76s vs 1.36s min-of-5): stage overhead
+    // beats row multiplication at local scale. At 100 TB the split form
+    // wins (the Expand multiplies the full fact scan); it's a mechanical
+    // rewrite documented here, not a different operator.
     QueryDef("agg_cube_distinct",
       (s, dir) => {
         val t = star(s, dir)
