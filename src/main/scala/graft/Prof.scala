@@ -156,6 +156,20 @@ object Prof {
           .agg(sum(col("ppm")).cast(DecimalType(18, 4)).as("rev"))
         bench("monthly")(monthly)
         bench("entry_full")(SparkEntry.queries("q15_revenue_volatility")(spark, sfDir))
+        val vol = monthly
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"))
+          .agg(count(lit(1)).as("n_months"), sum(col("rev")).as("s1"),
+            sum(col("rev") * col("rev")).as("s2"))
+          .where(col("n_months") >= 2)
+          .select(col("store_id"), col("supplier_id"),
+            sqrt(greatest(lit(0.0),
+              (col("n_months").cast("double") * col("s2").cast("double")
+                - col("s1").cast("double") * col("s1").cast("double"))
+                / (col("n_months").cast("double") * (col("n_months").cast("double") - 1))))
+              .as("revenue_stddev"))
+        bench("vol_orderBy")(vol.orderBy(col("store_id"), col("supplier_id")))
+        bench("vol_coalesce_sort")(vol.coalesce(1)
+          .sortWithinPartitions(col("store_id"), col("supplier_id")))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return
