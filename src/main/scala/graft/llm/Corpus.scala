@@ -117,6 +117,42 @@ object Corpus {
       .orderBy(col("vec_id"))
   }
 
+  /** Docs whose id ≡ 0 (mod this) play the held-out benchmark/eval set for
+    * [[decontaminate]]. */
+  val BenchmarkMod = 41
+
+  /** Benchmark decontamination — the standard pretraining hygiene step
+    * (n-gram overlap against a held-out eval set, à la the GPT-3/LLaMA
+    * papers' 8-13-gram filters; 3-grams here because the synthetic docs
+    * are short): for every non-benchmark doc, how many of its distinct
+    * word shingles appear anywhere in the benchmark set, and a
+    * contaminated flag. Docs with <k tokens have no shingles and are out
+    * of scope (same contract as the near-dup operators).
+    *
+    * 100 TB design: the benchmark gram set is eval-suite-sized → broadcast;
+    * the corpus side reads the SAME persisted doc-partitioned shingle index
+    * the near-dup operators share ([[Dedup.shingleSets]]) — no extra corpus
+    * scan, the per-doc hit count aggregates shuffle-free on the index's
+    * clustering, and the pair space is never enumerated (a gram-level
+    * semi-join, not doc×doc). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(s, dir)
+    val isBench = col("doc_id") % BenchmarkMod === 0
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
+    val benchGrams = ex.where(isBench).select(col("sh")).distinct()
+    val hits = ex.where(!isBench)
+      .join(broadcast(benchGrams), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    sets.where(!isBench)
+      .select(col("doc_id"), col("n").cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("join", "scan", "vector")

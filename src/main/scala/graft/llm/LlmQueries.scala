@@ -167,6 +167,23 @@ object LlmQueries {
           AND uniq_ratio >= 0.35 AND stopword_ratio <= 0.2
         ORDER BY doc_id""")),
 
+    // Repetition rule: the oracle computes max-gram-frequency relationally
+    // (unnest + group + max); the Spark side's sorted-fold is per-row —
+    // same VALUES, deliberately different mechanics (the fold is the
+    // shuffle-free form a corpus-scale scan wants).
+    QueryDef("text_repetition",
+      (s, dir) => TextAnalysis.repetition(s, dir),
+      Some("""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (SELECT doc_id, len(t) - 2 AS n_grams,
+                     unnest(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+              FROM tk WHERE len(t) >= 3),
+        f AS (SELECT doc_id, n_grams, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+        SELECT doc_id, n_grams, max(c) AS max_gram_freq,
+               round(CAST(max(c) AS DOUBLE) / n_grams, 6) AS rep_ratio
+        FROM f GROUP BY doc_id, n_grams ORDER BY doc_id""")),
+
     QueryDef("text_vocab",
       (s, dir) => TextAnalysis.vocab(s, dir),
       Some("""

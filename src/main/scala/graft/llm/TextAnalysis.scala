@@ -158,6 +158,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Repetition detection (the Gopher-family quality rule): the share of a
+    * document's word 3-grams taken by its single most frequent 3-gram —
+    * near-1 means the doc is a loop/boilerplate. Per-row and shuffle-free:
+    * the gram list (duplicates kept, unlike [[Text.shingles]]) is sorted
+    * and a single linear fold tracks the longest equal-run — O(n log n)
+    * per row inside whole-stage codegen, never a per-doc groupBy. Docs
+    * shorter than 3 tokens have no grams and are out of scope. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(docs(s, dir))
+
+  /** [[repetition]] over any (doc_id, text) relation — unit-testable form. */
+  def repetitionOf(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val grams = transform(sequence(lit(0), n - 3),
+      i => concat_ws(" ", element_at(t, (i + 1).cast(IntegerType)),
+        element_at(t, (i + 2).cast(IntegerType)),
+        element_at(t, (i + 3).cast(IntegerType))))
+    val maxRun = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    d
+      .where(n >= 3)
+      .select(col("doc_id"),
+        (n - 2).cast(LongType).as("n_grams"),
+        maxRun.as("max_gram_freq"))
+      .withColumn("rep_ratio",
+        round(col("max_gram_freq").cast(DoubleType) / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
     * primitive), plus the shingle count. Docs shorter than 8 chars have no
