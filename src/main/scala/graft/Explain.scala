@@ -14,9 +14,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
-      // match the bench session's AQE setting when inspecting bench plans
+      // default matches the bench session (AQE off); accepts either this
+      // tool's env or the bench's so an A/B exports one variable for both
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE",
+          sys.env.getOrElse("GRAFT_BENCH_AQE", "false")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

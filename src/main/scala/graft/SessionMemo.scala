@@ -6,16 +6,22 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-session memoization keyed WEAKLY by the `SparkSession` itself.
+/** Per-session memoization keyed by the `SparkSession` object itself.
   *
   * The previous form — `Map[(System.identityHashCode(session), dir), V]` —
-  * had two defects in a session-churning JVM: identity hash codes can be
-  * reused after the original session is collected (aliasing a stale entry
-  * onto a fresh session), and entries for dead sessions are never dropped
-  * (a leak of persisted-DataFrame handles). A `WeakHashMap` keyed by the
-  * session object fixes both: `SparkSession` doesn't override `equals`, so
-  * lookup is reference identity, and the GC clears entries when the session
-  * becomes unreachable (VERDICT r4 "What's wrong" #6).
+  * could alias a stale entry onto a fresh session in a session-churning
+  * JVM: identity hash codes can be reused after the original session is
+  * collected (VERDICT r4 "What's wrong" #6). Keying by the object fixes
+  * that outright (`SparkSession` doesn't override `equals`, so lookup is
+  * reference identity — a new session can never hit an old entry).
+  *
+  * The `WeakHashMap` does NOT also make dead-session entries collectable
+  * here: memoized values are DataFrames/tables whose query executions
+  * strongly reference their session, which is exactly the
+  * value-refers-to-key hazard the WeakHashMap javadoc warns about. That is
+  * accepted — a JVM hosts a handful of sessions, and an entry dies with
+  * the process — the weak keying is only belt-and-braces for values that
+  * don't capture the session.
   */
 private[graft] final class SessionMemo[V] {
 

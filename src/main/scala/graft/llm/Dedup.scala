@@ -102,17 +102,20 @@ object Dedup {
     val t = JaccardThreshold
     val sets = shingleSets(s, dir)
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
-    // df via a vocabulary-sized groupBy broadcast back onto the exploded
-    // relation: the corpus-scale token rows are never shuffled at all —
-    // the df aggregate map-side-combines to vocabulary size, and the
-    // doc-partitioned cache (see shingleSets) already satisfies the
-    // prefix-ranking window's clustering, so the only exchanges left in
-    // candidate generation are prefix-by-shingle for the self-join. (At
-    // 100 TB, broadcast holds while the shingle vocabulary fits the
-    // executors; beyond that this reverts to the shuffled join-back —
-    // a hint swap, not a plan rewrite.) rarest-first global order; sh as
-    // tiebreaker keeps the order total. rn (the shingle's position in the
-    // doc's full ordered set) rides along for the positional filter below.
+    // df via a groupBy broadcast back onto the exploded relation: the
+    // corpus-scale token rows are never shuffled at all — the df aggregate
+    // map-side-combines to distinct-shingle size, and the doc-partitioned
+    // cache (see shingleSets) already satisfies the prefix-ranking
+    // window's clustering, so the only exchanges left in candidate
+    // generation are prefix-by-shingle for the self-join. CAVEAT: the
+    // distinct-shingle space is bounded here because the corpus draws from
+    // a closed token vocabulary (31 tokens → ≤31³ trigrams); over open-
+    // vocabulary text distinct shingles grow ~linearly with the corpus and
+    // the unconditional broadcast() must be swapped for the shuffled
+    // join-back (drop the hint) — that is a measured local-scale choice,
+    // not the 100 TB plan. rarest-first global order; sh as tiebreaker
+    // keeps the order total. rn (the shingle's position in the doc's full
+    // ordered set) rides along for the positional filter below.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = ex

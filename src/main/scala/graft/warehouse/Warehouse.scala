@@ -57,8 +57,13 @@ object Warehouse {
   private def warehouseRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/root/repo/target/graft-warehouse")
 
-  def tables(spark: SparkSession, dir: String): StarTables =
+  // tables() and rebuild() share Warehouse.this as their lock: a reader
+  // must not fetch a cache entry while rebuild() is between unpersisting
+  // the old tables and publishing the new ones (it would see DataFrames
+  // over files mid-overwrite).
+  def tables(spark: SparkSession, dir: String): StarTables = synchronized {
     cache.getOrElseUpdate(spark, dir)(setup(spark, dir))
+  }
 
   /** Force a full re-materialization (used by the bench to time the
     * warehouse load with a warm JVM, per BASELINE.md's warm-session
