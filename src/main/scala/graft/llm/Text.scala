@@ -16,9 +16,17 @@ object Text {
 
   /** Deterministic 60-bit positive hash of a string, identical in both
     * engines: first 15 hex chars of md5, read base-16.
-    * DuckDB: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`. */
+    * DuckDB: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    *
+    * Served by the fused native kernel
+    * [[org.apache.spark.sql.graft.Md5Prefix64]] — bit-identical to the
+    * composed `conv(substr(md5(x),1,15),16,10)` form (exhaustively
+    * asserted in Md5PrefixExpressionSpec) but allocation-free: no 32-char
+    * hex string, 15-char substring, or decimal string per call. Hot path:
+    * once per shingle in the near-dup index build, once per row in
+    * stratified sampling. */
   def hash64(c: Column): Column =
-    conv(substr(md5(c.cast(StringType)), lit(1), lit(15)), 16, 10).cast(LongType)
+    org.apache.spark.sql.graft.functions.md5_prefix64(c.cast(StringType))
 
   /** Whitespace tokenization (the documents table is pre-normalized
     * lowercase words; a production pipeline would lower+strip first). */

@@ -87,4 +87,7 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def md5_prefix64(c: Column): Column =
+    ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))
 }

@@ -26,5 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5_prefix64 expects exactly 1 argument")
+        Md5Prefix64(args.head)
+      }))
   }
 }
