@@ -71,6 +71,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out1.length === 1 && out1.sameElements(out2))
   }
 
+  test("randomized cross-check against a brute-force reference") {
+    // 400 left rows x 300 right rows over 7 keys with deliberate ts
+    // collisions; the union+window encoding must agree with the obvious
+    // O(L x R) argmax on every row
+    val rnd = new scala.util.Random(42)
+    val lRows = Seq.tabulate(400)(i =>
+      (rnd.nextInt(7).toLong, new Timestamp(rnd.nextInt(2000) * 1000L), s"l$i"))
+    val rRows = Seq.tabulate(300)(i =>
+        (rnd.nextInt(7).toLong, new Timestamp(rnd.nextInt(2000) * 1000L), s"r$i"))
+      .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq // dedupe (key, ts)
+    val got = AsOfJoin.backward(
+        lRows.toDF("k", "t", "name"), rRows.toDF("k", "t", "payload"), "k", "t")
+      .select("name", "prev_payload")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val expected = lRows.map { case (k, t, name) =>
+      val best = rRows.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption
+      name -> best.map(_._3)
+    }.toMap
+    assert(got.size === 400)
+    assert(got === expected)
+  }
+
   test("all left columns pass through; right columns emerge as prev_*") {
     val out = AsOfJoin.backward(
       Seq((1L, ts("2024-01-01 11:00:00"), "l")).toDF("k", "t", "name"),

@@ -11,11 +11,12 @@ class RangeJoinSpec extends SparkSpec {
 
   private val W = 100L // bucket width under test
 
-  private def run(points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)]) =
+  private def run(points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)],
+      width: Long = W) =
     RangeJoin.pointInInterval(
       points.toDF("pid", "p"),
       intervals.toDF("iid", "s", "e"),
-      ptCol = "p", startCol = "s", endCol = "e", bucketWidth = W)
+      ptCol = "p", startCol = "s", endCol = "e", bucketWidth = width)
       .select("pid", "iid")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
 
@@ -60,5 +61,25 @@ class RangeJoinSpec extends SparkSpec {
   test("empty-ish interval (end == start + 1) contains only its start point") {
     val iv = Seq((1L, 100L, 101L))
     assert(run(Seq((1L, 100L), (2L, 101L)), iv) === Seq((1L, 1L)))
+  }
+
+  test("negative coordinates: floor (not truncate-toward-zero) bucketing") {
+    // [-150, 50) spans buckets -2, -1, 0; truncation would compute bucket
+    // -1 for point -150 and miss the -2 bucket entirely
+    val iv = Seq((1L, -150L, 50L))
+    assert(run(Seq((1L, -150L), (2L, -1L), (3L, 0L), (4L, 49L), (5L, 50L),
+      (6L, -151L)), iv) ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("epoch-micros magnitudes: boundary points bucket exactly") {
+    // worst case for double-division rounding: a point one unit below a
+    // bucket-width multiple, at the ~1.7e15 magnitude the entries use
+    val day = 86400L * 1000000L
+    val k = 1700000000000000L / day
+    val edge = (k + 1) * day
+    val iv = Seq((1L, edge - day, edge)) // exactly one bucket wide
+    assert(run(Seq((1L, edge - 1), (2L, edge), (3L, edge - day)), iv, width = day) ===
+      Seq((1L, 1L), (3L, 1L)))
   }
 }
