@@ -44,4 +44,7 @@ private[graft] final class SessionMemo[V] {
 
   def contains(s: SparkSession, key: String): Boolean =
     synchronized { map(s).contains(key) }
+
+  def remove(s: SparkSession, key: String): Unit =
+    synchronized { map(s).remove(key) }
 }
