@@ -170,6 +170,66 @@ object Prof {
         bench("vol_orderBy")(vol.orderBy(col("store_id"), col("supplier_id")))
         bench("vol_coalesce_sort")(vol.coalesce(1)
           .sortWithinPartitions(col("store_id"), col("supplier_id")))
+      } else if (args.head == "tfidf_parts") {
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.TextAnalysis
+        val tf = TextAnalysis.termFreqs(spark, sfDir)
+        bench("tf_cached")(tf)
+        val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        bench("df_leg")(dfreq)
+        val nDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .agg(count(lit(1)).as("n_docs"))
+        val joined = tf.join(broadcast(dfreq), "token")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        bench("joined")(joined)
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        val ranked = joined.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+        bench("ranked")(ranked)
+        bench("entry_full")(SparkEntry.queries("text_tfidf_topk")(spark, sfDir))
+      } else if (args.head == "sketch_parts") {
+        import org.apache.spark.sql.types._
+        val t = Warehouse.tables(spark, sfDir)
+        val byStore = t.fact.join(broadcast(t.product), "product_id")
+          .select(col("store_id"), col("customer_id"), col("purchase_amount"))
+        bench("scan_join")(byStore)
+        val exact = byStore.select(col("store_id"), col("customer_id"))
+          .distinct()
+          .groupBy(col("store_id")).agg(count(lit(1)).as("n_exact"))
+        bench("exact_leg")(exact)
+        val sketches = byStore
+          .groupBy(col("store_id"))
+          .agg(
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(10000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+        bench("sketch_leg")(sketches)
+        val onePass = byStore
+          .groupBy(col("store_id"))
+          .agg(
+            countDistinct(col("customer_id")).as("n_exact"),
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(10000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+        bench("one_pass_expand")(onePass)
+        val cheapApprox = byStore
+          .groupBy(col("store_id"))
+          .agg(
+            countDistinct(col("customer_id")).as("n_exact"),
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(1000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+        bench("one_pass_acc1000")(cheapApprox)
+        bench("entry_full")(SparkEntry.queries("sketch_approx_agg")(spark, sfDir))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return
