@@ -12,6 +12,17 @@ libraryDependencies ++= Seq(
 Test / fork := true
 Test / parallelExecution := false // suites share one SparkSession
 run / fork := true
+// The bench driver parses the LAST raw stdout line as JSON. Forked output
+// normally routes through sbt's logger (every line wrapped as "[info] ..."),
+// which breaks that parse; StdoutOutput passes the child's stdout through
+// verbatim. showSuccess drops the trailing "[success] Total time: ..." line
+// so the bench's JSON really is the final line of output.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — lintUnused
+// false-positives on it (and its own warning would land in the captured
+// stdout window right before the bench's JSON line).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
