@@ -15,7 +15,8 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("PROF_BROADCAST", "64m"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROF_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("PROF_COALESCE", "true"))

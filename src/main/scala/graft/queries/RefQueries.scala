@@ -417,12 +417,20 @@ object RefQueries {
     // Q16: top 5 product pairs bought together — self-join with theta
     // predicate (`Analysis_Queries.sql:128-137`). Equi on order_id, `<` on
     // product_id dedupes unordered pairs. The fact table is bucketed+sorted
-    // by order_id ([[Warehouse]]), so this self-join is SHUFFLE-FREE: both
-    // sides read co-located sorted buckets.
+    // by order_id ([[Warehouse]]), so the MERGE hint plans a SHUFFLE-FREE
+    // bucketed sort-merge join — both sides read co-located sorted
+    // buckets, zero exchanges below the join (pinned by WarehouseSpec's
+    // plan-shape test). Without the hint the 2-column projection falls
+    // under autoBroadcastJoinThreshold at bench scale and Catalyst
+    // broadcasts the whole fact as build side — measured SLOWER than the
+    // bucket join it preempts (sf0.1 min-of-5 warm: broadcast 0.72s vs
+    // bucketed SMJ 0.47s; r7), and at 100 TB a fact-side broadcast is
+    // impossible anyway, so the hint pins the plan that is right at BOTH
+    // scales.
     QueryDef("q16_basket_pairs",
       (s, dir) => {
         val f = Warehouse.tables(s, dir).fact.select(col("order_id"), col("product_id"))
-        f.as("a").join(f.as("b"),
+        f.as("a").join(f.as("b").hint("merge"),
             col("a.order_id") === col("b.order_id") &&
               col("a.product_id") < col("b.product_id"))
           .groupBy(col("a.product_id").as("product_01"), col("b.product_id").as("product_02"))

@@ -85,8 +85,13 @@ object SqlQueries {
         ORDER BY c.city_category, c.marital_status, t.month"""))),
 
     QueryDef("sql_q16_basket_pairs",
+      // MERGE hint: same rationale as q16_basket_pairs — the bucketed
+      // shuffle-free SMJ beats the fact-side broadcast that would otherwise
+      // preempt it at bench scale (sf0.1 min-of-5: 0.47s vs 0.72s; r7) and
+      // is the only feasible plan at 100 TB.
       sql("""
-        SELECT a.product_id AS product_01, b.product_id AS product_02,
+        SELECT /*+ MERGE(b) */
+               a.product_id AS product_01, b.product_id AS product_02,
                COUNT(*) AS pair_count
         FROM salefact a
         JOIN salefact b ON a.order_id = b.order_id AND a.product_id < b.product_id

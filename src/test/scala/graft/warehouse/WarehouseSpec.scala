@@ -41,6 +41,44 @@ class WarehouseSpec extends SparkSpec {
     assert(t.customer.count() == graft.star.Star.customerDim(spark, sf001).count())
   }
 
+  test("q16 self-join is a shuffle-free bucketed SMJ once broadcast is off") {
+    // The warehouse's central physical-layout claim: salefact is bucketed +
+    // sorted by order_id, so the basket self-join co-locates WITHOUT an
+    // exchange once the fact outgrows the broadcast threshold (at test
+    // scale Catalyst broadcasts the 2-column projection instead, so the
+    // bucketed path never executes unless broadcast is disabled — this
+    // pins the at-scale plan). AQE is disabled for the inspection because
+    // AdaptiveSparkPlanExec hides its subtree from collect() until runtime.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = graft.SparkEntry.queries("q16_basket_pairs")(spark, sf001)
+        .queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.size == 1,
+        s"expected the self-join to plan as one SortMergeJoin:\n$plan")
+      val exchangesBelowJoin = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchangesBelowJoin.isEmpty,
+        s"bucketed self-join must read co-located buckets, found exchange:\n${smj.head}")
+      // the pair-grouping aggregate above the join still shuffles (its keys
+      // are product pairs, not the bucket key) — that one is expected
+      val exchangesTotal = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchangesTotal.nonEmpty, "sanity: aggregate exchange present")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("rebuild is stable: identical row sets after re-materialization") {
     val before = Warehouse.tables(spark, sf001).fact
       .orderBy(col("sales_id"), col("product_id"), col("purchase_amount"))
