@@ -101,8 +101,10 @@ object ExtraQueries {
     // distinct/percentile shuffles; SketchSpec pins the error behavior.
     QueryDef("sketch_approx_agg",
       (s, dir) => {
-        val t = star(s, dir)
-        val byStore = t.fact.join(broadcast(t.product), "product_id")
+        // ONE fact scan: both legs read the persisted slim projection
+        // (r6 VERDICT #3 — the legs group on different keys, so exchange
+        // reuse can't unify them and each used to rescan fact⋈product).
+        val byStore = Warehouse.factStoreSlim(s, dir)
         // exact distinct via dedup-then-count instead of countDistinct in
         // the shared agg: a distinct aggregate alongside plain aggregates
         // plans an Expand that doubles every fact row through the
