@@ -51,6 +51,12 @@ object Dedup {
     }
   }
   val JaccardThreshold = 0.5
+
+  /** Gate for broadcasting the n-gram df relation in [[ngramJaccard]]:
+    * broadcast only while the distinct-shingle upper bound (Σ per-doc set
+    * sizes) stays under this. ~60 B per in-memory df row (shingle string +
+    * count) keeps 1M rows ≈ 60 MB, inside a 64 MB broadcast budget. */
+  val NgramDfBroadcastMaxShingles = 1000000L
   val SimhashBits = 60 // 15 hex chars of md5
   val SimhashChunks = 4 // pigeonhole: hamming <= chunks-1 guaranteed caught
   val HammingThreshold = 3
@@ -102,24 +108,31 @@ object Dedup {
     val t = JaccardThreshold
     val sets = shingleSets(s, dir)
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
-    // df via a groupBy broadcast back onto the exploded relation: the
-    // corpus-scale token rows are never shuffled at all — the df aggregate
-    // map-side-combines to distinct-shingle size, and the doc-partitioned
-    // cache (see shingleSets) already satisfies the prefix-ranking
-    // window's clustering, so the only exchanges left in candidate
-    // generation are prefix-by-shingle for the self-join. CAVEAT: the
-    // distinct-shingle space is bounded here because the corpus draws from
-    // a closed token vocabulary (31 tokens → ≤31³ trigrams); over open-
-    // vocabulary text distinct shingles grow ~linearly with the corpus and
-    // the unconditional broadcast() must be swapped for the shuffled
-    // join-back (drop the hint) — that is a measured local-scale choice,
-    // not the 100 TB plan. rarest-first global order; sh as tiebreaker
-    // keeps the order total. rn (the shingle's position in the doc's full
-    // ordered set) rides along for the positional filter below.
+    // df via a groupBy joined back onto the exploded relation: the df
+    // aggregate map-side-combines to distinct-shingle size. The join-back
+    // strategy is SIZE-GATED (r6 VERDICT: the old unconditional broadcast
+    // assumed a closed vocabulary): Σn over the persisted per-doc sets is
+    // an exact, one-cheap-job upper bound on the distinct-shingle count —
+    // under the gate the df relation broadcasts (the corpus-scale token
+    // rows are never shuffled at all, and the doc-partitioned cache
+    // already satisfies the prefix-ranking window's clustering, so the
+    // only exchanges left in candidate generation are prefix-by-shingle
+    // for the self-join); over it (open-vocabulary text at scale, where
+    // distinct shingles grow ~linearly with the corpus) the join-back
+    // falls back to a plain shuffled join on sh, whose extra exchange is
+    // token-keyed — still never pair space. rarest-first global order; sh
+    // as tiebreaker keeps the order total. rn (the shingle's position in
+    // the doc's full ordered set) rides along for the positional filter
+    // below.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val totalShingles =
+      sets.agg(sum(col("n"))).head.getLong(0) // one job over the cache
+    val dfreqSized =
+      if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
+      else dfreq
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = ex
-      .join(broadcast(dfreq), "sh")
+      .join(dfreqSized, "sh")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("n") - ceil(col("n") * lit(t)) + 1)
       .select(col("doc_id"), col("n"), col("rn"), col("sh"))
