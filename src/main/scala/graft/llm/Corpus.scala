@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -225,9 +224,11 @@ object Corpus {
       .reduce(_ + _)
     // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
     // (per-partition partial top-20, driver merge of 20-row heaps) — never
-    // a global single-partition window. rnk is derived AFTER the limit, so
-    // its window ranks only Bm25TopK rows (one tiny task, not a funnel).
-    val wTop = Window.orderBy(col("score").desc, col("doc_id"))
+    // a global single-partition window. rnk is positional over the limited
+    // result: the k rows are coalesced to one partition and re-sorted in
+    // place, so the id IS the rank (partition 0 → ids 0..k-1 in row order).
+    // A partition-less row_number window gives the same values but WindowExec
+    // logs a "No Partition Defined" warning on every run (bench-tail noise).
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(scoreDec.cast(DoubleType), 6).as("score"),
@@ -235,7 +236,9 @@ object Corpus {
       .where(col("n_matched_terms") >= 1)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
-      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .coalesce(1)
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .withColumn("rnk", (monotonically_increasing_id() + lit(1L)).cast(LongType))
       .select(col("doc_id"), col("score"), col("n_matched_terms"), col("rnk"))
       .orderBy(col("rnk"))
   }

@@ -136,6 +136,15 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("n") - ceil(col("n") * lit(t)) + 1)
       .select(col("doc_id"), col("n"), col("rn"), col("sh"))
+      // Pin the self-join's shuffle width. The prefix relation is slim in
+      // BYTES but the join over it is CPU-dense, so AQE's partition
+      // coalescing (which only sees bytes) merges its shuffle onto 1-2
+      // cores in any default-config session — measured at sf0.1: 7.5s/run
+      // warm with coalescing on vs 1.9s with it off. An explicit-width
+      // repartition by the join key is exempt from AQE coalescing and
+      // already satisfies the join's required distribution, so with AQE
+      // off the plan is unchanged (same single exchange per side).
+      .repartition(s.sparkContext.defaultParallelism, col("sh"))
     // Candidate join with PPJoin's two further EXACT filters fused in:
     //  - length: J ≥ t forces t·na ≤ nb ≤ na/t;
     //  - positional: for the FIRST shared shingle in the global order, every
@@ -152,6 +161,12 @@ object Dedup {
           lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // Same AQE-coalescing hazard as above, measured 4× on this stage at
+      // sf0.1: candidate pairs are ~16 bytes each but each drives an
+      // array_intersect over two full shingle sets in the verify join.
+      // Pin the verify clustering at explicit width (replaces the exchange
+      // the doc_a join needs anyway — no extra shuffle with AQE off).
+      .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -203,8 +218,12 @@ object Dedup {
         // one slim build-time shuffle): every doc-keyed consumer — the
         // prefix-ranking window, minhash's per-doc signature aggregation,
         // the verification joins — then reads its required clustering
-        // straight from the cache, shuffle-free
-        .repartition(col("doc_id"))
+        // straight from the cache, shuffle-free. EXPLICIT width: a
+        // width-less repartition(col) is fair game for AQE partition
+        // coalescing, and shingle arrays are small in bytes but every
+        // consumer is CPU-dense — a cache persisted at 1-2 partitions
+        // serializes all of them for the session's lifetime.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .persist())
 
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
