@@ -171,6 +171,26 @@ object Prof {
         bench("vol_orderBy")(vol.orderBy(col("store_id"), col("supplier_id")))
         bench("vol_coalesce_sort")(vol.coalesce(1)
           .sortWithinPartitions(col("store_id"), col("supplier_id")))
+        // fused L2+L3: one explicit exchange on the (store, supplier) keys
+        // satisfies BOTH the 6-key monthly agg and the 4-key volatility agg
+        val monthlyF = ppm.join(t.product, "product_id")
+          .repartition(col("store_id"), col("store_name"),
+            col("supplier_id"), col("supplier_name"))
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"),
+            col("year"), col("mon"))
+          .agg(sum(col("ppm")).cast(DecimalType(18, 4)).as("rev"))
+        val volF = monthlyF
+          .groupBy(col("store_id"), col("store_name"), col("supplier_id"), col("supplier_name"))
+          .agg(count(lit(1)).as("n_months"), sum(col("rev")).as("s1"),
+            sum(col("rev") * col("rev")).as("s2"))
+          .where(col("n_months") >= 2)
+          .select(col("store_id"), col("supplier_id"),
+            sqrt(greatest(lit(0.0),
+              (col("n_months").cast("double") * col("s2").cast("double")
+                - col("s1").cast("double") * col("s1").cast("double"))
+                / (col("n_months").cast("double") * (col("n_months").cast("double") - 1))))
+              .as("revenue_stddev"))
+        bench("vol_fused_l2l3")(volF.orderBy(col("store_id"), col("supplier_id")))
       } else if (args.head == "tfidf_parts") {
         import org.apache.spark.sql.expressions.Window
         import graft.llm.TextAnalysis
@@ -231,6 +251,35 @@ object Prof {
               .as("iqr"))
         bench("one_pass_acc1000")(cheapApprox)
         bench("entry_full")(SparkEntry.queries("sketch_approx_agg")(spark, sfDir))
+        // store-partitioned slim cache: HashPartitioning(store_id) satisfies
+        // the ClusteredDistribution of BOTH the (store,customer) distinct
+        // and every groupBy(store_id) — zero downstream exchanges, at the
+        // cost of collapsing map-side parallelism to #stores (8 here).
+        val byStoreP = t.fact.join(broadcast(t.product), "product_id")
+          .select(col("store_id"), col("customer_id"), col("purchase_amount"))
+          .repartition(col("store_id"))
+          .persist()
+        byStoreP.count()
+        val exactP = byStoreP.select(col("store_id"), col("customer_id"))
+          .distinct()
+          .groupBy(col("store_id")).agg(count(lit(1)).as("n_exact"))
+        bench("exact_leg_storepart")(exactP)
+        val sketchesP = byStoreP
+          .groupBy(col("store_id"))
+          .agg(
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(10000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+        bench("sketch_leg_storepart")(sketchesP)
+        bench("both_legs_storepart")(sketchesP.join(broadcast(exactP), "store_id")
+          .select(col("store_id"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
+            (col("p50_approx") >= col("iqr").getItem(0) &&
+              col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
+          .orderBy(col("store_id")))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return

@@ -370,7 +370,15 @@ object RefQueries {
             month(col("full_date")).as("mon")), "date_id")
           .groupBy(col("product_id"), col("year"), col("mon"))
           .agg(sum(col("purchase_amount")).as("ppm"))
+        // one explicit exchange on the (store, supplier) keys satisfies the
+        // ClusteredDistribution of BOTH the 6-key monthly agg and the 4-key
+        // volatility agg below it — fusing aggregation levels 2+3 into a
+        // single stage (r7 A/B at sf0.1, min-of-5 warm: 0.87s→0.80s; the
+        // rollup is |products|×|months| rows here, so the parallelism cap
+        // at store×supplier cardinality is irrelevant at any scale).
         val monthly = perProdMonth.join(p, "product_id")
+          .repartition(col("store_id"), col("store_name"),
+            col("supplier_id"), col("supplier_name"))
           .groupBy(col("store_id"), col("store_name"), col("supplier_id"),
             col("supplier_name"), col("year"), col("mon"))
           .agg(sum(col("ppm")).cast(DecimalType(18, 4)).as("rev"))

@@ -89,10 +89,20 @@ object Warehouse {
     * ((store, customer) dedup vs store), so Catalyst's exchange reuse
     * cannot unify them and each leg re-scanned fact⋈product (r6 VERDICT
     * "What's wrong" #3 — two salefact scans in the executed plan). The
-    * persisted projection feeds both legs from ONE scan. Scale note: this
-    * is fact-cardinality but column-pruned to 3 of 10 columns and
+    * persisted projection feeds both legs from ONE scan.
+    *
+    * The cache is persisted PRE-PARTITIONED by store_id:
+    * HashPartitioning(store_id) satisfies the ClusteredDistribution of
+    * both the (store, customer) distinct AND every groupBy(store_id), so
+    * no consumer plans a downstream exchange (measured at sf0.1 warm:
+    * exact leg 0.55s→0.08s, sketch leg 0.70s→0.50s). The trade is
+    * map-side parallelism capped at the store cardinality — correct here
+    * because every consumer aggregates BY store, so the final stage
+    * collapses to #stores tasks regardless. Scale note: this is
+    * fact-cardinality but column-pruned to 3 of 10 columns and
     * disk-spillable (MEMORY_AND_DISK); at 100 TB the same call-site
-    * becomes a materialized rollup table — the query shape is unchanged. */
+    * becomes a rollup table bucketed by store_id (and a hot store would
+    * want a salted pre-aggregate) — the query shape is unchanged. */
   private val slimCache = new graft.SessionMemo[DataFrame]
 
   def factStoreSlim(spark: SparkSession, dir: String): DataFrame = synchronized {
@@ -100,6 +110,7 @@ object Warehouse {
       val t = tables(spark, dir)
       t.fact.join(broadcast(t.product), "product_id")
         .select(col("store_id"), col("customer_id"), col("purchase_amount"))
+        .repartition(col("store_id"))
         .persist()
     }
   }
