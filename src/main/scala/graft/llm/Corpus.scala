@@ -152,6 +152,60 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokens per training context window for [[pack]]. */
+  val PackBudget = 256L
+
+  /** doc_id range width per prefix-sum bucket for [[pack]]'s two-phase
+    * running sum. At this corpus scale ~8-80 buckets; at 100 TB the width
+    * grows (or the bucket offsets get their own second-level pass) so the
+    * bucket relation stays tiny relative to the corpus. */
+  val PackBucketWidth = 64L
+
+  /** Sequence packing — the standard pretraining "concatenate then chunk"
+    * batch layout (docs concatenated in doc_id order, split every
+    * [[PackBudget]] tokens; docs may straddle pack boundaries): for every
+    * doc, its global token offset, the first/last pack it lands in, and
+    * its offset inside the first pack.
+    *
+    * The global running token count is a distributed TWO-PHASE prefix sum,
+    * not a total-order window (a partition-less window moves the corpus to
+    * one task — the exact WindowExec warning the bench tail used to carry):
+    * docs bucket by doc_id range; phase 1 computes in-bucket prefix sums
+    * under a window PARTITIONED by bucket (parallel across buckets);
+    * phase 2 computes each bucket's starting offset from the per-bucket
+    * totals with a triangular self-join on the tiny bucket relation
+    * (#buckets² pairs — thousands at 100 TB) and broadcasts it back. All
+    * arithmetic is integer, so the oracle compare is exact. */
+  def pack(s: SparkSession, dir: String): DataFrame = packOf(docs(s, dir))
+
+  /** [[pack]] over any (doc_id, text) relation — unit-testable form. */
+  def packOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .where(col("n_tokens") >= 1)
+      .withColumn("bucket", floor(col("doc_id") / lit(PackBucketWidth)))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = toks.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
+    val bucketTotals = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btot"))
+    val bucketOffsets = bucketTotals.as("a")
+      .join(broadcast(bucketTotals.as("b")), col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("boff"))
+    withCum
+      .join(broadcast(bucketOffsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + col("cum_in") - col("n_tokens")).as("doc_start"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("doc_start") / lit(PackBudget)).cast(LongType).as("pack_first"),
+        floor((col("doc_start") + col("n_tokens") - 1) / lit(PackBudget))
+          .cast(LongType).as("pack_last"),
+        pmod(col("doc_start"), lit(PackBudget)).as("offset_in_pack"))
+      .orderBy(col("doc_id"))
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("join", "scan", "vector")

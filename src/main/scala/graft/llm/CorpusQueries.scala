@@ -49,6 +49,28 @@ object CorpusQueries {
                                  ELSE ${Corpus.SampleDefaultRate} END
         ORDER BY doc_id""")),
 
+    // Sequence packing (concat-and-chunk). The oracle computes the global
+    // token offsets with a plain total-order running sum — fine on a
+    // single-node engine; the Spark side's two-phase bucketed prefix sum
+    // produces the identical integer offsets without a single-partition
+    // window (see Corpus.pack's scale notes).
+    QueryDef("corpus_pack",
+      (s, dir) => Corpus.pack(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       - n_tokens AS doc_start
+              FROM tk WHERE n_tokens >= 1)
+        SELECT doc_id, n_tokens,
+               doc_start // ${Corpus.PackBudget} AS pack_first,
+               (doc_start + n_tokens - 1) // ${Corpus.PackBudget} AS pack_last,
+               doc_start % ${Corpus.PackBudget} AS offset_in_pack
+        FROM c ORDER BY doc_id""")),
+
     // Int8 absmax quantization audit scalars. scale is the UNROUNDED
     // 127/max|v| in both engines; |q| values are whole numbers ≤ 127 so
     // sum_abs_q is exactly representable (order-independent); err_rms

@@ -102,7 +102,16 @@ object Dedup {
     *
     * 100 TB: shuffle keys are the shingle (df count, candidate join) and
     * the doc (prefix ranking) — never the pair space. Output is identical
-    * to the exhaustive formulation (the oracle still runs that one). */
+    * to the exhaustive formulation (the oracle still runs that one).
+    *
+    * r7 profile (Prof ngram_parts, sf0.1 min-of-5 warm): cached index
+    * read 0.08s, df rollup 0.45s, prefix rank 0.55s, candidate self-join
+    * + distinct 1.27s, verify 0.65s → entry 1.92s. The dominant term is
+    * the candidate join itself — CPU-dense inequality evaluation over
+    * prefix-bucket pairs (125k candidates from 134k prefix entries),
+    * which IS PPJoin's irreducible work; no stage above it exceeds 0.6s,
+    * so the remaining gap to the single-process oracle is fixed per-stage
+    * scheduling, not a wrong plan. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = JaccardThreshold
@@ -302,5 +311,84 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType).as("hamming"))
       .where(col("hamming") <= HammingThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Safety cap on [[clustersOf]] label-propagation rounds. Convergence
+    * needs ≤ diameter(near-dup graph) rounds; near-dup components are
+    * groups of mutually-similar docs (diameter 1-3 in practice), so 25 is
+    * far past any plausible real corpus. Hitting the cap throws rather
+    * than silently emitting a half-propagated clustering. */
+  val ClusterMaxRounds = 25
+
+  /** The verified near-dup pair graph (exact Jaccard ≥ t pairs from
+    * [[ngramJaccard]]), persisted once per (session, dir) — the same
+    * derived-index discipline as [[shingleSets]]: the pair graph is built
+    * once and consumed by downstream graph work ([[clusters]]), while the
+    * pair-producing ENTRY keeps re-running its full pipeline unaided so the
+    * bench measures real work. */
+  private val pairsCache = new graft.SessionMemo[DataFrame]
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate(s, dir) {
+      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).persist()
+    }
+
+  /** Near-duplicate CLUSTERING — the step a dedup pipeline needs after
+    * pair generation: connected components over the verified near-dup
+    * pair graph, labeling every clustered doc with the min doc_id of its
+    * component (the canonical survivor) plus the component size and a
+    * keep/drop verdict. Pair-level dedup alone under-deletes: near-dup
+    * similarity is not transitive, so A~B, B~C without A~C must still
+    * collapse to ONE kept doc, which only the component view gives you.
+    *
+    * Algorithm: min-label propagation to fixpoint — labels start as each
+    * doc's own id; every round each doc takes the min of its label and
+    * its neighbors' labels; converged when no label changed. Rounds =
+    * O(graph diameter). The driver-side loop is control flow only (the
+    * per-round `isEmpty` inspects a 1-job scalar, the GraphX-style
+    * iterative idiom — never row data); all data movement is vertex-keyed
+    * joins. At 100 TB: edges hash-partition by vertex, rounds stay
+    * O(diameter) — the published alternative for adversarial diameters is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), same join shape per round. */
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(verifiedPairs(s, dir))
+
+  /** [[clusters]] over any (doc_a, doc_b) pair relation — unit-testable
+    * form. */
+  def clustersOf(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      if (round > ClusterMaxRounds)
+        throw new IllegalStateException(
+          s"label propagation did not converge in $ClusterMaxRounds rounds")
+      val viaNbr = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(viaNbr, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.label") < col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("doc_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+    edges.unpersist()
+    out
   }
 }

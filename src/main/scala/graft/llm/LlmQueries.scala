@@ -92,6 +92,38 @@ object LlmQueries {
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
       }),
 
+    // Connected components over the verified near-dup pair graph. The
+    // oracle recomputes the exhaustive pair set, then closes it with a
+    // recursive min-label reachability CTE — relational transitive
+    // closure, deliberately different mechanics from the Spark side's
+    // O(diameter)-round label propagation (same fixpoint by construction:
+    // both assign every vertex the min doc_id reachable from it).
+    QueryDef("dedup_clusters",
+      (s, dir) => Dedup.clusters(s, dir),
+      Some(s"""
+        WITH RECURSIVE $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b
+                  FROM pr JOIN sz sa ON doc_a = sa.doc_id
+                          JOIN sz sb ON doc_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(doc_id, r) AS (
+          SELECT DISTINCT src, src FROM e
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+               GROUP BY cluster_id)
+        SELECT l.cluster_id, l.doc_id, cs.cluster_size,
+               l.doc_id = l.cluster_id AS keep
+        FROM lab l JOIN cs USING (cluster_id)
+        ORDER BY cluster_id, doc_id""")),
+
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(s, dir),
       Some(s"""

@@ -64,4 +64,45 @@ class CorpusSpec extends SparkSpec {
     // vec 1 filtered; vec 2: scale = 127/2, q = [64, -127, 32]
     assert(out.toSeq === Seq((2L, 2.0, 64L + 127L + 32L)))
   }
+
+  private def packOf(docs: Seq[(Long, Int)]): Seq[(Long, Long, Long, Long, Long)] =
+    Corpus.packOf(
+      docs.map { case (id, n) => (id, (1 to n).map(i => s"t$i").mkString(" ")) }
+        .toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  test("pack: straddle and offset geometry at budget 256") {
+    // concat order 1,2,3,5 → starts 0, 100, 300, 400
+    assert(packOf(Seq(1L -> 100, 2L -> 200, 3L -> 100, 5L -> 300)) === Seq(
+      (1L, 100L, 0L, 0L, 0L),   // tokens 0..99, inside pack 0
+      (2L, 200L, 0L, 1L, 100L), // tokens 100..299, straddles 0→1
+      (3L, 100L, 1L, 1L, 44L),  // tokens 300..399, inside pack 1
+      (5L, 300L, 1L, 2L, 144L)  // tokens 400..699, straddles 1→2
+    ))
+  }
+
+  test("pack: offsets are continuous across prefix-sum bucket boundaries") {
+    // ids 63 / 64 / 128 land in buckets 0 / 1 / 2 (width 64): the global
+    // running sum must not reset at the bucket edges
+    val out = packOf(Seq(63L -> 10, 64L -> 20, 128L -> 30))
+    assert(out.map(t => (t._1, t._3, t._5)) ===
+      Seq((63L, 0L, 0L), (64L, 0L, 10L), (128L, 0L, 30L)))
+  }
+
+  test("pack: matches a sequential prefix-sum oracle on 300 random docs") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map(i => (i * 3L + rnd.nextInt(2), 1 + rnd.nextInt(40)))
+      .distinctBy(_._1)
+    val expected = {
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, n) =>
+        val start = cum; cum += n
+        (id, n.toLong, start / Corpus.PackBudget,
+          (start + n - 1) / Corpus.PackBudget, start % Corpus.PackBudget)
+      }
+    }
+    assert(packOf(docs) === expected)
+  }
 }
