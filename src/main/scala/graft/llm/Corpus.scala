@@ -174,8 +174,11 @@ object Corpus {
     * under a window PARTITIONED by bucket (parallel across buckets);
     * phase 2 computes each bucket's starting offset from the per-bucket
     * totals with a triangular self-join on the tiny bucket relation
-    * (#buckets² pairs — thousands at 100 TB) and broadcasts it back. All
-    * arithmetic is integer, so the oracle compare is exact. */
+    * (#buckets² pairs — thousands at 100 TB; a window over a constant
+    * key was A/B'd and rejected: Catalyst folds the constant partition
+    * away, re-introducing the unpartitioned-window warning, at no
+    * speedup) and broadcasts it back. All arithmetic is integer, so the
+    * oracle compare is exact. */
   def pack(s: SparkSession, dir: String): DataFrame = packOf(docs(s, dir))
 
   /** [[pack]] over any (doc_id, text) relation — unit-testable form. */
