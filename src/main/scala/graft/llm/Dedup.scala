@@ -363,6 +363,9 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .persist()
+    // the cached handle behind `labels` (labels itself may be a projection
+    // of it — unpersist must target the relation that holds the blocks)
+    var cached = labels
     var round = 0
     var converged = false
     while (!converged) {
@@ -372,16 +375,16 @@ object Dedup {
           s"label propagation did not converge in $ClusterMaxRounds rounds")
       val viaNbr = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(viaNbr, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
+      // carry the previous label through the step so the convergence check
+      // reads the SAME cached relation (no extra old⋈new join per round)
+      val step = labels.join(viaNbr, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .persist()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.label") < col("o.label"))
-        .isEmpty
-      labels.unpersist()
-      labels = next
+      converged = step.where(col("label") < col("old_label")).isEmpty
+      cached.unpersist()
+      cached = step
+      labels = step.select(col("doc_id"), col("label"))
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")
