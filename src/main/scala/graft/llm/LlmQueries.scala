@@ -392,6 +392,15 @@ object LlmQueries {
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // Streaming ingest dedup certified on a deliberately duplicated stream
+    // (two unioned file sources = every record delivered twice): the
+    // deduped survivors must equal the original relation row for row.
+    QueryDef("events_dedup_streamed",
+      (s, dir) => graft.streaming.StreamDedup.dedupedStreamed(s, dir),
+      Some("""
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events ORDER BY event_id""")),
+
     QueryDef("events_sessions",
       (s, dir) => Events.sessions(s, dir),
       Some(s"""
