@@ -360,8 +360,13 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // seed with round 1 already applied: label₀(x) = min(x, neighbors(x))
+    // comes straight out of the vertex aggregation, so clique-shaped
+    // components (the common near-dup case) converge after a single
+    // stability check instead of an extra propagation round
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("doc_id"), col("label"))
       .persist()
     // the cached handle behind `labels` (labels itself may be a projection
     // of it — unpersist must target the relation that holds the blocks)

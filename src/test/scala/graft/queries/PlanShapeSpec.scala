@@ -34,6 +34,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q15: monthly and volatility aggregates share one exchange (fused L2+L3)") {
+    withStablePlans {
+      val plan = graft.SparkEntry.queries("q15_revenue_volatility")(spark, sf001)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      // L1 product-month rollup + the explicit store/supplier repartition
+      // (satisfying BOTH aggregates above it) + the presentation sort —
+      // a 4th exchange means the L2/L3 fusion regressed
+      assert(exchanges.size == 3,
+        s"expected exactly 3 exchanges (L1 agg, fused L2+L3 repartition, sort):\n$plan")
+    }
+  }
+
   test("corpus_pack: no unpartitioned window at any stage") {
     withStablePlans {
       val plan = graft.SparkEntry.queries("corpus_pack")(spark, sf001)
