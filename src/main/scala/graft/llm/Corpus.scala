@@ -209,6 +209,63 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokens per "line" for [[lineDedup]] (the synthetic docs have no real
+    * newlines, so lines are fixed-width non-overlapping token windows). */
+  val LineTokens = 8
+
+  /** A line occurring at least this many times corpus-wide is boilerplate. */
+  val LineDupThreshold = 3
+
+  /** Line-level boilerplate removal — the C4-style corpus scrub: segment
+    * every doc into non-overlapping [[LineTokens]]-token lines, count each
+    * distinct line corpus-wide, drop lines occurring ≥ [[LineDupThreshold]]
+    * times (navigation chrome / license banners / templated headers at real
+    * scale). Emits per doc the line count, kept-line count, and the md5 of
+    * the kept-line hash sequence in document order, so content equality of
+    * the cleaned doc is assertable without shipping text.
+    *
+    * 100 TB design: the only corpus-sized shuffle is the line-hash count
+    * (key = 128-bit content hash — uniformly spread, skew-free by
+    * construction). The boilerplate set is the ≥threshold tail of the line
+    * frequency distribution — tiny relative to the corpus by definition —
+    * so the flagging join is a broadcast against line hashes, and the
+    * per-doc rebuild aggregates on doc_id (the scan's natural key). Never
+    * a pair-space or text-carrying shuffle: lines travel as md5s. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedupOf(docs(s, dir))
+
+  /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
+  def lineDedupOf(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val lineArr = transform(
+      sequence(lit(1), n, lit(LineTokens)),
+      st => md5(concat_ws(" ", slice(t, st, lit(LineTokens)))))
+    val lines = d.where(n >= 1)
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "lmd5")))
+    val boiler = lines
+      .groupBy(col("lmd5")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= LineDupThreshold)
+      .select(col("lmd5"), lit(true).as("boiler"))
+    lines
+      .join(broadcast(boiler), Seq("lmd5"), "left")
+      .withColumn("kept", col("boiler").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        // kept-line md5s concatenated in document order: collect_list's
+        // arrival order is nondeterministic, so sort the (idx, md5, kept)
+        // structs (idx is unique per doc → total order) before filtering
+        md5(concat_ws("|",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("line_idx"), col("lmd5"), col("kept")))),
+              x => x.getField("kept")),
+            x => x.getField("lmd5")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("join", "scan", "vector")

@@ -123,7 +123,67 @@ object CorpusQueries {
     QueryDef("corpus_bm25_topk",
       (s, dir) => Corpus.bm25TopK(s, dir),
       Some(s"""
+        WITH $bm25Ctes
+        SELECT doc_id, score, n_matched_terms,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM agg ORDER BY score DESC, doc_id LIMIT ${Corpus.Bm25TopK}""")),
+
+    // Line-level boilerplate removal: t[st : st+7] is DuckDB's 1-based
+    // inclusive slice = Spark's slice(t, st, 8); the kept-line digest is
+    // string_agg over md5s in line order (empty-group NULL → md5('') to
+    // match Spark's concat_ws over an empty array).
+    QueryDef("corpus_line_dedup",
+      (s, dir) => Corpus.lineDedup(s, dir),
+      Some(s"""
         WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, len(t), ${Corpus.LineTokens})) AS st
+               FROM tk WHERE len(t) >= 1),
+        li AS (SELECT doc_id, (st - 1) // ${Corpus.LineTokens} AS line_idx,
+                      md5(array_to_string(t[st : st + ${Corpus.LineTokens - 1}], ' ')) AS lmd5
+               FROM st),
+        cnt AS (SELECT lmd5, count(*) AS c FROM li GROUP BY 1),
+        fl AS (SELECT doc_id, line_idx, lmd5,
+                      c < ${Corpus.LineDupThreshold} AS kept
+               FROM li JOIN cnt USING (lmd5))
+        SELECT doc_id, count(*) AS n_lines,
+               count(*) FILTER (WHERE kept) AS n_kept,
+               md5(coalesce(string_agg(lmd5, '|' ORDER BY line_idx)
+                              FILTER (WHERE kept), '')) AS clean_md5
+        FROM fl GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Hybrid RRF: the lexical leg is the bm25 CTE chain verbatim; the
+    // semantic leg ranks exact cosine against the query vector. CAST the
+    // 1.0 to DOUBLE — a bare 1.0/(k+r) divides as DECIMAL in DuckDB and
+    // diverges from Spark's IEEE division.
+    QueryDef("similarity_hybrid_rrf",
+      (s, dir) => Similarity.hybridRrf(s, dir),
+      Some(s"""
+        WITH $bm25Ctes,
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+                FROM agg ORDER BY score DESC, doc_id LIMIT ${Corpus.Bm25TopK}),
+        q AS (SELECT embedding AS qv FROM embeddings
+              WHERE vec_id = ${Similarity.HybridQueryVec}),
+        sc AS (SELECT vec_id AS doc_id,
+                      ${LlmQueries.cosineSql("qv", "embedding")} AS cosine
+               FROM embeddings CROSS JOIN q
+               WHERE vec_id <> ${Similarity.HybridQueryVec}),
+        sem AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+                FROM sc ORDER BY cosine DESC, doc_id LIMIT ${Similarity.HybridTopK})
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+               round(coalesce(CAST(1.0 AS DOUBLE) / (${Similarity.RrfK} + lex_rank), 0) +
+                     coalesce(CAST(1.0 AS DOUBLE) / (${Similarity.RrfK} + sem_rank), 0),
+                     6) AS rrf_score
+        FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf_score DESC, doc_id"""))
+  )
+
+  /** The BM25 scoring chain (through the per-doc `agg` relation) — shared
+    * by the bm25 entry and the hybrid-RRF lexical leg so the two oracles
+    * cannot drift. */
+  private lazy val bm25Ctes: String = s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                           CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
                    FROM tk),
@@ -141,9 +201,5 @@ object CorpusQueries {
                    FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
         agg AS (SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS score,
                        count(*) AS n_matched_terms
-                FROM scored GROUP BY doc_id)
-        SELECT doc_id, score, n_matched_terms,
-               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-        FROM agg ORDER BY score DESC, doc_id LIMIT ${Corpus.Bm25TopK}"""))
-  )
+                FROM scored GROUP BY doc_id)"""
 }

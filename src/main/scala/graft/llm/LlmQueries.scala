@@ -32,7 +32,7 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def cosineSql(a: String, b: String): String =
+  private[llm] def cosineSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
   val all: Seq[QueryDef] = Seq(
@@ -240,6 +240,39 @@ object LlmQueries {
                         ORDER BY tfidf DESC, token) AS rnk FROM x)
         SELECT doc_id, token, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Normalization: lockstep regex pipeline — Spark's regexp_replace is
+    // global by default, DuckDB's needs the 'g' flag.
+    QueryDef("text_normalize",
+      (s, dir) => TextAnalysis.normalize(s, dir),
+      Some("""
+        WITH n AS (SELECT doc_id, text,
+                          trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+                   FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               md5(norm) AS norm_md5
+        FROM n ORDER BY doc_id""")),
+
+    // Unigram surprisal: per-token contributions rounded to 9 dp and
+    // summed as DECIMALs (order-independent), mean rounded to 6 dp —
+    // the BM25 float discipline.
+    QueryDef("text_unigram_surprisal",
+      (s, dir) => TextAnalysis.unigramSurprisal(s, dir),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT token, sum(tf) AS term_freq FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS total_tokens FROM dfr),
+        sc AS (SELECT doc_id, tf,
+                      CAST(round(tf * -ln(CAST(term_freq AS DOUBLE) / total_tokens), 9)
+                        AS DECIMAL(28, 9)) AS c
+               FROM tf JOIN dfr USING (token) CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS surprisal
+        FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
     QueryDef("doc_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(s, dir),

@@ -231,4 +231,51 @@ object Similarity {
   /** DuckDB literal for plane p's sign vector. */
   def planeSql(p: Int): String =
     planeSigns(p).mkString("[", ",", "]")
+
+  /** The semantic query for [[hybridRrf]] is this corpus vector. */
+  val HybridQueryVec = 0L
+  val HybridTopK = 20
+  /** Reciprocal-rank-fusion damping constant (the standard k=60). */
+  val RrfK = 60
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the two-tower shape a
+    * retrieval/curation pipeline runs: a lexical leg (BM25 over the fixed
+    * query terms, [[Corpus.bm25TopK]]) and a semantic leg (exact cosine
+    * against the [[HybridQueryVec]] embedding), each producing a top-k
+    * ranking, fused as Σ 1/(k₀+rank) over the union. Docs reached by only
+    * one leg keep a NULL rank on the other (full-outer fusion).
+    *
+    * 100 TB design: each leg is already scale-shaped (BM25 reads its
+    * persisted per-doc stats index; the semantic leg is one corpus scan
+    * with a broadcast query and TakeOrderedAndProject top-k — swap in the
+    * LSH/IVF probe path for a larger k·Q). Fusion then touches two k-row
+    * relations — negligible at any scale. Rank arithmetic is integer and
+    * 1/(k₀+r) is an exact IEEE division both engines share, so fusion
+    * scores compare bit-exactly. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = Corpus.bm25TopK(s, dir)
+      .select(col("doc_id"), col("rnk").as("lex_rank"))
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") === HybridQueryVec)
+      .select(col("embedding").as("qv"))
+    // positional rank over the limited result — same idiom as bm25TopK
+    // (TakeOrderedAndProject top-k, never a partition-less window)
+    val sem = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= HybridQueryVec)
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(HybridTopK)
+      .coalesce(1)
+      .sortWithinPartitions(col("cosine").desc, col("doc_id"))
+      .withColumn("sem_rank", monotonically_increasing_id() + lit(1L))
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
 }

@@ -206,6 +206,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization — the per-row scrub pass a pretraining corpus runs
+    * before hashing/dedup (lowercase → strip non-alphanumerics → collapse
+    * runs of spaces → trim). Emits the normalized text's md5 plus
+    * before/after lengths so the compare harness stays text-free. Per-row
+    * and shuffle-free: the whole pipeline is three codegen'd regex passes
+    * fused into the corpus scan. */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    normalizeOf(docs(s, dir))
+
+  /** [[normalize]] over any (doc_id, text) relation — unit-testable form. */
+  def normalizeOf(d: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_raw"),
+      length(norm).cast(LongType).as("n_chars_norm"),
+      md5(norm).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram-LM surprisal — the CCNet-style quality proxy: the mean
+    * negative log-probability of a document's tokens under the corpus
+    * unigram model p(t) = term_freq(t) / total_tokens. Far-above-corpus
+    * surprisal flags off-distribution gibberish; near-minimum flags
+    * boilerplate.
+    *
+    * Reads the persisted [[termFreqs]] index (doc-partitioned at build
+    * time → the per-doc aggregation runs shuffle-free on the index's
+    * clustering) and the persisted [[docFreqs]] rollup for the model
+    * (vocabulary-sized → broadcast); the total-token count rides along as
+    * a broadcast 1-row aggregate, never a driver collect. Per-token
+    * contributions are rounded to 9 dp and summed as exact DECIMALs so the
+    * per-doc sum is addition-order-independent across engines (same
+    * discipline as [[Corpus.bm25TopK]]). */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    surprisalFrom(termFreqs(s, dir),
+      docFreqs(s, dir).select(col("token"), col("term_freq")))
+
+  /** [[unigramSurprisal]] over any (doc_id, text) relation — unit-testable
+    * form (builds the tf/df relations inline instead of the session cache). */
+  def unigramSurprisalOf(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    surprisalFrom(tf, tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("term_freq")))
+  }
+
+  private def surprisalFrom(tf: DataFrame, dfr: DataFrame): DataFrame = {
+    val tot = dfr.agg(sum(col("term_freq")).cast(DoubleType).as("total_tokens"))
+    val contrib =
+      round(col("tf") * -log(col("term_freq").cast(DoubleType) / col("total_tokens")), 9)
+        .cast(DecimalType(28, 9))
+    tf.join(broadcast(dfr), "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sdec").cast(DoubleType) / col("n_tokens"), 6).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
     * primitive), plus the shingle count. Docs shorter than 8 chars have no

@@ -155,6 +155,36 @@ object AnalyticsQueries {
                lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
                lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current,
                n_events
-        FROM g ORDER BY user_id, version"""))
+        FROM g ORDER BY user_id, version""")),
+
+    // Semi-structured extraction: parse the events `props` JSON payload
+    // (schema-on-read — the shape every telemetry warehouse deals with)
+    // and aggregate the extracted field per event type. get_json_object is
+    // a codegen'd path expression fused into the scan — no UDF, no
+    // driver-side parsing; the aggregate is an ordinary hash shuffle on
+    // event_type. avg is derived from the exact integer sum/count so both
+    // engines divide the same numbers.
+    QueryDef("events_props_json",
+      (s, dir) => {
+        Events.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            round(sum(col("k")).cast(DoubleType) / count(col("k")), 6).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH x AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+               round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+        FROM x GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -1,0 +1,66 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Pins [[Corpus.lineDedupOf]]: line segmentation geometry, the corpus-wide
+  * threshold (within-doc repeats count toward it), the all-lines-dropped
+  * digest, and tail lines shorter than [[Corpus.LineTokens]]. */
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val boiler = (1 to Corpus.LineTokens).map(i => s"b$i").mkString(" ")
+
+  private def run(docs: (Long, String)*): Map[Long, (Long, Long, String)] =
+    Corpus.lineDedupOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("line occurring >= threshold corpus-wide is dropped from every doc") {
+    val uniq1 = (1 to Corpus.LineTokens).map(i => s"u$i").mkString(" ")
+    val uniq2 = (1 to Corpus.LineTokens).map(i => s"v$i").mkString(" ")
+    val out = run(
+      1L -> s"$boiler $uniq1",
+      2L -> s"$boiler $uniq2",
+      3L -> boiler)
+    assert(out(1L) === ((2L, 1L, md5hex(md5hex(uniq1)))))
+    assert(out(2L) === ((2L, 1L, md5hex(md5hex(uniq2)))))
+    // doc 3 is pure boilerplate: zero kept lines, digest of empty string
+    assert(out(3L) === ((1L, 0L, md5hex(""))))
+  }
+
+  test("below-threshold repeats are kept (2 occurrences < 3)") {
+    val uniq = (1 to Corpus.LineTokens).map(i => s"u$i").mkString(" ")
+    val out = run(1L -> s"$boiler $uniq", 2L -> boiler)
+    assert(out(1L)._2 === 2L) // both lines kept
+    assert(out(2L)._2 === 1L)
+  }
+
+  test("tail shorter than LineTokens is its own line; kept digest preserves order") {
+    // doc: boiler(8) + 3-token tail; boiler elsewhere 2 more times => dropped
+    val out = run(
+      1L -> s"$boiler x y z",
+      2L -> boiler,
+      3L -> boiler)
+    assert(out(1L) === ((2L, 1L, md5hex(md5hex("x y z")))))
+  }
+
+  test("multi-line digest concatenates kept md5s in document order") {
+    val l1 = (1 to Corpus.LineTokens).map(i => s"p$i").mkString(" ")
+    val l2 = (1 to Corpus.LineTokens).map(i => s"q$i").mkString(" ")
+    val out = run(1L -> s"$l1 $l2")
+    assert(out(1L) === ((2L, 2L, md5hex(md5hex(l1) + "|" + md5hex(l2)))))
+  }
+
+  test("within-doc repetition counts toward the corpus threshold") {
+    // the same line 3x inside ONE doc is boilerplate too
+    val out = run(1L -> s"$boiler $boiler $boiler")
+    assert(out(1L) === ((3L, 0L, md5hex(""))))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Pins [[TextAnalysis.unigramSurprisalOf]] against a hand-computed unigram
+  * model and [[TextAnalysis.normalizeOf]]'s scrub pipeline, plus the
+  * index-path/inline-path agreement of the surprisal operator. */
+class SurprisalNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("surprisal matches the hand-computed unigram model") {
+    // corpus: 6 tokens total: a=3, b=2, c=1
+    val out = TextAnalysis.unigramSurprisalOf(
+      Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def term(tf: Long, freq: Long): BigDecimal =
+      BigDecimal(tf * -math.log(freq / 6.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean(n: Long, terms: BigDecimal*): Double =
+      BigDecimal(terms.sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, mean(3, term(2, 3), term(1, 2)))))
+    assert(out(2L) === ((3L, mean(3, term(1, 3), term(1, 2), term(1, 1)))))
+  }
+
+  test("index path and inline path agree on the real corpus") {
+    val viaIndex = TextAnalysis.unigramSurprisal(spark, sf001).collect().toSeq
+    val inline = TextAnalysis.unigramSurprisalOf(
+      spark.read.parquet(s"$sf001/documents.parquet")).collect().toSeq
+    assert(viaIndex === inline)
+  }
+
+  test("normalize: lowercase, strip punctuation, collapse runs, trim") {
+    val out = TextAnalysis.normalizeOf(
+      Seq((1L, "  Hello,   WORLD!! x9  "), (2L, "..."), (3L, "plain text"))
+        .toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((23L, 14L, md5hex("hello world x9"))))
+    // punctuation-only doc normalizes to the empty string
+    assert(out(2L) === ((3L, 0L, md5hex(""))))
+    assert(out(3L) === ((10L, 10L, md5hex("plain text"))))
+  }
+}
