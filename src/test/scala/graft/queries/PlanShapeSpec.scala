@@ -59,4 +59,55 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("text_unigram_surprisal: per-doc agg rides the index clustering (sort-only shuffle)") {
+    withStablePlans {
+      val plan = graft.SparkEntry.queries("text_unigram_surprisal")(spark, sf001)
+        .queryExecution.executedPlan
+      // the tf index is doc-partitioned at build time and the model joins
+      // are broadcast, so the only shuffles are the presentation sort and
+      // the 1-row SinglePartition scalar (total tokens, vocab-sized input)
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+        .filterNot(_.outputPartitioning.toString.contains("SinglePartition"))
+      assert(exchanges.size == 1,
+        s"expected only the orderBy exchange over the persisted index:\n$plan")
+      assert(exchanges.head.outputPartitioning.toString.contains("range"),
+        s"the surviving exchange should be the presentation sort:\n${exchanges.head}")
+    }
+  }
+
+  test("corpus_line_dedup: boilerplate flag join broadcasts; no extra shuffles") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      val plan = graft.SparkEntry.queries("corpus_line_dedup")(spark, sf001)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"the frequent-line flag join must broadcast the boilerplate set:\n$plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"a sort-merge join here means the line relation shuffled on content hash:\n$plan")
+      // line-hash count (inside the broadcast build side) + per-doc rebuild
+      // + presentation sort — a 4th exchange means the rebuild stopped
+      // riding the scan/aggregation keys. The RoundRobin re-spreads are
+      // the single-file test input's scan parallelization, not data moves
+      // keyed by content (absent when the source has real splits).
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
+      assert(exchanges.size == 3,
+        s"expected exactly 3 keyed exchanges (line count, doc rebuild, sort):\n$plan")
+    }
+  }
+
+  test("similarity_hybrid_rrf: top-k legs plan as TakeOrderedAndProject, never an unpartitioned window") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+      val plan = graft.SparkEntry.queries("similarity_hybrid_rrf")(spark, sf001)
+        .queryExecution.executedPlan
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"expected distributed top-k (TakeOrderedAndProject) in the legs:\n$plan")
+      plan.collect { case w: WindowExec => w }.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in a retrieval leg serializes the corpus:\n$w")
+      }
+    }
+  }
 }
