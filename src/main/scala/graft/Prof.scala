@@ -280,6 +280,43 @@ object Prof {
             (col("p50_approx") >= col("iqr").getItem(0) &&
               col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
           .orderBy(col("store_id")))
+      } else if (args.head == "linededup_parts") {
+        // A/B: broadcast-flag form (registered; two segmentation scans,
+        // lines move once by doc_id + distinct-lines by lmd5) vs
+        // window-count form (one scan, but the FULL line relation moves
+        // twice: by lmd5 for the count window, then by doc_id).
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.{Corpus, Text}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val t = Text.tokens(col("text"))
+        val n = size(t)
+        val lineArr = transform(
+          sequence(lit(1), n, lit(Corpus.LineTokens)),
+          st => md5(concat_ws(" ", slice(t, st, lit(Corpus.LineTokens)))))
+        def rebuild(flagged: org.apache.spark.sql.DataFrame) = flagged
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            count(when(col("kept"), lit(1))).as("n_kept"),
+            md5(concat_ws("|", transform(
+              filter(array_sort(collect_list(struct(col("line_idx"), col("lmd5"), col("kept")))),
+                x => x.getField("kept")),
+              x => x.getField("lmd5")))).as("clean_md5"))
+          .orderBy(col("doc_id"))
+        bench("broadcast_flag")(Corpus.lineDedupOf(docs))
+        val lines = docs.where(n >= 1)
+          .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "lmd5")))
+        bench("window_count")(rebuild(
+          lines.withColumn("c", count(lit(1)).over(Window.partitionBy(col("lmd5"))))
+            .withColumn("kept", col("c") < Corpus.LineDupThreshold)))
+        bench("no_respread")(Corpus.lineDedupOf(
+          spark.read.parquet(s"$sfDir/documents.parquet")))
+        val linesDirect = spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(n >= 1)
+          .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "lmd5")))
+        bench("window_no_respread")(rebuild(
+          linesDirect.withColumn("c", count(lit(1)).over(Window.partitionBy(col("lmd5"))))
+            .withColumn("kept", col("c") < Corpus.LineDupThreshold)))
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return

@@ -230,9 +230,20 @@ object Corpus {
     * frequency distribution — tiny relative to the corpus by definition —
     * so the flagging join is a broadcast against line hashes, and the
     * per-doc rebuild aggregates on doc_id (the scan's natural key). Never
-    * a pair-space or text-carrying shuffle: lines travel as md5s. */
+    * a pair-space or text-carrying shuffle: lines travel as md5s.
+    *
+    * Measured A/B at sf0.1 (Prof linededup_parts, min-of-5 warm, AQE off):
+    * a window-count form (one scan, count(*) over partitionBy(lmd5)) ties
+    * locally (~1.2s vs ~1.2s) but moves the FULL line relation twice (by
+    * lmd5, then by doc_id) where this form moves it once plus a
+    * map-side-combined distinct-line count — rejected on the scale story.
+    * Unlike the hash-heavy dedup operators this one skips [[docs]]'s
+    * round-robin re-spread (+0.35s of pure stage overhead here): per-line
+    * md5 work is trivial next to the scan, and every downstream stage gets
+    * its parallelism from its own keyed exchange; a real corpus source has
+    * real splits. */
   def lineDedup(s: SparkSession, dir: String): DataFrame =
-    lineDedupOf(docs(s, dir))
+    lineDedupOf(s.read.parquet(s"$dir/documents.parquet"))
 
   /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
   def lineDedupOf(d: DataFrame): DataFrame = {

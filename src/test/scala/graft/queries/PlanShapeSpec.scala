@@ -87,11 +87,9 @@ class PlanShapeSpec extends SparkSpec {
         s"a sort-merge join here means the line relation shuffled on content hash:\n$plan")
       // line-hash count (inside the broadcast build side) + per-doc rebuild
       // + presentation sort — a 4th exchange means the rebuild stopped
-      // riding the scan/aggregation keys. The RoundRobin re-spreads are
-      // the single-file test input's scan parallelization, not data moves
-      // keyed by content (absent when the source has real splits).
+      // riding the scan/aggregation keys (the operator deliberately has no
+      // round-robin re-spread; see the A/B note on Corpus.lineDedup)
       val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
-        .filterNot(_.outputPartitioning.toString.contains("RoundRobin"))
       assert(exchanges.size == 3,
         s"expected exactly 3 keyed exchanges (line count, doc rebuild, sort):\n$plan")
     }
