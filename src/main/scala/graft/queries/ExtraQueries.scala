@@ -117,8 +117,14 @@ object ExtraQueries {
           .groupBy(col("store_id"))
           .agg(
             approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            // accuracy sized to the contract: the check is p50 inside the
+            // exact IQR (±25 rank points); 2000 gives 0.05% rank error —
+            // 500× inside the envelope with 5× smaller per-group summaries
+            // to merge than the 10000 default (a memory/merge-size win at
+            // scale; local latency is unchanged — measured, fixed job
+            // costs dominate this entry at sf0.1)
             percentile_approx(col("purchase_amount").cast(DoubleType),
-              lit(0.5), lit(10000)).as("p50_approx"),
+              lit(0.5), lit(2000)).as("p50_approx"),
             // one sort-agg for both exact quartiles, not one per quantile
             expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
               .as("iqr"))
