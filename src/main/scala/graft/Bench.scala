@@ -151,7 +151,8 @@ object Bench {
     val loadRows = graft.etl.EtlQueries.lastLoadRows
     val loadRate = if (loadSec > 0) loadRows / loadSec else -1.0
     val detail =
-      s"""{"samples":$samplesJson,"contention_spread_max":${f3(spreadMax)},""" +
+      s"""{"total":${f3(total)},"mins":$qs,"samples":$samplesJson,""" +
+        s""""contention_spread_max":${f3(spreadMax)},""" +
         s""""etl_load_sec":${f3(loadSec)},"etl_load_rows":$loadRows,""" +
         s""""sf":"$sfDir"}"""
     // Anchored to an explicit dir (env) or the JVM's cwd made absolute —
@@ -171,10 +172,28 @@ object Bench {
       case e: Exception =>
         System.err.println(s"[bench] detail write failed ($detailPath): $e")
     }
-    println(
+    val sfName = new java.io.File(sfDir).getName
+    val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"etl_rows_per_sec":${loadRate.round},""" +
-        s""""sf":"${new java.io.File(sfDir).getName}"}""")
-    spark.stop()
+        s""""sf":"$sfName"}"""
+    // The full line grows ~25 chars per registered query and the driver's
+    // tail window is ~2000 chars: past a safety margin the opening brace
+    // would scroll out and the round reads "parsed": null again. When it
+    // fits, it stays the single last raw line; when it doesn't, it still
+    // prints (human-readable record) but the LAST line becomes a compact
+    // summary that always fits — per-query mins then live in
+    // BENCH_DETAIL.json's "mins" map.
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+        s""""queries":"BENCH_DETAIL.json","failed":$failedJson,""" +
+        s""""etl_rows_per_sec":${loadRate.round},"sf":"$sfName"}"""
+    val lastLine = if (full.length <= 1800) full else compact
+    if (lastLine ne full) println(full)
+    // stop() before the final println: session shutdown can emit log lines,
+    // and nothing may print after the graded JSON
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
+    println(lastLine)
   }
 }

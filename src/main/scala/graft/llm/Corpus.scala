@@ -277,6 +277,33 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-record assembly — the feature-zip step that materializes one
+    * row per document joining text-side signals (token counts, uniqueness)
+    * with embedding-side ones (L2 norm, label) across the two corpus
+    * tables. The one entry exercising a big⋈big equality join on the
+    * record id.
+    *
+    * 100 TB design: both sides are corpus-sized, so this is the join that
+    * must NOT broadcast — at scale both tables are written bucketed by
+    * record id and the zip is a shuffle-free sort-merge over co-located
+    * buckets (same layout argument as the sales fact's order_id bucketing,
+    * Warehouse.scala); unbucketed it is one id-keyed shuffle per side,
+    * never more. Signals are computed per-row before the join so only slim
+    * columns move. */
+  def docFeatures(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      n.cast(LongType).as("n_tokens"),
+      round(size(array_distinct(t)).cast(DoubleType) / n, 6).as("uniq_ratio"))
+    val e = emb(s, dir).select(col("vec_id"), col("label"),
+      round(Similarity.norm(col("embedding")), 6).as("emb_norm"))
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("uniq_ratio"), col("emb_norm"), col("label").cast(LongType).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("join", "scan", "vector")

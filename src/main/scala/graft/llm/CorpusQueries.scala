@@ -152,6 +152,22 @@ object CorpusQueries {
                               FILTER (WHERE kept), '')) AS clean_md5
         FROM fl GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Feature assembly across documents⋈embeddings on the record id; the
+    // norm is the same sequential double fold as the similarity oracles.
+    QueryDef("corpus_doc_features",
+      (s, dir) => Corpus.docFeatures(s, dir),
+      Some("""
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               round(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                 / len(string_split(d.text, ' ')), 6) AS uniq_ratio,
+               round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 6)
+                 AS emb_norm,
+               CAST(e.label AS BIGINT) AS label
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
     // Hybrid RRF: the lexical leg is the bm25 CTE chain verbatim; the
     // semantic leg ranks exact cosine against the query vector. CAST the
     // 1.0 to DOUBLE — a bare 1.0/(k+r) divides as DECIMAL in DuckDB and

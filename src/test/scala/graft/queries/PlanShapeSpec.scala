@@ -95,6 +95,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bm25 and decontaminate read their session indexes, not the corpus") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      // both entries sell a "corpus scanned once per session, served from a
+      // persisted index" story — a direct documents.parquet scan in the
+      // executed plan means a consumer stopped reading the index
+      Seq("corpus_bm25_topk", "corpus_decontaminate").foreach { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf001)
+          .queryExecution.executedPlan
+        val corpusScans = plan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.inputFiles.exists(_.contains("documents")) => f
+        }
+        assert(corpusScans.isEmpty,
+          s"$name re-scans the corpus instead of its persisted index:\n$plan")
+      }
+    }
+  }
+
   test("similarity_hybrid_rrf: top-k legs plan as TakeOrderedAndProject, never an unpartitioned window") {
     withStablePlans {
       import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
