@@ -179,7 +179,11 @@ object Corpus {
     * away, re-introducing the unpartitioned-window warning, at no
     * speedup) and broadcasts it back. All arithmetic is integer, so the
     * oracle compare is exact. */
-  def pack(s: SparkSession, dir: String): DataFrame = packOf(docs(s, dir))
+  def pack(s: SparkSession, dir: String): DataFrame =
+    // no round-robin re-spread: per-row work is one size(split()) and the
+    // bucket window's keyed exchange re-spreads immediately anyway (same
+    // measured argument as [[lineDedup]])
+    packOf(s.read.parquet(s"$dir/documents.parquet"))
 
   /** [[pack]] over any (doc_id, text) relation — unit-testable form. */
   def packOf(d: DataFrame): DataFrame = {
@@ -190,9 +194,19 @@ object Corpus {
       .withColumn("bucket", floor(col("doc_id") / lit(PackBucketWidth)))
     val inBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = toks.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
-    val bucketTotals = toks.groupBy(col("bucket"))
-      .agg(sum(col("n_tokens")).as("btot"))
+    // the bucket total rides the SAME bucket-keyed exchange as the running
+    // sum (whole-partition frame, second WindowExec, zero extra shuffles) —
+    // the old separate groupBy branch re-aggregated toks through its own
+    // exchange (r7 profile: one of two avoidable stages in this entry)
+    val wholeBucket = Window.partitionBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withCum = toks
+      .withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
+      .withColumn("btot", sum(col("n_tokens")).over(wholeBucket))
+    // one row per bucket, selected by filter (the last row's running sum
+    // IS the total) — no distinct/groupBy shuffle on the tiny relation
+    val bucketTotals = withCum.where(col("cum_in") === col("btot"))
+      .select(col("bucket"), col("btot"))
     val bucketOffsets = bucketTotals.as("a")
       .join(broadcast(bucketTotals.as("b")), col("b.bucket") < col("a.bucket"), "left")
       .groupBy(col("a.bucket").as("bucket"))
