@@ -273,6 +273,23 @@ object Prof {
             expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
               .as("iqr"))
         bench("sketch_leg_storepart")(sketchesP)
+        // one-pass over the store-partitioned cache: Expand doubles rows
+        // but everything stays clustered — no join, no second branch
+        bench("one_pass_storepart")(byStoreP
+          .groupBy(col("store_id"))
+          .agg(
+            countDistinct(col("customer_id")).as("n_exact"),
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(2000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+          .select(col("store_id"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
+            (col("p50_approx") >= col("iqr").getItem(0) &&
+              col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
+          .orderBy(col("store_id")))
         bench("both_legs_storepart")(sketchesP.join(broadcast(exactP), "store_id")
           .select(col("store_id"), col("n_exact"),
             (abs(col("n_approx") - col("n_exact")) <=

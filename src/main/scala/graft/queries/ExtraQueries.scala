@@ -109,7 +109,11 @@ object ExtraQueries {
         // the shared agg: a distinct aggregate alongside plain aggregates
         // plans an Expand that doubles every fact row through the
         // aggregation; deduped (store, customer) pairs shuffle map-side-
-        // combined and the 8-row results broadcast-join back
+        // combined and the 8-row results broadcast-join back. Re-measured
+        // r7 (Prof sketch_parts one_pass_storepart): the fused Expand form
+        // over the store-partitioned cache runs 7.6s vs ~1.1s for this
+        // split form — doubled rows land on #stores clustered tasks with
+        // no partial aggregation, so the split stays.
         val exact = byStore.select(col("store_id"), col("customer_id"))
           .distinct()
           .groupBy(col("store_id")).agg(count(lit(1)).as("n_exact"))
