@@ -434,6 +434,22 @@ object LlmQueries {
         SELECT event_id, ts, user_id, event_type, value
         FROM events ORDER BY event_id""")),
 
+    // Stream-stream interval join (click→purchase attribution): the real
+    // two-sided stateful streaming query, hashed against the batch
+    // theta-join oracle (stream-batch equivalence). ts comparisons happen
+    // on identical microsecond instants in both engines.
+    QueryDef("events_attribution_streamed",
+      (s, dir) => graft.streaming.Attribution.streamed(s, dir),
+      Some(s"""
+        SELECT p.event_id AS purchase_event_id, p.user_id,
+               p.ts AS purchase_ts, p.value,
+               c.event_id AS click_event_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL ${graft.streaming.Attribution.AttributionWindowMinutes} MINUTE AND p.ts
+        ORDER BY purchase_event_id, click_event_id""")),
+
     QueryDef("events_sessions",
       (s, dir) => Events.sessions(s, dir),
       Some(s"""

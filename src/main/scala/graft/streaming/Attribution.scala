@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stream-stream interval join — click→purchase attribution: every purchase
+  * pairs with every click by the same user in the preceding
+  * [[AttributionWindowMinutes]] (the standard last-touch candidate set).
+  * This is the genuinely stateful two-sided join shape (ST5's strongest
+  * form): both sides buffer in the state store and the event-time
+  * constraint plus both watermarks bound how long.
+  *
+  * State contract at 100 TB: a row is evictable once the OTHER side's
+  * watermark passes its join horizon — clicks live ~(attribution window +
+  * watermark delay), purchases ~watermark delay — so state is bounded by
+  * (arrival rate × horizon), never all history. Without the time bound in
+  * the join condition Spark would (correctly) refuse to plan the
+  * stream-stream join with append semantics.
+  *
+  * Verification: the registered entry runs the REAL streaming query (two
+  * file-stream sources over the events file, watermarks, interval
+  * condition, append-mode accumulation, AvailableNow drain) and hashes
+  * against the batch theta-join oracle — stream-batch equivalence
+  * certifies the streaming path. AttributionSpec pins the cross-batch
+  * behavior with MemoryStream: a purchase arriving batches after its
+  * click still joins (state retention), and the join emits nothing for
+  * pairs outside the window.
+  */
+object Attribution {
+
+  val AttributionWindowMinutes = 60
+
+  /** The join transform, source-agnostic (unit-testable form): expects a
+    * clicks side (user_id, click_event_id, click_ts) and a purchases side
+    * (user_id, purchase_event_id, purchase_ts, value), both already
+    * watermarked when streaming. */
+  def join(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks, Seq("user_id")).where(
+      col("click_ts") >= col("purchase_ts") -
+        expr(s"INTERVAL $AttributionWindowMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+
+  private def shape(ev: DataFrame): (DataFrame, DataFrame) = (
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts").as("purchase_ts"), col("value")),
+    ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("ts").as("click_ts")))
+
+  /** Batch twin (the oracle's relational form). */
+  def batch(s: SparkSession, dir: String): DataFrame = {
+    val (p, c) = shape(Events.events(s, dir))
+    join(p, c)
+      .select(col("purchase_event_id"), col("user_id"), col("purchase_ts"),
+        col("value"), col("click_event_id"), col("click_ts"))
+      .orderBy(col("purchase_event_id"), col("click_event_id"))
+  }
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val ran = new graft.SessionMemo[String]
+
+  /** Run the streaming attribution once per (session, sf dir) and return
+    * the accumulated result (ordered for the compare harness). */
+  def streamed(s: SparkSession, dir: String): DataFrame = {
+    val outDir = synchronized {
+      ran.getOrElseUpdate(s, dir) {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + Integer.toHexString(dir.hashCode)
+        val out = s"/root/repo/target/graft-events/$tag/attribution"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos (nanosAsLong)
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        def source() = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val (p0, c0) = shape(source())
+        val p = p0.withWatermark("purchase_ts", "1 hour")
+        val c = c0.withWatermark("click_ts", "1 hour")
+        val joined = join(p, c)
+          .select(col("purchase_event_id"), col("user_id"),
+            col("purchase_ts"), col("value"), col("click_event_id"),
+            col("click_ts"))
+        val result = new org.apache.hadoop.fs.Path(s"$out/result")
+        result.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(result, true)
+        val q = joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/_checkpoint_" +
+            java.util.UUID.randomUUID().toString.take(8))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/result")
+          }
+          .start()
+        q.awaitTermination()
+        s"$out/result"
+      }
+    }
+    s.read.parquet(outDir)
+      .orderBy(col("purchase_event_id"), col("click_event_id"))
+  }
+}
