@@ -461,6 +461,16 @@ object RefQueries {
     QueryDef("q17_rollup",
       (s, dir) => {
         val (f, p, _, t) = star(s, dir)
+        // Single-rollup form, measured against a leaf pre-aggregate
+        // (groupBy(store,supplier,product) before the rollup) at sf0.1
+        // (r7, min-of-5 warm, AQE off): pre-agg 1.21s vs this form 0.94s.
+        // ROLLUP's Expand(×4) runs BEFORE partial aggregation, so the
+        // shuffle already carries only 4× the distinct leaf combos
+        // (~#products), not 4× the fact — the pre-aggregate only adds an
+        // exchange to save per-row Expand CPU, a trade that loses locally
+        // and only wins when the scan is CPU-bound with combos ≪ rows
+        // (same measured conclusion as agg_cube_distinct's split-form A/B,
+        // ExtraQueries.scala).
         f.join(p, "product_id").join(t, "date_id")
           .where(col("year") === 2000)
           .rollup(col("store_id"), col("supplier_id"), col("product_id"))
