@@ -391,6 +391,28 @@ object LlmQueries {
                CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
         FROM documents ORDER BY media_id""")),
 
+    // Aspect-preserving resize metadata: integer floor arithmetic both
+    // engines share exactly; ties (width == height) go to the width branch.
+    QueryDef("multimodal_resize",
+      (s, dir) => Multimodal.resized(s, dir),
+      Some(s"""
+        WITH f AS (SELECT doc_id AS media_id,
+                          CAST(320 + strlen(text) % 320 AS BIGINT) AS width,
+                          CAST(240 + (strlen(text) * 7) % 240 AS BIGINT) AS height
+                   FROM documents),
+        r AS (SELECT *,
+                     greatest(width, height) AS lng, least(width, height) AS shrt,
+                     least(width, height) * ${Multimodal.ResizeBox} // greatest(width, height) AS short_out
+              FROM f)
+        SELECT media_id, width, height,
+               CASE WHEN width >= height THEN ${Multimodal.ResizeBox} ELSE short_out END AS out_width,
+               CASE WHEN width >= height THEN short_out ELSE ${Multimodal.ResizeBox} END AS out_height,
+               md5(concat_ws('|', media_id,
+                 CASE WHEN width >= height THEN ${Multimodal.ResizeBox} ELSE short_out END,
+                 CASE WHEN width >= height THEN short_out ELSE ${Multimodal.ResizeBox} END))
+                 AS resized_hash
+        FROM r ORDER BY media_id""")),
+
     QueryDef("multimodal_frames",
       (s, dir) => Multimodal.frameSamples(s, dir),
       Some("""

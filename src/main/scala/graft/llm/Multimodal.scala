@@ -79,6 +79,31 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Target box for [[resized]] (the ViT-style square input). */
+  val ResizeBox = 224L
+
+  /** Resize plumbing: aspect-preserving fit of each media item into the
+    * [[ResizeBox]] square — the longest side maps to the box, the short
+    * side scales by floor(short·box/long) (pure integer arithmetic, so the
+    * oracle compare is exact). The resized "content" hash is the
+    * ===== STUB ===== stand-in for the actual pixel resample; the real
+    * plumbing is the per-row metadata math fused onto the decode pass —
+    * no shuffle, partitioning inherited from the scan. */
+  def resized(s: SparkSession, dir: String): DataFrame = {
+    val long = greatest(col("width"), col("height"))
+    val short = least(col("width"), col("height"))
+    val shortOut = floor(short * ResizeBox / long).cast("long")
+    features(s, dir)
+      .select(col("media_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit(ResizeBox)).otherwise(shortOut)
+          .as("out_width"),
+        when(col("width") >= col("height"), shortOut).otherwise(lit(ResizeBox))
+          .as("out_height"))
+      .withColumn("resized_hash",
+        md5(concat_ws("|", col("media_id"), col("out_width"), col("out_height"))))
+      .orderBy(col("media_id"))
+  }
+
   /** Frame sampling: explode each media item into evenly-strided frame
     * rows (stride = max(1, n_frames/4) → ≤5 samples per item). The frame
     * "content" hash is the ===== STUB ===== stand-in for decoding the
