@@ -63,4 +63,26 @@ class LineDedupSpec extends SparkSpec {
     val out = run(1L -> s"$boiler $boiler $boiler")
     assert(out(1L) === ((3L, 0L, md5hex(""))))
   }
+
+  test("randomized corpus matches a brute-force reimplementation") {
+    val rnd = new scala.util.Random(42)
+    // small vocabulary => plenty of accidental line collisions
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    // brute force: segment, count, flag, rebuild — direct Scala
+    val lines = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(Corpus.LineTokens).zipWithIndex
+        .map { case (toks, idx) => (id, idx, md5hex(toks.mkString(" "))) }
+    }
+    val counts = lines.groupBy(_._3).map { case (h, g) => h -> g.size }
+    val expected = lines.groupBy(_._1).map { case (id, ls) =>
+      val sorted = ls.sortBy(_._2)
+      val kept = sorted.filter(l => counts(l._3) < Corpus.LineDupThreshold)
+      id -> ((sorted.size.toLong, kept.size.toLong,
+        md5hex(kept.map(_._3).mkString("|"))))
+    }
+    assert(run(docs: _*) === expected)
+  }
 }
