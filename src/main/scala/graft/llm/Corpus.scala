@@ -318,6 +318,45 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality thresholds for [[curationPipeline]] (over NORMALIZED tokens —
+    * looser than [[TextAnalysis.qualityFilter]]'s raw-text rule). */
+  val CurationMinTokens = 10
+  val CurationMinUniqRatio = 0.3
+
+  /** The end-to-end curation pipeline as ONE composed plan — the shape a
+    * production pretraining corpus build actually runs: normalize → quality
+    * filter → exact-dedup on the normalized text (first-doc-wins) → pack
+    * the survivors into training windows. Composability is the point: the
+    * normalize+filter stages fuse into the scan (per-row codegen), the
+    * dedup is one content-hash window, and [[packOf]] consumes the
+    * survivors directly, so the whole pipeline is a single query with
+    * three keyed exchanges (content hash, pack bucket, sort) end to end —
+    * no materialization barriers between stages at any scale. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    curationPipelineOf(s.read.parquet(s"$dir/documents.parquet"))
+
+  /** [[curationPipeline]] over any (doc_id, text) relation — unit-testable
+    * form. */
+  def curationPipelineOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val t = tokens(col("ntext"))
+    val n = size(t)
+    val quality = d
+      .select(col("doc_id"), norm.as("ntext"))
+      .select(col("doc_id"), col("ntext"), n.as("n_tokens"),
+        (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_ratio"))
+      .where(col("n_tokens") >= CurationMinTokens &&
+        col("uniq_ratio") >= CurationMinUniqRatio)
+    val byContent = Window.partitionBy(md5(col("ntext"))).orderBy(col("doc_id"))
+    val survivors = quality
+      .withColumn("rn", row_number().over(byContent))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("ntext").as("text"))
+    packOf(survivors)
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("join", "scan", "vector")

@@ -152,6 +152,34 @@ object CorpusQueries {
                               FILTER (WHERE kept), '')) AS clean_md5
         FROM fl GROUP BY doc_id ORDER BY doc_id""")),
 
+    // The composed curation pipeline: the oracle chains the same stages as
+    // CTEs, with pack's offsets from a plain running sum over survivors.
+    QueryDef("corpus_curation_pipeline",
+      (s, dir) => Corpus.curationPipeline(s, dir),
+      Some(s"""
+        WITH nrm AS (SELECT doc_id,
+                            trim(regexp_replace(regexp_replace(lower(text),
+                              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+                     FROM documents),
+        tk AS (SELECT doc_id, ntext, string_split(ntext, ' ') AS t FROM nrm),
+        qual AS (SELECT doc_id, ntext, len(t) AS n_tokens FROM tk
+                 WHERE len(t) >= ${Corpus.CurationMinTokens}
+                   AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                         >= ${Corpus.CurationMinUniqRatio}),
+        ded AS (SELECT *, row_number() OVER (PARTITION BY md5(ntext)
+                          ORDER BY doc_id) AS rn FROM qual),
+        srv AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+                FROM ded WHERE rn = 1),
+        p AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS doc_start
+              FROM srv)
+        SELECT doc_id, n_tokens,
+               doc_start // ${Corpus.PackBudget} AS pack_first,
+               (doc_start + n_tokens - 1) // ${Corpus.PackBudget} AS pack_last,
+               doc_start % ${Corpus.PackBudget} AS offset_in_pack
+        FROM p ORDER BY doc_id""")),
+
     // Feature assembly across documents⋈embeddings on the record id; the
     // norm is the same sequential double fold as the similarity oracles.
     QueryDef("corpus_doc_features",

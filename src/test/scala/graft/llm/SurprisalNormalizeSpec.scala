@@ -2,6 +2,8 @@ package graft.llm
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Pins [[TextAnalysis.unigramSurprisalOf]] against a hand-computed unigram
@@ -32,6 +34,24 @@ class SurprisalNormalizeSpec extends SparkSpec {
     val inline = TextAnalysis.unigramSurprisalOf(
       spark.read.parquet(s"$sf001/documents.parquet")).collect().toSeq
     assert(viaIndex === inline)
+  }
+
+  test("curation pipeline: dedup stage keeps the first doc of a normalized-dup group") {
+    // docs 1 and 3 normalize to the SAME text (case/punct differences only)
+    // and pass quality; doc 2 fails the token threshold; doc 4 is distinct
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val out = Corpus.curationPipelineOf(
+      Seq(
+        (1L, base.toUpperCase + "!!"),
+        (2L, "too short"),
+        (3L, base),
+        (4L, (1 to 12).map(i => s"v$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val ids = out.collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L, 4L)) // 3 deduped against 1; 2 filtered
+    // survivors pack contiguously: doc 4 starts where doc 1's 12 tokens end
+    val row4 = out.where(col("doc_id") === 4L).collect().head
+    assert(row4.getLong(4) === 12L) // offset_in_pack
   }
 
   test("normalize: lowercase, strip punctuation, collapse runs, trim") {
