@@ -186,10 +186,15 @@ object Corpus {
     packOf(s.read.parquet(s"$dir/documents.parquet"))
 
   /** [[pack]] over any (doc_id, text) relation — unit-testable form. */
-  def packOf(d: DataFrame): DataFrame = {
+  def packOf(d: DataFrame): DataFrame =
+    packOfCounts(d.select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens")))
+
+  /** [[packOf]] over a pre-tokenized (doc_id, n_tokens) relation — the form
+    * pipeline stages feed directly ([[curationPipelineOf]]). */
+  private[llm] def packOfCounts(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = d
-      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
       .where(col("n_tokens") >= 1)
       .withColumn("bucket", floor(col("doc_id") / lit(PackBucketWidth)))
     val inBucket = Window.partitionBy(col("bucket"))
@@ -343,18 +348,22 @@ object Corpus {
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val t = tokens(col("ntext"))
     val n = size(t)
+    // everything the downstream stages need is reduced to scalars INSIDE
+    // the scan stage (content hash, token count, uniqueness) — the
+    // normalized text itself never enters a shuffle (same principle as
+    // lineDedup's lines-travel-as-md5s)
     val quality = d
       .select(col("doc_id"), norm.as("ntext"))
-      .select(col("doc_id"), col("ntext"), n.as("n_tokens"),
+      .select(col("doc_id"), md5(col("ntext")).as("nmd5"), n.as("n_tokens"),
         (size(array_distinct(t)).cast(DoubleType) / n).as("uniq_ratio"))
       .where(col("n_tokens") >= CurationMinTokens &&
         col("uniq_ratio") >= CurationMinUniqRatio)
-    val byContent = Window.partitionBy(md5(col("ntext"))).orderBy(col("doc_id"))
+    val byContent = Window.partitionBy(col("nmd5")).orderBy(col("doc_id"))
     val survivors = quality
       .withColumn("rn", row_number().over(byContent))
       .where(col("rn") === 1)
-      .select(col("doc_id"), col("ntext").as("text"))
-    packOf(survivors)
+      .select(col("doc_id"), col("n_tokens"))
+    packOfCounts(survivors)
   }
 
   val Bm25K1 = 1.2
