@@ -186,7 +186,7 @@ object Bench {
     // BENCH_DETAIL.json's "mins" map.
     val compact =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""queries":"BENCH_DETAIL.json","failed":$failedJson,""" +
+        s""""queries":{},"queries_detail":"BENCH_DETAIL.json","failed":$failedJson,""" +
         s""""etl_rows_per_sec":${loadRate.round},"sf":"$sfName"}"""
     val lastLine = if (full.length <= 1800) full else compact
     if (lastLine ne full) println(full)
