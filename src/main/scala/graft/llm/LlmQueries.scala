@@ -274,6 +274,22 @@ object LlmQueries {
                round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS surprisal
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
+    // BPE merge-pair candidates: adjacent-pair counts, top-k with exact
+    // (count desc, pair asc) ranking in both engines.
+    QueryDef("text_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairs(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        pr AS (SELECT t[i] AS "left", t[i+1] AS "right"
+               FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2),
+        c AS (SELECT "left", "right", count(*) AS pair_count
+              FROM pr GROUP BY 1, 2)
+        SELECT "left", "right", pair_count,
+               row_number() OVER (ORDER BY pair_count DESC, "left", "right") AS rnk
+        FROM c ORDER BY pair_count DESC, "left", "right"
+        LIMIT ${TextAnalysis.BpeTopPairs}""")),
+
     QueryDef("doc_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(s, dir),
       Some("""

@@ -269,6 +269,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top merge candidates for [[bpePairs]]. */
+  val BpeTopPairs = 20
+
+  /** BPE merge-pair counting — the inner loop of tokenizer training: count
+    * every ADJACENT token pair across the corpus and rank the top
+    * [[BpeTopPairs]] merge candidates (highest count, lexicographic pair
+    * tiebreak). The pair list is built inside one per-row transform
+    * (duplicates kept — counts, not sets) and exploded; the aggregation is
+    * a pair-keyed hash shuffle with map-side combine, so shuffle volume
+    * scales with the distinct-pair vocabulary, not the corpus; the top-k
+    * is TakeOrderedAndProject (per-partition heads + driver merge of k). */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = bpePairsOf(docs(s, dir))
+
+  /** [[bpePairs]] over any (doc_id, text) relation — unit-testable form. */
+  def bpePairsOf(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val pairs = transform(sequence(lit(1), n - 1), i => struct(
+      element_at(t, i.cast(IntegerType)).as("left"),
+      element_at(t, (i + 1).cast(IntegerType)).as("right")))
+    d.where(n >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.left").as("left"), col("p.right").as("right"))
+      .groupBy(col("left"), col("right"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left"), col("right"))
+      .limit(BpeTopPairs)
+      .coalesce(1)
+      .sortWithinPartitions(col("pair_count").desc, col("left"), col("right"))
+      .withColumn("rnk", (monotonically_increasing_id() + lit(1L)).cast(LongType))
+      .orderBy(col("rnk"))
+  }
+
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
     * primitive), plus the shingle count. Docs shorter than 8 chars have no

@@ -54,6 +54,19 @@ class SurprisalNormalizeSpec extends SparkSpec {
     assert(row4.getLong(4) === 12L) // offset_in_pack
   }
 
+  test("bpe pairs: adjacent counts with duplicates, rank by count then pair") {
+    val out = TextAnalysis.bpePairsOf(
+      Seq((1L, "a b a b a"), (2L, "b a c")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // doc1 pairs: (a,b) (b,a) (a,b) (b,a); doc2: (b,a) (a,c)
+    assert(out === Seq(
+      ("b", "a", 3L, 1L),
+      ("a", "b", 2L, 2L),
+      ("a", "c", 1L, 3L)))
+  }
+
   test("normalize: lowercase, strip punctuation, collapse runs, trim") {
     val out = TextAnalysis.normalizeOf(
       Seq((1L, "  Hello,   WORLD!! x9  "), (2L, "..."), (3L, "plain text"))
