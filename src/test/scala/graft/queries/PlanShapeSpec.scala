@@ -114,6 +114,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_pairs: distributed top-k, no global sort of the pair table") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+      val plan = graft.SparkEntry.queries("text_bpe_pairs")(spark, sf001)
+        .queryExecution.executedPlan
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"pair ranking must be per-partition heads + k-row merge:\n$plan")
+    }
+  }
+
+  test("events_props_json: scan reads only the referenced columns") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val plan = graft.SparkEntry.queries("events_props_json")(spark, sf001)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      scans.foreach { f =>
+        assert(f.requiredSchema.fieldNames.toSet === Set("event_type", "props"),
+          s"JSON extraction must prune the scan to (event_type, props):\n$f")
+      }
+    }
+  }
+
+  test("corpus_doc_features: id-keyed equi-join, never a nested-loop product") {
+    withStablePlans {
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      val plan = graft.SparkEntry.queries("corpus_doc_features")(spark, sf001)
+        .queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"the feature zip must stay an equi-join on the record id:\n$plan")
+    }
+  }
+
   test("similarity_hybrid_rrf: top-k legs plan as TakeOrderedAndProject, never an unpartitioned window") {
     withStablePlans {
       import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
