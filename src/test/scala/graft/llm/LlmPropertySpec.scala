@@ -33,12 +33,10 @@ object LlmProperties extends Properties("llm") {
     forAll(Gen.nonEmptyListOf(messyTextGen)) { texts =>
       val once = normOf(texts)
       // renormalizing the NORMALIZED text must change nothing: rebuild the
-      // normalized strings via the same pipeline expression, then compare
-      val normExpr = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      // normalized strings via THE shared pipeline expression, then compare
       val normalized = texts.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-        .select(col("doc_id"), normExpr.as("text"))
+        .select(col("doc_id"), TextAnalysis.normExpr(col("text")).as("text"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val twice = TextAnalysis.normalizeOf(
         normalized.toSeq.toDF("doc_id", "text"))

@@ -148,16 +148,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("similarity_hybrid_rrf: top-k legs plan as TakeOrderedAndProject, never an unpartitioned window") {
+  test("similarity_hybrid_rrf: top-k legs plan as TakeOrderedAndProject; unpartitioned windows only below a top-k bound") {
     withStablePlans {
       import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
       val plan = graft.SparkEntry.queries("similarity_hybrid_rrf")(spark, sf001)
         .queryExecution.executedPlan
       assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
         s"expected distributed top-k (TakeOrderedAndProject) in the legs:\n$plan")
+      // the contract-bearing rank form: row_number over the ALREADY-LIMITED
+      // k-row relation. An unpartitioned window is fine over k rows and a
+      // scale-killer over the corpus — so each one must have a top-k bound
+      // (TakeOrderedAndProject) somewhere below it, and its window function
+      // must be the ordering-contracted row_number, not a positional id.
       plan.collect { case w: WindowExec => w }.foreach { w =>
-        assert(w.partitionSpec.nonEmpty,
-          s"unpartitioned window in a retrieval leg serializes the corpus:\n$w")
+        if (w.partitionSpec.isEmpty) {
+          assert(w.child.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+            s"unpartitioned window over UNBOUNDED input serializes the corpus:\n$w")
+          assert(w.windowExpression.mkString.contains("row_number"),
+            s"rank over the limited result must be row_number (ordering contract):\n$w")
+        }
       }
     }
   }
