@@ -368,6 +368,46 @@ object Prof {
             (col("p50_approx") >= col("iqr").getItem(0) &&
               col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
           .orderBy(col("store_id")))
+      } else if (args.head == "sketch_ab") {
+        // what's left in sketch_approx_agg after the codegen-cache fix:
+        // (a) registered form — broadcast join of the legs + orderBy
+        //     (rangepartitioning = an extra SAMPLING job per run);
+        // (b) same legs, presentation sort as coalesce(1)+sortWithinPartitions
+        //     over the 8 final rows (no sampling job, no exchange);
+        // (c) merge-hint join of the two legs (both already clustered on
+        //     store_id → zero-exchange SMJ, and no broadcast-build job)
+        //     + the coalesce sort.
+        import org.apache.spark.sql.types._
+        val byStore = Warehouse.factStoreSlim(spark, sfDir)
+        def exact = byStore.select(col("store_id"), col("customer_id"))
+          .distinct()
+          .groupBy(col("store_id")).agg(count(lit(1)).as("n_exact"))
+        def sketches = byStore
+          .groupBy(col("store_id"))
+          .agg(
+            approx_count_distinct(col("customer_id"), 0.05).as("n_approx"),
+            percentile_approx(col("purchase_amount").cast(DoubleType),
+              lit(0.5), lit(2000)).as("p50_approx"),
+            expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
+              .as("iqr"))
+        def flags(j: org.apache.spark.sql.DataFrame) = j
+          .select(col("store_id"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
+            (col("p50_approx") >= col("iqr").getItem(0) &&
+              col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
+        bench("a_registered")(SparkEntry.queries("sketch_approx_agg")(spark, sfDir))
+        // coalesce(1) was a trap: with zero exchanges in the legs it
+        // propagates to the scan and serializes the WHOLE pipeline onto
+        // one task (measured 1.6s vs 1.0s) — repartition(1) keeps the
+        // stage boundary (one round-robin exchange of 8 final rows, no
+        // rangepartitioning sampling job)
+        bench("b_repart1_sort")(flags(sketches.join(broadcast(exact), "store_id"))
+          .repartition(1).sortWithinPartitions(col("store_id")))
+        bench("c_merge_repart1")(flags(sketches.join(exact.hint("merge"), "store_id"))
+          .repartition(1).sortWithinPartitions(col("store_id")))
+        bench("d_merge_orderby")(flags(sketches.join(exact.hint("merge"), "store_id"))
+          .orderBy(col("store_id")))
       } else if (args.head == "linededup_parts") {
         // A/B: broadcast-flag form (registered; two segmentation scans,
         // lines move once by doc_id + distinct-lines by lmd5) vs

@@ -187,11 +187,26 @@ object Corpus {
     * away, re-introducing the unpartitioned-window warning, at no
     * speedup) and broadcasts it back. All arithmetic is integer, so the
     * oracle compare is exact. */
+  /** Memoized corpus id bound: the bucket-width scalar is a property of
+    * the corpus, not of one query run — computing it per run would charge
+    * every pack/curation execution an extra (tiny, but stage-overhead-
+    * priced) sizing job. One cheap column-pruned job per (session, dir). */
+  private val maxIdCache = new graft.SessionMemo[Long]
+
+  private def corpusMaxDocId(s: SparkSession, dir: String): Long =
+    maxIdCache.getOrElseUpdate(s, dir) {
+      maxDocId(s.read.parquet(s"$dir/documents.parquet"))
+    }
+
   def pack(s: SparkSession, dir: String): DataFrame =
     // no round-robin re-spread: per-row work is one size(split()) and the
     // bucket window's keyed exchange re-spreads immediately anyway (same
     // measured argument as [[lineDedup]])
-    packOf(s.read.parquet(s"$dir/documents.parquet"))
+    packOfCounts(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      packWidth(corpusMaxDocId(s, dir)))
 
   /** [[pack]] over any (doc_id, text) relation — unit-testable form.
     * Runs one cheap driver-side job over the id column to size the prefix
@@ -391,11 +406,15 @@ object Corpus {
     * three keyed exchanges (content hash, pack bucket, sort) end to end —
     * no materialization barriers between stages at any scale. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame =
-    curationPipelineOf(s.read.parquet(s"$dir/documents.parquet"))
+    curationPipelineOf(s.read.parquet(s"$dir/documents.parquet"),
+      packWidth(corpusMaxDocId(s, dir)))
 
   /** [[curationPipeline]] over any (doc_id, text) relation — unit-testable
-    * form. */
-  def curationPipelineOf(d: DataFrame): DataFrame = {
+    * form (sizes the pack buckets from the input itself). */
+  def curationPipelineOf(d: DataFrame): DataFrame =
+    curationPipelineOf(d, packWidth(maxDocId(d)))
+
+  private def curationPipelineOf(d: DataFrame, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the ONE shared normalization expression (TextAnalysis.normExpr) —
     // re-inlining it here could drift from the normalize operator silently
@@ -420,7 +439,7 @@ object Corpus {
     // bucket width from the RAW input's id bound (survivor ids are a
     // subset, so it is a valid bound) — sizing from `survivors` would
     // execute the whole normalize/filter/dedup lineage a second time
-    packOfCounts(survivors, packWidth(maxDocId(d)))
+    packOfCounts(survivors, bucketWidth)
   }
 
   val Bm25K1 = 1.2

@@ -132,13 +132,26 @@ object ExtraQueries {
             // one sort-agg for both exact quartiles, not one per quantile
             expr("percentile(CAST(purchase_amount AS DOUBLE), array(0.25, 0.75))")
               .as("iqr"))
-        sketches.join(broadcast(exact), "store_id")
+        // Leg fusion + presentation (r8, measured via Prof sketch_ab at
+        // sf0.1 min-of-5 warm): both legs end clustered+aggregated on
+        // store_id, so the MERGE hint joins them with a zero-exchange SMJ
+        // (a broadcast join costs a separate broadcast-build job; the old
+        // form measured 1.0-1.3s). The presentation sort is
+        // repartition(1)+sortWithinPartitions over the #stores final
+        // rows: orderBy plans a rangepartitioning exchange whose SAMPLING
+        // job alone cost ~0.5s/run, and coalesce(1) is a trap — with
+        // zero exchanges in the legs it propagates to the scan and
+        // serializes the whole pipeline (measured 1.6s). This form:
+        // 0.6-0.7s. At scale the final rows are dimension-bounded
+        // (#stores), so the single-partition sort is constant work.
+        sketches.join(exact.hint("merge"), "store_id")
           .select(col("store_id"), col("n_exact"),
             (abs(col("n_approx") - col("n_exact")) <=
               round(col("n_exact") * 0.15)).as("acd_within_3sigma"),
             (col("p50_approx") >= col("iqr").getItem(0) &&
               col("p50_approx") <= col("iqr").getItem(1)).as("p50_in_iqr"))
-          .orderBy(col("store_id"))
+          .repartition(1)
+          .sortWithinPartitions(col("store_id"))
       },
       Some(StarSql.withStar("""
         SELECT p.store_id, count(DISTINCT f.customer_id) AS n_exact,

@@ -22,15 +22,27 @@ class PlanShapeSpec extends SparkSpec {
     finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("sketch_approx_agg: zero shuffles besides the presentation sort") {
+  test("sketch_approx_agg: zero shuffles besides the presentation repartition(1)") {
     withStablePlans {
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
       val plan = graft.SparkEntry.queries("sketch_approx_agg")(spark, sf001)
         .queryExecution.executedPlan
       val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      // the single exchange is the 8-row presentation repartition(1) —
+      // NOT a rangepartitioning (whose sampling job cost ~0.5s/run, r8)
+      // and NOT anything under the legs or the leg-fusing merge join
       assert(exchanges.size == 1,
-        s"expected only the orderBy exchange above the cached legs:\n$plan")
-      assert(exchanges.head.outputPartitioning.toString.contains("range"),
-        s"the surviving exchange should be the presentation sort:\n${exchanges.head}")
+        s"expected only the presentation repartition above the cached legs:\n$plan")
+      assert(exchanges.head.outputPartitioning.numPartitions == 1 &&
+        !exchanges.head.outputPartitioning.toString.contains("range"),
+        s"the surviving exchange should be the single-partition presentation:\n${exchanges.head}")
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty,
+        s"the legs must fuse via a zero-exchange sort-merge join:\n$plan")
+      smj.foreach { j =>
+        assert(j.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"no exchange may appear under the leg-fusing join:\n$j")
+      }
     }
   }
 
