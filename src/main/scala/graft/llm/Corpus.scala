@@ -163,11 +163,19 @@ object Corpus {
     * #buckets grow linearly with the id domain (r7 VERDICT residual #4). */
   val MaxPackBuckets = 4096L
 
+  /** Width floor: small corpora must not explode the bucket count either —
+    * without it a sf0.1-sized id domain got width ~1 (one bucket per doc)
+    * and the triangular join went quadratic in #docs (measured r8:
+    * corpus_pack +10%, curation +20% vs the old fixed width 64). The floor
+    * keeps #buckets ≤ #docs/64 below the cap on small domains while the
+    * cap bounds it on huge ones. */
+  val MinPackWidth = 64L
+
   /** Bucket width for a doc_id domain bounded by `maxDocId` (inclusive).
     * Sparse/skewed domains only leave some buckets empty — offsets stay
     * exact because missing buckets contribute nothing to the running sum. */
   private[llm] def packWidth(maxDocId: Long): Long =
-    math.max(1L, (maxDocId + MaxPackBuckets) / MaxPackBuckets)
+    math.max(MinPackWidth, (maxDocId + MaxPackBuckets) / MaxPackBuckets)
 
   /** Sequence packing — the standard pretraining "concatenate then chunk"
     * batch layout (docs concatenated in doc_id order, split every
