@@ -316,6 +316,46 @@ object LlmQueries {
         FROM r WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk""")),
 
+    // SQL-string twin of similarity_topk that exercises the NATIVE
+    // EXPRESSION TIER through the SQL surface: `cosine_sim` is the fused
+    // whole-stage-codegen Catalyst expression registered by
+    // GraftExtensions — the same function a `spark.sql.extensions`-built
+    // session exposes; entries register it idempotently because the
+    // driver hands them an already-built session. Broadcast hint via SQL
+    // comment syntax; same oracle as the DataFrame twin.
+    QueryDef("sql_similarity_topk",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftExtensions.register(s)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .createOrReplaceTempView("embeddings")
+        s.sql(s"""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+          p AS (SELECT /*+ BROADCAST(q) */ q.query_id, e.vec_id AS neighbor_id,
+                       round(cosine_sim(q.qv, e.embedding), 6) AS cosine
+                FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          r AS (SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM p)
+          SELECT query_id, neighbor_id, cosine, rnk
+          FROM r WHERE rnk <= ${Similarity.TopK}
+          ORDER BY query_id, rnk""")
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosineSql("q.qv", "e.embedding")} AS cosine
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk""")),
+
     QueryDef("similarity_ann_lsh",
       (s, dir) => Similarity.annLshTopK(s, dir),
       Some {

@@ -34,11 +34,17 @@ object SqlQueries {
 
   /** SQL twins over the NON-star tables (r7 VERDICT "What's missing" #1:
     * the SQL-string surface only exercised the star side): temp views over
-    * the corpus/events parquet, same per-session idempotent registration. */
+    * the corpus/events/embeddings parquet, same per-session idempotent
+    * registration; the graft native functions are registered so SQL text
+    * can name them (the driver hands entries an already-built session, so
+    * the `spark.sql.extensions` build-time path cannot be assumed). */
   private def sqlRaw(body: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
       s.read.parquet(s"$dir/documents.parquet")
         .createOrReplaceTempView("documents")
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .createOrReplaceTempView("embeddings")
       graft.streaming.Events.events(s, dir).createOrReplaceTempView("events")
       s.sql(body)
     }

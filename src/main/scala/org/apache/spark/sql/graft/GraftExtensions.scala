@@ -18,20 +18,36 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private[graft] val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim expects exactly 2 arguments")
         CosineSimilarity(args(0), args(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("md5_prefix64"),
+      }),
+    (new FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "md5_prefix64 expects exactly 1 argument")
         Md5Prefix64(args.head)
       }))
-  }
+
+  /** Idempotently register the graft functions into an EXISTING session.
+    * The `spark.sql.extensions` path only applies at session BUILD time;
+    * library code that receives an already-built (possibly vanilla)
+    * session — the driver contract hands `SparkEntry.queries` a session it
+    * does not construct — calls this before issuing SQL text that names
+    * the functions. Re-registration overwrites with the same builder, so
+    * calling it per query is safe. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
