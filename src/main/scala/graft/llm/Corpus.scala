@@ -116,6 +116,55 @@ object Corpus {
       .orderBy(col("vec_id"))
   }
 
+  /** Number of quality strata for [[qualityStratifiedSample]]. */
+  val QualityDeciles = 10
+
+  /** Quality-stratified sampling — the curation step that couples a
+    * quality score to sampling pressure (CCNet's perplexity bucketing):
+    * score every doc by unigram surprisal, cut the corpus into deciles,
+    * and keep a decreasing fraction of the higher-surprisal (more
+    * off-distribution) strata — decile 1 keeps 100%, decile 10 keeps 10%.
+    * Emits per-decile doc/kept counts and the surprisal range, so the
+    * compare is 10 rows regardless of corpus size.
+    *
+    * Decile assignment is NOT a global rank window (a partition-less
+    * ntile serializes the corpus — the exact shape the pack/bm25 notes
+    * forbid): the 9 cut points are ONE exact-percentile aggregate
+    * (broadcast back as a 9-element array; at 100 TB swap in
+    * `percentile_approx` — the entry shape is unchanged), and assignment
+    * is a per-row comparison against the broadcast cuts. Sampling reuses
+    * [[stratifiedSample]]'s salted content-independent hash (reproducible
+    * across runs/engines, no RNG state). Cut values are rounded to 4 dp
+    * in BOTH engines before comparison so interpolation ulp differences
+    * cannot move a doc across a boundary (the BM25 float discipline). */
+  def qualityStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    qualityFrom(TextAnalysis.unigramSurprisal(s, dir))
+
+  /** [[qualityStratifiedSample]] over any precomputed (doc_id, …,
+    * surprisal) relation — unit-testable form. */
+  private[llm] def qualityFrom(scored0: DataFrame): DataFrame = {
+    val scored = scored0.select(col("doc_id"), col("surprisal"))
+    val qs = (1 until QualityDeciles).map(i =>
+      (i.toDouble / QualityDeciles).toString).mkString(", ")
+    val cuts = scored.agg(
+      expr(s"transform(percentile(surprisal, array($qs)), c -> round(c, 4))")
+        .as("cuts"))
+    val decile = (lit(1) +
+      size(filter(col("cuts"), c => col("surprisal") > c))).cast(LongType)
+    val keepRate = lit(1000L) - (col("decile") - 1L) * 100L
+    val kept = pmod(hash64(concat(lit("qsmp|"), col("doc_id").cast(StringType))),
+      lit(1000L)) < keepRate
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(kept, lit(1))).as("n_kept"),
+        round(min(col("surprisal")), 6).as("min_surprisal"),
+        round(max(col("surprisal")), 6).as("max_surprisal"))
+      .orderBy(col("decile"))
+  }
+
   /** Docs whose id ≡ 0 (mod this) play the held-out benchmark/eval set for
     * [[decontaminate]]. */
   val BenchmarkMod = 41

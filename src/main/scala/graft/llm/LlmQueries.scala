@@ -274,6 +274,45 @@ object LlmQueries {
                round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS surprisal
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Quality-stratified sampling: surprisal-scored decile cuts (both
+    // engines round the interpolated cut points to 4 dp before the
+    // per-row comparison — quantile_cont and Spark's percentile share the
+    // R-type-7 definition, the rounding kills interpolation ulp noise)
+    // plus the deterministic salted keep-hash per stratum.
+    QueryDef("corpus_quality_sample",
+      (s, dir) => Corpus.qualityStratifiedSample(s, dir),
+      Some {
+        val qs = (1 until Corpus.QualityDeciles)
+          .map(i => (i.toDouble / Corpus.QualityDeciles).toString).mkString(", ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT token, sum(tf) AS term_freq FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS total_tokens FROM dfr),
+        sc AS (SELECT doc_id, tf,
+                      CAST(round(tf * -ln(CAST(term_freq AS DOUBLE) / total_tokens), 9)
+                        AS DECIMAL(28, 9)) AS c
+               FROM tf JOIN dfr USING (token) CROSS JOIN tot),
+        doc AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS surprisal
+                FROM sc GROUP BY doc_id),
+        cuts AS (SELECT list_transform(quantile_cont(surprisal, [$qs]),
+                                       c -> round(c, 4)) AS cuts
+                 FROM doc),
+        d AS (SELECT doc_id, surprisal,
+                     1 + len(list_filter(cuts, c -> surprisal > c)) AS decile
+              FROM doc CROSS JOIN cuts),
+        k AS (SELECT *,
+                     ${hash64Sql("concat('qsmp|', CAST(doc_id AS VARCHAR))")} % 1000
+                       < 1000 - (decile - 1) * 100 AS kept
+              FROM d)
+        SELECT decile, count(*) AS n_docs,
+               count(CASE WHEN kept THEN 1 END) AS n_kept,
+               round(min(surprisal), 6) AS min_surprisal,
+               round(max(surprisal), 6) AS max_surprisal
+        FROM k GROUP BY decile ORDER BY decile"""
+      }),
+
     // BPE merge-pair candidates: adjacent-pair counts, top-k with exact
     // (count desc, pair asc) ranking in both engines.
     QueryDef("text_bpe_pairs",

@@ -65,6 +65,25 @@ class CorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, 2.0, 64L + 127L + 32L)))
   }
 
+  test("quality sample: deciles partition the corpus, ranges are monotone, decile 1 keeps all") {
+    // distinct surprisal per doc → unambiguous decile cuts
+    val scored = (1L to 200L).map(i => (i, i * 0.01)).toDF("doc_id", "surprisal")
+    val out = Corpus.qualityFrom(scored).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to Corpus.QualityDeciles.toLong))
+    assert(out.map(_.getLong(1)).sum === 200L) // every doc in exactly one decile
+    // per-decile surprisal ranges are ordered and non-overlapping
+    val ranges = out.map(r => (r.getDouble(3), r.getDouble(4)))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+    // decile 1's keep rate is 1000/1000 — the hash gate is always true
+    assert(out.head.getLong(2) === out.head.getLong(1))
+    // kept counts never exceed stratum size
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   private def packOf(docs: Seq[(Long, Int)]): Seq[(Long, Long, Long, Long, Long)] =
     Corpus.packOf(
       docs.map { case (id, n) => (id, (1 to n).map(i => s"t$i").mkString(" ")) }
