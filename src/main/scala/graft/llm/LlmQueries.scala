@@ -572,6 +572,23 @@ object LlmQueries {
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // Sliding windows: the oracle reproduces Spark's epoch-aligned window
+    // assignment arithmetically — 15-min bucket index b = epoch_us // 900e6;
+    // an event's 4 windows start at (b-k)*900e6 for k in 0..3 (exactly the
+    // starts s with s <= ts < s + 1h on the 15-min grid).
+    QueryDef("events_sliding",
+      (s, dir) => Events.sliding(s, dir),
+      Some("""
+        WITH e AS (SELECT ts, event_type, value,
+                          epoch_us(ts) // 900000000 AS b FROM events),
+        x AS (SELECT make_timestamp((b - k) * 900000000) AS window_start,
+                     event_type, value
+              FROM e CROSS JOIN generate_series(0, 3) g(k))
+        SELECT window_start, event_type, count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
     QueryDef("events_hourly_streamed",
       (s, dir) => Events.hourlyStreamed(s, dir),
       Some("""

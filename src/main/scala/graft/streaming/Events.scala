@@ -46,6 +46,25 @@ object Events {
           .as("total_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding 1-hour windows advancing every 15 minutes — ST4's OVERLAPPING
+    * form (each event lands in width/slide = 4 windows), complementing
+    * [[hourly]]'s tumbling form. Spark's native `window(ts, width, slide)`
+    * generates the per-row window structs inside the scan stage, so the
+    * overlap factor is a constant row multiplier fused into the scan —
+    * never a self-join — and the aggregation stays one hash shuffle keyed
+    * by (window, type). Same exact-decimal sum discipline as [[hourly]]. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** The same hourly windows computed by an actual STREAMING query
     * (ST1-ST4 end-to-end): file-source `readStream` over the events
     * parquet, event-time watermark, windowed aggregation, complete-mode
