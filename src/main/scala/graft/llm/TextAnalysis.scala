@@ -303,9 +303,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("pair_count"))
       .orderBy(col("pair_count").desc, col("left"), col("right"))
       .limit(BpeTopPairs)
-      .coalesce(1)
-      .sortWithinPartitions(col("pair_count").desc, col("left"), col("right"))
-      .withColumn("rnk", (monotonically_increasing_id() + lit(1L)).cast(LongType))
+      // contract-bearing rank over the already-limited k rows — same r8
+      // idiom as Corpus.bm25TopK (the positional coalesce+monotonic-id
+      // form it replaces encoded an optimizer behavior, not a contract)
+      .withColumn("rnk", {
+        import org.apache.spark.sql.expressions.Window
+        row_number().over(Window.orderBy(
+          col("pair_count").desc, col("left"), col("right"))).cast(LongType)
+      })
       .orderBy(col("rnk"))
   }
 
