@@ -391,6 +391,10 @@ object Dedup {
       cached = step
       labels = step.select(col("doc_id"), col("label"))
     }
+    // operational stderr log (never stdout — the bench JSON line owns it):
+    // round count is the O(diameter) term that decides when the
+    // large-star/small-star fallback becomes worth it
+    System.err.println(s"[graft.clusters] converged after $round rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")
       .select(col("label").as("cluster_id"), col("doc_id"),
