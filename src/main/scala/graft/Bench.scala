@@ -50,6 +50,14 @@ object Bench {
       // dedup_ngram (2.52→3.04), minhash (1.09→1.39), scd2 (0.79→1.22)
       // and percentiles (0.85→1.10) still pay per-stage re-plan
       // barriers — net loss, off remains the default.
+      // Re-measured r8 AFTER the codegen-cache fix (the r7 A/B ran under
+      // cache thrash, which could have masked either side): off 52.9s vs
+      // on 54.1s on an equally-loaded host — same verdict, now dominated
+      // by the ITERATIVE family (dedup_embedding_clusters 2.4→3.9,
+      // dedup_clusters 0.85→1.41: every label-propagation round pays an
+      // AQE re-plan barrier) while asof/line_dedup/curation/sliding win
+      // 0.3-0.4s each. Off stays the default; at 100 TB the trade
+      // inverts and AQE is a session flag, not an engine property.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_BENCH_AQE", "false"))
       // Static conf: the generated-class cache must hold the WHOLE suite.
