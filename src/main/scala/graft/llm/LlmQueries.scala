@@ -515,6 +515,28 @@ object LlmQueries {
         ORDER BY cluster_id, vec_id"""
       }),
 
+    // Per-label centroids: element-wise mean via the (label, pos) explode
+    // shuffle; both engines 9-dp-round components into DECIMAL sums and
+    // share one IEEE division per component, so the 6-dp summary scalars
+    // are bit-stable under any addition order.
+    QueryDef("embedding_label_centroids",
+      (s, dir) => Similarity.labelCentroids(s, dir),
+      Some("""
+        WITH ex AS (SELECT label, i AS pos,
+                           CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+                             AS DECIMAL(28,9)) AS v
+                    FROM embeddings,
+                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        comp AS (SELECT label, pos, count(*) AS n,
+                        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                 FROM ex GROUP BY 1, 2)
+        SELECT CAST(label AS BIGINT) AS label, min(n) AS n_vecs,
+               round(sqrt(CAST(sum(CAST(round(c*c, 12) AS DECIMAL(38,12)))
+                               AS DOUBLE)), 6) AS centroid_norm,
+               round(CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+                 AS centroid_mean
+        FROM comp GROUP BY label ORDER BY label""")),
+
     QueryDef("multimodal_features",
       (s, dir) => Multimodal.features(s, dir),
       Some("""

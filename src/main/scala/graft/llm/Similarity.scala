@@ -254,6 +254,43 @@ object Similarity {
       .select(col("cluster_id"), col("doc_id").as("vec_id"),
         col("cluster_size"), col("keep"))
 
+  /** Per-label embedding centroids — the class-prototype builder (k-means
+    * E-step / distillation prototypes / per-class dedup anchors): for each
+    * label, the element-wise mean vector, reported as order-independent
+    * summary scalars (norm + component mean) so the oracle compare stays
+    * list-free.
+    *
+    * The vector aggregation is the posexplode shuffle pattern: explode to
+    * (label, pos, value), aggregate by (label, pos) — dims × labels keys,
+    * uniformly spread — then roll components up by label. Per-component
+    * sums are 9-dp-rounded DECIMALs (addition-order-independent, the BM25
+    * float discipline); the component mean divides the exact decimal by
+    * the count as ONE shared IEEE division. 100 TB: both shuffles key on
+    * bounded domains (labels × dims, then labels); map-side combine does
+    * the corpus-sized work inside the scan stage — never a per-vector
+    * driver loop, never vectors through a window. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val ex = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val comp = ex.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("sv").cast(DoubleType) / col("n"), 6).as("c"))
+    comp.groupBy(col("label"))
+      .agg(
+        min(col("n")).as("n_vecs"),
+        count(lit(1)).as("dims"),
+        sum(round(col("c") * col("c"), 12).cast(DecimalType(38, 12))).as("ssq"),
+        sum(col("c").cast(DecimalType(28, 6))).as("sc"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        round(sqrt(col("ssq").cast(DoubleType)), 6).as("centroid_norm"),
+        round(col("sc").cast(DoubleType) / col("dims"), 6).as("centroid_mean"))
+      .orderBy(col("label"))
+  }
+
   /** DuckDB literal for plane p's sign vector. */
   def planeSql(p: Int): String =
     planeSigns(p).mkString("[", ",", "]")
