@@ -611,6 +611,49 @@ object LlmQueries {
                  AS total_value
         FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // The sliding windows computed by the actual STREAMING path —
+    // overlapping windows are where streaming window state earns its keep
+    // (each event updates 4 window states). Stream-batch equivalence:
+    // shares events_sliding's oracle, so the hash match certifies the
+    // streaming path itself.
+    QueryDef("events_sliding_streamed",
+      (s, dir) => Events.slidingStreamed(s, dir),
+      Some("""
+        WITH e AS (SELECT ts, event_type, value,
+                          epoch_us(ts) // 900000000 AS b FROM events),
+        x AS (SELECT make_timestamp((b - k) * 900000000) AS window_start,
+                     event_type, value
+              FROM e CROSS JOIN generate_series(0, 3) g(k))
+        SELECT window_start, event_type, count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // Two-phase salted aggregation as a VERIFIED entry (X17 was
+    // test-pinned only): salting is algebraically exact for decimal sums,
+    // so the output hash-matches the plain GROUP BY oracle while the
+    // heavy phase spreads each hot event_type over 16 deterministic
+    // sub-keys (hash of event_id — stable under replay, never rand()).
+    QueryDef("events_salted_agg",
+      (s, dir) => {
+        import graft.operators.Salting
+        Salting.saltedSum(
+            Events.events(s, dir),
+            Seq(col("event_type")),
+            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)),
+            "total_value_dec",
+            saltFrom = Seq(col("event_id")))
+          .select(col("event_type"),
+            col("total_value_dec").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
     QueryDef("events_hourly_streamed",
       (s, dir) => Events.hourlyStreamed(s, dir),
       Some("""

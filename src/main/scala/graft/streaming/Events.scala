@@ -73,12 +73,35 @@ object Events {
     * aggregation (stream-batch equivalence), so it shares the batch
     * oracle — a hash match certifies the streaming path itself.
     * Memoized per (session, sf). */
-  def hourlyStreamed(s: SparkSession, dir: String): DataFrame = {
+  def hourlyStreamed(s: SparkSession, dir: String): DataFrame =
+    windowedStreamed(s, dir, "hourly", streamedRan,
+      ts => window(ts, "1 hour"))
+
+  /** The SLIDING windows ([[sliding]]) computed by the streaming path —
+    * overlapping windows are where streaming window state actually earns
+    * its keep (each event updates width/slide = 4 window states). Shares
+    * the batch entry's oracle via stream-batch equivalence, like
+    * [[hourlyStreamed]]. */
+  def slidingStreamed(s: SparkSession, dir: String): DataFrame =
+    windowedStreamed(s, dir, "sliding", slidingRan,
+      ts => window(ts, "1 hour", "15 minutes"))
+
+  /** Shared streaming runner for the windowed aggregations — ONE
+    * definition of the stream source, watermark, sink, and checkpoint
+    * hygiene so the hourly and sliding twins cannot drift (the
+    * normExpr lesson, r7 ADVICE #3): file-source `readStream` over the
+    * events parquet, event-time watermark, windowed aggregation,
+    * complete-mode `foreachBatch` overwriting the result table, drained
+    * with `Trigger.AvailableNow`. Memoized per (session, sf, memo). */
+  private def windowedStreamed(
+      s: SparkSession, dir: String, sub: String,
+      ran: graft.SessionMemo[Unit],
+      windowOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + Integer.toHexString(dir.hashCode)
-    val out = s"/root/repo/target/graft-events/$tag/hourly"
+    val out = s"/root/repo/target/graft-events/$tag/$sub"
     synchronized {
-      if (!streamedRan.contains(s, dir)) {
+      if (!ran.contains(s, dir)) {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = StructType(Seq(
           StructField("event_id", LongType),
@@ -95,7 +118,7 @@ object Events {
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val agg = stream
           .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .groupBy(windowOf(col("ts")), col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
             sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
@@ -118,7 +141,7 @@ object Events {
           }
           .start()
         q.awaitTermination()
-        streamedRan.put(s, dir, ())
+        ran.put(s, dir, ())
       }
     }
     s.read.parquet(s"$out/result")
@@ -127,6 +150,7 @@ object Events {
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val streamedRan = new graft.SessionMemo[Unit]
+  private val slidingRan = new graft.SessionMemo[Unit]
 
   val SessionGapMinutes = 30
 
