@@ -707,6 +707,42 @@ object LlmQueries {
                CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  AS total_value
         FROM z GROUP BY user_id, session_idx
-        ORDER BY user_id, session_idx"""))
+        ORDER BY user_id, session_idx""")),
+
+    // Custom-state sessionization (flatMapGroupsWithState, X16) run
+    // against the real events stream and certified by the batch
+    // gap-sessionization oracle. Watermark delay 0 → after the drain the
+    // no-data batch fires event-time timeouts for every session the
+    // watermark has passed; only a user's LAST session can still be open,
+    // and the oracle excludes exactly those via the same ms-truncation +
+    // strict-inequality arithmetic as the state function's
+    // setTimeoutTimestamp ((end_us+gap_us)/1000 + 1, fires when
+    // watermark_ms exceeds it).
+    QueryDef("events_sessions_streamed",
+      (s, dir) => graft.streaming.StatefulSessions.sessionsStreamed(s, dir),
+      Some(s"""
+        WITH x AS (SELECT *, lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                   FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+                               OR epoch_us(ts) - prev_us > ${Events.SessionGapMinutes * 60L * 1000000L}
+                             THEN 1 ELSE 0 END AS is_new FROM x),
+        z AS (SELECT *, SUM(is_new) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx FROM y),
+        g AS (SELECT user_id, session_idx,
+                     min(ts) AS session_start, max(ts) AS session_end,
+                     count(*) AS n_events,
+                     CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                       AS total_value
+              FROM z GROUP BY user_id, session_idx),
+        m AS (SELECT epoch_ms(max(ts)) AS wm FROM events),
+        f AS (SELECT g.*, row_number() OVER
+                (PARTITION BY user_id ORDER BY session_idx DESC) AS rn FROM g)
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM f CROSS JOIN m
+        WHERE NOT (rn = 1 AND
+                   epoch_ms(session_end + INTERVAL ${Events.SessionGapMinutes} MINUTE) + 1 >= wm)
+        ORDER BY user_id, session_start"""))
   )
 }

@@ -30,8 +30,17 @@ object StatefulSessions {
 
   final case class Evt(user_id: Long, ts: Timestamp, value: Double)
 
+  /** `total` is an exact DECIMAL, not a double: the batch twin
+    * ([[Events.sessions]]) sums `CAST(value AS DECIMAL(18,6))`, and the
+    * streamed output is hash-compared against the same oracle
+    * (events_sessions_streamed) — a sequential double fold would drift in
+    * the last ulps under a different arrival order. Each value is rounded
+    * exactly as Spark's double→DECIMAL(18,6) cast (HALF_UP at scale 6). */
   final case class OpenSession(
-      startUs: Long, endUs: Long, n: Long, total: Double)
+      startUs: Long, endUs: Long, n: Long, total: java.math.BigDecimal)
+
+  private def dec6(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
 
   final case class SessionOut(
       user_id: Long,
@@ -50,7 +59,7 @@ object StatefulSessions {
   }
 
   private def emit(user: Long, s: OpenSession): SessionOut =
-    SessionOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.total)
+    SessionOut(user, toTs(s.startUs), toTs(s.endUs), s.n, s.total.doubleValue)
 
   /** The state-transition function: fold this batch's events (event-time
     * order) into the open session; a gap closes it; the survivor stays in
@@ -72,12 +81,12 @@ object StatefulSessions {
         cur match {
           case Some(s) if us - s.endUs > GapUs =>
             closed += emit(user, s)
-            cur = Some(OpenSession(us, us, 1, e.value))
+            cur = Some(OpenSession(us, us, 1, dec6(e.value)))
           case Some(s) =>
             cur = Some(OpenSession(s.startUs, math.max(s.endUs, us),
-              s.n + 1, s.total + e.value))
+              s.n + 1, s.total.add(dec6(e.value))))
           case None =>
-            cur = Some(OpenSession(us, us, 1, e.value))
+            cur = Some(OpenSession(us, us, 1, dec6(e.value)))
         }
       }
       cur.foreach { s =>
@@ -98,5 +107,70 @@ object StatefulSessions {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val ran = new graft.SessionMemo[String]
+
+  /** The custom-state sessionization run against the REAL events stream
+    * and certified against the batch gap-sessionization oracle — X16
+    * upgraded from test-pinned to oracle-checked (r8). Watermark delay 0:
+    * after the data drains, the watermark stands at the max event time,
+    * and the no-data batch fires the event-time timeouts for every
+    * session whose (end + gap) the watermark has passed. Only a user's
+    * LAST session can still be open at that point; the oracle excludes
+    * exactly those (same ms-truncation + strict-inequality arithmetic as
+    * [[update]]'s `setTimeoutTimestamp`). */
+  def sessionsStreamed(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outDir = synchronized {
+      ran.getOrElseUpdate(s, dir) {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + Integer.toHexString(dir.hashCode)
+        val out = s"/root/repo/target/graft-events/$tag/sessions"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType), // nanos (nanosAsLong)
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props",
+            org.apache.spark.sql.types.StringType)))
+        implicit val evtEnc = Encoders.product[Evt]
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+          .withWatermark("ts", "0 seconds")
+          .as[Evt]
+        val sessions = sessionize(stream)
+        // same checkpoint hygiene as the sibling streamed entries (r7
+        // ADVICE #1): wipe the whole tag dir, fixed checkpoint path
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
+        val q = sessions.toDF.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(s"$out/result")
+          }
+          .start()
+        q.awaitTermination()
+        s"$out/result"
+      }
+    }
+    s.read.parquet(outDir)
+      .orderBy(col("user_id"), col("session_start"))
   }
 }
