@@ -355,6 +355,46 @@ object LlmQueries {
         FROM r WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk""")),
 
+    // One Lloyd iteration over the IVF assignment (r7 residual #3): the
+    // oracle recomputes the assignment, the element-wise decimal means,
+    // and the re-assignment with the shared cosine/mean arithmetic.
+    QueryDef("similarity_ivf_kmeans_step",
+      (s, dir) => Similarity.ivfKmeansStep(s, dir),
+      Some(s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.CentroidBase}
+                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
+        a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS sim
+               FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, embedding, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cent_id) AS rn FROM a0)
+              WHERE rn = 1),
+        ex AS (SELECT a.cent_id, i AS pos,
+                      CAST(round(CAST(a.embedding[i] AS DOUBLE), 9)
+                        AS DECIMAL(28,9)) AS v
+               FROM a, LATERAL unnest(generate_series(1, len(a.embedding))) u(i)),
+        comp AS (SELECT cent_id, pos,
+                        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                 FROM ex GROUP BY 1, 2),
+        ref AS (SELECT cent_id, list(c ORDER BY pos) AS cv,
+                       round(sqrt(CAST(sum(CAST(round(c*c, 12) AS DECIMAL(38,12)))
+                                       AS DOUBLE)), 6) AS centroid_norm
+                FROM comp GROUP BY cent_id),
+        s2 AS (SELECT e.vec_id, r.cent_id,
+                      ${cosineSql("e.embedding", "r.cv")} AS sim
+               FROM embeddings e CROSS JOIN ref r),
+        ra AS (SELECT cent_id, count(*) AS n_after FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn FROM s2)
+               WHERE rn = 1 GROUP BY cent_id),
+        nb AS (SELECT cent_id, count(*) AS n_before FROM a GROUP BY cent_id)
+        SELECT nb.cent_id, nb.n_before,
+               coalesce(ra.n_after, 0) AS n_after, ref.centroid_norm
+        FROM nb JOIN ref USING (cent_id) LEFT JOIN ra USING (cent_id)
+        ORDER BY cent_id""")),
+
     // SQL-string twin of similarity_topk that exercises the NATIVE
     // EXPRESSION TIER through the SQL surface: `cosine_sim` is the fused
     // whole-stage-codegen Catalyst expression registered by
