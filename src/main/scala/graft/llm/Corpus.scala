@@ -222,9 +222,14 @@ object Corpus {
 
   /** Bucket width for a doc_id domain bounded by `maxDocId` (inclusive).
     * Sparse/skewed domains only leave some buckets empty — offsets stay
-    * exact because missing buckets contribute nothing to the running sum. */
+    * exact because missing buckets contribute nothing to the running sum.
+    * Written as `maxDocId / MaxPackBuckets + 1` (identical to
+    * ceil((maxDocId+1)/MaxPackBuckets) rounded up by at most one bucket)
+    * rather than `(maxDocId + MaxPackBuckets) / MaxPackBuckets`, whose
+    * addition overflows to a negative width near Long.MaxValue
+    * (r8 ADVICE #2). */
   private[llm] def packWidth(maxDocId: Long): Long =
-    math.max(MinPackWidth, (maxDocId + MaxPackBuckets) / MaxPackBuckets)
+    math.max(MinPackWidth, maxDocId / MaxPackBuckets + 1)
 
   /** Sequence packing — the standard pretraining "concatenate then chunk"
     * batch layout (docs concatenated in doc_id order, split every

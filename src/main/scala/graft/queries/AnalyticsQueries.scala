@@ -163,15 +163,16 @@ object AnalyticsQueries {
     // a codegen'd path expression fused into the scan — no UDF, no
     // driver-side parsing; the aggregate is an ordinary hash shuffle on
     // event_type. avg is derived from the exact integer sum/count so both
-    // engines divide the same numbers. The oracle uses TRY_CAST to mirror
-    // Spark's NULL-on-malformed cast semantics — a plain CAST would make
-    // DuckDB hard-fail where Spark yields NULL if the generator ever
-    // emitted a non-integer k (r7 ADVICE #2).
+    // engines divide the same numbers. BOTH sides use try_cast: Spark
+    // 4.x defaults spark.sql.ansi.enabled=true, where a plain CAST throws
+    // on malformed input while DuckDB's TRY_CAST yields NULL — try_cast
+    // on the Spark side pins NULL-on-malformed regardless of the session's
+    // ANSI setting (r8 ADVICE #1).
     QueryDef("events_props_json",
       (s, dir) => {
         Events.events(s, dir)
           .select(col("event_type"),
-            get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             count(col("k")).as("n_with_k"),

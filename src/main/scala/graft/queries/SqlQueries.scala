@@ -203,14 +203,15 @@ object SqlQueries {
                md5(norm) AS norm_md5
         FROM n ORDER BY doc_id""")),
 
-    // events twin: JSON path extraction through the SQL parser. Spark's
-    // CAST is ANSI-lenient on malformed input (NULL); the oracle mirrors
-    // that with TRY_CAST so both engines map unparseable k identically
-    // (r7 ADVICE #2 applied to both this and the DataFrame entry).
+    // events twin: JSON path extraction through the SQL parser. Spark 4.x
+    // defaults spark.sql.ansi.enabled=true, under which a plain CAST
+    // throws CAST_INVALID_INPUT on malformed input — try_cast yields NULL
+    // exactly like the oracle's TRY_CAST, independent of the session's
+    // ANSI setting (r8 ADVICE #1 applied to this and the DataFrame entry).
     QueryDef("sql_events_props_json",
       sqlRaw("""
         WITH x AS (SELECT event_type,
-                          CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+                          try_cast(get_json_object(props, '$.k') AS BIGINT) AS k
                    FROM events)
         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,

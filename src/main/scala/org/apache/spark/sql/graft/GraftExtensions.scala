@@ -44,10 +44,16 @@ object GraftExtensions {
     * library code that receives an already-built (possibly vanilla)
     * session — the driver contract hands `SparkEntry.queries` a session it
     * does not construct — calls this before issuing SQL text that names
-    * the functions. Re-registration overwrites with the same builder, so
-    * calling it per query is safe. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * the functions. Registration is guarded by `functionExists` so
+    * per-query calls are no-ops after the first: an unconditional
+    * `registerFunction` would log a "replaced a previously registered
+    * function" warning on every invocation (r8 ADVICE #3). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     functions.foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
+  }
 }

@@ -38,4 +38,46 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("register() into an existing session is idempotent and guarded") {
+    val shared = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val cosine = new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+      val md5p = new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix64")
+      assert(!s.sessionState.functionRegistry.functionExists(cosine))
+      // pre-register a sentinel under md5_prefix64: the guarded register
+      // must SKIP it (functionExists) rather than replace it, while still
+      // registering the absent cosine_sim
+      val sentinel: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression =
+        _ => org.apache.spark.sql.catalyst.expressions.Literal(42L)
+      s.sessionState.functionRegistry.registerFunction(md5p,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "sentinel", "md5_prefix64"), sentinel)
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      assert(s.sessionState.functionRegistry.functionExists(cosine))
+      assert(s.sessionState.functionRegistry.lookupFunctionBuilder(md5p)
+        .exists(_ eq sentinel), "guarded register must not replace an existing function")
+      // and a second full call is a no-op, not a warning-logging replace
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      assert(s.sessionState.functionRegistry.lookupFunctionBuilder(md5p)
+        .exists(_ eq sentinel))
+      val r = s.sql(
+        """SELECT round(cosine_sim(
+          |  CAST(array(3.0, 0.0) AS ARRAY<FLOAT>),
+          |  CAST(array(3.0, 0.0) AS ARRAY<FLOAT>)), 6) AS c""".stripMargin)
+        .collect().head.getDouble(0)
+      assert(r == 1.0)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
 }

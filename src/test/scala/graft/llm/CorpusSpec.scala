@@ -113,8 +113,10 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("packWidth bounds the bucket count for any doc_id domain") {
+    // Long.MaxValue pins the overflow edge: the old additive form
+    // (maxId + MaxPackBuckets) / MaxPackBuckets wrapped negative there
     for (maxId <- Seq(0L, 1L, 4095L, 4096L, 1000000L, 999999999999L,
-        Long.MaxValue / 2)) {
+        Long.MaxValue / 2, Long.MaxValue - 1, Long.MaxValue)) {
       val w = Corpus.packWidth(maxId)
       assert(w >= 1L)
       // every id in [0, maxId] maps to a bucket < MaxPackBuckets
