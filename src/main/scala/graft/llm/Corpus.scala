@@ -598,4 +598,101 @@ object Corpus {
       .select(col("doc_id"), col("score"), col("n_matched_terms"), col("rnk"))
       .orderBy(col("rnk"))
   }
+
+  // ---- domain mixing -------------------------------------------------
+
+  /** No single source may exceed this share of the post-mix token budget
+    * (the DoReMi/Pile-style per-domain cap). 0.05 sits inside the test
+    * corpus's share spread (~0.042–0.057 over 20 sources) so both branches
+    * of the cap — rate 1.0 and a real downsample — are exercised. */
+  val DomainCapShare = 0.05
+
+  /** Modulus for the deterministic per-doc keep decision in [[domainMix]]. */
+  val DomainKeepMod = 1000000L
+
+  /** Domain mixing report — the per-source reweighting stage every
+    * pretraining mix has: per source, its token share of the corpus, the
+    * downsampling rate that caps it at [[DomainCapShare]] of the total
+    * token budget, and the docs/tokens that survive the deterministic
+    * keep-hash at that rate.
+    *
+    * 100 TB shape: the corpus is scanned twice but only slim relations
+    * shuffle — (source, n_tokens) aggregates to one row per source
+    * (map-side partial combine does the heavy lifting), the grand total is
+    * a broadcast scalar, and the per-source rate relation joins back to
+    * the corpus as a broadcast (source registries are ~1e3–1e6 rows; past
+    * broadcast size the same plan works as a source-keyed shuffle join).
+    * The keep decision is [[Text.hash64]] on the doc id — deterministic,
+    * seedless, replayable on any cluster layout. */
+  def domainMix(s: SparkSession, dir: String): DataFrame =
+    domainMixOf(docs(s, dir))
+
+  /** [[domainMix]] over any (doc_id, source, text) relation. */
+  private[llm] def domainMixOf(d: DataFrame): DataFrame = {
+    val perDoc = d.select(col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val bySource = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    // grand total over the per-source relation (#sources rows, not corpus)
+    val totals = bySource.agg(
+      sum(col("src_tokens")).cast(DoubleType).as("total_tokens"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("src_tokens") / col("total_tokens"), 6).as("share"),
+        round(least(lit(1.0),
+          lit(DomainCapShare) * col("total_tokens") / col("src_tokens")), 6)
+          .as("sample_rate"))
+    val kept = perDoc
+      .join(broadcast(rates.select(col("source"), col("sample_rate"))), "source")
+      .where(pmod(hash64(concat(lit("dmix|"), col("doc_id").cast(StringType))),
+        lit(DomainKeepMod)).cast(DoubleType)
+        < col("sample_rate") * lit(DomainKeepMod.toDouble))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    // left join: a source whose rate rounds to 0 keeps nothing
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("share"),
+        col("sample_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  // ---- weighted reservoir sampling ------------------------------------
+
+  /** Global sample size for [[weightedReservoir]]. */
+  val ReservoirK = 25
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * every doc draws a deterministic uniform u ∈ (0,1) from its id hash
+    * and competes with priority -ln(u)/w (equivalent to the classic
+    * u^(1/w) key, log-transformed so the global winners are the SMALLEST
+    * k priorities); weight w = √n_chars biases the sample toward longer
+    * documents without letting them dominate linearly.
+    *
+    * 100 TB shape: priority is per-row codegen'd scan work; the global
+    * smallest-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    * k-row heaps, driver merge) — the distributed reservoir. The rank
+    * window runs below the limit over k rows. Deterministic: no RNG
+    * state, identical sample on any partitioning. */
+  def weightedReservoir(s: SparkSession, dir: String): DataFrame =
+    weightedReservoirOf(docs(s, dir))
+
+  /** [[weightedReservoir]] over any (doc_id, source, n_chars) relation. */
+  private[llm] def weightedReservoirOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // u in (0, 1): the +0.5 offset keeps ln(u) finite at hash 0
+    val u = (pmod(hash64(concat(lit("wres|"), col("doc_id").cast(StringType))),
+      lit(DomainKeepMod)).cast(DoubleType) + lit(0.5)) / lit(DomainKeepMod.toDouble)
+    val w = sqrt(col("n_chars").cast(DoubleType))
+    d.select(col("doc_id"), col("source"), col("n_chars"),
+        round(u, 6).as("u"),
+        round(-log(u) / w, 9).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(ReservoirK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("priority"), col("doc_id")))
+          .cast(LongType))
+      .orderBy(col("rnk"))
+  }
 }

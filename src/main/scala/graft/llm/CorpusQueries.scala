@@ -196,6 +196,57 @@ object CorpusQueries {
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         ORDER BY d.doc_id""")),
 
+    // Domain mixing: per-source token shares, the cap-derived downsample
+    // rate, and the deterministic keep-hash survivors. DuckDB's sum(BIGINT)
+    // widens to HUGEINT → CAST back; the rate×mod comparison runs in
+    // DOUBLE on both sides (Spark casts the pmod explicitly).
+    QueryDef("corpus_domain_mix",
+      (s, dir) => Corpus.domainMix(s, dir),
+      Some(s"""
+        WITH perdoc AS (SELECT source, doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+        bysrc AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS src_tokens
+                  FROM perdoc GROUP BY 1),
+        tot AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total_tokens FROM bysrc),
+        rates AS (SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+                         round(src_tokens / total_tokens, 6) AS share,
+                         round(least(CAST(1.0 AS DOUBLE),
+                           ${Corpus.DomainCapShare} * total_tokens / src_tokens), 6)
+                           AS sample_rate
+                  FROM bysrc CROSS JOIN tot),
+        kept AS (SELECT p.source, count(*) AS n_kept, sum(p.n_tokens) AS kept_tokens
+                 FROM perdoc p JOIN rates r USING (source)
+                 WHERE ${hash64Sql("concat('dmix|', CAST(p.doc_id AS VARCHAR))")}
+                         % ${Corpus.DomainKeepMod}
+                       < r.sample_rate * ${Corpus.DomainKeepMod}
+                 GROUP BY 1)
+        SELECT r.source, r.n_docs, r.src_tokens, r.share, r.sample_rate,
+               coalesce(k.n_kept, 0) AS n_kept,
+               CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM rates r LEFT JOIN kept k USING (source)
+        ORDER BY r.source""")),
+
+    // Weighted reservoir (Efraimidis–Spirakis): priority arithmetic must
+    // run in DOUBLE end-to-end — a bare 0.5/1000000.0 literal chain
+    // divides as DECIMAL in DuckDB and diverges from Spark's IEEE fold
+    // (same trap as the RRF oracle below).
+    QueryDef("corpus_weighted_reservoir",
+      (s, dir) => Corpus.weightedReservoir(s, dir),
+      Some(s"""
+        WITH p AS (SELECT doc_id, source, n_chars,
+                          (${hash64Sql("concat('wres|', CAST(doc_id AS VARCHAR))")}
+                             % ${Corpus.DomainKeepMod} + CAST(0.5 AS DOUBLE))
+                            / CAST(${Corpus.DomainKeepMod} AS DOUBLE) AS u
+                   FROM documents),
+        pr AS (SELECT doc_id, source, n_chars,
+                      round(u, 6) AS u_out,
+                      round(-ln(u) / sqrt(CAST(n_chars AS DOUBLE)), 9) AS priority
+               FROM p)
+        SELECT doc_id, source, n_chars, u_out AS u, priority,
+               row_number() OVER (ORDER BY priority, doc_id) AS rnk
+        FROM pr ORDER BY priority, doc_id LIMIT ${Corpus.ReservoirK}""")),
+
     // Hybrid RRF: the lexical leg is the bm25 CTE chain verbatim; the
     // semantic leg ranks exact cosine against the query vector. CAST the
     // 1.0 to DOUBLE — a bare 1.0/(k+r) divides as DECIMAL in DuckDB and

@@ -255,6 +255,32 @@ object LlmQueries {
                md5(norm) AS norm_md5
         FROM n ORDER BY doc_id""")),
 
+    // PII redaction: per-pattern counts on the original text + md5 after
+    // sequential redaction. The synthetic corpus is digit-free, so the
+    // oracle certifies the no-match path (counts 0, text unchanged) with
+    // cross-engine regex identity; PiiRedactSpec pins real redaction on
+    // dirty rows. DuckDB regexp_replace needs the 'g' flag (Spark is
+    // global by default); patterns are RE2∩Java syntax only.
+    QueryDef("text_pii_redact",
+      (s, dir) => TextAnalysis.piiRedact(s, dir),
+      Some {
+        val Seq(email, ipv4, longnum) = TextAnalysis.PiiPatterns.map(_._2)
+        val redacted = TextAnalysis.PiiPatterns.foldLeft("text") {
+          case (acc, (_, pat, repl)) =>
+            s"regexp_replace($acc, '$pat', '$repl', 'g')"
+        }
+        s"""
+        WITH c AS (SELECT doc_id, text,
+                          CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+                          CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+                          CAST(len(regexp_extract_all(text, '$longnum')) AS BIGINT) AS n_longnum
+                   FROM documents)
+        SELECT doc_id, n_email, n_ipv4, n_longnum,
+               n_email + n_ipv4 + n_longnum AS n_redactions,
+               md5($redacted) AS redacted_md5
+        FROM c ORDER BY doc_id"""
+      }),
+
     // Unigram surprisal: per-token contributions rounded to 9 dp and
     // summed as DECIMALs (order-independent), mean rounded to 6 dp —
     // the BM25 float discipline.

@@ -330,4 +330,46 @@ object TextAnalysis {
         .otherwise(lit(null).cast(StringType)).as("fingerprint"),
       greatest(length(col("text")) - 7, lit(0)).cast(LongType).as("n_grams")
     ).orderBy(col("doc_id"))
+
+  /** PII patterns for [[piiRedact]], applied in this order. Every regex is
+    * restricted to syntax Java's engine and DuckDB's RE2 interpret
+    * identically (character classes, bounded repetition, ASCII `\b` —
+    * no backrefs, no lookaround, which RE2 rejects). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("longnum", "\\b\\d{13,19}\\b", "<NUM>"))
+
+  /** PII redaction — the scrub stage a corpus passes before training:
+    * per-pattern match counts on the ORIGINAL text (so counts are
+    * order-independent and auditable) plus the md5 of the text after
+    * sequential redaction (email → ipv4 → long-number; the email pass runs
+    * first so its digits-and-dots local parts are not half-eaten by the
+    * numeric patterns). Emits the hash, not the redacted text — same
+    * compare-harness discipline as [[normalize]].
+    *
+    * 100 TB shape: pure per-row regex work fused into one codegen pass
+    * over the corpus scan — no shuffle, no UDF. The clean synthetic corpus
+    * exercises the no-match path end-to-end (oracle certifies both engines
+    * agree the corpus is PII-free AND that the text survives unchanged);
+    * PiiRedactSpec pins real redaction behavior on dirty rows. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOf(docs(s, dir))
+
+  /** [[piiRedact]] over any (doc_id, text) relation — unit-testable form. */
+  private[llm] def piiRedactOf(d: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    def countOf(pat: String): Column =
+      regexp_count(col("text"), lit(pat)).cast(LongType)
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      countOf(pat).as(s"n_$name")
+    }
+    val total = PiiPatterns.map { case (_, pat, _) => countOf(pat) }
+      .reduce(_ + _).as("n_redactions")
+    d.select(Seq(col("doc_id")) ++ counts ++
+        Seq(total, md5(redacted).as("redacted_md5")): _*)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -224,6 +224,53 @@ object SqlQueries {
         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
                round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
-        FROM x GROUP BY event_type ORDER BY event_type"""))
+        FROM x GROUP BY event_type ORDER BY event_type""")),
+
+    // Q9 twin: LAG window + named WINDOW clause through the SQL parser —
+    // the one analytic-window shape the SQL surface didn't exercise yet.
+    // Shares the DataFrame twin's oracle verbatim (modulo the VARCHAR
+    // round-trip DuckDB needs for exact decimal→double).
+    QueryDef("sql_q09_mom_growth",
+      sql("""
+        WITH monthly AS (
+          SELECT p.product_category, month(t.full_date) AS month_num,
+                 CAST(SUM(f.purchase_amount) AS DOUBLE) AS revenue
+          FROM salefact f
+          JOIN product_dim p ON f.product_id = p.product_id
+          JOIN time_dim t ON f.date_id = t.date_id
+          WHERE t.year = 2000
+          GROUP BY p.product_category, month(t.full_date))
+        SELECT product_category, month_num, revenue,
+               (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100 AS growth_pct
+        FROM monthly
+        WINDOW w AS (PARTITION BY product_category ORDER BY month_num)
+        ORDER BY product_category, month_num"""),
+      Some(StarSql.withStar("""
+        , monthly AS (
+          SELECT p.product_category, month(t.full_date) AS month_num,
+                 CAST(CAST(SUM(f.purchase_amount) AS VARCHAR) AS DOUBLE) AS revenue
+          FROM salefact f
+          JOIN product_dim p ON f.product_id = p.product_id
+          JOIN time_dim t ON f.date_id = t.date_id
+          WHERE t.year = 2000
+          GROUP BY p.product_category, month(t.full_date))
+        SELECT product_category, month_num, revenue,
+               (revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100 AS growth_pct
+        FROM monthly
+        WINDOW w AS (PARTITION BY product_category ORDER BY month_num)
+        ORDER BY product_category, month_num"""))),
+
+    // Exact-dedup twin over the raw corpus view: hash-groupBy through the
+    // parser; both engines share the md5 content hash so the SQL text is
+    // common ANSI apart from the view registration.
+    QueryDef("sql_dedup_exact",
+      sqlRaw("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""),
+      Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""))
   )
 }

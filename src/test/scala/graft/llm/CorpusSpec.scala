@@ -156,4 +156,52 @@ class CorpusSpec extends SparkSpec {
     }
     assert(packOf(docs) === expected)
   }
+
+  test("domainMix: caps the heavy source, keeps light sources whole") {
+    // srcA ~83% of tokens (cap 0.05 forces a real downsample rate),
+    // srcB tiny (rate clamps to 1.0 → every doc survives the keep-hash)
+    val rows = (0 until 50).map(i => (i.toLong, "srcA", Seq.fill(100)("w").mkString(" "))) ++
+      (50 until 60).map(i => (i.toLong, "srcB", Seq.fill(10)("w").mkString(" ")))
+    val out = Corpus.domainMixOf(rows.toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(out.map(_._1).toSeq === Seq("srcA", "srcB"))
+    val Array(a, b) = out
+    assert(a._2 === 50L && a._3 === 5000L && b._2 === 10L && b._3 === 100L)
+    // shares sum to 1; heavy source's rate is cap/share, light source's is 1
+    assert(math.abs(a._4 + b._4 - 1.0) < 1e-6)
+    assert(math.abs(a._5 - Corpus.DomainCapShare / a._4) < 1e-3)
+    assert(b._5 === 1.0)
+    // rate-1.0 source keeps every doc and token; capped source keeps fewer
+    assert(b._6 === 10L && b._7 === 100L)
+    assert(a._6 < a._2 && a._7 === a._6 * 100L)
+  }
+
+  test("weightedReservoir: equals the full-sort head, on any partitioning") {
+    val rows = (1 to 200).map(i => (i.toLong, s"src${i % 5}", 10L + (i * 37) % 400))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val res = Corpus.weightedReservoirOf(df)
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).toSeq
+    assert(res.size === Corpus.ReservoirK)
+    // rnk is 1..k in priority order
+    assert(res.map(_._3) === (1L to Corpus.ReservoirK.toLong))
+    assert(res.map(_._2) === res.map(_._2).sorted)
+    // TakeOrderedAndProject merges per-partition heaps — the sample must
+    // not depend on the physical layout
+    val full = Corpus.weightedReservoirOf(df.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getDouble(4), r.getLong(5))).toSeq
+    assert(full === res, "sample must be deterministic across partitionings")
+  }
+
+  test("weightedReservoir: priorities match the E-S formula exactly") {
+    val df = Seq((42L, "s", 256L)).toDF("doc_id", "source", "n_chars")
+    val r = Corpus.weightedReservoirOf(df).collect().head
+    val h = java.lang.Long.parseLong(md5hex("wres|42").take(15), 16)
+    val u = (h % Corpus.DomainKeepMod + 0.5) / Corpus.DomainKeepMod.toDouble
+    val expected = BigDecimal(-math.log(u) / math.sqrt(256.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(3) -
+      BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(r.getDouble(4) - expected) < 1e-12)
+  }
 }
