@@ -775,6 +775,33 @@ object LlmQueries {
         FROM z GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx""")),
 
+    // Sessions via Spark's NATIVE session_window aggregation (the
+    // dedicated session-merging operator, not the window-function
+    // formulation). Break semantics match events_sessions (sessions merge
+    // while ts <= prev_end, so only a strictly-greater-than-gap silence
+    // splits — pinned by SessionWindowSpec's exact-gap case); the one
+    // output delta the oracle mirrors is session_end = last_ts + gap
+    // (the window bound), not last_ts.
+    QueryDef("events_session_window",
+      (s, dir) => Events.sessionWindowed(s, dir),
+      Some(s"""
+        WITH x AS (SELECT *, lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                   FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+                               OR epoch_us(ts) - prev_us > ${Events.SessionGapMinutes * 60L * 1000000L}
+                             THEN 1 ELSE 0 END AS is_new FROM x),
+        z AS (SELECT *, SUM(is_new) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx FROM y)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL ${Events.SessionGapMinutes} MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM z GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start""")),
+
     // Custom-state sessionization (flatMapGroupsWithState, X16) run
     // against the real events stream and certified by the batch
     // gap-sessionization oracle. Watermark delay 0 → after the drain the

@@ -178,4 +178,31 @@ object Events {
           .as("total_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
+
+  /** Sessions via Spark's NATIVE `session_window` aggregation — the
+    * dedicated session-merging operator (UpdatingSessions/MergingSessions
+    * physical nodes), distinct from the window-function formulation in
+    * [[sessions]]. One hash shuffle on the grouping key, then an
+    * in-partition sort-and-merge of per-event [ts, ts+gap) windows — at
+    * 100 TB the state is per (user, session), never per event, and the
+    * merge is a linear pass over each user's sorted events (the same
+    * layout Structured Streaming uses for session-window state).
+    *
+    * Session-break semantics MATCH [[sessions]] (merge while
+    * ts <= prev_end, i.e. a new session only on a strictly-greater-than-gap
+    * silence — pinned by SessionWindowSpec's exact-gap case); the one
+    * output delta is `session_end` = last_ts + gap (the window bound),
+    * not last_ts. */
+  def sessionWindowed(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
 }
