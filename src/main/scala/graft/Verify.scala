@@ -31,13 +31,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
 
     // local-iteration filter (comma-separated names); the driver sets no
-    // env → full dump. oracle_sql.json is always written in full.
+    // env → full dump. oracle_sql.json is always written in full. Excluded
+    // queries get an explicit "skipped" status (their dump dirs, if any,
+    // are from an earlier run) so a later DuckDB compare over the same
+    // outDir can't mistake a stale dump for a current result.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val status = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      try {
+      if (!only.forall(_.contains(name))) name -> "skipped"
+      else try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         name -> "ok"

@@ -616,21 +616,40 @@ object Corpus {
     * token budget, and the docs/tokens that survive the deterministic
     * keep-hash at that rate.
     *
-    * 100 TB shape: the corpus is scanned twice but only slim relations
-    * shuffle — (source, n_tokens) aggregates to one row per source
-    * (map-side partial combine does the heavy lifting), the grand total is
-    * a broadcast scalar, and the per-source rate relation joins back to
-    * the corpus as a broadcast (source registries are ~1e3–1e6 rows; past
-    * broadcast size the same plan works as a source-keyed shuffle join).
-    * The keep decision is [[Text.hash64]] on the doc id — deterministic,
-    * seedless, replayable on any cluster layout. */
+    * 100 TB shape: the expensive pass — tokenizing the corpus into the
+    * slim (source, doc_id, n_tokens) relation — runs ONCE: it is
+    * persisted per (session, dir) (same derived-index discipline as
+    * [[Dedup.shingleSets]] / [[Similarity.ivfIndex]] / [[bm25PerDoc]])
+    * because its two consumers (the per-source aggregate and the
+    * keep-hash pass) need different row sets and exchange reuse cannot
+    * unify them. Only slim relations shuffle — (source, n_tokens)
+    * aggregates to one row per source (map-side partial combine does the
+    * heavy lifting), the grand total is a broadcast scalar, and the
+    * per-source rate relation joins back to the slim index as a broadcast
+    * (source registries are ~1e3–1e6 rows; past broadcast size the same
+    * plan works as a source-keyed shuffle join). The keep decision is
+    * [[Text.hash64]] on the doc id — deterministic, seedless, replayable
+    * on any cluster layout. */
   def domainMix(s: SparkSession, dir: String): DataFrame =
-    domainMixOf(docs(s, dir))
+    mixOfPerDoc(domainPerDoc(s, dir))
 
-  /** [[domainMix]] over any (doc_id, source, text) relation. */
-  private[llm] def domainMixOf(d: DataFrame): DataFrame = {
-    val perDoc = d.select(col("source"), col("doc_id"),
+  /** The slim per-doc token-count index feeding [[domainMix]], tokenized
+    * and persisted once per (session, dir). */
+  private val domainMixCache = new graft.SessionMemo[DataFrame]
+
+  private def domainPerDoc(s: SparkSession, dir: String): DataFrame =
+    domainMixCache.getOrElseUpdate(s, dir)(perDocTokens(docs(s, dir)).persist())
+
+  private def perDocTokens(d: DataFrame): DataFrame =
+    d.select(col("source"), col("doc_id"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+
+  /** [[domainMix]] over any (doc_id, source, text) relation (test path —
+    * no persist; fixtures are tiny). */
+  private[llm] def domainMixOf(d: DataFrame): DataFrame =
+    mixOfPerDoc(perDocTokens(d))
+
+  private def mixOfPerDoc(perDoc: DataFrame): DataFrame = {
     val bySource = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
     // grand total over the per-source relation (#sources rows, not corpus)

@@ -256,11 +256,12 @@ object LlmQueries {
         FROM n ORDER BY doc_id""")),
 
     // PII redaction: per-pattern counts on the original text + md5 after
-    // sequential redaction. The synthetic corpus is digit-free, so the
-    // oracle certifies the no-match path (counts 0, text unchanged) with
-    // cross-engine regex identity; PiiRedactSpec pins real redaction on
-    // dirty rows. DuckDB regexp_replace needs the 'g' flag (Spark is
-    // global by default); patterns are RE2∩Java syntax only.
+    // sequential redaction. The synthetic corpus is digit-free, so BOTH
+    // engines append PiiDirtySuffix to every row — the oracle then
+    // certifies the match path (every row redacts ≥3 hits and the
+    // redacted hashes agree), i.e. Java and RE2 replace identically.
+    // DuckDB regexp_replace needs the 'g' flag (Spark is global by
+    // default); patterns are RE2∩Java syntax only.
     QueryDef("text_pii_redact",
       (s, dir) => TextAnalysis.piiRedact(s, dir),
       Some {
@@ -270,11 +271,14 @@ object LlmQueries {
             s"regexp_replace($acc, '$pat', '$repl', 'g')"
         }
         s"""
-        WITH c AS (SELECT doc_id, text,
+        WITH d AS (SELECT doc_id,
+                          text || '${TextAnalysis.PiiDirtySuffix}' AS text
+                   FROM documents),
+             c AS (SELECT doc_id, text,
                           CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
                           CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
                           CAST(len(regexp_extract_all(text, '$longnum')) AS BIGINT) AS n_longnum
-                   FROM documents)
+                   FROM d)
         SELECT doc_id, n_email, n_ipv4, n_longnum,
                n_email + n_ipv4 + n_longnum AS n_redactions,
                md5($redacted) AS redacted_md5
@@ -784,6 +788,32 @@ object LlmQueries {
     // (the window bound), not last_ts.
     QueryDef("events_session_window",
       (s, dir) => Events.sessionWindowed(s, dir),
+      Some(s"""
+        WITH x AS (SELECT *, lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                   FROM events),
+        y AS (SELECT *, CASE WHEN prev_us IS NULL
+                               OR epoch_us(ts) - prev_us > ${Events.SessionGapMinutes * 60L * 1000000L}
+                             THEN 1 ELSE 0 END AS is_new FROM x),
+        z AS (SELECT *, SUM(is_new) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx FROM y)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL ${Events.SessionGapMinutes} MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 AS total_value
+        FROM z GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start""")),
+
+    // The native session_window aggregation computed by the actual
+    // STREAMING path (MergingSessionsExec state operator): complete-mode
+    // foreachBatch + AvailableNow drain, so the final table equals the
+    // batch aggregation and shares its oracle — the hash match certifies
+    // the streaming session merge (stream-batch equivalence, exactly like
+    // events_hourly/_sliding_streamed).
+    QueryDef("events_session_window_streamed",
+      (s, dir) => Events.sessionWindowStreamed(s, dir),
       Some(s"""
         WITH x AS (SELECT *, lag(epoch_us(ts)) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -340,6 +340,14 @@ object TextAnalysis {
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("longnum", "\\b\\d{13,19}\\b", "<NUM>"))
 
+  /** Dirty suffix appended to every doc in [[piiRedact]] (both engines)
+    * so the oracle certifies the MATCH path: one hit per pattern per row.
+    * The synthetic corpus is digit-free, so without this the hash compare
+    * only proves both engines agree there is nothing to redact (VERDICT
+    * r9 "What's wrong" #2). Deliberately regex-quiet: no quotes, no
+    * metacharacters, safe to splice into a SQL string literal. */
+  val PiiDirtySuffix = " contact a@b.co from 10.0.0.1 card 4111111111111111"
+
   /** PII redaction — the scrub stage a corpus passes before training:
     * per-pattern match counts on the ORIGINAL text (so counts are
     * order-independent and auditable) plus the md5 of the text after
@@ -349,12 +357,16 @@ object TextAnalysis {
     * compare-harness discipline as [[normalize]].
     *
     * 100 TB shape: pure per-row regex work fused into one codegen pass
-    * over the corpus scan — no shuffle, no UDF. The clean synthetic corpus
-    * exercises the no-match path end-to-end (oracle certifies both engines
-    * agree the corpus is PII-free AND that the text survives unchanged);
-    * PiiRedactSpec pins real redaction behavior on dirty rows. */
+    * over the corpus scan — no shuffle, no UDF. The synthetic corpus is
+    * clean, so [[PiiDirtySuffix]] is appended to every row in BOTH
+    * engines: the oracle then certifies the match path (every row makes
+    * ≥3 replacements and the redacted hashes agree), i.e. the Java and
+    * RE2 regex dialects produce identical redactions — not merely that a
+    * clean corpus survives unchanged. PiiRedactSpec additionally pins
+    * exact replacement semantics on hand-built dirty rows. */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
-    piiRedactOf(docs(s, dir))
+    piiRedactOf(docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(PiiDirtySuffix)).as("text")))
 
   /** [[piiRedact]] over any (doc_id, text) relation — unit-testable form. */
   private[llm] def piiRedactOf(d: DataFrame): DataFrame = {

@@ -96,35 +96,55 @@ object Events {
   private def windowedStreamed(
       s: SparkSession, dir: String, sub: String,
       ran: graft.SessionMemo[Unit],
-      windowOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      windowOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    runCompleteStreamed(s, dir, sub, ran,
+      stream => stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(windowOf(col("ts")), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value")))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** The streaming events source: file-source `readStream` over the sf
+    * dir filtered to the events file (a production deployment streams an
+    * events/ dir), nanos read as raw int64 and floored to micros exactly
+    * like the batch [[events]] reader. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // nanos (nanosAsLong)
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Shared complete-mode streaming runner: builds `aggOf(eventStream)`,
+    * drains it with `Trigger.AvailableNow` into a foreachBatch sink that
+    * overwrites `result/` each trigger, and reads the final table back.
+    * Complete mode emits EVERY aggregate state at every trigger, so after
+    * the drain the table equals the batch aggregation outright — no
+    * watermark holdback to compensate for in the oracle. Memoized per
+    * (session, sf, memo). */
+  private def runCompleteStreamed(
+      s: SparkSession, dir: String, sub: String,
+      ran: graft.SessionMemo[Unit],
+      aggOf: DataFrame => DataFrame): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
       "_" + Integer.toHexString(dir.hashCode)
     val out = s"/root/repo/target/graft-events/$tag/$sub"
     synchronized {
       if (!ran.contains(s, dir)) {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // nanos (nanosAsLong)
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        // file streams take a directory: stream the sf dir filtered to the
-        // events file (a production deployment streams an events/ dir)
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val agg = stream
-          .withWatermark("ts", "1 hour")
-          .groupBy(windowOf(col("ts")), col("event_type"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
-              .as("total_value"))
-          .select(col("window.start").as("window_start"), col("event_type"),
-            col("n_events"), col("total_value"))
+        val agg = aggOf(eventStream(s, dir))
         // wipe the tag dir before starting: the complete-mode sink
         // overwrites result/ itself, but the old UUID-per-run checkpoint
         // dirs accumulated across sessions (r7 ADVICE #1) — a fixed
@@ -145,7 +165,6 @@ object Events {
       }
     }
     s.read.parquet(s"$out/result")
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
@@ -205,4 +224,33 @@ object Events {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** [[sessionWindowed]] computed by the actual STREAMING path — the
+    * MergingSessionsExec state operator a live sessionization deployment
+    * hits first (the batch entry exercises only the batch session merge).
+    * Streaming session windows reject update mode; complete mode keeps
+    * every (user, session) state and re-emits on each trigger, so after
+    * the `AvailableNow` drain the table equals the batch aggregation and
+    * SHARES its oracle — the hash match certifies the streaming session
+    * merge itself (exactly the [[hourlyStreamed]]/[[slidingStreamed]]
+    * stream-batch-equivalence discipline). The watermark bounds state in
+    * a continuous deployment; under complete mode it does not hold back
+    * output, so no oracle compensation is needed. */
+  def sessionWindowStreamed(s: SparkSession, dir: String): DataFrame =
+    runCompleteStreamed(s, dir, "session_window", sessionWindowRan,
+      stream => stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+          col("user_id"),
+          session_window(col("ts"), s"$SessionGapMinutes minutes").as("sw"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("total_value")))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val sessionWindowRan = new graft.SessionMemo[Unit]
 }

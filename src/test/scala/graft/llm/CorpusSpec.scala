@@ -158,7 +158,7 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("domainMix: caps the heavy source, keeps light sources whole") {
-    // srcA ~83% of tokens (cap 0.05 forces a real downsample rate),
+    // srcA ~98% of tokens (cap 0.05 forces a real downsample rate),
     // srcB tiny (rate clamps to 1.0 → every doc survives the keep-hash)
     val rows = (0 until 50).map(i => (i.toLong, "srcA", Seq.fill(100)("w").mkString(" "))) ++
       (50 until 60).map(i => (i.toLong, "srcB", Seq.fill(10)("w").mkString(" ")))

@@ -4,10 +4,11 @@ import java.security.MessageDigest
 
 import graft.SparkSpec
 
-/** Pins [[TextAnalysis.piiRedact]] on DIRTY rows — the oracle entry runs
-  * over the digit-free synthetic corpus where every pattern is a no-match,
-  * so real redaction behavior (counts, replacement text, pattern order)
-  * is asserted here instead. */
+/** Pins [[TextAnalysis.piiRedact]] replacement semantics on hand-built
+  * DIRTY rows. The oracle entry appends [[TextAnalysis.PiiDirtySuffix]] to
+  * the digit-free synthetic corpus so it certifies cross-engine agreement
+  * on the match path; the exact counts / replacement text / pattern-order
+  * behavior is asserted here. */
 class PiiRedactSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,5 +54,12 @@ class PiiRedactSpec extends SparkSpec {
     assert(nNum === 1L)
     assert(nTotal === 5L)
     assert(md5 === md5hex("<EMAIL> <EMAIL> <IP> <IP> <NUM> 12345678901234567890x"))
+  }
+
+  test("PiiDirtySuffix contributes exactly one hit per pattern") {
+    val out = redact(1L -> ("clean doc" + TextAnalysis.PiiDirtySuffix))
+    assert(out === Seq(
+      (1L, 1L, 1L, 1L, 3L,
+        md5hex("clean doc contact <EMAIL> from <IP> card <NUM>"))))
   }
 }

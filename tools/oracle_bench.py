@@ -18,6 +18,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("Usage: python3 tools/oracle_bench.py <sfDir> <verifyOutDir> "
+              "[passes=3]", file=sys.stderr)
+        sys.exit(2)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = duckdb.connect()
