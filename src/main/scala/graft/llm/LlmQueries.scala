@@ -425,6 +425,65 @@ object LlmQueries {
         FROM nb JOIN ref USING (cent_id) LEFT JOIN ra USING (cent_id)
         ORDER BY cent_id""")),
 
+    // Lloyd run to a verified fixpoint (r9 "What's missing" #2). The
+    // oracle UNROLLS all MaxKmeansIters E/M rounds as generated CTEs —
+    // past the fixpoint each round is a no-op (the step is a pure
+    // function of the assignment), so the unrolled final state equals
+    // Spark's early-exited one, and n_iters = first round with zero
+    // assignment changes = Spark's loop count. Empty clusters drop out of
+    // both engines' GROUP BY identically.
+    QueryDef("similarity_ivf_kmeans_converged",
+      (s, dir) => Similarity.ivfKmeansConverged(s, dir),
+      Some {
+        val n = Similarity.MaxKmeansIters
+        val init = s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.CentroidBase}
+                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
+        s0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS sim
+               FROM embeddings e CROSS JOIN c),
+        a0 AS (SELECT vec_id, embedding, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn FROM s0)
+               WHERE rn = 1)"""
+        val rounds = (1 to n).map { i =>
+          s""",
+        ex$i AS (SELECT a.cent_id, i AS pos,
+                        CAST(round(CAST(a.embedding[i] AS DOUBLE), 9)
+                          AS DECIMAL(28,9)) AS v
+                 FROM a${i - 1} a, LATERAL unnest(generate_series(1, len(a.embedding))) u(i)),
+        comp$i AS (SELECT cent_id, pos,
+                          round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                   FROM ex$i GROUP BY 1, 2),
+        ref$i AS (SELECT cent_id, list(c ORDER BY pos) AS cv,
+                         round(sqrt(CAST(sum(CAST(round(c*c, 12) AS DECIMAL(38,12)))
+                                         AS DOUBLE)), 6) AS centroid_norm
+                  FROM comp$i GROUP BY cent_id),
+        s$i AS (SELECT e.vec_id, e.embedding, r.cent_id,
+                       ${cosineSql("e.embedding", "r.cv")} AS sim
+                FROM embeddings e CROSS JOIN ref$i r),
+        a$i AS (SELECT vec_id, embedding, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn FROM s$i)
+                WHERE rn = 1),
+        ch$i AS (SELECT count(*) AS n FROM a$i x JOIN a${i - 1} y USING (vec_id)
+                 WHERE x.cent_id <> y.cent_id)"""
+        }.mkString
+        val outro = s""",
+        it AS (SELECT ${(1 to n).map(i => s"(SELECT n FROM ch$i) AS n$i").mkString(", ")}),
+        conv AS (SELECT CAST(CASE ${(1 to n).map(i => s"WHEN n$i = 0 THEN $i").mkString(" ")}
+                             ELSE $n END AS BIGINT) AS n_iters,
+                        (${(1 to n).map(i => s"n$i = 0").mkString(" OR ")}) AS converged
+                 FROM it)
+        SELECT r.cent_id, CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
+               r.centroid_norm, conv.n_iters, conv.converged
+        FROM ref$n r LEFT JOIN (SELECT cent_id, count(*) AS n_final
+                                FROM a$n GROUP BY 1) f USING (cent_id)
+        CROSS JOIN conv ORDER BY r.cent_id"""
+        init + rounds + outro
+      }),
+
     // SQL-string twin of similarity_topk that exercises the NATIVE
     // EXPRESSION TIER through the SQL surface: `cosine_sim` is the fused
     // whole-stage-codegen Catalyst expression registered by
