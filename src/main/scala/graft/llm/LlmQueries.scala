@@ -359,6 +359,57 @@ object LlmQueries {
         FROM c ORDER BY pair_count DESC, "left", "right"
         LIMIT ${TextAnalysis.BpeTopPairs}""")),
 
+    // BPE merge APPLICATION (r10): the oracle generates one CTE per rank
+    // running the SAME greedy left-to-right fold (list_reduce with a ''
+    // seed = Spark's `aggregate` with a "" seed — identical intermediate
+    // strings, identical md5). Rule k enters each stage as a 1-row LEFT
+    // JOIN ON TRUE captured by the lambda (DuckDB rejects subqueries
+    // inside lambdas); a missing rank yields NULL rule columns which
+    // null-disable the CASE, matching the Spark side's empty-rule
+    // left-broadcast-join behavior.
+    QueryDef("text_bpe_apply",
+      (s, dir) => TextAnalysis.bpeApply(s, dir),
+      Some {
+        val stages = (1 to TextAnalysis.BpeTopPairs).map { k =>
+          s""",
+        s$k AS (SELECT doc_id, n_tokens_before, ltrim(list_reduce(
+                  list_prepend('', string_split(stream, ' ')),
+                  (acc, x) -> CASE
+                    WHEN ends_with(acc, ' ' || r$k.ml) AND x = r$k.mr
+                    THEN left(acc, length(acc) - length(r$k.ml) - 1)
+                         || ' ' || r$k.ml
+                         || '${TextAnalysis.BpeJoiner}' || r$k.mr
+                    ELSE acc || ' ' || x END)) AS stream
+                FROM s${k - 1} LEFT JOIN
+                  (SELECT "left" AS ml, "right" AS mr FROM m
+                   WHERE rnk = $k) r$k ON TRUE)"""
+        }.mkString
+        s"""
+        WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        pr AS (SELECT t[i] AS "left", t[i+1] AS "right"
+               FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 2),
+        c AS (SELECT "left", "right", count(*) AS pair_count
+              FROM pr GROUP BY 1, 2),
+        m AS MATERIALIZED (
+          SELECT "left", "right",
+                 row_number() OVER (ORDER BY pair_count DESC, "left", "right")
+                   AS rnk
+          FROM c ORDER BY pair_count DESC, "left", "right"
+          LIMIT ${TextAnalysis.BpeTopPairs}),
+        s0 AS (SELECT doc_id, text AS stream,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                        AS n_tokens_before
+               FROM documents)$stages
+        SELECT doc_id, n_tokens_before,
+               CAST(len(string_split(stream, ' ')) AS BIGINT)
+                 AS n_tokens_after,
+               CAST(n_tokens_before - len(string_split(stream, ' '))
+                 AS BIGINT) AS n_merges,
+               md5(stream) AS retok_md5
+        FROM s${TextAnalysis.BpeTopPairs} ORDER BY doc_id"""
+      }),
+
     QueryDef("doc_fingerprint",
       (s, dir) => TextAnalysis.fingerprint(s, dir),
       Some("""
