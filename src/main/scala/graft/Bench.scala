@@ -82,6 +82,24 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted // stable order
     val failed = scala.collection.mutable.ListBuffer[String]()
 
+    // COLD index-build timings, taken FIRST (r10 VERDICT #6): the memoized
+    // index builds (IVF assignment, k-means fixpoint, BPE merge table,
+    // BM25 doc stats, tf index) otherwise hide inside the untimed bring-up
+    // and their queries' bench mins time a cache read — build cost is an
+    // explicit metric (BENCH_DETAIL "builds") so the artifact can't
+    // overstate the engine. Timed on the cold session by construction;
+    // JVM warm-up is charged here rather than understate the build.
+    val buildTimings: Seq[(String, Double)] = graft.llm.Builds.all.map {
+      case (name, f) =>
+        val t0 = System.nanoTime()
+        try { f(spark, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> -1.0
+        }
+    }
+
     // Cold bring-up, untimed: first warehouse build + one pass of every
     // query, so JVM/codegen/classloading warmup isn't charged to whichever
     // work happens to run first (BASELINE.md: warm JVM + warm session).
@@ -200,8 +218,12 @@ object Bench {
     val loadRows = graft.etl.EtlQueries.lastLoadRows
     val loadRate = if (loadSec > 0) loadRows / loadSec else -1.0
     val gradedJson = gradedIdx.mkString("[", ",", "]")
+    val buildsJson = buildTimings
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"total":${f3(total)},"mins":$qs,"samples":$samplesJson,""" +
+      s"""{"total":${f3(total)},"builds":$buildsJson,""" +
+        s""""mins":$qs,"samples":$samplesJson,""" +
         s""""contention_spread_max":${f3(spreadMax)},""" +
         s""""n_passes":${passes.size},"graded_passes":$gradedJson,""" +
         s""""etl_load_sec":${f3(loadSec)},"etl_load_rows":$loadRows,""" +

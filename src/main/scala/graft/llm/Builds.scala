@@ -1,0 +1,30 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+
+/** The session-memoized INDEX BUILDS, exposed as named force-build actions
+  * so the bench can time them cold (r10 VERDICT #6: memoization means a
+  * bench min of `similarity_ivf_kmeans_converged` times a cache READ —
+  * 0.02s against an oracle paying the full build — so build cost must be
+  * its own explicit metric, not hidden inside whichever query runs first).
+  *
+  * Each action invokes the memoized builder exactly as its queries do and
+  * materializes the persisted relation with a count (the builders persist;
+  * count forces every partition). Calling one on a warm session is a cheap
+  * no-op read — the bench times them on the COLD session, before the
+  * warm-up pass.
+  */
+object Builds {
+
+  val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "build_ivf_index" ->
+      ((s, d) => { Similarity.ivfIndex(s, d).count(); () }),
+    "build_ivf_kmeans_fixpoint" ->
+      ((s, d) => { Similarity.ivfKmeansConverged(s, d).count(); () }),
+    "build_bpe_merges" ->
+      ((s, d) => { TextAnalysis.bpeMerges(s, d).count(); () }),
+    "build_bm25_stats" ->
+      ((s, d) => { Corpus.bm25PerDoc(s, d).count(); () }),
+    "build_term_freqs" ->
+      ((s, d) => { TextAnalysis.termFreqs(s, d).count(); () }))
+}

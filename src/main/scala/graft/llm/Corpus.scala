@@ -535,7 +535,7 @@ object Corpus {
   private def tfc(term: String) = s"tf_$term"
   private def dfc(term: String) = s"df_$term"
 
-  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame =
+  private[llm] def bm25PerDoc(s: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate(s, dir) {
       val t = tokens(col("text"))
       docs(s, dir)

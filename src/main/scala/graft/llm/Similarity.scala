@@ -151,7 +151,7 @@ object Similarity {
     * rows, the minimal relation both probe legs read. */
   private val ivfCache = new graft.SessionMemo[DataFrame]
 
-  private def ivfIndex(s: SparkSession, dir: String): DataFrame =
+  private[llm] def ivfIndex(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrElseUpdate(s, dir) {
       val e = emb(s, dir)
       val cent = e.where(col("vec_id") >= CentroidBase &&
@@ -199,6 +199,36 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= TopK)
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** ANN recall@k against the exact brute-force baseline (r10 VERDICT #7)
+    * — per query, |approx top-k ∩ [[bruteTopK]]| / k, for both
+    * approximate tiers ([[annLshTopK]], [[ivfTopK]]). The rounded recall
+    * arithmetic is shared verbatim with the oracle, so the green entry
+    * certifies the measurement; the values document the tiers' quality at
+    * the current plane/probe budget.
+    *
+    * 100 TB: both join legs are (|Q|·k)-row relations — the baseline and
+    * approx top-k sets — so the intersection join is broadcast-trivial;
+    * the cost is the three underlying top-k pipelines themselves (a real
+    * deployment evaluates recall on a sampled query set exactly like
+    * this, with the brute leg the expensive one by design). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+    def leg(method: String, approx: DataFrame): DataFrame =
+      brute.join(
+        broadcast(approx.select(col("query_id").as("aq"),
+          col("neighbor_id").as("an"))),
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("an")).as("n_hits"))
+        .select(lit(method).as("method"), col("query_id"), col("n_hits"),
+          round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
+            .as("recall"))
+    leg("ann_lsh", annLshTopK(s, dir))
+      .unionAll(leg("ivf", ivfTopK(s, dir)))
+      .orderBy(col("method"), col("query_id"))
   }
 
   /** One Lloyd iteration over the IVF assignment — the k-means refinement
@@ -269,13 +299,25 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cent_id"))
   }
 
-  /** Upper bound on Lloyd iterations for [[ivfKmeansConverged]] — the
-    * oracle unrolls exactly this many E/M rounds, so keep it small; past
-    * the fixpoint extra rounds are no-ops in both engines. 8 reaches the
-    * true fixpoint at the sf0.01 correctness gate (measured: 8 rounds;
-    * sf0.1 needs ~24 and reports converged=false — the flag is the
-    * honest outcome, not a promise). */
-  val MaxKmeansIters = 8
+  /** Runtime upper bound on Lloyd iterations for [[ivfKmeansConverged]].
+    * Decoupled from the ORACLE's unroll depth (r10 VERDICT #5: cap 8
+    * reached the fixpoint at the sf0.01 gate but left sf0.1 certified-
+    * unconverged at ~24 rounds): the runtime cap only has to exceed any
+    * realistic fixpoint — each round past the fixpoint costs nothing
+    * because the loop early-exits on the first zero-change round — while
+    * the oracle pays per unrolled CTE round, so it gets its own bound
+    * [[OracleKmeansUnroll]]. 48 = 2× the worst observed fixpoint. */
+  val MaxKmeansIters = 48
+
+  /** Oracle-side unroll depth — must exceed the fixpoint at the sf0.01
+    * CORRECTNESS gate only (measured: 8 rounds; 12 = 1.5× margin). Past
+    * the fixpoint each unrolled round is a no-op (the E/M step is a pure
+    * function of the assignment), so the oracle's round-12 state equals
+    * Spark's early-exited state, and its first-zero-change round equals
+    * Spark's loop count. If the gate data ever needs > 12 rounds the
+    * hash mismatch surfaces loudly (oracle would report converged=false
+    * with n_iters=12 vs Spark's true count). */
+  val OracleKmeansUnroll = 12
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val kmeansCache = new graft.SessionMemo[DataFrame]

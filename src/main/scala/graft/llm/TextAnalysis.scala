@@ -325,7 +325,7 @@ object TextAnalysis {
     * corpus-wide pair count just to read its one rule row. */
   private val bpeMergesCache = new graft.SessionMemo[DataFrame]
 
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+  private[llm] def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMergesCache.getOrElseUpdate(s, dir)(bpePairsOf(docs(s, dir)).persist())
 
   /** BPE merge APPLICATION — the half of tokenizer training [[bpePairs]]
@@ -340,43 +340,58 @@ object TextAnalysis {
     * tail is rewritten to `left_right`. Left-to-right greed falls out of
     * the fold order ("a a a" + (a,a) → "a_a a", never "a a_a").
     *
-    * Engine-portability: the fold is `functions.aggregate` in Spark and
-    * `list_reduce` over the same token list in DuckDB — both seed an
-    * empty accumulator and append ` token`, so the intermediate strings
-    * (and the final md5) are bit-identical. Rules enter the plan as
-    * 1-row BROADCAST relations (one per rank, left-joined on true), not
-    * collected literals — a rank with no row (corpus with <20 distinct
-    * pairs) null-disables its stage inside the CASE, identically in the
-    * oracle's scalar subqueries.
+    * Engine-portability: the oracle folds with `list_reduce` over the
+    * token list (seed an empty accumulator, append ` token`, rewrite the
+    * tail on a match); Spark expresses the SAME greedy pass as one
+    * `regexp_replace` per rule — Java's `replaceAll` scans left-to-right
+    * and never rescans a replacement, which IS the greedy non-overlapping
+    * discipline ("a a a" + (a,a) → "a_a a", never "a a_a"), and a merged
+    * symbol can't re-match because the space lookarounds see `_`, not a
+    * token boundary. The only other observable effect of the oracle's
+    * fold is that its rebuild strips LEADING spaces — reproduced by one
+    * up-front `ltrim` — so the streams (and the final md5) stay
+    * bit-identical. Rules enter the plan as 1-row BROADCAST relations
+    * (one per rank, left-joined on true), not collected literals — a rank
+    * with no row (corpus with <20 distinct pairs) null-disables its stage
+    * via the null guard, identically in the oracle's scalar subqueries.
     *
-    * 100 TB: per-row scan work — 20 fused fold passes over each doc, no
-    * shuffle beyond [[bpePairs]]'s own pair-keyed aggregation (built once,
-    * 20-row result broadcast 20 times). The real-training delta is
-    * honest: the table is the ONE-SHOT top-20 candidate ranking (true BPE
-    * recounts pairs after every merge — that is [[bpePairs]] iterated,
-    * the same loop-of-broadcasts shape). */
+    * 100 TB: per-row scan work — 20 fused single-scan regex passes per
+    * doc (r10 VERDICT #8 replaced the O(len²) accumulate-a-string fold:
+    * each fold step copied the whole accumulator; `replaceAll` copies
+    * each character once per pass), no shuffle beyond [[bpePairs]]'s own
+    * pair-keyed aggregation (built once, 20-row result broadcast 20
+    * times). The real-training delta is honest: the table is the
+    * ONE-SHOT top-20 candidate ranking (true BPE recounts pairs after
+    * every merge — that is [[bpePairs]] iterated, the same
+    * loop-of-broadcasts shape). */
   def bpeApply(s: SparkSession, dir: String): DataFrame =
     bpeApplyOf(docs(s, dir), bpeMerges(s, dir))
 
   /** [[bpeApply]] over any (doc_id, text) relation and ranked
     * (left, right, rnk) merge table — unit-testable form. */
   def bpeApplyOf(d: DataFrame, merges: DataFrame): DataFrame = {
-    var cur = d.select(col("doc_id"), col("text").as("stream"),
+    // regex-literal escape for a token (Pattern.quote, expression form):
+    // backslash every non-alphanumeric so merge symbols like `a_b` or
+    // punctuation tokens match literally
+    def rxQuote(c: Column): Column =
+      regexp_replace(c, "([^a-zA-Z0-9])", "\\\\$1")
+    // replacement-string escape: `\` and `$` are special in replacements
+    def repQuote(c: Column): Column =
+      regexp_replace(c, "([\\\\$])", "\\\\$1")
+    var cur = d.select(col("doc_id"), ltrim(col("text")).as("stream"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens_before"))
     for (k <- 1 to BpeTopPairs) {
       val rule = merges.where(col("rnk") === k)
         .select(col("left").as("m_left"), col("right").as("m_right"))
       cur = cur.join(broadcast(rule), lit(true), "left")
-        .withColumn("stream", ltrim(aggregate(
-          split(col("stream"), " "), lit(""),
-          (acc, x) =>
-            when(endswith(acc, concat(lit(" "), col("m_left"))) &&
-                x === col("m_right"),
-              concat(
-                acc.substr(lit(1),
-                  length(acc) - length(col("m_left")) - lit(1)),
-                lit(" "), col("m_left"), lit(BpeJoiner), col("m_right")))
-              .otherwise(concat(acc, lit(" "), x)))))
+        .withColumn("stream",
+          when(col("m_left").isNull, col("stream"))
+            .otherwise(regexp_replace(
+              col("stream"),
+              concat(lit("(^|(?<= ))"), rxQuote(col("m_left")), lit(" "),
+                rxQuote(col("m_right")), lit("((?= )|$)")),
+              concat(repQuote(col("m_left")), lit(BpeJoiner),
+                repQuote(col("m_right"))))))
         .drop("m_left", "m_right")
     }
     cur.select(col("doc_id"), col("n_tokens_before"),

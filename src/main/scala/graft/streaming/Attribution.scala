@@ -69,18 +69,9 @@ object Attribution {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + Integer.toHexString(dir.hashCode)
         val out = s"/root/repo/target/graft-events/$tag/attribution"
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // nanos (nanosAsLong)
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        def source() = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // shared schema-adaptive source (r10: a hand-pinned nanos schema
+        // silently corrupted a micros fixture)
+        def source() = EventsSource.stream(s, dir)
         val (p0, c0) = shape(source())
         val p = p0.withWatermark("purchase_ts", "1 hour")
         val c = c0.withWatermark("click_ts", "1 hour")

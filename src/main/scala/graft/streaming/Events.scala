@@ -22,16 +22,11 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  /** The events parquet carries TIMESTAMP(NANOS) — Spark's reader rejects
-    * nanos outright, so read them as raw int64 and floor to micros (DuckDB
-    * does the same nanos→micros truncation natively, so both engines see
-    * identical microsecond instants). `div` is integral division — a
-    * double-typed `/` would corrupt 19-digit nano epochs (> 2^53). */
-  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Batch events relation — delegated to the shared schema-adaptive
+    * [[EventsSource]] (handles int64-nanos AND native-timestamp fixtures;
+    * r10 regression). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    EventsSource.batch(s, dir)
 
   /** Tumbling 1-hour event-time windows per event type (ST4 surface in
     * batch form). */
@@ -111,22 +106,10 @@ object Events {
 
   /** The streaming events source: file-source `readStream` over the sf
     * dir filtered to the events file (a production deployment streams an
-    * events/ dir), nanos read as raw int64 and floored to micros exactly
-    * like the batch [[events]] reader. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // nanos (nanosAsLong)
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+    * events/ dir) — delegated to the shared schema-adaptive
+    * [[EventsSource]], same `ts` normalization as the batch [[events]]. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    EventsSource.stream(s, dir)
 
   /** Shared complete-mode streaming runner: builds `aggOf(eventStream)`,
     * drains it with `Trigger.AvailableNow` into a foreachBatch sink that

@@ -129,26 +129,11 @@ object StatefulSessions {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + Integer.toHexString(dir.hashCode)
         val out = s"/root/repo/target/graft-events/$tag/sessions"
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.LongType), // nanos (nanosAsLong)
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("props",
-            org.apache.spark.sql.types.StringType)))
+        // shared schema-adaptive source (r10: a hand-pinned nanos schema
+        // silently corrupted a micros fixture)
         implicit val evtEnc = Encoders.product[Evt]
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .select(col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+        val stream = EventsSource.stream(s, dir)
+          .select(col("user_id"), col("ts"), col("value"))
           .withWatermark("ts", "0 seconds")
           .as[Evt]
         val sessions = sessionize(stream)

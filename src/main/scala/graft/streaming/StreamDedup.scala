@@ -50,18 +50,9 @@ object StreamDedup {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + Integer.toHexString(dir.hashCode)
         val out = s"/root/repo/target/graft-events/$tag/dedup"
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // nanos (nanosAsLong)
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        def source() = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // shared schema-adaptive source (r10: a hand-pinned nanos schema
+        // silently corrupted a micros fixture)
+        def source() = EventsSource.stream(s, dir)
         // every record delivered twice: the at-least-once transport,
         // simulated exactly
         val duplicated = source().union(source())
