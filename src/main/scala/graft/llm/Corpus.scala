@@ -668,8 +668,13 @@ object Corpus {
         < col("sample_rate") * lit(DomainKeepMod.toDouble))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
-    // left join: a source whose rate rounds to 0 keeps nothing
-    rates.join(kept, Seq("source"), "left")
+    // left join: a source whose rate rounds to 0 keeps nothing. kept is a
+    // #sources-row aggregate — broadcast it so the final join is a BHJ on
+    // the outer rates side instead of a sort-merge that exchanges BOTH
+    // tiny relations (r10 VERDICT #9: two of this entry's exchanges were
+    // this join); rates' own bySource exchange dedupes via ReuseExchange
+    // with the copy inside kept's lineage.
+    rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("src_tokens"), col("share"),
         col("sample_rate"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
