@@ -287,17 +287,23 @@ object Similarity {
   /** The E step: every vector to its nearest refined centroid.
     * cosineFold (the composable-built-ins cosine — it casts both sides to
     * double, handling the float-embedding × double-centroid mix;
-    * bit-identical to the native expression). */
-  private def assignTo(e: DataFrame, refined: DataFrame): DataFrame = {
-    val sims = e.crossJoin(broadcast(refined.select(col("cent_id"), col("cv"))))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
+    * bit-identical to the native expression).
+    *
+    * Argmax as `max_by(cent_id, struct(sim, -cent_id))` — highest sim,
+    * lowest cent_id on ties, and the struct key is UNIQUE per candidate
+    * (cent_id disambiguates), so the pick is deterministic and equals the
+    * row_number formulation the oracle unrolls. A hash aggregate with
+    * map-side combine instead of sort+window, and — the r11 build-cost
+    * cut — only (vec_id, cent_id, sim) crosses the exchange: the earlier
+    * window form dragged every 64-float embedding through the per-round
+    * shuffle ×K candidates just for the caller to drop it. */
+  private def assignTo(e: DataFrame, refined: DataFrame): DataFrame =
+    e.crossJoin(broadcast(refined.select(col("cent_id"), col("cv"))))
+      .select(col("vec_id"), col("cent_id"),
         cosineFold(col("embedding"), col("cv")).as("sim"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cent_id"))
-    sims.withColumn("rn", row_number().over(byVec))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("sim"), negate(col("cent_id")).as("nc"))).as("cent_id"))
 
   /** Runtime upper bound on Lloyd iterations for [[ivfKmeansConverged]].
     * Decoupled from the ORACLE's unroll depth (r10 VERDICT #5: cap 8
@@ -369,16 +375,22 @@ object Similarity {
         // ref is persisted (K rows) so the post-loop result reads cached
         // centroids; the M step re-attaches embeddings by vec_id join
         ref = refineCentroids(e.join(a, "vec_id")).persist()
-        // eager localCheckpoint = materialize + cut lineage (see above)
+        // The change flag is FUSED into the checkpointed plan (r11): the
+        // old shape ran a second shuffle-join job per round just to count
+        // diffs against the previous assignment; joining prev inside the
+        // assignment plan makes the count a cheap scan of the checkpoint.
+        // Eager localCheckpoint = materialize + cut lineage (see above).
         val next = assignTo(e, ref)
-          .select(col("vec_id"), col("cent_id")).localCheckpoint()
-        val changes = next.as("x")
-          .join(a.as("y"), col("x.vec_id") === col("y.vec_id"))
-          .where(col("x.cent_id") =!= col("y.cent_id"))
+          .join(a.withColumnRenamed("cent_id", "prev_cent"), Seq("vec_id"))
+          .select(col("vec_id"), col("cent_id"),
+            (col("cent_id") =!= col("prev_cent")).as("changed"))
+          .localCheckpoint()
+        val changes = next.where(col("changed"))
           .count() // one-row scalar per round (the size-gate discipline)
         prevRef.foreach(_.unpersist())
         prevRef = Some(ref)
-        a = next // previous checkpoint's blocks are ContextCleaner-reclaimed
+        // previous checkpoint's blocks are ContextCleaner-reclaimed
+        a = next.select(col("vec_id"), col("cent_id"))
         iters += 1
         converged = changes == 0L
       }
