@@ -364,7 +364,11 @@ object Similarity {
     * [[ivfIndex]], not a per-query recomputation. */
   def ivfKmeansConverged(s: SparkSession, dir: String): DataFrame =
     kmeansCache.getOrElseUpdate(s, dir) {
-      val e = emb(s, dir)
+      // the loop's embedding side reads the PERSISTED index relation
+      // (same (vec_id, embedding) values as the parquet), not emb(): the
+      // old form re-scanned + re-spread the parquet twice per round
+      val e = ivfIndex(s, dir).where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"))
       var a = ivfIndex(s, dir).where(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"))
       var prevRef: Option[DataFrame] = None  // previous round's centroids
