@@ -77,7 +77,8 @@ class EventsSourceSpec extends SparkSpec {
   }
 
   test("stream: both fixture encodings drain to the batch rows") {
-    for ((dir, tag) <- Seq((nanosDir, "nanos"), (ntzDir, "ntz"))) {
+    for ((dir, tag) <- Seq((nanosDir, "nanos"), (ntzDir, "ntz"),
+        (tsDir, "instant"))) {
       val src = EventsSource.stream(spark, dir)
       assert(src.isStreaming)
       assert(src.schema("ts").dataType === TimestampType, s"dir=$dir")
