@@ -369,6 +369,27 @@ object Similarity {
       // old form re-scanned + re-spread the parquet twice per round
       val e = ivfIndex(s, dir).where(col("rn") === 1)
         .select(col("vec_id"), col("embedding"))
+      // Size-gated broadcast of the SLIM (vec_id, cent_id) assignment into
+      // its two per-round joins (M-step re-attach + change-flag): under the
+      // gate each round drops two exchanges — at a bounded per-round job
+      // count that is the dominant cost (measured r11: tiny-data rounds are
+      // stage-scheduling-bound). Past the gate (corpus-scale assignment)
+      // the plain vertex-keyed shuffle join is the fallback, same
+      // discipline as the df-relation / boilerplate-set gates (X2/X29).
+      val SlimBroadcastMaxRows = 1000000L // 2 long cols → ≤ ~16 MB
+      val nVecs = e.count() // one scalar job on the persisted index
+      def gated(df: DataFrame): DataFrame =
+        if (nVecs <= SlimBroadcastMaxRows) broadcast(df) else df
+      // Under the same gate, pin a narrow shuffle width for the loop's own
+      // stages (saved/restored around the build): the per-round exchanges
+      // move kilobytes, so 32-wide stages are pure task-scheduling
+      // overhead — this is the static-plan equivalent of AQE partition
+      // coalescing, which the bench session runs without. Corpus-scale
+      // builds (past the gate) keep the session width.
+      val prevShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
+      if (nVecs <= SlimBroadcastMaxRows)
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       var a = ivfIndex(s, dir).where(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"))
       var prevRef: Option[DataFrame] = None  // previous round's centroids
@@ -378,14 +399,15 @@ object Similarity {
       while (iters < MaxKmeansIters && !converged) {
         // ref is persisted (K rows) so the post-loop result reads cached
         // centroids; the M step re-attaches embeddings by vec_id join
-        ref = refineCentroids(e.join(a, "vec_id")).persist()
+        ref = refineCentroids(e.join(gated(a), "vec_id")).persist()
         // The change flag is FUSED into the checkpointed plan (r11): the
         // old shape ran a second shuffle-join job per round just to count
         // diffs against the previous assignment; joining prev inside the
         // assignment plan makes the count a cheap scan of the checkpoint.
         // Eager localCheckpoint = materialize + cut lineage (see above).
         val next = assignTo(e, ref)
-          .join(a.withColumnRenamed("cent_id", "prev_cent"), Seq("vec_id"))
+          .join(gated(a.withColumnRenamed("cent_id", "prev_cent")),
+            Seq("vec_id"))
           .select(col("vec_id"), col("cent_id"),
             (col("cent_id") =!= col("prev_cent")).as("changed"))
           .localCheckpoint()
@@ -411,6 +433,9 @@ object Similarity {
       result.count() // materialize so the loop relations can be dropped
       prevRef.foreach(_.unpersist())
       result
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+      }
     }
 
   val NearDupCosine = 0.4
