@@ -284,7 +284,7 @@ object Corpus {
 
   /** Max doc_id (0 on empty input) — the one scalar [[packWidth]] needs. */
   private[llm] def maxDocId(d: DataFrame): Long =
-    d.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0)
+    d.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
 
   /** [[packOf]] over a pre-tokenized (doc_id, n_tokens) relation — the form
     * pipeline stages feed directly ([[curationPipelineOf]]). */
@@ -401,7 +401,7 @@ object Corpus {
     // md5s either way).
     val stats = d.agg(
       coalesce(sum(n.cast(LongType)), lit(0L)),
-      count(lit(1))).head
+      count(lit(1))).head()
     val lineBound =
       (stats.getLong(0) + stats.getLong(1) * (LineTokens - 1)) / LineTokens
     val flagged =

@@ -135,7 +135,7 @@ object Dedup {
     // below.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val totalShingles =
-      sets.agg(sum(col("n"))).head.getLong(0) // one job over the cache
+      sets.agg(sum(col("n"))).head().getLong(0) // one job over the cache
     val dfreqSized =
       if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
       else dfreq

@@ -102,7 +102,8 @@ object Similarity {
   /** The signed projection Σ_i sign_pi · v_i for plane p. */
   private def projection(v: Column, p: Int): Column =
     aggregate(
-      zip_with(v, array(planeSigns(p).map(x => lit(x.toDouble)): _*),
+      zip_with(v, array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        planeSigns(p).map(x => lit(x.toDouble))): _*),
         (x, sgn) => x.cast(DoubleType) * sgn),
       lit(0.0), (acc, x) => acc + x)
 

@@ -142,7 +142,7 @@ object StatefulSessions {
         val outPath = new org.apache.hadoop.fs.Path(out)
         outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(outPath, true)
-        val q = sessions.toDF.writeStream
+        val q = sessions.toDF().writeStream
           .outputMode("append")
           .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
