@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-width tuning for bounded tiny-relation LOOPS (iterative label
+  * propagation, Lloyd rounds): their per-round exchanges move kilobytes,
+  * so running them at the session's corpus-sized shuffle width is pure
+  * task-scheduling overhead. [[withNarrowShuffle]] pins a narrow width for
+  * the loop's own planning+execution and restores the session width after
+  * — the static-plan equivalent of AQE partition coalescing (which the
+  * bench session disables, and which would pay a per-stage re-plan barrier
+  * in exactly these loops; see Bench.scala's AQE A/B history).
+  *
+  * Call sites gate on a MEASURED relation size (the same size-gate
+  * discipline as the broadcast gates in Dedup/Corpus): corpus-scale loop
+  * state keeps the session width.
+  */
+object Tuning {
+
+  def withNarrowShuffle[T](s: SparkSession, width: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

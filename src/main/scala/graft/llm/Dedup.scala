@@ -360,6 +360,32 @@ object Dedup {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // Size-gated narrow shuffle width for the propagation loop (r11, same
+    // treatment as the k-means build): the per-round vertex-keyed
+    // exchanges move label pairs, so a small graph at the session's
+    // corpus-sized width is scheduling-bound. The count is one job over
+    // the freshly persisted edges; corpus-scale graphs keep the width.
+    val nEdges = edges.count()
+    val sessionWidth =
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val labels = graft.Tuning.withNarrowShuffle(pairs.sparkSession,
+        width = if (nEdges <= 1000000L) 8 else sessionWidth) {
+      propagate(edges)
+    }
+    // final rollup runs at the session width (it is corpus-row-sized at
+    // scale, unlike the loop's label-pair state)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("doc_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
+  /** The min-label propagation loop over a symmetric persisted edge set;
+    * returns the converged (doc_id, label) relation (persisted). */
+  private def propagate(edges: DataFrame): DataFrame = {
     // seed with round 1 already applied: label₀(x) = min(x, neighbors(x))
     // comes straight out of the vertex aggregation, so clique-shaped
     // components (the common near-dup case) converge after a single
@@ -395,12 +421,6 @@ object Dedup {
     // round count is the O(diameter) term that decides when the
     // large-star/small-star fallback becomes worth it
     System.err.println(s"[graft.clusters] converged after $round rounds")
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
-      .select(col("label").as("cluster_id"), col("doc_id"),
-        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
-      .orderBy(col("cluster_id"), col("doc_id"))
-    edges.unpersist()
-    out
+    labels
   }
 }

@@ -382,15 +382,13 @@ object Similarity {
       def gated(df: DataFrame): DataFrame =
         if (nVecs <= SlimBroadcastMaxRows) broadcast(df) else df
       // Under the same gate, pin a narrow shuffle width for the loop's own
-      // stages (saved/restored around the build): the per-round exchanges
-      // move kilobytes, so 32-wide stages are pure task-scheduling
-      // overhead — this is the static-plan equivalent of AQE partition
-      // coalescing, which the bench session runs without. Corpus-scale
-      // builds (past the gate) keep the session width.
-      val prevShufflePartitions = s.conf.get("spark.sql.shuffle.partitions")
-      if (nVecs <= SlimBroadcastMaxRows)
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // stages ([[graft.Tuning.withNarrowShuffle]]): the per-round
+      // exchanges move kilobytes, so 32-wide stages are pure
+      // task-scheduling overhead. Corpus-scale builds (past the gate)
+      // keep the session width.
+      val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.Tuning.withNarrowShuffle(s,
+        width = if (nVecs <= SlimBroadcastMaxRows) 8 else sessionWidth) {
       var a = ivfIndex(s, dir).where(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"))
       var prevRef: Option[DataFrame] = None  // previous round's centroids
@@ -434,8 +432,6 @@ object Similarity {
       result.count() // materialize so the loop relations can be dropped
       prevRef.foreach(_.unpersist())
       result
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
       }
     }
 
