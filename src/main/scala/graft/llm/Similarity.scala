@@ -215,20 +215,29 @@ object Similarity {
     * deployment evaluates recall on a sampled query set exactly like
     * this, with the brute leg the expensive one by design). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
+    // ONE brute-baseline evaluation joined against BOTH approximate tiers
+    // in a single plan (a per-leg union would run the brute pipeline — the
+    // expensive leg by design — once per tier), then unpivoted to the
+    // (method, query_id) grain the oracle emits.
     val brute = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
-    def leg(method: String, approx: DataFrame): DataFrame =
-      brute.join(
-        broadcast(approx.select(col("query_id").as("aq"),
-          col("neighbor_id").as("an"))),
-        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+    val lsh = annLshTopK(s, dir)
+      .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+    val ivf = ivfTopK(s, dir)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("iv"))
+    brute
+      .join(broadcast(lsh),
+        col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
         "left")
-        .groupBy(col("query_id"))
-        .agg(count(col("an")).as("n_hits"))
-        .select(lit(method).as("method"), col("query_id"), col("n_hits"),
-          round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
-            .as("recall"))
-    leg("ann_lsh", annLshTopK(s, dir))
-      .unionAll(leg("ivf", ivfTopK(s, dir)))
+      .join(broadcast(ivf),
+        col("query_id") === col("iq") && col("neighbor_id") === col("iv"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("ln")).as("lsh_hits"), count(col("iv")).as("ivf_hits"))
+      .select(col("query_id"), expr(
+        "stack(2, 'ann_lsh', lsh_hits, 'ivf', ivf_hits) AS (method, n_hits)"))
+      .select(col("method"), col("query_id"), col("n_hits"),
+        round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
+          .as("recall"))
       .orderBy(col("method"), col("query_id"))
   }
 
