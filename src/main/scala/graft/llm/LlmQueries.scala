@@ -52,21 +52,28 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
 
   private val annLshOracle: String = {
-    val bktExpr = (0 until Similarity.Planes).map { p =>
-      val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
-        s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
-      s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    // per-table bucket expressions, collected into one list literal and
+    // unpivoted — the twin of Spark's posexplode over annBucket(t)
+    val bktList = (0 until Similarity.AnnTables).map { t =>
+      (0 until Similarity.AnnPlanes).map { p =>
+        val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.annPlaneSql(t, p)})[i]))"
+        s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+    }.mkString("[", ", ", "]")
     s"""
-        WITH b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
-        q AS (SELECT vec_id AS query_id, embedding AS qv, bkt AS qbkt
-              FROM b WHERE vec_id < ${Similarity.QueryCount}),
-        pr AS (SELECT query_id, qv,
+        WITH b AS (SELECT vec_id, embedding, $bktList AS bkts FROM embeddings),
+        bb AS (SELECT vec_id, embedding, t, bkts[t + 1] AS bkt
+               FROM b CROSS JOIN generate_series(0, ${Similarity.AnnTables - 1}) tt(t)),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, t AS qtbl, bkt AS qbkt
+              FROM bb WHERE vec_id < ${Similarity.QueryCount}),
+        pr AS (SELECT query_id, qv, qtbl,
                       CASE WHEN i = -1 THEN qbkt ELSE xor(qbkt, 1 << i) END AS probe
-               FROM q CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
-        p AS (SELECT pr.query_id, b.vec_id AS neighbor_id,
-                     ${cosineSql("pr.qv", "b.embedding")} AS cosine
-              FROM b JOIN pr ON b.bkt = pr.probe AND b.vec_id <> pr.query_id),
+               FROM q CROSS JOIN generate_series(-1, ${Similarity.AnnPlanes - 1}) g(i)),
+        p AS (SELECT DISTINCT pr.query_id, bb.vec_id AS neighbor_id,
+                     ${cosineSql("pr.qv", "bb.embedding")} AS cosine
+              FROM bb JOIN pr ON bb.t = pr.qtbl AND bb.bkt = pr.probe
+                             AND bb.vec_id <> pr.query_id),
         r AS (SELECT query_id, neighbor_id, cosine,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cosine DESC, neighbor_id) AS rnk
@@ -534,20 +541,21 @@ object LlmQueries {
         ORDER BY cent_id""")),
 
     // Lloyd run to a verified fixpoint (r9 "What's missing" #2). The
-    // oracle UNROLLS OracleKmeansUnroll E/M rounds as generated CTEs —
-    // past the fixpoint each round is a no-op (the step is a pure
-    // function of the assignment), so the unrolled final state equals
-    // Spark's early-exited one, and n_iters = first round with zero
-    // assignment changes = Spark's loop count. The unroll depth is
-    // deliberately SMALLER than Spark's runtime cap (r10 VERDICT #5):
-    // the oracle pays per unrolled round but only ever runs at the
-    // sf0.01 gate (fixpoint 8), while Spark's cap must cover the bench
-    // scales too (sf0.1 fixpoint ~24). Empty clusters drop out of both
-    // engines' GROUP BY identically.
+    // oracle UNROLLS the FULL MaxKmeansIters E/M rounds as generated
+    // CTEs — past the fixpoint each round is a no-op (the step is a
+    // pure function of the assignment), so the unrolled final state
+    // equals Spark's early-exited one, and n_iters = first round with
+    // zero assignment changes = Spark's loop count. The unroll depth
+    // EQUALS Spark's runtime cap (r11 VERDICT #1: a shallower
+    // oracle-only unroll certified sf0.01 but mismatched at sf0.1),
+    // making the compare scale-consistent at any sf: below the cap
+    // both report (fixpoint, true); past it both report (cap, false).
+    // Cost is linear in rounds thanks to AS MATERIALIZED. Empty
+    // clusters drop out of both engines' GROUP BY identically.
     QueryDef("similarity_ivf_kmeans_converged",
       (s, dir) => Similarity.ivfKmeansConverged(s, dir),
       Some {
-        val n = Similarity.OracleKmeansUnroll
+        val n = Similarity.MaxKmeansIters
         val init = s"""
         WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
                    WHERE vec_id >= ${Similarity.CentroidBase}
