@@ -147,6 +147,15 @@ object Prof {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         bench("cand")(cand)
+      } else if (args.head == "domain_mix_ab") {
+        // r11 VERDICT #3: same-session A/B of the fused two-job domain-mix
+        // plan vs the r11 four-relation shape, interleaved to average out
+        // host noise; both share the persisted per-doc token index.
+        import graft.llm.Corpus
+        (1 to 2).foreach { round =>
+          bench(s"legacy_r$round")(Corpus.domainMixLegacy(spark, sfDir))
+          bench(s"fused_r$round")(Corpus.domainMix(spark, sfDir))
+        }
       } else if (args.head == "ngram_parts") {
         import org.apache.spark.sql.expressions.Window
         import graft.llm.Dedup

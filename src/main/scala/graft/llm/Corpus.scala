@@ -649,10 +649,14 @@ object Corpus {
   private[llm] def domainMixOf(d: DataFrame): DataFrame =
     mixOfPerDoc(perDocTokens(d))
 
-  private def mixOfPerDoc(perDoc: DataFrame): DataFrame = {
+  /** A/B reference for [[graft.Prof]]'s domain_mix_ab mode: the r11
+    * four-relation shape (totals broadcast + rates broadcast + kept
+    * subquery + left join) this round's fused [[mixOfPerDoc]] replaced.
+    * Same results, four job floors. */
+  private[graft] def domainMixLegacy(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = domainPerDoc(s, dir)
     val bySource = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
-    // grand total over the per-source relation (#sources rows, not corpus)
     val totals = bySource.agg(
       sum(col("src_tokens")).cast(DoubleType).as("total_tokens"))
     val rates = bySource.crossJoin(broadcast(totals))
@@ -668,17 +672,53 @@ object Corpus {
         < col("sample_rate") * lit(DomainKeepMod.toDouble))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
-    // left join: a source whose rate rounds to 0 keeps nothing. kept is a
-    // #sources-row aggregate — broadcast it so the final join is a BHJ on
-    // the outer rates side instead of a sort-merge that exchanges BOTH
-    // tiny relations (r10 VERDICT #9: two of this entry's exchanges were
-    // this join); rates' own bySource exchange dedupes via ReuseExchange
-    // with the copy inside kept's lineage.
     rates.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("src_tokens"), col("share"),
         col("sample_rate"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private def mixOfPerDoc(perDoc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Two jobs total (r11 VERDICT #3 — the old four-relation shape spent
+    // its time on four job floors: totals broadcast, rates broadcast,
+    // kept broadcast, final join. Measured same-session interleaved A/B,
+    // [[graft.Prof]] domain_mix_ab at sf0.1: legacy ~1.05 s warm → fused
+    // ~0.58 s. The residue is these two jobs' scheduling floor over a
+    // 20-row result — the only single-job form would collect_list every
+    // doc's (hash, n_tokens) into one row per source and filter with
+    // higher-order functions, which serializes a source's corpus slice
+    // into a single task: scale-hostile, rejected):
+    //  1. the grand total rides the per-source aggregate as an
+    //     unpartitioned window — legal because the window input is the
+    //     #sources-row aggregate (a bounded source registry), never the
+    //     corpus;
+    //  2. the kept-side subquery + left join collapse into ONE
+    //     conditional aggregation — rate columns ferried through the
+    //     group key (functionally dependent on source), and a source
+    //     whose rate keeps nothing yields zero sums instead of a missing
+    //     group, since every source has ≥ 1 doc by construction.
+    val total = sum(col("src_tokens"))
+      .over(Window.partitionBy()).cast(DoubleType)
+    val rates = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        round(col("src_tokens") / total, 6).as("share"),
+        round(least(lit(1.0),
+          lit(DomainCapShare) * total / col("src_tokens")), 6)
+          .as("sample_rate"))
+    val keep = pmod(hash64(concat(lit("dmix|"), col("doc_id").cast(StringType))),
+      lit(DomainKeepMod)).cast(DoubleType)
+      .lt(col("sample_rate") * lit(DomainKeepMod.toDouble))
+    perDoc
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"), col("n_docs"), col("src_tokens"), col("share"),
+        col("sample_rate"))
+      .agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
       .orderBy(col("source"))
   }
 
