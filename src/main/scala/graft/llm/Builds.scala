@@ -23,6 +23,8 @@ object Builds {
       ((s, d) => { Similarity.ivfKmeansConverged(s, d).count(); () }),
     "build_bpe_merges" ->
       ((s, d) => { TextAnalysis.bpeMerges(s, d).count(); () }),
+    "build_bpe_train" ->
+      ((s, d) => { TextAnalysis.bpeTrainedMerges(s, d).count(); () }),
     "build_bm25_stats" ->
       ((s, d) => { Corpus.bm25PerDoc(s, d).count(); () }),
     "build_term_freqs" ->

@@ -367,32 +367,43 @@ object TextAnalysis {
   def bpeApply(s: SparkSession, dir: String): DataFrame =
     bpeApplyOf(docs(s, dir), bpeMerges(s, dir))
 
+  // regex-literal escape for a token (Pattern.quote, expression form):
+  // backslash every non-alphanumeric so merge symbols like `a_b` or
+  // punctuation tokens match literally
+  private def rxQuote(c: Column): Column =
+    regexp_replace(c, "([^a-zA-Z0-9])", "\\\\$1")
+  // replacement-string escape: `\` and `$` are special in replacements
+  private def repQuote(c: Column): Column =
+    regexp_replace(c, "([\\\\$])", "\\\\$1")
+
+  /** One greedy left-to-right merge pass: join the 1-row (left, right)
+    * rule as a broadcast and rewrite `stream` — the shared stage of
+    * [[bpeApplyOf]] and the [[bpeTrainedMerges]] loop. A rank with no
+    * rule row null-disables the stage. */
+  private def mergeStage(cur: DataFrame, rule: DataFrame): DataFrame =
+    cur.join(broadcast(rule), lit(true), "left")
+      .withColumn("stream",
+        when(col("m_left").isNull, col("stream"))
+          .otherwise(regexp_replace(
+            col("stream"),
+            concat(lit("(^|(?<= ))"), rxQuote(col("m_left")), lit(" "),
+              rxQuote(col("m_right")), lit("((?= )|$)")),
+            concat(repQuote(col("m_left")), lit(BpeJoiner),
+              repQuote(col("m_right"))))))
+      .drop("m_left", "m_right")
+
   /** [[bpeApply]] over any (doc_id, text) relation and ranked
-    * (left, right, rnk) merge table — unit-testable form. */
-  def bpeApplyOf(d: DataFrame, merges: DataFrame): DataFrame = {
-    // regex-literal escape for a token (Pattern.quote, expression form):
-    // backslash every non-alphanumeric so merge symbols like `a_b` or
-    // punctuation tokens match literally
-    def rxQuote(c: Column): Column =
-      regexp_replace(c, "([^a-zA-Z0-9])", "\\\\$1")
-    // replacement-string escape: `\` and `$` are special in replacements
-    def repQuote(c: Column): Column =
-      regexp_replace(c, "([\\\\$])", "\\\\$1")
+    * (left, right, rnk) merge table — unit-testable form. `maxRank`
+    * bounds the stage count (the trained table has [[BpeTrainRounds]]
+    * rules; the one-shot table has [[BpeTopPairs]]). */
+  def bpeApplyOf(d: DataFrame, merges: DataFrame,
+      maxRank: Int = BpeTopPairs): DataFrame = {
     var cur = d.select(col("doc_id"), ltrim(col("text")).as("stream"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens_before"))
-    for (k <- 1 to BpeTopPairs) {
+    for (k <- 1 to maxRank) {
       val rule = merges.where(col("rnk") === k)
         .select(col("left").as("m_left"), col("right").as("m_right"))
-      cur = cur.join(broadcast(rule), lit(true), "left")
-        .withColumn("stream",
-          when(col("m_left").isNull, col("stream"))
-            .otherwise(regexp_replace(
-              col("stream"),
-              concat(lit("(^|(?<= ))"), rxQuote(col("m_left")), lit(" "),
-                rxQuote(col("m_right")), lit("((?= )|$)")),
-              concat(repQuote(col("m_left")), lit(BpeJoiner),
-                repQuote(col("m_right"))))))
-        .drop("m_left", "m_right")
+      cur = mergeStage(cur, rule)
     }
     cur.select(col("doc_id"), col("n_tokens_before"),
         size(split(col("stream"), " ")).cast(LongType).as("n_tokens_after"),
@@ -403,6 +414,83 @@ object TextAnalysis {
         col("n_merges"), col("retok_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Certified recount-after-merge rounds in [[bpeTrainedMerges]]. Like
+    * the k-means cap, the oracle unrolls exactly this many rounds, so the
+    * compare is consistent at any scale; 6 is enough to force the
+    * recount to DIVERGE from the one-shot ranking (merged symbols start
+    * winning pair counts) while keeping the unrolled oracle affordable. */
+  val BpeTrainRounds = 6
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val bpeTrainCache = new graft.SessionMemo[DataFrame]
+
+  /** ITERATIVE BPE merge learning (r11 VERDICT "What's missing" #3:
+    * [[bpePairs]] ranks the top-[[BpeTopPairs]] pairs of ONE corpus
+    * count, but real BPE training recounts after every merge because
+    * pair frequencies change as merges apply — Sennrich et al.'s loop).
+    * [[BpeTrainRounds]] rounds of: count adjacent pairs over the CURRENT
+    * token stream, select the single most-frequent pair (count desc,
+    * lexicographic tiebreak), apply that merge corpus-wide with the
+    * shared greedy [[mergeStage]] pass. Emits the trained merge table
+    * (rnk, left, right, pair_count at selection time) in exactly the
+    * shape [[bpeApplyOf]] consumes — text_bpe_train_apply runs the
+    * standard apply engine over it. Unlike the one-shot table, trained
+    * rules can be COMPOSITE (a later round may merge an earlier round's
+    * `a_b` symbol — pinned by BpeTrainSpec).
+    *
+    * The oracle unrolls the same [[BpeTrainRounds]] rounds as
+    * `AS MATERIALIZED` CTEs (the k-means unroll discipline —
+    * linear cost, identical first-k-rounds semantics at any sf).
+    *
+    * 100 TB: each round = one pair-keyed aggregation (map-side combine;
+    * shuffle volume is the distinct-pair vocabulary, not the corpus) +
+    * a TakeOrderedAndProject top-1 + one broadcast-rule regex pass over
+    * the stream. The stream is `localCheckpoint`ed per round to truncate
+    * lineage (the k-means discipline — without it round k re-executes
+    * every earlier rewrite, O(rounds²) total work), so per-round state is
+    * one (doc_id, stream) relation. Built once per (session, dir); the
+    * table is an index-build artifact like [[bpeMerges]]. */
+  def bpeTrainedMerges(s: SparkSession, dir: String): DataFrame =
+    bpeTrainCache.getOrElseUpdate(s, dir)(bpeTrainedMergesOf(docs(s, dir)))
+
+  /** [[bpeTrainedMerges]] over any (doc_id, text) relation — unit-testable
+    * form (BpeTrainSpec pins the recount/composite-merge semantics). */
+  private[llm] def bpeTrainedMergesOf(d: DataFrame): DataFrame = {
+      var stream = d
+        .select(col("doc_id"), ltrim(col("text")).as("stream"))
+        .localCheckpoint()
+      val rules = (1 to BpeTrainRounds).map { k =>
+        val t = split(col("stream"), " ")
+        val pairs = transform(sequence(lit(1), size(t) - 1), i => struct(
+          element_at(t, i.cast(IntegerType)).as("left"),
+          element_at(t, (i + 1).cast(IntegerType)).as("right")))
+        val top1 = stream.where(size(t) >= 2)
+          .select(explode(pairs).as("p"))
+          .select(col("p.left").as("left"), col("p.right").as("right"))
+          .groupBy(col("left"), col("right"))
+          .agg(count(lit(1)).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left"), col("right"))
+          .limit(1)
+          .select(lit(k.toLong).as("rnk"), col("left"), col("right"),
+            col("pair_count"))
+          .persist()
+        stream = mergeStage(stream, top1
+          .select(col("left").as("m_left"), col("right").as("m_right")))
+          .localCheckpoint()
+        top1
+      }
+      val table = rules.reduce(_ union _).orderBy(col("rnk")).persist()
+      table.count() // materialize so downstream reads never re-loop
+      table
+    }
+
+  /** The trained table driven through the standard apply engine — the
+    * tokenizer-training story end to end: learn merges iteratively
+    * ([[bpeTrainedMerges]]), then re-tokenize the corpus with them. */
+  def bpeTrainApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(docs(s, dir), bpeTrainedMerges(s, dir),
+      maxRank = BpeTrainRounds)
 
   /** Rolling-hash fingerprint: minimum md5 over all character 8-grams (a
     * 1-permutation MinHash over character shingles — the winnowing
