@@ -18,10 +18,24 @@ import graft.warehouse.Warehouse
   */
 object Bench {
 
+  /** One cold pass over every registered index build on the given
+    * session; -1.0 marks a failed build (never swallowed into a fast
+    * timing). */
+  private def timeBuilds(s: SparkSession, sfDir: String): Seq[(String, Double)] =
+    graft.llm.Builds.all.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      try { f(s, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    def makeSession(): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,6 +90,24 @@ object Bench {
       // signature — so doubled again; same headroom argument at ~100 MB.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
+
+    // Build sample 1 runs on a THROWAWAY session that is stopped before
+    // the real one starts: the builders memoize per (session, dir), so a
+    // fresh session is the only honest cache-miss replay (r11 VERDICT #5:
+    // single-sample cold builds drifted 15.5 → 20.3 s within one round
+    // with no code change — min-of-2 across two fresh sessions bounds
+    // that noise; the min also sheds the first sample's JVM/codegen
+    // warm-up, which the old single sample charged to whichever build
+    // ran first).
+    val buildsRun1: Seq[(String, Double)] = {
+      val s0 = makeSession()
+      s0.sparkContext.setLogLevel("WARN")
+      val t = timeBuilds(s0, sfDir)
+      s0.stop()
+      t
+    }
+
+    val spark = makeSession()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Unit =
@@ -86,22 +118,17 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
 
     // COLD index-build timings, taken FIRST (r10 VERDICT #6): the memoized
-    // index builds (IVF assignment, k-means fixpoint, BPE merge table,
-    // BM25 doc stats, tf index) otherwise hide inside the untimed bring-up
+    // index builds (IVF assignment, k-means fixpoint, BPE tables, BM25
+    // doc stats, tf index) otherwise hide inside the untimed bring-up
     // and their queries' bench mins time a cache read — build cost is an
     // explicit metric (BENCH_DETAIL "builds") so the artifact can't
-    // overstate the engine. Timed on the cold session by construction;
-    // JVM warm-up is charged here rather than understate the build.
-    val buildTimings: Seq[(String, Double)] = graft.llm.Builds.all.map {
-      case (name, f) =>
-        val t0 = System.nanoTime()
-        try { f(spark, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
-        }
-    }
+    // overstate the engine. Sample 2 on this session; MIN of the two
+    // fresh-session samples is reported (r11 VERDICT #5).
+    val buildsRun2 = timeBuilds(spark, sfDir)
+    val buildTimings: Seq[(String, Double)] =
+      buildsRun1.zip(buildsRun2).map { case ((name, a), (_, b)) =>
+        name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
 
     // Cold bring-up, untimed: first warehouse build + one pass of every
     // query, so JVM/codegen/classloading warmup isn't charged to whichever
@@ -109,6 +136,20 @@ object Bench {
     Warehouse.tables(spark, sfDir)
     names.foreach { n => try runOnce(n) catch { case _: Throwable => () } }
 
+    // r11→r12 drift note (r11 VERDICT #4 — the star cluster q11/q13/q14/
+    // q17 drifted +22% r10→r11 with the rest of the commons): measured
+    // r12 attribution, not a plan regression. (1) the cluster's source is
+    // byte-identical r10→r11 (`git diff 341f538 f5f5999` is empty for
+    // RefQueries/star/warehouse; only SqlQueries' view registration
+    // changed). (2) r12 in-suite pass spread is tight (q11 0.368/0.385/
+    // 0.506s) — no intra-run contamination. (3) ISOLATED fresh-session
+    // runs (Prof named-entry, warehouse + one query) measure 0.56–0.8s
+    // for the same four queries — ABOVE the in-suite mins, so the suite
+    // itself is not slowing them; r10's 0.23s for q11 is reproducible
+    // under NO session shape today. Attribution: suite growth (86→98→100
+    // entries per interleaved pass, more persisted index/storage and
+    // codegen pressure) plus the documented ±30% host-noise band.
+    //
     // Three timed passes, INTERLEAVED round-robin over the whole suite
     // (pass p = warehouse rebuild + q1…qN), per-query min across passes.
     // Same total work as 3-consecutive-runs-per-query, but a sustained
@@ -224,8 +265,13 @@ object Bench {
     val buildsJson = buildTimings
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // both fresh-session samples, for drift diagnosis (mirrors "samples")
+    val buildSamplesJson = buildsRun1.zip(buildsRun2)
+      .map { case ((k, a), (_, b)) => "\"" + k + "\":[" + f3(a) + "," + f3(b) + "]" }
+      .mkString("{", ",", "}")
     val detail =
       s"""{"total":${f3(total)},"builds":$buildsJson,""" +
+        s""""build_samples":$buildSamplesJson,""" +
         s""""mins":$qs,"samples":$samplesJson,""" +
         s""""contention_spread_max":${f3(spreadMax)},""" +
         s""""n_passes":${passes.size},"graded_passes":$gradedJson,""" +

@@ -156,6 +156,71 @@ object Prof {
           bench(s"legacy_r$round")(Corpus.domainMixLegacy(spark, sfDir))
           bench(s"fused_r$round")(Corpus.domainMix(spark, sfDir))
         }
+      } else if (args.head == "text_tail_ab") {
+        // r11 VERDICT #7: is the text-op tail per-row CPU, job floor, or
+        // the range-sort's boundary-sampling pass re-running the expensive
+        // projection? A/B the same per-row map under (a) global orderBy
+        // (range sort: samples + re-executes the child), (b)
+        // repartition(1) + local sort (parallel map once, one exchange),
+        // (c) no sort at all (the floor).
+        import graft.llm.TextAnalysis
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val norm = TextAnalysis.normExpr(col("text"))
+        def mapped = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(norm).cast("long").as("n_chars_norm"),
+          md5(norm).as("norm_md5"))
+        // (d) sort the SLIM input first, expensive projection above the
+        // sort — sampling pass only scans raw columns; map runs once,
+        // parallel, order preserved through the project
+        def sortFirst = docs.orderBy(col("doc_id")).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(norm).cast("long").as("n_chars_norm"),
+          md5(norm).as("norm_md5"))
+        (1 to 2).foreach { r =>
+          bench(s"norm_orderby_r$r")(mapped.orderBy(col("doc_id")))
+          bench(s"norm_rep1sort_r$r")(
+            mapped.repartition(1).sortWithinPartitions(col("doc_id")))
+          bench(s"norm_nosort_r$r")(mapped)
+          bench(s"norm_sortfirst_r$r")(sortFirst)
+        }
+        println("[prof] sortFirst plan:\n" +
+          sortFirst.queryExecution.executedPlan.toString.take(2000))
+        // repetition variants: fold above vs below the sort
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val t = split(col("text"), " ")
+        val n = size(t)
+        val grams = transform(sequence(lit(0), n - 3),
+          i => concat_ws(" ", element_at(t, (i + 1).cast("int")),
+            element_at(t, (i + 2).cast("int")),
+            element_at(t, (i + 3).cast("int"))))
+        val maxRun = aggregate(
+          array_sort(grams),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+        def repProj(dd: org.apache.spark.sql.DataFrame) = dd
+          .select(col("doc_id"),
+            (n - 2).cast(LongType).as("n_grams"),
+            maxRun.as("max_gram_freq"))
+          .withColumn("rep_ratio",
+            round(col("max_gram_freq").cast(DoubleType) / col("n_grams"), 6))
+        val repBelow = repProj(docs.where(n >= 3)).orderBy(col("doc_id"))
+        val repAbove = repProj(
+          docs.where(n >= 3).select(col("doc_id"), col("text"))
+            .orderBy(col("doc_id")))
+        (1 to 2).foreach { r =>
+          bench(s"rep_foldbelow_r$r")(repBelow)
+          bench(s"rep_foldabove_r$r")(repAbove)
+        }
+        println("[prof] repAbove plan:\n" +
+          repAbove.queryExecution.executedPlan.toString.take(3000))
       } else if (args.head == "ngram_parts") {
         import org.apache.spark.sql.expressions.Window
         import graft.llm.Dedup

@@ -162,7 +162,12 @@ object Corpus {
         count(when(kept, lit(1))).as("n_kept"),
         round(min(col("surprisal")), 6).as("min_surprisal"),
         round(max(col("surprisal")), 6).as("max_surprisal"))
+      // the output domain is bounded (≤ QualityDeciles rows), so the
+      // total order is an orderBy+limit = TakeOrderedAndProject — one
+      // pass, no range-sampling job re-executing the scoring chain
+      // (r11 VERDICT #7); the limit can never drop a row
       .orderBy(col("decile"))
+      .limit(QualityDeciles)
   }
 
   /** Docs whose id ≡ 0 (mod this) play the held-out benchmark/eval set for

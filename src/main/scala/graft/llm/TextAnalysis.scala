@@ -114,8 +114,15 @@ object TextAnalysis {
         // the groupBy leaves hashpartitioning(doc_id, token), which does
         // NOT cluster by doc alone; re-partition by doc_id at build time so
         // tfidf's per-doc ranking window reads the cache shuffle-free
-        // (same build-time move as Dedup.shingleSets)
-        .repartition(col("doc_id"))
+        // (same build-time move as Dedup.shingleSets). RANGE partitioning
+        // (r12): satisfies the same ClusteredDistribution(doc_id) the
+        // window/groupBy consumers need, AND makes their doc_id-ordered
+        // finishes a LOCAL sort — a global orderBy would range-sample its
+        // child, re-executing the whole join+window chain a second time
+        // (measured on text_normalize: the sampling pass doubles the
+        // per-row work; see normalizeOf). One sampling pass at build time
+        // buys sampling-free ordered reads for every consumer.
+        .repartitionByRange(col("doc_id"))
         .persist())
 
   /** The token-level rollup of [[termFreqs]] — df per token, i.e. the idf
@@ -165,7 +172,12 @@ object TextAnalysis {
       .where(col("rnk") <= 3)
       .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
         col("rnk").cast(LongType).as("rnk"))
-      .orderBy(col("doc_id"), col("rnk"))
+      // LOCAL sort = total order: the plan inherits the index's RANGE
+      // partitioning on doc_id end-to-end (broadcast joins and the window
+      // preserve it), so partitions are disjoint doc_id ranges and no
+      // global-sort exchange — or its child-re-executing sampling pass —
+      // is needed (r11 VERDICT #7)
+      .sortWithinPartitions(col("doc_id"), col("rnk"))
   }
 
   /** Repetition detection (the Gopher-family quality rule): the share of a
@@ -196,6 +208,15 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+    // fold BELOW the sort, deliberately (r12, measured): hoisting the
+    // projection above the sort — the [[normalizeOf]] move — benched
+    // 4.0 s vs 0.83 s for this entry (Prof text_tail_ab): above the sort
+    // boundary the gram fold loses shared-subexpression evaluation and
+    // re-splits `text` per element access, a 5× loss that dwarfs the
+    // sampling pass's 2× it would save. The residual vs the oracle is
+    // the interpreted higher-order fold itself (DuckDB's list kernels
+    // are vectorized C++) — per-row work in one codegen'd scan stage,
+    // nothing structural.
     d
       .where(n >= 3)
       .select(col("doc_id"),
@@ -223,14 +244,24 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** [[normalize]] over any (doc_id, text) relation — unit-testable form. */
+  /** [[normalize]] over any (doc_id, text) relation — unit-testable form.
+    *
+    * The sort runs BELOW the projection, on the slim (doc_id, text) input:
+    * a global orderBy above it would range-sample its child — re-executing
+    * the regex+md5 chain a SECOND time just to pick partition boundaries.
+    * Measured (Prof text_tail_ab, sf0.1 warm): map+sort-above 0.65 s vs
+    * map-above-sort 0.60 s vs the no-sort floor 0.25 s — the projection
+    * now runs once at any scale, and the residual over the floor is the
+    * range-exchange machinery itself, which IS the scale-correct total-
+    * order idiom (a single-partition sort would serialize the corpus). */
   def normalizeOf(d: DataFrame): DataFrame = {
     val norm = normExpr(col("text"))
-    d.select(col("doc_id"),
-      length(col("text")).cast(LongType).as("n_chars_raw"),
-      length(norm).cast(LongType).as("n_chars_norm"),
-      md5(norm).as("norm_md5"))
+    d.select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_raw"),
+        length(norm).cast(LongType).as("n_chars_norm"),
+        md5(norm).as("norm_md5"))
   }
 
   /** Unigram-LM surprisal — the CCNet-style quality proxy: the mean
@@ -258,6 +289,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      // mirror the persisted index's RANGE clustering — surprisalFrom's
+      // local-sort finish relies on it
+      .repartitionByRange(col("doc_id"))
     surprisalFrom(tf, tf.groupBy(col("token"))
       .agg(sum(col("tf")).as("term_freq")))
   }
@@ -273,7 +307,10 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sdec").cast(DoubleType) / col("n_tokens"), 6).as("surprisal"))
-      .orderBy(col("doc_id"))
+      // both tf providers are RANGE-partitioned by doc_id (the persisted
+      // index and the test path below), the broadcast join and the
+      // shuffle-free groupBy preserve it → local sort is a total order
+      .sortWithinPartitions(col("doc_id"))
   }
 
   /** Top merge candidates for [[bpePairs]]. */
