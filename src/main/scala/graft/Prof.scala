@@ -519,6 +519,46 @@ object Prof {
         bench("window_no_respread")(rebuild(
           linesDirect.withColumn("c", count(lit(1)).over(Window.partitionBy(col("lmd5"))))
             .withColumn("kept", col("c") < Corpus.LineDupThreshold)))
+        // r12: how much of the registered form is the final orderBy's
+        // range-sampling pass re-executing the whole chain? Rebuild the
+        // broadcast-flag pipeline inline, minus/plus the global sort.
+        def flagChain = {
+          val boiler = linesDirect
+            .groupBy(col("lmd5")).agg(count(lit(1)).as("c"))
+            .where(col("c") >= Corpus.LineDupThreshold)
+            .select(col("lmd5"), lit(true).as("boiler"))
+          linesDirect.join(broadcast(boiler), Seq("lmd5"), "left")
+            .withColumn("kept", col("boiler").isNull)
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_lines"),
+              count(when(col("kept"), lit(1))).as("n_kept"),
+              md5(concat_ws("|", transform(
+                filter(array_sort(collect_list(struct(col("line_idx"), col("lmd5"), col("kept")))),
+                  x => x.getField("kept")),
+                x => x.getField("lmd5")))).as("clean_md5"))
+        }
+        def flagRange = {
+          val boiler = linesDirect
+            .groupBy(col("lmd5")).agg(count(lit(1)).as("c"))
+            .where(col("c") >= Corpus.LineDupThreshold)
+            .select(col("lmd5"), lit(true).as("boiler"))
+          linesDirect.join(broadcast(boiler), Seq("lmd5"), "left")
+            .withColumn("kept", col("boiler").isNull)
+            .repartitionByRange(col("doc_id"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_lines"),
+              count(when(col("kept"), lit(1))).as("n_kept"),
+              md5(concat_ws("|", transform(
+                filter(array_sort(collect_list(struct(col("line_idx"), col("lmd5"), col("kept")))),
+                  x => x.getField("kept")),
+                x => x.getField("lmd5")))).as("clean_md5"))
+            .sortWithinPartitions(col("doc_id"))
+        }
+        (1 to 2).foreach { r =>
+          bench(s"flag_ordered_r$r")(flagChain.orderBy(col("doc_id")))
+          bench(s"flag_unordered_r$r")(flagChain)
+          bench(s"flag_rangeagg_r$r")(flagRange)
+        }
       } else args.foreach(n => bench(n)(SparkEntry.queries(n)(spark, sfDir)))
       spark.stop()
       return

@@ -14,6 +14,16 @@ import org.apache.spark.sql.SparkSession
   * Call sites gate on a MEASURED relation size (the same size-gate
   * discipline as the broadcast gates in Dedup/Corpus): corpus-scale loop
   * state keeps the session width.
+  *
+  * INVARIANT (r11 ADVICE): the width is a session-global conf, so (1)
+  * every action the narrow width should govern must RUN inside the block
+  * — a DataFrame built here but executed after the block plans at
+  * whatever width is then current — and (2) the block must not race a
+  * concurrent query on the same session. Both hold for the only intended
+  * call sites, self-contained single-threaded loops that materialize
+  * per-round state internally (kmeans, label propagation). The finally
+  * fails loudly if the conf was changed underneath the block (nesting /
+  * concurrent mutation), rather than silently restoring a stale width.
   */
 object Tuning {
 
@@ -21,6 +31,12 @@ object Tuning {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", width.toString)
     try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      val now = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      require(now == width.toString,
+        s"withNarrowShuffle: width changed underneath the block " +
+          s"(expected $width, found $now) — nested or concurrent use")
+    }
   }
 }

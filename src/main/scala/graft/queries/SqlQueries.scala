@@ -46,8 +46,10 @@ object SqlQueries {
       // take out documents-only entries). Word-boundary match on the SQL
       // text is exact here — these are the only three raw-table names and
       // none appears as a column or alias in any registered body.
+      // Case-insensitive (r11 ADVICE): SQL identifiers are — a future
+      // `FROM EVENTS` must not skip registration and die at resolution.
       def references(view: String): Boolean =
-        ("""\b""" + view + """\b""").r.findFirstIn(body).isDefined
+        ("""(?i)\b""" + view + """\b""").r.findFirstIn(body).isDefined
       if (references("documents"))
         s.read.parquet(s"$dir/documents.parquet")
           .createOrReplaceTempView("documents")

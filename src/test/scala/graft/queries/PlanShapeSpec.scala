@@ -72,19 +72,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("text_unigram_surprisal: per-doc agg rides the index clustering (sort-only shuffle)") {
+  test("text_unigram_surprisal: per-doc agg rides the index clustering (zero shuffles)") {
     withStablePlans {
       val plan = graft.SparkEntry.queries("text_unigram_surprisal")(spark, sf001)
         .queryExecution.executedPlan
-      // the tf index is doc-partitioned at build time and the model joins
-      // are broadcast, so the only shuffles are the presentation sort and
-      // the 1-row SinglePartition scalar (total tokens, vocab-sized input)
+      // the tf index is RANGE-partitioned by doc_id at build time (r12),
+      // the model joins are broadcast, the per-doc agg rides the index
+      // clustering, and the doc_id-ordered finish is a LOCAL sort over
+      // the range partitions — so ABOVE the persisted index there are NO
+      // shuffles at all beyond the 1-row SinglePartition scalar (total
+      // tokens, vocab-sized input)
       val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
         .filterNot(_.outputPartitioning.toString.contains("SinglePartition"))
-      assert(exchanges.size == 1,
-        s"expected only the orderBy exchange over the persisted index:\n$plan")
-      assert(exchanges.head.outputPartitioning.toString.contains("range"),
-        s"the surviving exchange should be the presentation sort:\n${exchanges.head}")
+      assert(exchanges.isEmpty,
+        s"expected no exchange above the persisted index:\n$plan")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.nonEmpty && sorts.forall(!_.global),
+        s"the presentation sort must be local (range-clustered input):\n$plan")
     }
   }
 
