@@ -147,6 +147,26 @@ object Prof {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         bench("cand")(cand)
+      } else if (args.head == "bpe_train_ab") {
+        // r12: narrow-shuffle gate for the BPE train loop — time the full
+        // 6-round loop at session width vs the 8-wide gated width (the
+        // loop itself runs eager actions, so wall-clock brackets it).
+        import graft.llm.TextAnalysis
+        val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        // (the narrow-width arm ran via a temporary forceWidth hook; the
+        // measured wash is recorded at bpeTrainedMergesOf — this mode now
+        // just times the production loop)
+        def timeLoop(tag: String, w: Int): Unit = (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          graft.Tuning.withNarrowShuffle(spark, width = w) {
+            TextAnalysis.bpeTrainedMergesOf(raw).count()
+          }
+          println(f"[prof] $tag run$i exec=${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
+        (1 to 2).foreach { _ =>
+          timeLoop("wide32", 32)
+          timeLoop("narrow8", 8)
+        }
       } else if (args.head == "domain_mix_ab") {
         // r11 VERDICT #3: same-session A/B of the fused two-job domain-mix
         // plan vs the r11 four-relation shape, interleaved to average out

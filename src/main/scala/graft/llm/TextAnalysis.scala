@@ -493,7 +493,15 @@ object TextAnalysis {
 
   /** [[bpeTrainedMerges]] over any (doc_id, text) relation — unit-testable
     * form (BpeTrainSpec pins the recount/composite-merge semantics). */
-  private[llm] def bpeTrainedMergesOf(d: DataFrame): DataFrame = {
+  /** Loop width note (r12, measured): the k-means-style narrow-shuffle
+    * gate was tried here and benched a WASH (Prof bpe_train_ab, 8-wide
+    * 15.8 s vs 32-wide 16.6 s for the 6-round loop at sf0.1 under AQE) —
+    * unlike the kmeans/label-propagation loops, each round's cost is the
+    * corpus-wide regex rewrite + checkpoint materialization, not
+    * tiny-shuffle task scheduling. Reverted to the plain session width;
+    * the pair aggregation still map-side-combines to the pair
+    * vocabulary. */
+  private[graft] def bpeTrainedMergesOf(d: DataFrame): DataFrame = {
       var stream = d
         .select(col("doc_id"), ltrim(col("text")).as("stream"))
         .localCheckpoint()
