@@ -147,6 +147,15 @@ object Prof {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         bench("cand")(cand)
+      } else if (args.head == "explain") {
+        // plan audit: print the executed plan of named entries without
+        // running them (formatted mode shows codegen spans + pushdowns)
+        args.tail.foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          println(s"[prof] === $name ===")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).take(6000))
+        }
       } else if (args.head == "bpe_train_ab") {
         // r12: narrow-shuffle gate for the BPE train loop — time the full
         // 6-round loop at session width vs the 8-wide gated width (the
