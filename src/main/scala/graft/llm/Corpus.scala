@@ -443,6 +443,133 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Window width (chars) for [[substrDedup]] — any exact repeat of at
+    * least this length anywhere in the corpus is a removable span. 64 is
+    * the character-level analogue of ExactSubstr's 50-token floor (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"). */
+  val SubstrWidth = 64
+
+  /** Substring-level exact dedup — the ExactSubstr pass of the standard
+    * curation stack, complementing [[Dedup.exact]] (whole-doc) and
+    * [[lineDedup]] (fixed line units): find every maximal character span
+    * whose [[SubstrWidth]]-char windows ALL occur more than once
+    * corpus-wide, and report each doc with its duplicated-span stats plus
+    * the md5 of the text with those spans cut out.
+    *
+    * Spark shape (the distributed suffix-array analogue):
+    *  1. suffix keys — one fixed-width window per character position,
+    *     built in-row (an in-row struct array, then one explode; the text
+    *     column never rides past the keying projection);
+    *  2. duplicate marking — `repartitionByRange` on the key, then a
+    *     count-over-key window. RangePartitioning(key) satisfies the
+    *     window's ClusteredDistribution(key), so the ONLY corpus-sized
+    *     exchange is that one range shuffle and the window adds just the
+    *     in-partition sort — physically a sort of all suffixes followed by
+    *     a neighbor-run scan, i.e. exactly the pass a suffix-array build
+    *     performs, with range (not hash) placement so adjacent sorted runs
+    *     and their skew are spread by sampled quantiles;
+    *  3. span merge — duplicated positions collapse per doc with the
+    *     gaps-and-islands window construction (new island when the gap to
+    *     the previous duplicated position exceeds the window width, i.e.
+    *     spans [p,p+W-1] and [q,q+W-1] merge iff q ≤ p+W — overlapping or
+    *     exactly adjacent);
+    *  4. removal — kept segments are the inter-span gaps (lag(e) over the
+    *     span order) plus the tail; the cleaned text is the gap substrings
+    *     reassembled in order.
+    *
+    * 100 TB design: the key relation is O(corpus chars) rows of W-char
+    * keys — big, but its single range-sort shuffle is the same O(n log n)
+    * the published distributed suffix-array constructions pay, and it is
+    * the ONLY corpus-scale movement: duplicated positions (a small
+    * fraction by definition — dedup targets the repeated tail), spans and
+    * gaps are all slim doc-keyed relations, and nothing ever enters pair
+    * space (a window repeated a million times costs one count, not 10¹²
+    * pairs). Hot boilerplate keys concentrate inside single range
+    * partitions; the count-window over a sorted run streams, it does not
+    * buffer pairs. At real scale the first cost lever is sampling start
+    * positions with a stride (detects repeats ≥ W+stride−1 at 1/stride the
+    * keys); stride 1 here keeps the operator exact at test SFs.
+    *
+    * Output per doc: `n_dup_pos` (duplicated window positions),
+    * `n_spans` (after merge), `dup_chars` (chars covered by merged spans),
+    * `clean_md5` (md5 of the text with spans removed; untouched docs hash
+    * their full text, fully-duplicated docs hash ""). */
+  def substrDedup(s: SparkSession, dir: String): DataFrame =
+    substrDedupOf(s.read.parquet(s"$dir/documents.parquet"), SubstrWidth)
+
+  /** [[substrDedup]] over any (doc_id, text) relation with an explicit
+    * window width — the unit-test hook (SubstrDedupSpec pins the
+    * span-merge edge cases at a small width). */
+  private[llm] def substrDedupOf(d: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    // 1. suffix keys, built in-row (guard len >= w BEFORE sequence: Spark's
+    // sequence(1, n) with n < 1 counts DOWN)
+    val keys = base
+      .where(col("len") >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("len") - (w - 1)),
+          p => struct(p.as("pos"), col("text").substr(p, lit(w)).as("key"))))
+          .as("pk"))
+      .select(col("doc_id"), col("pk.pos").as("pos"), col("pk.key").as("key"))
+    // 2. range-sort the suffix keys; the count window reuses that placement
+    // (explicit width: exempt from AQE coalescing, same discipline as the
+    // dedup self-joins)
+    val dupPos = keys
+      .repartitionByRange(d.sparkSession.sparkContext.defaultParallelism,
+        col("key"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .where(col("c") > 1)
+      .select(col("doc_id"), col("pos"))
+    // 3. gaps-and-islands span merge (q <= p + w merges; lag=null opens)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) <= w, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("isl", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(w - 1)).as("e"),
+        count(lit(1)).as("npos"))
+    // 4. ONE per-doc span array feeds stats AND removal. A gaps-relation
+    // formulation (inter-span lag window ∪ tail row, joined back to the
+    // text and re-aggregated) reads `spans` three times, and column
+    // pruning specializes each subtree so exchange reuse can't kick in —
+    // the corpus-sized suffix sort would execute 3× (observed in the
+    // formatted plan). Collapsing spans to a sorted in-row array (bounded:
+    // ≤ len/1 merged spans per doc, each 3 ints) makes the whole suffix
+    // pipeline a single-consumer subtree; stats and the span-cut rebuild
+    // are then in-row folds after one slim doc-keyed join.
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e"), col("npos"))))
+        .as("sp"))
+    val zero = lit(0).cast(LongType)
+    base.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(aggregate(col("sp"), zero,
+          (acc, x) => acc + x.getField("npos")), lit(0L)).as("n_dup_pos"),
+        coalesce(size(col("sp")).cast(LongType), lit(0L)).as("n_spans"),
+        coalesce(aggregate(col("sp"), zero,
+          (acc, x) => acc + x.getField("e") - x.getField("s") + 1), lit(0L))
+          .as("dup_chars"),
+        // cut the spans out left-to-right: carry (next kept start, built
+        // text) through the fold, then append the tail
+        md5(when(col("sp").isNull, col("text")).otherwise(
+          aggregate(col("sp"),
+            struct(lit(1).as("pos"), lit("").as("txt")),
+            (acc, x) => struct(
+              (x.getField("e") + 1).as("pos"),
+              concat(acc.getField("txt"),
+                col("text").substr(acc.getField("pos"),
+                  x.getField("s") - acc.getField("pos"))).as("txt")),
+            acc => concat(acc.getField("txt"),
+              col("text").substr(acc.getField("pos"),
+                col("len") - acc.getField("pos") + 1)))))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-record assembly — the feature-zip step that materializes one
     * row per document joining text-side signals (token counts, uniqueness)
     * with embedding-side ones (L2 norm, label) across the two corpus

@@ -152,6 +152,63 @@ object CorpusQueries {
                               FILTER (WHERE kept), '')) AS clean_md5
         FROM fl GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Substring-level exact dedup (ExactSubstr). The oracle runs the same
+    // windowed construction: per-position fixed-width keys, count-over-key
+    // duplicate marking, gaps-and-islands span merge (q <= p+W merges),
+    // inter-span gaps + tail reassembled as the cleaned text. lag(pos)=null
+    // → `pos - null <= W` is null → the ELSE 1 branch opens an island in
+    // both dialects identically.
+    QueryDef("corpus_substr_dedup",
+      (s, dir) => Corpus.substrDedup(s, dir),
+      Some {
+        val w = Corpus.SubstrWidth
+        s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        k AS (SELECT doc_id, text, len,
+                     unnest(generate_series(1, len - ${w - 1})) AS pos
+              FROM d WHERE len >= $w),
+        ky AS (SELECT doc_id, pos, substr(text, pos, $w) AS key FROM k),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, count(*) OVER (PARTITION BY key) AS c
+                  FROM ky) WHERE c > 1),
+        brk AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER w <= $w THEN 0
+                            ELSE 1 END AS brk
+                FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM brk),
+        sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + ${w - 1} AS e,
+                      count(*) AS npos
+               FROM isl GROUP BY 1, 2),
+        g AS (SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                       + 1 AS gs,
+                     s - 1 AS ge
+              FROM sp
+              UNION ALL
+              SELECT doc_id, max(e) + 1 AS gs, NULL AS ge
+              FROM sp GROUP BY doc_id),
+        seg AS (SELECT g.doc_id, gs,
+                       substr(d.text, gs, coalesce(ge, d.len) - gs + 1) AS seg
+                FROM g JOIN d USING (doc_id)
+                WHERE coalesce(ge, d.len) >= gs),
+        cl AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS clean
+               FROM seg GROUP BY doc_id),
+        st AS (SELECT doc_id, count(*) AS n_spans,
+                      CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+                      CAST(sum(npos) AS BIGINT) AS n_dup_pos
+               FROM sp GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(st.n_dup_pos, 0) AS n_dup_pos,
+               coalesce(st.n_spans, 0) AS n_spans,
+               coalesce(st.dup_chars, 0) AS dup_chars,
+               md5(CASE WHEN st.doc_id IS NULL THEN d.text
+                        ELSE coalesce(cl.clean, '') END) AS clean_md5
+        FROM d LEFT JOIN st USING (doc_id) LEFT JOIN cl USING (doc_id)
+        ORDER BY d.doc_id"""
+      }),
+
     // The composed curation pipeline: the oracle chains the same stages as
     // CTEs, with pack's offsets from a plain running sum over survivors.
     QueryDef("corpus_curation_pipeline",
