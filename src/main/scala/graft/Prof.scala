@@ -156,6 +156,41 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "ann_sweep") {
+        // r13 (ADVICE: ANN tables re-salted away from the banding stream):
+        // re-measure LSH recall@5 across (tables, planes) budgets against
+        // the exact brute baseline to re-pick the production constants.
+        import graft.llm.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val brute = Similarity.bruteTopK(spark, sfDir)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val denom = brute.size.toDouble
+        val nVecs = e.count()
+        val nQueries = Similarity.QueryCount
+        for (l <- Seq(4, 5, 6); b <- Seq(4, 5, 6)) {
+          val signs = Similarity.annPlaneSignsFor(l, b)
+          val got = Similarity.annLshTopKOf(e, signs)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = got.count(brute.contains) / denom
+          // candidate fraction: distinct (query, neighbor) pairs the exact
+          // rerank touches, over the Q×(N-1) brute pair space
+          val eb = e.select(col("vec_id"), posexplode(array((0 until l)
+            .map(t => Similarity.annBucketOf(col("embedding"), signs, t)): _*))
+            .as(Seq("tbl", "bkt")))
+          val qp = eb.where(col("vec_id") < nQueries)
+            .select(col("vec_id").as("query_id"), col("tbl").as("qtbl"),
+              explode(array(col("bkt") +: (0 until b)
+                .map(p => col("bkt").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
+          val nCand = eb.join(qp,
+              col("tbl") === col("qtbl") && col("bkt") === col("probe") &&
+                col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id")).distinct().count()
+          val frac = nCand.toDouble / (nQueries * (nVecs - 1))
+          println(f"[prof] ann_sweep L=$l b=$b recall@5=$recall%.3f candfrac=$frac%.3f")
+        }
       } else if (args.head == "bpe_train_ab") {
         // r12: narrow-shuffle gate for the BPE train loop — time the full
         // 6-round loop at session width vs the 8-wide gated width (the

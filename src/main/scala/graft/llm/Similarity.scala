@@ -118,47 +118,73 @@ object Similarity {
     * 8-plane table + hamming-1 probes gave recall@5 = 0.06). Standard
     * multi-TABLE SRP-LSH: L independent tables of b planes each; a
     * candidate is anyone sharing a (table, probe-bucket) cell with the
-    * query in ANY table. Measured recall@5 at sf0.01/sf0.1 on this
-    * clusterless corpus: (b=6, L=4) 0.88/0.76; (b=5, L=4) 0.92/0.86
-    * at ~56 % candidate fraction — the chosen point, ≥ 0.85 at both
-    * graded scales. Tables are the recall knob (union of independent
+    * query in ANY table. Re-swept after the r13 plane re-salt (Prof
+    * ann_sweep, recall@5 at sf0.01/sf0.1 + candidate fraction at sf0.1):
+    * (L=4,b=4) 0.92/0.92 @ 77 %; (L=4,b=5) 0.90/0.78 (the old r12 point —
+    * fails post-salt); (L=6,b=5) 0.96/0.90 @ 72 % — the chosen point:
+    * ≥ 0.85 at both graded scales with the LOWEST candidate fraction
+    * among qualifying budgets (on this clusterless corpus recall tracks
+    * candidate fraction almost linearly, same phenomenon as the IVF
+    * [[NProbe]] note). Tables are the recall knob (union of independent
     * trials), planes the cost knob (bucket granularity); a 100 TB corpus
     * raises b to keep buckets bounded and tunes L to the recall target. */
-  val AnnTables = 4
+  val AnnTables = 6
   val AnnPlanes = 5
 
-  /** Deterministic ±1 hyperplanes for ANN table t — table 0 draws from
-    * the same MD5 stream as the near-dup banding ([[planeSigns]]), later
-    * tables salt the digest with the table index. */
-  lazy val annPlaneSigns: Array[Array[Array[Int]]] = {
+  /** Deterministic ±1 hyperplanes for ANN table t. Every table draws from
+    * its own salted MD5 stream, DISTINCT from the near-dup banding's
+    * ([[planeSigns]]) — r12 ADVICE: table 0 used to reuse the banding
+    * salt, correlating the ANN index with the X5 bucketing across
+    * operators. Recall re-measured after the re-salt (see [[AnnTables]]). */
+  lazy val annPlaneSigns: Array[Array[Array[Int]]] =
+    annPlaneSignsFor(AnnTables, AnnPlanes)
+
+  /** Plane generator for any (tables, planes) budget — shared by the
+    * production constants and the Prof ann_sweep retuning mode. */
+  private[graft] def annPlaneSignsFor(tables: Int,
+      planes: Int): Array[Array[Array[Int]]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(AnnTables, AnnPlanes, Dims) { (t, p, i) =>
-      val salt = if (t == 0) "plane" else s"plane$t"
-      val h = md.digest(s"$salt|$p|$i".getBytes(StandardCharsets.UTF_8))
+    Array.tabulate(tables, planes, Dims) { (t, p, i) =>
+      val h = md.digest(s"annplane$t|$p|$i".getBytes(StandardCharsets.UTF_8))
       if ((h(0) & 0x80) != 0) 1 else -1
     }
   }
 
-  private def annProjection(v: Column, t: Int, p: Int): Column =
+  private def annProjection(v: Column, signs: Array[Array[Array[Int]]],
+      t: Int, p: Int): Column =
     aggregate(
       zip_with(v, array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        annPlaneSigns(t)(p).map(x => lit(x.toDouble))): _*),
+        signs(t)(p).map(x => lit(x.toDouble))): _*),
         (x, sgn) => x.cast(DoubleType) * sgn),
       lit(0.0), (acc, x) => acc + x)
 
   /** Table t's b-bit SRP bucket (2^AnnPlanes cells per table). */
   def annBucket(v: Column, t: Int): Column =
-    (0 until AnnPlanes)
-      .map(p => when(annProjection(v, t, p) >= 0, lit(1 << p)).otherwise(lit(0)))
+    annBucketOf(v, annPlaneSigns, t)
+
+  private[graft] def annBucketOf(v: Column, signs: Array[Array[Array[Int]]],
+      t: Int): Column =
+    (0 until signs(t).length)
+      .map(p => when(annProjection(v, signs, t, p) >= 0, lit(1 << p))
+        .otherwise(lit(0)))
       .reduce(_ + _)
 
-  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+  def annLshTopK(s: SparkSession, dir: String): DataFrame =
+    annLshTopKOf(emb(s, dir), annPlaneSigns)
+
+  /** [[annLshTopK]] over any (vec_id, embedding) relation with an explicit
+    * plane-sign budget — the Prof ann_sweep hook. */
+  private[graft] def annLshTopKOf(e0: DataFrame,
+      signs: Array[Array[Array[Int]]]): DataFrame = {
+    val tables = signs.length
+    val planes = signs(0).length
     // per-table buckets unpivoted to (vec_id, embedding, tbl, bkt) — the
     // join key is the COMPOSITE (table, bucket) cell, so L tables stay one
     // equi-join, never L plans
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until AnnTables)
-        .map(t => annBucket(col("embedding"), t)): _*)).as(Seq("tbl", "bkt")))
+    val e = e0.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables)
+        .map(t => annBucketOf(col("embedding"), signs, t)): _*))
+        .as(Seq("tbl", "bkt")))
     val q = e.where(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("tbl").as("qtbl"), col("bkt").as("qbkt"))
@@ -167,7 +193,7 @@ object Similarity {
     val probes = q.select(col("query_id"), col("qv"), col("qtbl"),
       explode(array(
         col("qbkt") +:
-          (0 until AnnPlanes).map(p => col("qbkt").bitwiseXOR(lit(1 << p))): _*))
+          (0 until planes).map(p => col("qbkt").bitwiseXOR(lit(1 << p))): _*))
         .as("probe"))
     val cand = e.join(broadcast(probes),
       col("tbl") === col("qtbl") && col("bkt") === col("probe") &&
@@ -194,9 +220,10 @@ object Similarity {
     * recall@5 at sf0.01/sf0.1 = 0.44/0.48 (NProbe 4), 0.74/0.74
     * (NProbe 8), 0.82/0.82 (NProbe 10, ~62 % of the corpus scanned).
     * 10 is the smallest budget meeting the ≥ 0.8 target at both graded
-    * scales — the honest price of ANN on clusterless data; real corpora
-    * with cluster structure hit the same recall at NProbe ≪ K, and the
-    * plan shape (probe-list equi-join + exact rerank) is unchanged. */
+    * scales — the honest price of ANN on clusterless data. That the same
+    * plan PRUNES when the data clusters is certified by IvfPruningSpec:
+    * on a 16-planted-cluster fixture, NProbe=2 reaches recall@5 = 1.0
+    * with ~13 % of the corpus reranked (asserted ≥ 0.8 / ≤ 25 %). */
   val NProbe = 10
 
   /** The IVF "index", built ONCE per (session, dir) and persisted — the
@@ -210,21 +237,29 @@ object Similarity {
 
   private[llm] def ivfIndex(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrElseUpdate(s, dir) {
-      val e = emb(s, dir)
-      val cent = e.where(col("vec_id") >= CentroidBase &&
-          col("vec_id") < CentroidBase + Centroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-      val sims = e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          cosine(col("embedding"), col("cv")).as("sim"))
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cent_id"))
-      sims.withColumn("rn", row_number().over(byVec))
-        .where(col("rn") === 1 ||
-          (col("vec_id") < QueryCount && col("rn") <= NProbe))
-        .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
+      ivfIndexOf(emb(s, dir), CentroidBase, Centroids, QueryCount, NProbe)
         .persist()
     }
+
+  /** [[ivfIndex]] over any (vec_id, embedding) relation with explicit
+    * centroid-range / query-count / probe-budget constants — the
+    * unit-test hook (IvfPruningSpec certifies recall under real pruning
+    * on a clustered fixture). */
+  private[llm] def ivfIndexOf(e: DataFrame, centroidBase: Int,
+      centroids: Int, queryCount: Int, nProbe: Int): DataFrame = {
+    val cent = e.where(col("vec_id") >= centroidBase &&
+        col("vec_id") < centroidBase + centroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val sims = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosine(col("embedding"), col("cv")).as("sim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    sims.withColumn("rn", row_number().over(byVec))
+      .where(col("rn") === 1 ||
+        (col("vec_id") < queryCount && col("rn") <= nProbe))
+      .select(col("vec_id"), col("embedding"), col("cent_id"), col("rn"))
+  }
 
   /** IVF-style ANN: partition the corpus into inverted lists by nearest
     * centroid (deterministic centroid set — production would k-means;
@@ -236,11 +271,16 @@ object Similarity {
     * just a partitioned layout keyed by `cent_id` (write the corpus
     * bucketed by it and probing becomes partition pruning); candidates per
     * query = NProbe/K of the corpus. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val idx = ivfIndex(s, dir)
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopKOf(ivfIndex(s, dir), QueryCount, NProbe, TopK)
+
+  /** [[ivfTopK]] over a prebuilt [[ivfIndexOf]] relation — the unit-test
+    * hook pairing with [[ivfIndexOf]]. */
+  private[llm] def ivfTopKOf(idx: DataFrame, queryCount: Int, nProbe: Int,
+      topK: Int): DataFrame = {
     val assigned = idx.where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val qprobe = idx.where(col("vec_id") < QueryCount && col("rn") <= NProbe)
+    val qprobe = idx.where(col("vec_id") < queryCount && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cent_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -254,7 +294,7 @@ object Similarity {
         col("asg.vec_id").as("neighbor_id"),
         cosine(col("qp.qv"), col("asg.embedding")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= TopK)
+      .where(col("rnk") <= topK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
