@@ -156,6 +156,30 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "bpe_apply_ab") {
+        // r13 (r12 VERDICT #5): fused per-row merge kernel vs the old
+        // 20-stage regexp_replace chain, same inputs, min-of-5 noop-write.
+        import graft.llm.TextAnalysis
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val merges = TextAnalysis.bpePairsOf(docs).persist()
+        merges.count()
+        bench("fused_kernel")(TextAnalysis.bpeApplyOf(docs, merges))
+        def chain(): org.apache.spark.sql.DataFrame = {
+          var cur = docs.select(col("doc_id"), ltrim(col("text")).as("stream"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens_before"))
+          for (k <- 1 to TextAnalysis.BpeTopPairs) {
+            val rule = merges.where(col("rnk") === k)
+              .select(col("left").as("m_left"), col("right").as("m_right"))
+            cur = TextAnalysis.mergeStage(cur, rule)
+          }
+          cur.select(col("doc_id"), col("n_tokens_before"),
+              size(split(col("stream"), " ")).cast("long").as("n_tokens_after"),
+              md5(col("stream")).as("retok_md5"))
+            .withColumn("n_merges", col("n_tokens_before") - col("n_tokens_after"))
+            .orderBy(col("doc_id"))
+        }
+        bench("regex_chain")(chain())
       } else if (args.head == "ann_sweep") {
         // r13 (ADVICE: ANN tables re-salted away from the banding stream):
         // re-measure LSH recall@5 across (tables, planes) budgets against

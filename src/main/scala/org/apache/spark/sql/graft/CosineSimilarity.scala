@@ -90,4 +90,8 @@ object functions {
 
   def md5_prefix64(c: Column): Column =
     ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(c)))
+
+  def bpe_merge_stream(toks: Column, lefts: Column, rights: Column): Column =
+    ExpressionUtils.column(BpeMergeStream(ExpressionUtils.expression(toks),
+      ExpressionUtils.expression(lefts), ExpressionUtils.expression(rights)))
 }
