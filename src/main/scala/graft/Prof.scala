@@ -156,6 +156,18 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "text_floor") {
+        // r13 (r12 VERDICT #3): pin the text-op job floor. Same-session
+        // ladder over the SAME re-spread input: noop scan → scan+sort
+        // (normalize's range-exchange skeleton) → the two entries. The
+        // deltas over the matching skeleton are the ops' real compute.
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        bench("noop_scan")(docs.select(col("doc_id"), col("text")))
+        bench("scan_sort")(docs.select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")))
+        bench("text_normalize")(graft.llm.TextAnalysis.normalizeOf(docs))
+        bench("text_repetition")(graft.llm.TextAnalysis.repetitionOf(docs))
       } else if (args.head == "bpe_apply_ab") {
         // r13 (r12 VERDICT #5): fused per-row merge kernel vs the old
         // 20-stage regexp_replace chain, same inputs, min-of-5 noop-write.

@@ -94,4 +94,7 @@ object functions {
   def bpe_merge_stream(toks: Column, lefts: Column, rights: Column): Column =
     ExpressionUtils.column(BpeMergeStream(ExpressionUtils.expression(toks),
       ExpressionUtils.expression(lefts), ExpressionUtils.expression(rights)))
+
+  def gram_max_freq(toks: Column, k: Int): Column =
+    ExpressionUtils.column(GramMaxFreq(ExpressionUtils.expression(toks), k))
 }

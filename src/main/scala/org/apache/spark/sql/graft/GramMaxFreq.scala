@@ -1,0 +1,71 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the multiplicity of the most frequent word
+  * k-gram of a token array — `gram_max_freq(tokens, k)`, the per-row
+  * kernel of the Gopher-style repetition rule.
+  *
+  * Value-identical to the composable formulation it replaces
+  * (`aggregate(array_sort(grams), longest-equal-run fold)`: the longest
+  * equal run of a sorted multiset IS the max multiplicity — asserted in
+  * GramMaxFreqSpec), but runs as one hash-counting JVM loop instead of an
+  * interpreted expression tree: Spark's higher-order functions
+  * (`transform`/`aggregate`) are CodegenFallback, so the old fold paid
+  * per-element interpreted evaluation AND an O(n log n) sort, dominating
+  * the text_repetition entry (r12 VERDICT #3, flagged three rounds).
+  * Zero grams (fewer than k tokens) returns 0 — callers filter first.
+  *
+  * Whole-stage codegen via [[doGenCode]] (static call); interpreted
+  * [[nullSafeEval]] shares the same kernel.
+  */
+case class GramMaxFreq(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "gram_max_freq"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    GramStats.maxFreq(toks.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GramStats.maxFreq($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramMaxFreq = copy(child = newChild)
+}
+
+/** Static kernel shared by the interpreted and generated paths. */
+object GramStats {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def maxFreq(toks: ArrayData, k: Int): Long = {
+    val n = toks.numElements()
+    val m = n - k + 1
+    if (m <= 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Long](m * 2)
+    var best = 0L
+    var i = 0
+    val parts = new Array[UTF8String](k)
+    while (i < m) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(Space,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): _*)
+      val c = counts.merge(gram, 1L, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
