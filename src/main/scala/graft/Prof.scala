@@ -156,6 +156,21 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "session_ab") {
+        // r13 (r12 VERDICT #6): attribute events_session_window's 0.44 s
+        // (native MergingSessions batch op) vs 0.35 s (window-fn twin) vs
+        // a 98 ms oracle. Ladder: bare scan → both forms with and without
+        // the final total-order sort.
+        import graft.streaming.Events
+        val ev = Events.events(spark, sfDir)
+        bench("events_scan")(ev.select(col("user_id"), col("ts"), col("value")))
+        bench("native_session")(Events.sessionWindowed(spark, sfDir))
+        bench("native_no_sort")(ev
+          .groupBy(col("user_id"),
+            session_window(col("ts"), s"${Events.SessionGapMinutes} minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value")))
+        bench("windowfn_session")(Events.sessions(spark, sfDir))
       } else if (args.head == "text_floor") {
         // r13 (r12 VERDICT #3): pin the text-op job floor. Same-session
         // ladder over the SAME re-spread input: noop scan → scan+sort

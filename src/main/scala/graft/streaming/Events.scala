@@ -158,13 +158,23 @@ object Events {
 
   /** Session windows: per user, a session breaks after a 30-minute silence.
     * Implemented as lag → gap flag → running sum (the standard two-window
-    * formulation); deterministic ordering tiebreaks on event_id. */
+    * formulation); deterministic ordering tiebreaks on event_id.
+    *
+    * RANGE-partitioned by user_id up front (r13, measured in Prof
+    * session_ab): RangePartitioning(user_id) satisfies the lag/sum
+    * windows' and the session rollup's ClusteredDistribution, so the
+    * whole chain runs on one exchange and the ordered finish is a LOCAL
+    * sort — a trailing global orderBy would range-sample its child,
+    * re-executing the window+agg chain a second time just to pick
+    * boundaries (the [[graft.llm.TextAnalysis.termFreqs]] build-time
+    * idiom). Measured: 0.57 s → 0.36 s min warm at sf0.1. */
   def sessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapUs = SessionGapMinutes.toLong * 60L * 1000000L
     events(s, dir)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("user_id"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
@@ -178,7 +188,7 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
           .as("total_value"))
-      .orderBy(col("user_id"), col("session_idx"))
+      .sortWithinPartitions(col("user_id"), col("session_idx"))
   }
 
   /** Sessions via Spark's NATIVE `session_window` aggregation — the
@@ -194,9 +204,19 @@ object Events {
     * ts <= prev_end, i.e. a new session only on a strictly-greater-than-gap
     * silence — pinned by SessionWindowSpec's exact-gap case); the one
     * output delta is `session_end` = last_ts + gap (the window bound),
-    * not last_ts. */
+    * not last_ts.
+    *
+    * r12 VERDICT #6 audit CLOSED (Prof session_ab ladder at sf0.1,
+    * min-of-5 warm): events scan 0.14 s; the native session merge itself
+    * 0.36 s; the old trailing global orderBy 0.76 s — the flagged 4.5×
+    * was the total-order sort RE-EXECUTING the session merge for its
+    * range sampling, not a MergingSessions state constant. Fixed the same
+    * way as [[sessions]]: range-partition by user_id up front (satisfies
+    * the session aggregation's ClusteredDistribution — the merge adds
+    * only its in-partition sort) and finish with a local sort. */
   def sessionWindowed(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("user_id"))
       .groupBy(
         col("user_id"),
         session_window(col("ts"), s"$SessionGapMinutes minutes").as("sw"))
@@ -206,7 +226,7 @@ object Events {
           .as("total_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start"))
+      .sortWithinPartitions(col("user_id"), col("session_start"))
 
   /** [[sessionWindowed]] computed by the actual STREAMING path — the
     * MergingSessionsExec state operator a live sessionization deployment
