@@ -185,8 +185,13 @@ object Bench {
     // cost — mins stay min-of-3-quiet-passes and the reported spread
     // reflects the graded passes, not the discarded burst. All passes'
     // samples still go to BENCH_DETAIL.json for diagnosis.
+    // r13 (r12 VERDICT #4: graded spread 4.4 exhausted the old 2-retry
+    // budget): retry until the graded passes are quiet, hard-capped at 6
+    // extra passes (~2 min each at sf0.1 — bounded wall clock); if the
+    // host never quiets, BENCH_DETAIL carries an explicit "contaminated"
+    // flag instead of silently reporting a hot spread.
     val SpreadBound = 3.0
-    val MaxExtraPasses = 2
+    val MaxExtraPasses = 6
     def samplesOf(idx: Seq[Int]): Seq[(String, Seq[Double])] =
       (names.zipWithIndex.map { case (name, i) =>
         name -> idx.map(p => passes(p)._2(i)._2)
@@ -229,10 +234,11 @@ object Bench {
       if (ok.isEmpty) { failed += name; name -> -1.0 } else name -> ok.min
     }
     // Contention indicator: worst max/min spread among non-trivial queries,
-    // over the GRADED passes. ~1 on a quiet host; a large value means the
-    // contamination persisted past the replacement-pass budget (the
+    // over the GRADED passes. ~1 on a quiet host; `contaminated` marks a
+    // spread that persisted past the replacement-pass budget (the
     // per-query min is then still trustworthy, the mean is not).
     val spreadMax = spreadOf(gradedIdx)
+    val contaminated = spreadMax > SpreadBound
 
     val total = timings.filter(_._2 >= 0).map(_._2).sum
     // The driver captures only the last ~2000 chars of stdout and parses the
@@ -274,6 +280,7 @@ object Bench {
         s""""build_samples":$buildSamplesJson,""" +
         s""""mins":$qs,"samples":$samplesJson,""" +
         s""""contention_spread_max":${f3(spreadMax)},""" +
+        s""""contaminated":$contaminated,""" +
         s""""n_passes":${passes.size},"graded_passes":$gradedJson,""" +
         s""""etl_load_sec":${f3(loadSec)},"etl_load_rows":$loadRows,""" +
         s""""sf":"$sfDir"}"""

@@ -248,9 +248,10 @@ object Prof {
         // loop itself runs eager actions, so wall-clock brackets it).
         import graft.llm.TextAnalysis
         val raw = spark.read.parquet(s"$sfDir/documents.parquet")
-        // (the narrow-width arm ran via a temporary forceWidth hook; the
-        // measured wash is recorded at bpeTrainedMergesOf — this mode now
-        // just times the production loop)
+        // the production loop runs at the plain session width (the gate
+        // was reverted at bpeTrainedMergesOf after this A/B measured a
+        // wash); here the width arms are reproduced via the session conf
+        // (withNarrowShuffle(w)) so the experiment stays re-runnable
         def timeLoop(tag: String, w: Int): Unit = (1 to 3).foreach { i =>
           val t0 = System.nanoTime()
           graft.Tuning.withNarrowShuffle(spark, width = w) {

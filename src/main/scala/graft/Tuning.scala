@@ -21,22 +21,29 @@ import org.apache.spark.sql.SparkSession
   * whatever width is then current — and (2) the block must not race a
   * concurrent query on the same session. Both hold for the only intended
   * call sites, self-contained single-threaded loops that materialize
-  * per-round state internally (kmeans, label propagation). The finally
-  * fails loudly if the conf was changed underneath the block (nesting /
-  * concurrent mutation), rather than silently restoring a stale width.
+  * per-round state internally (kmeans, label propagation). On a normal
+  * (non-throwing) exit the block fails loudly if the conf was changed
+  * underneath it, rather than silently restoring a stale width — a
+  * best-effort tripwire for PARTIAL/overlapping misuse, not a full
+  * nesting detector (a fully-nested inner block restores the outer width
+  * before the outer check reads it; r12 ADVICE). When `body` itself
+  * throws, the width is restored but no check runs — the width error
+  * must never replace the root-cause exception.
   */
 object Tuning {
 
   def withNarrowShuffle[T](s: SparkSession, width: Int = 8)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    var failed = false
     try body
+    catch { case e: Throwable => failed = true; throw e }
     finally {
       val now = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", prev)
-      require(now == width.toString,
+      if (!failed) require(now == width.toString,
         s"withNarrowShuffle: width changed underneath the block " +
-          s"(expected $width, found $now) — nested or concurrent use")
+          s"(expected $width, found $now) — overlapping or concurrent use")
     }
   }
 }

@@ -553,6 +553,11 @@ object TextAnalysis {
       }
       val table = rules.reduce(_ union _).orderBy(col("rnk")).persist()
       table.count() // materialize so downstream reads never re-loop
+      // the materialized table now holds the rows; drop the per-round top1
+      // caches so repeated UNCACHED invocations (Prof's A/B loops run the
+      // Of-form many times per session) don't stack ~7 persisted relations
+      // each (r12 ADVICE)
+      rules.foreach(_.unpersist())
       table
     }
 
