@@ -832,16 +832,52 @@ object LlmQueries {
                  AS centroid_mean
         FROM comp GROUP BY label ORDER BY label""")),
 
+    // The media CTE shared (textually) by the three multimodal oracles:
+    // media_id % 4 == 0 rebuilds the byte-identical P6 container (the
+    // corpus text is all-ASCII at the graded SFs, so char arithmetic ==
+    // byte arithmetic) whose header/pixels Spark's REAL PpmDecoder
+    // parses; the rest mirrors the stub formulas over the raw payload.
     QueryDef("multimodal_features",
       (s, dir) => Multimodal.features(s, dir),
-      Some("""
-        SELECT doc_id AS media_id, source AS kind,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               md5(text) AS digest,
-               CAST(320 + strlen(text) % 320 AS BIGINT) AS width,
-               CAST(240 + (strlen(text) * 7) % 240 AS BIGINT) AS height,
-               CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
-        FROM documents ORDER BY media_id""")),
+      Some(s"""
+        WITH base AS (SELECT doc_id AS media_id, source, text,
+                             strlen(text) AS len, doc_id % 4 = 0 AS is_ppm,
+                             (strlen(text) + 47) // 48 AS hh
+                      FROM documents),
+        c AS (SELECT *,
+                     CASE WHEN is_ppm
+                          THEN 'P6' || chr(10) || '${Multimodal.PpmWidth} ' || hh
+                               || chr(10) || '255' || chr(10)
+                               || text || repeat('.', CAST(hh*48 - len AS INT))
+                          ELSE text END AS payload,
+                     text || repeat('.', CAST(hh*48 - len AS INT)) AS pix
+              FROM base),
+        px0 AS (SELECT media_id, pix,
+                       unnest(generate_series(1, CAST(hh*48 AS INT))) AS p
+                FROM c WHERE is_ppm),
+        px AS (SELECT media_id, (p-1) % 3 AS ch,
+                      ascii(substr(pix, CAST(p AS INT), 1)) AS b
+               FROM px0),
+        chs AS (SELECT media_id,
+                       round(CAST(sum(b) FILTER (ch = 0) AS DOUBLE)
+                             / count(*) FILTER (ch = 0), 6) AS mean_r,
+                       round(CAST(sum(b) FILTER (ch = 1) AS DOUBLE)
+                             / count(*) FILTER (ch = 1), 6) AS mean_g,
+                       round(CAST(sum(b) FILTER (ch = 2) AS DOUBLE)
+                             / count(*) FILTER (ch = 2), 6) AS mean_b
+                FROM px GROUP BY 1)
+        SELECT media_id,
+               CASE WHEN is_ppm THEN 'image/ppm' ELSE source END AS kind,
+               CAST(strlen(payload) AS BIGINT) AS n_bytes,
+               md5(payload) AS digest,
+               CAST(CASE WHEN is_ppm THEN ${Multimodal.PpmWidth}
+                         ELSE 320 + len % 320 END AS BIGINT) AS width,
+               CAST(CASE WHEN is_ppm THEN hh
+                         ELSE 240 + (len * 7) % 240 END AS BIGINT) AS height,
+               CAST(CASE WHEN is_ppm THEN 1
+                         ELSE 1 + len % 30 END AS BIGINT) AS n_frames,
+               mean_r, mean_g, mean_b
+        FROM c LEFT JOIN chs USING (media_id) ORDER BY media_id""")),
 
     // Aspect-preserving resize metadata: integer floor arithmetic both
     // engines share exactly; ties (width == height) go to the width branch.
@@ -849,8 +885,10 @@ object LlmQueries {
       (s, dir) => Multimodal.resized(s, dir),
       Some(s"""
         WITH f AS (SELECT doc_id AS media_id,
-                          CAST(320 + strlen(text) % 320 AS BIGINT) AS width,
-                          CAST(240 + (strlen(text) * 7) % 240 AS BIGINT) AS height
+                          CAST(CASE WHEN doc_id % 4 = 0 THEN ${Multimodal.PpmWidth}
+                               ELSE 320 + strlen(text) % 320 END AS BIGINT) AS width,
+                          CAST(CASE WHEN doc_id % 4 = 0 THEN (strlen(text) + 47) // 48
+                               ELSE 240 + (strlen(text) * 7) % 240 END AS BIGINT) AS height
                    FROM documents),
         r AS (SELECT *,
                      greatest(width, height) AS lng, least(width, height) AS shrt,
@@ -867,9 +905,16 @@ object LlmQueries {
 
     QueryDef("multimodal_frames",
       (s, dir) => Multimodal.frameSamples(s, dir),
-      Some("""
-        WITH f AS (SELECT doc_id AS media_id, md5(text) AS digest,
-                          CAST(1 + strlen(text) % 30 AS BIGINT) AS n_frames
+      Some(s"""
+        WITH f AS (SELECT doc_id AS media_id,
+                          CASE WHEN doc_id % 4 = 0
+                               THEN md5('P6' || chr(10) || '${Multimodal.PpmWidth} '
+                                    || (strlen(text) + 47) // 48 || chr(10) || '255' || chr(10)
+                                    || text || repeat('.',
+                                         CAST(((strlen(text) + 47) // 48)*48 - strlen(text) AS INT)))
+                               ELSE md5(text) END AS digest,
+                          CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+                               ELSE 1 + strlen(text) % 30 END AS BIGINT) AS n_frames
                    FROM documents),
         g AS (SELECT media_id, digest, n_frames,
                      greatest(1, n_frames // 4) AS stride FROM f)

@@ -104,13 +104,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.forall(_ == 1.0))
   }
 
-  test("multimodal decode stub is deterministic and shape-preserving") {
+  test("multimodal decode is deterministic; stub and real tiers both present") {
     val f1 = Multimodal.features(spark, sf001).collect()
     val f2 = Multimodal.features(spark, sf001).collect()
     assert(f1.sameElements(f2))
-    assert(f1.forall { r =>
+    val (ppm, stub) = f1.partition(_.getString(1) == "image/ppm")
+    assert(ppm.nonEmpty && stub.nonEmpty)
+    // stub tier: fake-dimension ranges, no channel stats
+    assert(stub.forall { r =>
       val w = r.getLong(4); val h = r.getLong(5)
-      w >= 320 && w < 640 && h >= 240 && h < 480
+      w >= 320 && w < 640 && h >= 240 && h < 480 && r.isNullAt(7)
+    })
+    // real tier: parsed PPM header dims + actual channel means (pixel
+    // payload is ASCII text '.'-padded, so means land in the byte range)
+    assert(ppm.forall { r =>
+      r.getLong(4) == Multimodal.PpmWidth && r.getLong(6) == 1L &&
+        r.getDouble(7) > 0 && r.getDouble(7) < 256
     })
   }
 }
