@@ -903,4 +903,79 @@ object Corpus {
           .cast(LongType))
       .orderBy(col("rnk"))
   }
+
+  /** Output shards for [[shuffleShards]]. Small here so the sf0.01 oracle
+    * exercises real multi-doc shards; production values are O(total size /
+    * target file size) — the shape below is width-independent. */
+  val ShardCount = 8L
+
+  /** Global training-data shuffle — the write-side op every pretraining
+    * pipeline runs last: deal the corpus into `ShardCount` shards by a
+    * deterministic keyed hash and fix a pseudo-random ORDER within each
+    * shard, so sequential shard readers see an i.i.d.-like document
+    * stream (cf. the data-ordering sections of the GPT-3/T5 papers; the
+    * reference pipeline's MySQL tables have no analogue — this is pure
+    * extension surface).
+    *
+    * 100 TB shape: the shard id and sort key are per-row scan work; the
+    * ONLY exchange is the final range sort on (shard, skey) — exactly the
+    * `repartitionByRange(shard).sortWithinPartitions(skey)` layout a
+    * sharded parquet/tfrecord writer needs, with no per-shard window (a
+    * rank column would serialize each shard through one reducer; the
+    * ordered dump itself certifies the permutation). Deterministic: the
+    * salted hash is a pure function of doc_id, so the same corpus deals
+    * identically on any cluster width. */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    shuffleShardsOf(docs(s, dir))
+
+  /** [[shuffleShards]] over any (doc_id, text) relation. */
+  private[llm] def shuffleShardsOf(d: DataFrame): DataFrame = {
+    val skey = hash64(concat(lit("shard|"), col("doc_id").cast(StringType)))
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(ShardCount)))
+      .select(col("shard"), col("skey"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("shard"), col("skey"), col("doc_id"))
+  }
+
+  /** Per-mille split widths for [[leakageSafeSplit]]: 900/50/50. */
+  val SplitTrainPerMille = 900L
+  val SplitValPerMille = 50L
+
+  /** Leakage-safe train/val/test split — deterministic hash split with
+    * the published twist that naive per-doc splits get wrong: near-dup
+    * DOCUMENTS of a training doc must not land in the eval splits (the
+    * train-test contamination failure mode the dedup literature warns
+    * about). The split key is therefore the doc's near-dup CLUSTER
+    * canonical id ([[Dedup.clusters]] — X25's connected components over
+    * the verified pair graph), not the doc id: every member of a dup
+    * cluster lands in the SAME split by construction. Unclustered docs
+    * (the vast majority) are their own canonical.
+    *
+    * 100 TB shape: the cluster relation holds only near-dup-population
+    * docs (≪ corpus), joined doc-keyed; the split gate is per-row hash
+    * arithmetic on the canonical id; no new corpus-sized state beyond the
+    * pair graph the dedup stack already built. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitOf(docs(s, dir),
+      Dedup.clusters(s, dir).select(col("doc_id"), col("cluster_id")))
+
+  /** [[leakageSafeSplit]] over any (doc_id) relation + (doc_id,
+    * cluster_id) cluster labels — unit-testable form. */
+  private[llm] def leakageSafeSplitOf(d: DataFrame, cl: DataFrame): DataFrame = {
+    val canon = d.select(col("doc_id"))
+      .join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canon_id"))
+    val bucket = pmod(
+      hash64(concat(lit("split|"), col("canon_id").cast(StringType))),
+      lit(1000L))
+    canon
+      .withColumn("split",
+        when(bucket < SplitTrainPerMille, "train")
+          .when(bucket < SplitTrainPerMille + SplitValPerMille, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
 }

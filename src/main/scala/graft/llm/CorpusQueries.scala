@@ -304,6 +304,19 @@ object CorpusQueries {
                row_number() OVER (ORDER BY priority, doc_id) AS rnk
         FROM pr ORDER BY priority, doc_id LIMIT ${Corpus.ReservoirK}""")),
 
+    // Global training-data shuffle into shards: deterministic salted-hash
+    // deal + in-shard pseudo-random order. The oracle's ORDER BY is the
+    // whole contract — the dump's row order certifies the permutation.
+    QueryDef("corpus_shuffle_shards",
+      (s, dir) => Corpus.shuffleShards(s, dir),
+      Some(s"""
+        SELECT skey % ${Corpus.ShardCount} AS shard, skey, doc_id, n_tokens
+        FROM (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     ${hash64Sql("concat('shard|', CAST(doc_id AS VARCHAR))")} AS skey
+              FROM documents)
+        ORDER BY shard, skey, doc_id""")),
+
     // Hybrid RRF: the lexical leg is the bm25 CTE chain verbatim; the
     // semantic leg ranks exact cosine against the query vector. CAST the
     // 1.0 to DOUBLE — a bare 1.0/(k+r) divides as DECIMAL in DuckDB and

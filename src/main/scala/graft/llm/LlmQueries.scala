@@ -27,6 +27,30 @@ object LlmQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared DuckDB CTE chain (follows [[ShinglesCte]], requires WITH
+    * RECURSIVE): the exhaustive verified near-dup pair set closed with a
+    * recursive min-label reachability CTE — relational transitive
+    * closure, deliberately different mechanics from the Spark side's
+    * O(diameter)-round label propagation (same fixpoint by construction:
+    * both assign every vertex the min doc_id reachable from it). Ends in
+    * `lab(doc_id, cluster_id)` over the clustered docs. */
+  private val ClusterClosureCtes =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b
+      |          FROM pr JOIN sz sa ON doc_a = sa.doc_id
+      |                  JOIN sz sb ON doc_b = sb.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      |  SELECT DISTINCT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
+      |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
   /** DuckDB sequential-fold dot product of two list expressions (twin of
     * [[Similarity.dot]]). */
   private def dotSql(a: String, b: String): String =
@@ -215,27 +239,36 @@ object LlmQueries {
       (s, dir) => Dedup.clusters(s, dir),
       Some(s"""
         WITH RECURSIVE $ShinglesCte,
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-        pairs AS (SELECT doc_a, doc_b
-                  FROM pr JOIN sz sa ON doc_a = sa.doc_id
-                          JOIN sz sb ON doc_b = sb.doc_id
-                  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-        e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(doc_id, r) AS (
-          SELECT DISTINCT src, src FROM e
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
-        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        $ClusterClosureCtes,
         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
                GROUP BY cluster_id)
         SELECT l.cluster_id, l.doc_id, cs.cluster_size,
                l.doc_id = l.cluster_id AS keep
         FROM lab l JOIN cs USING (cluster_id)
         ORDER BY cluster_id, doc_id""")),
+
+    // Leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER canonical id (the same closure as dedup_clusters), so a dup
+    // cluster can never straddle splits. Unclustered docs are their own
+    // canonical.
+    QueryDef("corpus_split",
+      (s, dir) => Corpus.leakageSafeSplit(s, dir),
+      Some(s"""
+        WITH RECURSIVE $ShinglesCte,
+        $ClusterClosureCtes,
+        canon AS (SELECT d.doc_id,
+                         coalesce(l.cluster_id, d.doc_id) AS canon_id
+                  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+        b AS (SELECT doc_id, canon_id,
+                     ${hash64Sql("concat('split|', CAST(canon_id AS VARCHAR))")}
+                       % 1000 AS bucket
+              FROM canon)
+        SELECT doc_id, canon_id,
+               CASE WHEN bucket < ${Corpus.SplitTrainPerMille} THEN 'train'
+                    WHEN bucket < ${Corpus.SplitTrainPerMille +
+                                    Corpus.SplitValPerMille} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")),
 
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(s, dir),
