@@ -197,6 +197,13 @@ object Corpus {
       .join(broadcast(benchGrams), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("hits"))
+    decontaminateTail(sets, hits)
+  }
+
+  /** Shared final projection of the decontamination operators: per-doc
+    * gram totals left-joined with the hit counts. */
+  private def decontaminateTail(sets: DataFrame, hits: DataFrame): DataFrame = {
+    val isBench = col("doc_id") % BenchmarkMod === 0
     sets.where(!isBench)
       .select(col("doc_id"), col("n").cast(LongType).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
@@ -204,6 +211,43 @@ object Corpus {
         coalesce(col("hits"), lit(0L)).as("n_contaminated_grams"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bloom sizing for [[decontaminateBloom]]: expected distinct benchmark
+    * grams (generous — an undersized filter only raises the false-positive
+    * rate, never breaks exactness) and the target FP rate. */
+  val BloomExpectedItems = 1L << 16
+  val BloomFpp = 0.03
+
+  /** [[decontaminate]] through a Bloom-filter PREFILTER — byte-identical
+    * output, different 100 TB shape: when the benchmark gram set outgrows
+    * an exact broadcast set (a full eval-suite union at 13-gram widths),
+    * the fixed-size filter still broadcasts. Build: the native
+    * [[org.apache.spark.sql.graft.BloomBuildAgg]] UDAF folds the gram
+    * hashes into partial filters per partition and bit-OR-merges them —
+    * one aggregate job whose result is filter BYTES, the published
+    * sketch-broadcast pattern (the only driver-held state is the
+    * constant-size sketch, like the k-means convergence scalars). Probe:
+    * `bloom_might_contain` is codegen'd into the corpus scan, discarding
+    * almost every clean gram BEFORE the shuffle toward the exact confirm
+    * join; the filter's no-false-negatives guarantee plus the exact join
+    * over survivors makes the composition exact — so this entry shares
+    * [[decontaminate]]'s oracle verbatim. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(s, dir)
+    val isBench = col("doc_id") % BenchmarkMod === 0
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
+    val benchGrams = ex.where(isBench).select(col("sh")).distinct()
+    val bloomBytes = benchGrams
+      .agg(org.apache.spark.sql.graft.functions.bloom_build(hash64(col("sh")), BloomExpectedItems, BloomFpp)
+        .as("filter"))
+      .head().getAs[Array[Byte]](0)
+    val pre = ex.where(!isBench)
+      .where(org.apache.spark.sql.graft.functions.bloom_might_contain(lit(bloomBytes), hash64(col("sh"))))
+    val hits = pre.join(broadcast(benchGrams), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+    decontaminateTail(sets, hits)
   }
 
   /** Tokens per training context window for [[pack]]. */

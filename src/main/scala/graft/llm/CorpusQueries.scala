@@ -14,6 +14,32 @@ object CorpusQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle of [[Corpus.decontaminate]] AND
+    * [[Corpus.decontaminateBloom]] (the bloom path is output-identical by
+    * construction — prefilter + exact confirm): each non-benchmark doc's
+    * distinct-shingle count against the union of benchmark-doc shingles
+    * (benchmark = doc_id ≡ 0 mod BenchmarkMod). The shingle CTE is the
+    * lockstep twin of Text.shingles (see LlmQueries.ShinglesCte); docs
+    * shorter than 3 tokens have no shingles and are out of scope. */
+  private val decontaminateSql = s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+               FROM tk WHERE len(t) >= 3),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % ${Corpus.BenchmarkMod} = 0),
+        corpus AS (SELECT doc_id, count(*) AS n_grams FROM sh
+                   WHERE doc_id % ${Corpus.BenchmarkMod} <> 0 GROUP BY doc_id),
+        hits AS (SELECT s.doc_id, count(*) AS hits
+                 FROM sh s JOIN bench USING (sh)
+                 WHERE s.doc_id % ${Corpus.BenchmarkMod} <> 0 GROUP BY s.doc_id)
+        SELECT c.doc_id, c.n_grams,
+               COALESCE(h.hits, 0) AS n_contaminated_grams,
+               COALESCE(h.hits, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Overlapping token chunks. chunk_idx is derivable from chunk_start
@@ -91,31 +117,21 @@ object CorpusQueries {
                  / len(v)), 6) AS err_rms
         FROM q ORDER BY vec_id""")),
 
-    // Benchmark decontamination: distinct word 3-shingles of each
-    // non-benchmark doc counted against the union of benchmark-doc
-    // shingles (benchmark = doc_id ≡ 0 mod BenchmarkMod). The shingle CTE
-    // is the lockstep twin of Text.shingles (see LlmQueries.ShinglesCte);
-    // docs shorter than 3 tokens have no shingles and are out of scope.
+    // Benchmark decontamination (exact-broadcast form; see
+    // decontaminateSql for the shared semantics).
     QueryDef("corpus_decontaminate",
       (s, dir) => Corpus.decontaminate(s, dir),
-      Some(s"""
-        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        sh AS (SELECT doc_id,
-                      unnest(list_distinct(list_transform(
-                        generate_series(1, len(t) - 2),
-                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-               FROM tk WHERE len(t) >= 3),
-        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % ${Corpus.BenchmarkMod} = 0),
-        corpus AS (SELECT doc_id, count(*) AS n_grams FROM sh
-                   WHERE doc_id % ${Corpus.BenchmarkMod} <> 0 GROUP BY doc_id),
-        hits AS (SELECT s.doc_id, count(*) AS hits
-                 FROM sh s JOIN bench USING (sh)
-                 WHERE s.doc_id % ${Corpus.BenchmarkMod} <> 0 GROUP BY s.doc_id)
-        SELECT c.doc_id, c.n_grams,
-               COALESCE(h.hits, 0) AS n_contaminated_grams,
-               COALESCE(h.hits, 0) > 0 AS contaminated
-        FROM corpus c LEFT JOIN hits h USING (doc_id)
-        ORDER BY doc_id""")),
+      Some(decontaminateSql)),
+
+    // Bloom-prefiltered decontamination: the Spark side probes a
+    // distributed-built Bloom filter before the exact confirm join, so
+    // the composition stays EXACT (no false negatives + exact verify of
+    // survivors) — the oracle is corpus_decontaminate's, verbatim. The
+    // hash match certifies that the sketch path changes the plan shape,
+    // not one output bit.
+    QueryDef("corpus_decontaminate_bloom",
+      (s, dir) => Corpus.decontaminateBloom(s, dir),
+      Some(decontaminateSql)),
 
     // BM25 top-20. The scoring expression mirrors the Spark column tree
     // token for token (same literals, same left-assoc order, ln rounded to

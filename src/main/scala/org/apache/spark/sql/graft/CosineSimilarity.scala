@@ -97,4 +97,13 @@ object functions {
 
   def gram_max_freq(toks: Column, k: Int): Column =
     ExpressionUtils.column(GramMaxFreq(ExpressionUtils.expression(toks), k))
+
+  def bloom_build(hash: Column, expectedItems: Long, fpp: Double): Column =
+    ExpressionUtils.column(
+      BloomBuildAgg(ExpressionUtils.expression(hash), expectedItems, fpp)
+        .toAggregateExpression())
+
+  def bloom_might_contain(filterBytes: Column, hash: Column): Column =
+    ExpressionUtils.column(BloomMightContainLong(
+      ExpressionUtils.expression(filterBytes), ExpressionUtils.expression(hash)))
 }

@@ -37,6 +37,30 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "md5_prefix64 expects exactly 1 argument")
         Md5Prefix64(args.head)
+      }),
+    (new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_build expects (hash, expectedItems, fpp)")
+        require(args(1).foldable && args(2).foldable,
+          "bloom_build sizing arguments must be literals")
+        def num(v: Any): Double = v match {
+          case n: Number => n.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"bloom_build sizing argument is not numeric: $other")
+        }
+        BloomBuildAgg(args.head,
+          num(args(1).eval(null)).toLong, num(args(2).eval(null)))
+      }),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain expects (filterBytes, hash)")
+        BloomMightContainLong(args.head, args(1))
       }))
 
   /** Idempotently register the graft functions into an EXISTING session.

@@ -80,4 +80,34 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("bloom_build/bloom_might_contain are callable from SQL text") {
+    val shared = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions()(_))
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val bytes = s.sql(
+        "SELECT bloom_build(CAST(h AS BIGINT), 1024, 0.03) FROM VALUES (7), (13), (99) t(h)")
+        .collect().head.getAs[Array[Byte]](0)
+      // probe with the built filter inlined as a binary literal (the
+      // foldable-filter contract bloom_might_contain enforces)
+      val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+      val probes = s.sql(
+        s"SELECT bloom_might_contain(X'$hex', 13L), bloom_might_contain(X'$hex', 101L)")
+        .collect().head
+      assert(probes.getBoolean(0), "inserted value must probe true")
+      // 101 was never inserted: overwhelmingly false at fpp=0.03 (and
+      // deterministic — asserted so a hashing regression can't hide)
+      assert(!probes.getBoolean(1))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
 }
