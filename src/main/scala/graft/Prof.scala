@@ -183,6 +183,41 @@ object Prof {
           .orderBy(col("doc_id")))
         bench("text_normalize")(graft.llm.TextAnalysis.normalizeOf(docs))
         bench("text_repetition")(graft.llm.TextAnalysis.repetitionOf(docs))
+      } else if (args.head == "substr_parts") {
+        // r13: attribute corpus_substr_dedup's 5.15s bench cost. Ladder:
+        // suffix-key explode alone → range-sort+count-window (dupPos) →
+        // span merge → full entry without the trailing orderBy → full
+        // entry. If full ≈ 2× no_sort, the orderBy's range-sampling pass
+        // is re-executing the suffix pipeline (the session-window
+        // disease) and the span relation needs a materialization barrier.
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.Corpus
+        val w = Corpus.SubstrWidth
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val base = docs.select(col("doc_id"), col("text"),
+          length(col("text")).as("len"))
+        def keysWith(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          base.where(col("len") >= w)
+            .select(col("doc_id"),
+              explode(transform(sequence(lit(1), col("len") - (w - 1)),
+                p => struct(p.as("pos"), key(col("text").substr(p, lit(w))).as("key"))))
+                .as("pk"))
+            .select(col("doc_id"), col("pk.pos").as("pos"), col("pk.key").as("key"))
+        def dupPosHash(keys: org.apache.spark.sql.DataFrame) = keys
+          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("key"))))
+          .where(col("c") > 1)
+          .select(col("doc_id"), col("pos"))
+        bench("keys_raw")(keysWith(identity))
+        bench("keys_md5")(keysWith(md5))
+        bench("keys_xx")(keysWith(xxhash64(_)))
+        bench("dup_raw_range")(keysWith(identity)
+          .repartitionByRange(spark.sparkContext.defaultParallelism, col("key"))
+          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("key"))))
+          .where(col("c") > 1).select(col("doc_id"), col("pos")))
+        bench("dup_md5_hash")(dupPosHash(keysWith(md5)))
+        bench("dup_xx_hash")(dupPosHash(keysWith(xxhash64(_))))
+        bench("full")(SparkEntry.queries("corpus_substr_dedup")(spark, sfDir))
       } else if (args.head == "bpe_apply_ab") {
         // r13 (r12 VERDICT #5): fused per-row merge kernel vs the old
         // 20-stage regexp_replace chain, same inputs, min-of-5 noop-write.

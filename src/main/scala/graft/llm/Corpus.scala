@@ -500,18 +500,20 @@ object Corpus {
     * corpus-wide, and report each doc with its duplicated-span stats plus
     * the md5 of the text with those spans cut out.
     *
-    * Spark shape (the distributed suffix-array analogue):
-    *  1. suffix keys — one fixed-width window per character position,
-    *     built in-row (an in-row struct array, then one explode; the text
-    *     column never rides past the keying projection);
-    *  2. duplicate marking — `repartitionByRange` on the key, then a
-    *     count-over-key window. RangePartitioning(key) satisfies the
-    *     window's ClusteredDistribution(key), so the ONLY corpus-sized
-    *     exchange is that one range shuffle and the window adds just the
-    *     in-partition sort — physically a sort of all suffixes followed by
-    *     a neighbor-run scan, i.e. exactly the pass a suffix-array build
-    *     performs, with range (not hash) placement so adjacent sorted runs
-    *     and their skew are spread by sampled quantiles;
+    * Spark shape (the distributed suffix-array analogue, digest-keyed):
+    *  1. suffix keys — one fixed-width window DIGEST (md5, the X1/X29
+    *     exactness currency) per character position, built in-row (an
+    *     in-row struct array, then one explode; neither the text column
+    *     nor the raw window ever rides past the keying projection);
+    *  2. duplicate marking — a count-over-digest window, whose required
+    *     clustering is satisfied by ONE hash exchange on the digest plus
+    *     the in-partition sort. Equality of the w-char window is all the
+    *     construction consumes (span merging needs positions, not
+    *     lexicographic neighbors), so nothing is lost by sorting digests
+    *     instead of raw suffixes — and the digest rows are slim and
+    *     fixed-width, with no range-sampling pre-pass re-executing the
+    *     explode (the raw-key range-sort form measured ~2× this cost at
+    *     sf0.1: Prof `substr_parts`);
     *  3. span merge — duplicated positions collapse per doc with the
     *     gaps-and-islands window construction (new island when the gap to
     *     the previous duplicated position exceeds the window width, i.e.
@@ -521,25 +523,30 @@ object Corpus {
     *     span order) plus the tail; the cleaned text is the gap substrings
     *     reassembled in order.
     *
-    * 100 TB design: the key relation is O(corpus chars) rows of W-char
-    * keys — big, but its single range-sort shuffle is the same O(n log n)
-    * the published distributed suffix-array constructions pay, and it is
-    * the ONLY corpus-scale movement: duplicated positions (a small
-    * fraction by definition — dedup targets the repeated tail), spans and
-    * gaps are all slim doc-keyed relations, and nothing ever enters pair
-    * space (a window repeated a million times costs one count, not 10¹²
-    * pairs). Hot boilerplate keys concentrate inside single range
-    * partitions; the count-window over a sorted run streams, it does not
-    * buffer pairs. At real scale the first cost lever is sampling start
-    * positions with a stride (detects repeats ≥ W+stride−1 at 1/stride the
-    * keys); stride 1 here keeps the operator exact at test SFs.
+    * 100 TB design: the digest relation is O(corpus chars) rows of
+    * fixed 32-byte keys — big, but its single hash shuffle + in-partition
+    * sort is the same O(n log n) the published distributed suffix-array
+    * constructions pay, and it is the ONLY corpus-scale movement:
+    * duplicated positions (a small fraction by definition — dedup targets
+    * the repeated tail), spans and gaps are all slim doc-keyed relations,
+    * and nothing ever enters pair space (a window repeated a million
+    * times costs one count, not 10¹² pairs). The 128-bit digest spreads
+    * hot boilerplate keys uniformly across reducers while keeping each
+    * key's run on one reducer; the count-window over a sorted run
+    * streams, it does not buffer pairs. At real scale the first cost
+    * lever is sampling start positions with a stride (detects repeats ≥
+    * W+stride−1 at 1/stride the keys); stride 1 here keeps the operator
+    * exact at test SFs.
     *
     * Output per doc: `n_dup_pos` (duplicated window positions),
     * `n_spans` (after merge), `dup_chars` (chars covered by merged spans),
     * `clean_md5` (md5 of the text with spans removed; untouched docs hash
     * their full text, fully-duplicated docs hash ""). */
   def substrDedup(s: SparkSession, dir: String): DataFrame =
-    substrDedupOf(s.read.parquet(s"$dir/documents.parquet"), SubstrWidth)
+    // the re-spread scan matters doubly here: the suffix explode multiplies
+    // every input row ~500× and md5s each window, so a single-file scan
+    // partition would run the whole keying stage on one task
+    substrDedupOf(docs(s, dir), SubstrWidth)
 
   /** [[substrDedup]] over any (doc_id, text) relation with an explicit
     * window width — the unit-test hook (SubstrDedupSpec pins the
@@ -548,21 +555,25 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val base = d.select(col("doc_id"), col("text"),
       length(col("text")).as("len"))
-    // 1. suffix keys, built in-row (guard len >= w BEFORE sequence: Spark's
-    // sequence(1, n) with n < 1 counts DOWN)
+    // 1. suffix keys as WINDOW DIGESTS, built in-row (guard len >= w
+    // BEFORE sequence: Spark's sequence(1, n) with n < 1 counts DOWN).
+    // Repeats are detected by EQUALITY of the w-char window, so the
+    // shuffled key is the window's md5 — the same exactness currency the
+    // whole-doc exact dedup (X1) and line-level removal (X29) already
+    // trade in — not the raw w-char string: digest rows are slim and
+    // fixed-width, which at sf0.1 cut the measured entry cost roughly in
+    // half (the raw-key form shuffled ~3× the bytes and paid a
+    // range-sampling pre-pass that executed the explode subtree twice).
     val keys = base
       .where(col("len") >= w)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), col("len") - (w - 1)),
-          p => struct(p.as("pos"), col("text").substr(p, lit(w)).as("key"))))
+          p => struct(p.as("pos"), md5(col("text").substr(p, lit(w))).as("key"))))
           .as("pk"))
       .select(col("doc_id"), col("pk.pos").as("pos"), col("pk.key").as("key"))
-    // 2. range-sort the suffix keys; the count window reuses that placement
-    // (explicit width: exempt from AQE coalescing, same discipline as the
-    // dedup self-joins)
+    // 2. count repeats per digest: ONE hash exchange on the digest (the
+    // window sorts within partitions; no range-partitioning sampling pass)
     val dupPos = keys
-      .repartitionByRange(d.sparkSession.sparkContext.defaultParallelism,
-        col("key"))
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("key"))))
       .where(col("c") > 1)
       .select(col("doc_id"), col("pos"))

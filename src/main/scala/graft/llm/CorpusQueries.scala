@@ -183,7 +183,7 @@ object CorpusQueries {
         k AS (SELECT doc_id, text, len,
                      unnest(generate_series(1, len - ${w - 1})) AS pos
               FROM d WHERE len >= $w),
-        ky AS (SELECT doc_id, pos, substr(text, pos, $w) AS key FROM k),
+        ky AS (SELECT doc_id, pos, md5(substr(text, pos, $w)) AS key FROM k),
         dup AS (SELECT doc_id, pos FROM (
                   SELECT doc_id, pos, count(*) OVER (PARTITION BY key) AS c
                   FROM ky) WHERE c > 1),

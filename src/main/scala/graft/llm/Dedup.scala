@@ -356,6 +356,114 @@ object Dedup {
 
   /** [[clusters]] over any (doc_a, doc_b) pair relation — unit-testable
     * form. */
+  /** [[clusters]] through the ALTERNATING two-star algorithm instead of
+    * min-label propagation — same fixpoint (every doc labeled with its
+    * component's min id; identical output schema and oracle), different
+    * round structure: large-star/small-star rewrites (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") contract components
+    * in O(log diameter)-ish rounds rather than O(diameter), which is the
+    * published fallback [[clusters]]' Scaladoc cites for adversarially
+    * deep graphs (a propagation chain of length d pays d rounds; two-star
+    * collapses it exponentially). Near-dup graphs are usually
+    * clique-shaped — where propagation's single round wins — so BOTH
+    * forms ship: the operator choice is a diameter bet, and the judge of
+    * that bet is the round counter each form logs. */
+  def clustersTwoStar(s: SparkSession, dir: String): DataFrame =
+    clustersTwoStarOf(verifiedPairs(s, dir))
+
+  /** [[clustersTwoStar]] over any (doc_a, doc_b) pair relation —
+    * unit-testable form.
+    *
+    * Loop invariants: the edge set is kept CANONICAL (u > v, no self
+    * loops, distinct) between rounds — both star rewrites emit edges
+    * pointing from a node to a strictly smaller one, so canonical form is
+    * preserved for free. Per round: large-star connects every
+    * bigger-than-u neighbor to u's neighborhood min (one symmetric
+    * adjacency aggregation + join), small-star connects u and its
+    * smaller neighbors to their min (one aggregation + join on the
+    * canonical orientation). Convergence = round-to-round edge-set
+    * equality, checked with ONE exact symmetric-difference job (union →
+    * count per pair → any pair seen once?); at the fixpoint the set is a
+    * union of stars rooted at component minima, which IS the label
+    * relation. All state is (node, node) pairs, vertex-keyed shuffles
+    * only, persisted per round with lineage truncation via the same
+    * narrow-shuffle gate as [[clustersOf]]. */
+  def clustersTwoStarOf(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a"), col("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+    val initial = fwd
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().persist()
+    val nEdges = initial.count()
+    val session = pairs.sparkSession
+    val sessionWidth =
+      session.conf.get("spark.sql.shuffle.partitions").toInt
+    val labels = graft.Tuning.withNarrowShuffle(session,
+        width = if (nEdges <= 1000000L) 8 else sessionWidth) {
+      var edges = initial
+      var converged = nEdges == 0L
+      var round = 0
+      while (!converged) {
+        round += 1
+        if (round > ClusterMaxRounds)
+          throw new IllegalStateException(
+            s"two-star did not converge in $ClusterMaxRounds rounds")
+        // LARGE-STAR over the symmetric adjacency: m(u) = min(Γ(u) ∪ {u});
+        // emit (x, m(u)) for every x ∈ Γ(u), x > u. Output is canonical
+        // (x > u ≥ m) and connectivity-preserving (the u–m link survives
+        // through m's own group).
+        val sym = edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy(col("u"))
+          .agg(least(min(col("v")), col("u")).as("m"))
+        val large = sym.join(mins, "u")
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .distinct()
+        // SMALL-STAR on the canonical orientation: per u over its smaller
+        // neighbors Γ⁻(u), m = min; emit (x, m) for x ∈ Γ⁻(u) \ {m} plus
+        // (u, m). Also canonical (x > m, u > m). Eager localCheckpoint =
+        // materialize + cut lineage (the k-means loop discipline; stale
+        // checkpoint blocks are ContextCleaner-reclaimed).
+        val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val step = large.join(smins, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(smins.select(col("u"), col("m").as("v")))
+          .distinct()
+          .localCheckpoint()
+        // exact symmetric difference in one job: every canonical pair seen
+        // exactly twice across old ∪ new ⇔ the sets are equal (both sides
+        // are distinct sets)
+        converged = step
+          .union(edges.select(col("u"), col("v")))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .where(col("c") === 1).isEmpty
+        if (round == 1) initial.unpersist()
+        edges = step
+        if (converged)
+          System.err.println(s"[graft.twostar] converged after $round rounds")
+      }
+      // fixpoint stars: roots appear only as v (or not at all for
+      // singleton inputs, which verified pair graphs never produce)
+      edges.select(col("u").as("doc_id"), col("v").as("label"))
+        .union(edges.select(col("v").as("doc_id"), col("v").as("label")))
+        .distinct()
+    }
+    clusterOutput(labels)
+  }
+
+  /** Shared final rollup of the clustering operators: (doc_id, label) →
+    * (cluster_id, doc_id, cluster_size, keep). */
+  private def clusterOutput(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("label").as("cluster_id"), col("doc_id"),
+        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   def clustersOf(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -374,11 +482,7 @@ object Dedup {
     }
     // final rollup runs at the session width (it is corpus-row-sized at
     // scale, unlike the loop's label-pair state)
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
-      .select(col("label").as("cluster_id"), col("doc_id"),
-        col("cluster_size"), (col("doc_id") === col("label")).as("keep"))
-      .orderBy(col("cluster_id"), col("doc_id"))
+    val out = clusterOutput(labels)
     edges.unpersist()
     out
   }
@@ -389,14 +493,18 @@ object Dedup {
     // seed with round 1 already applied: label₀(x) = min(x, neighbors(x))
     // comes straight out of the vertex aggregation, so clique-shaped
     // components (the common near-dup case) converge after a single
-    // stability check instead of an extra propagation round
+    // stability check instead of an extra propagation round. Each round is
+    // localCheckpoint'ed (eager: materialize + CUT LINEAGE — the k-means
+    // loop discipline; stale blocks are ContextCleaner-reclaimed): round
+    // k's plan references round k-1's TWICE (step ⋈ viaNbr both read
+    // `labels`), so an un-truncated loop doubles the plan string per round
+    // and the listener-bus explainString OOMs the driver near round 12 —
+    // exposed by TwoStarSpec's corpus-shaped graph, whose bridged chain
+    // needs more propagation rounds than the near-dup corpus ever has.
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("doc_id"), col("label"))
-      .persist()
-    // the cached handle behind `labels` (labels itself may be a projection
-    // of it — unpersist must target the relation that holds the blocks)
-    var cached = labels
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged) {
@@ -407,14 +515,13 @@ object Dedup {
       val viaNbr = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
       // carry the previous label through the step so the convergence check
-      // reads the SAME cached relation (no extra old⋈new join per round)
+      // reads the SAME materialized relation (no extra old⋈new join per
+      // round)
       val step = labels.join(viaNbr, col("doc_id") === col("src"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       converged = step.where(col("label") < col("old_label")).isEmpty
-      cached.unpersist()
-      cached = step
       labels = step.select(col("doc_id"), col("label"))
     }
     // operational stderr log (never stdout — the bench JSON line owns it):

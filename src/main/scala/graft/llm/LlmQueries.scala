@@ -51,6 +51,18 @@ object LlmQueries {
       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
       |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle of dedup_clusters AND dedup_clusters_twostar (both
+    * converge to the same min-id component labeling). */
+  private val clustersSql = s"""
+        WITH RECURSIVE $ShinglesCte,
+        $ClusterClosureCtes,
+        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+               GROUP BY cluster_id)
+        SELECT l.cluster_id, l.doc_id, cs.cluster_size,
+               l.doc_id = l.cluster_id AS keep
+        FROM lab l JOIN cs USING (cluster_id)
+        ORDER BY cluster_id, doc_id"""
+
   /** DuckDB sequential-fold dot product of two list expressions (twin of
     * [[Similarity.dot]]). */
   private def dotSql(a: String, b: String): String =
@@ -237,15 +249,16 @@ object LlmQueries {
     // both assign every vertex the min doc_id reachable from it).
     QueryDef("dedup_clusters",
       (s, dir) => Dedup.clusters(s, dir),
-      Some(s"""
-        WITH RECURSIVE $ShinglesCte,
-        $ClusterClosureCtes,
-        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
-               GROUP BY cluster_id)
-        SELECT l.cluster_id, l.doc_id, cs.cluster_size,
-               l.doc_id = l.cluster_id AS keep
-        FROM lab l JOIN cs USING (cluster_id)
-        ORDER BY cluster_id, doc_id""")),
+      Some(clustersSql)),
+
+    // The same clustering through the ALTERNATING two-star algorithm
+    // (Kiveris et al.) — identical fixpoint, O(log diameter)-ish rounds
+    // instead of O(diameter); shares dedup_clusters' oracle verbatim, so
+    // the hash match certifies the algorithms agree on the real pair
+    // graph, not just on spec fixtures.
+    QueryDef("dedup_clusters_twostar",
+      (s, dir) => Dedup.clustersTwoStar(s, dir),
+      Some(clustersSql)),
 
     // Leakage-safe train/val/test split: the split key is the near-dup
     // CLUSTER canonical id (the same closure as dedup_clusters), so a dup
