@@ -314,7 +314,7 @@ object Corpus {
     // bucket window's keyed exchange re-spreads immediately anyway (same
     // measured argument as [[lineDedup]])
     packOfCounts(
-      s.read.parquet(s"$dir/documents.parquet")
+      docs(s, dir)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens")),
       packWidth(corpusMaxDocId(s, dir)))
@@ -429,7 +429,9 @@ object Corpus {
     * its parallelism from its own keyed exchange; a real corpus source has
     * real splits. */
   def lineDedup(s: SparkSession, dir: String): DataFrame =
-    lineDedupOf(s.read.parquet(s"$dir/documents.parquet"))
+    // re-spread scan: the ~67-line-per-doc segmentation explode otherwise
+    // runs on a single small-file scan partition (the substrDedup lesson)
+    lineDedupOf(docs(s, dir))
 
   /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
   def lineDedupOf(d: DataFrame): DataFrame =
@@ -667,7 +669,9 @@ object Corpus {
     * three keyed exchanges (content hash, pack bucket, sort) end to end —
     * no materialization barriers between stages at any scale. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame =
-    curationPipelineOf(s.read.parquet(s"$dir/documents.parquet"),
+    // re-spread scan: normalize's fused regex passes are the pipeline's
+    // CPU bulk and otherwise run on a single small-file scan partition
+    curationPipelineOf(docs(s, dir),
       packWidth(corpusMaxDocId(s, dir)))
 
   /** [[curationPipeline]] over any (doc_id, text) relation — unit-testable

@@ -50,11 +50,16 @@ object SqlQueries {
       // `FROM EVENTS` must not skip registration and die at resolution.
       def references(view: String): Boolean =
         ("""(?i)\b""" + view + """\b""").r.findFirstIn(body).isDefined
+      // re-spread before registering: a single-file parquet scan is one
+      // partition, which would run e.g. sql_text_normalize's fused regex
+      // passes on one task (the substrDedup lesson, r13)
       if (references("documents"))
         s.read.parquet(s"$dir/documents.parquet")
+          .repartition(s.sparkContext.defaultParallelism)
           .createOrReplaceTempView("documents")
       if (references("embeddings"))
         s.read.parquet(s"$dir/embeddings.parquet")
+          .repartition(s.sparkContext.defaultParallelism)
           .createOrReplaceTempView("embeddings")
       if (references("events"))
         graft.streaming.Events.events(s, dir)
