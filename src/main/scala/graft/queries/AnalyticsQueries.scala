@@ -19,6 +19,38 @@ object AnalyticsQueries {
 
   val DayMicros: Long = 86400L * 1000000L
 
+  /** The as-of entry body, parameterized by the join implementation so the
+    * composed (union+window) and native (custom exec) forms share one
+    * definition and one oracle. */
+  private def asofEntry(s: org.apache.spark.sql.SparkSession, dir: String,
+      join: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Events.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_event_id"))
+    join(purchases, clicks, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("prev_click_event_id").as("click_event_id"),
+        col("prev_ts").as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Shared oracle of asof_click_purchase and asof_click_purchase_native
+    * (identical semantics, different physical operators). */
+  private val asofSql = """
+        WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_event_id, c.ts AS click_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Backward as-of join: each purchase event picks up the most recent
@@ -27,28 +59,19 @@ object AnalyticsQueries {
     // (operators/AsOfJoin.scala). Clicks are deduped to one per (user, ts)
     // — both encodings are otherwise tie-ambiguous.
     QueryDef("asof_click_purchase",
-      (s, dir) => {
-        val ev = Events.events(s, dir)
-        val purchases = ev.where(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        val clicks = ev.where(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("event_id")).as("click_event_id"))
-        AsOfJoin.backward(purchases, clicks, "user_id", "ts")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-            col("prev_click_event_id").as("click_event_id"),
-            col("prev_ts").as("click_ts"))
-          .orderBy(col("event_id"))
-      },
-      Some("""
-        WITH p AS (SELECT event_id, user_id, ts, value FROM events
-                   WHERE event_type = 'purchase'),
-        c AS (SELECT user_id, ts, max(event_id) AS click_event_id
-              FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-        SELECT p.event_id, p.user_id, p.ts, p.value,
-               c.click_event_id, c.ts AS click_ts
-        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
-        ORDER BY p.event_id""")),
+      (s, dir) => asofEntry(s, dir, AsOfJoin.backward),
+      Some(asofSql)),
+
+    // The SAME as-of semantics through the native whole-operator tier
+    // (org.apache.spark.sql.graft.AsOfJoinNative: custom logical node +
+    // planner strategy + two-pointer merge exec). Shares the composed
+    // form's oracle verbatim — the hash match certifies the custom
+    // physical operator end to end on real data, not just on spec
+    // fixtures.
+    QueryDef("asof_click_purchase_native",
+      (s, dir) => asofEntry(s, dir,
+        org.apache.spark.sql.graft.AsOfJoinNative.backward),
+      Some(asofSql)),
 
     // Point-in-interval join: events × 30 overlapping 5-day campaign
     // windows (3-day cadence), via the bucketed equi-join encoding
