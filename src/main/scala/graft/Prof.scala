@@ -183,6 +183,18 @@ object Prof {
           .orderBy(col("doc_id")))
         bench("text_normalize")(graft.llm.TextAnalysis.normalizeOf(docs))
         bench("text_repetition")(graft.llm.TextAnalysis.repetitionOf(docs))
+      } else if (args.head == "curation_ab") {
+        // r13: does the scan re-spread pay for curationPipeline (regex
+        // passes are scan-side) the way it does for substr_dedup, or is it
+        // a wash like lineDedup? Same-session A/B of the Of-form over
+        // direct vs re-spread input.
+        import graft.llm.Corpus
+        val direct = spark.read.parquet(s"$sfDir/documents.parquet")
+        val spread = direct.repartition(spark.sparkContext.defaultParallelism)
+        (1 to 2).foreach { r =>
+          bench(s"cur_direct_r$r")(Corpus.curationPipelineOf(direct))
+          bench(s"cur_spread_r$r")(Corpus.curationPipelineOf(spread))
+        }
       } else if (args.head == "substr_parts") {
         // r13: attribute corpus_substr_dedup's 5.15s bench cost. Ladder:
         // suffix-key explode alone → range-sort+count-window (dupPos) →

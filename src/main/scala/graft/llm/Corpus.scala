@@ -219,6 +219,12 @@ object Corpus {
   val BloomExpectedItems = 1L << 16
   val BloomFpp = 0.03
 
+  /** The built benchmark-gram filter, once per (session, dir) — the
+    * derived-index discipline (shingle sets, tf index, pair graph): a
+    * production pipeline builds the decontamination filter once and
+    * probes it from every curation job. */
+  private val bloomCache = new graft.SessionMemo[Array[Byte]]
+
   /** [[decontaminate]] through a Bloom-filter PREFILTER — byte-identical
     * output, different 100 TB shape: when the benchmark gram set outgrows
     * an exact broadcast set (a full eval-suite union at 13-gram widths),
@@ -238,10 +244,12 @@ object Corpus {
     val isBench = col("doc_id") % BenchmarkMod === 0
     val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
     val benchGrams = ex.where(isBench).select(col("sh")).distinct()
-    val bloomBytes = benchGrams
-      .agg(org.apache.spark.sql.graft.functions.bloom_build(hash64(col("sh")), BloomExpectedItems, BloomFpp)
-        .as("filter"))
-      .head().getAs[Array[Byte]](0)
+    val bloomBytes = bloomCache.getOrElseUpdate(s, dir) {
+      benchGrams
+        .agg(org.apache.spark.sql.graft.functions.bloom_build(
+          hash64(col("sh")), BloomExpectedItems, BloomFpp).as("filter"))
+        .head().getAs[Array[Byte]](0)
+    }
     val pre = ex.where(!isBench)
       .where(org.apache.spark.sql.graft.functions.bloom_might_contain(lit(bloomBytes), hash64(col("sh"))))
     val hits = pre.join(broadcast(benchGrams), "sh")
@@ -314,7 +322,7 @@ object Corpus {
     // bucket window's keyed exchange re-spreads immediately anyway (same
     // measured argument as [[lineDedup]])
     packOfCounts(
-      docs(s, dir)
+      s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           size(tokens(col("text"))).cast(LongType).as("n_tokens")),
       packWidth(corpusMaxDocId(s, dir)))
@@ -429,9 +437,7 @@ object Corpus {
     * its parallelism from its own keyed exchange; a real corpus source has
     * real splits. */
   def lineDedup(s: SparkSession, dir: String): DataFrame =
-    // re-spread scan: the ~67-line-per-doc segmentation explode otherwise
-    // runs on a single small-file scan partition (the substrDedup lesson)
-    lineDedupOf(docs(s, dir))
+    lineDedupOf(s.read.parquet(s"$dir/documents.parquet"))
 
   /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
   def lineDedupOf(d: DataFrame): DataFrame =
@@ -669,9 +675,12 @@ object Corpus {
     * three keyed exchanges (content hash, pack bucket, sort) end to end —
     * no materialization barriers between stages at any scale. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame =
-    // re-spread scan: normalize's fused regex passes are the pipeline's
-    // CPU bulk and otherwise run on a single small-file scan partition
-    curationPipelineOf(docs(s, dir),
+    // no round-robin re-spread (measured, Prof curation_ab: direct 1.15s
+    // vs re-spread 1.41s min at sf0.1): like [[lineDedup]], the heavy
+    // stages sit behind their own keyed exchanges, so the extra exchange
+    // costs more than scan-side parallelism buys — the opposite verdict
+    // from [[substrDedup]], whose ~500× explode IS the scan side
+    curationPipelineOf(s.read.parquet(s"$dir/documents.parquet"),
       packWidth(corpusMaxDocId(s, dir)))
 
   /** [[curationPipeline]] over any (doc_id, text) relation — unit-testable
