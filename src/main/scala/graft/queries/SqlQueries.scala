@@ -50,16 +50,17 @@ object SqlQueries {
       // `FROM EVENTS` must not skip registration and die at resolution.
       def references(view: String): Boolean =
         ("""(?i)\b""" + view + """\b""").r.findFirstIn(body).isDefined
-      // re-spread before registering: a single-file parquet scan is one
-      // partition, which would run e.g. sql_text_normalize's fused regex
-      // passes on one task (the substrDedup lesson, r13)
+      // no round-robin re-spread on the views (measured, r13): the SQL
+      // twins' scan-side work is light (md5 / regex over the doc table),
+      // and the extra exchange showed up as a regression on
+      // sql_dedup_exact (0.31→0.49s) with no win elsewhere — the same
+      // verdict as lineDedup/pack/curation (the substrDedup counter-case
+      // is its ~500× scan-side explode, which no SQL twin has)
       if (references("documents"))
         s.read.parquet(s"$dir/documents.parquet")
-          .repartition(s.sparkContext.defaultParallelism)
           .createOrReplaceTempView("documents")
       if (references("embeddings"))
         s.read.parquet(s"$dir/embeddings.parquet")
-          .repartition(s.sparkContext.defaultParallelism)
           .createOrReplaceTempView("embeddings")
       if (references("events"))
         graft.streaming.Events.events(s, dir)
