@@ -445,6 +445,17 @@ object Dedup {
         if (converged)
           System.err.println(s"[graft.twostar] converged after $round rounds")
       }
+      // The loop exits on round-to-round edge-set equality; the paper's
+      // potential argument says that fixpoint IS a union of stars, but we
+      // VERIFY rather than trust it (one cheap job on the star-sized set):
+      // in a star set every target v is a root and roots never appear on
+      // the u side — a v that is also some edge's u means a non-star
+      // fixpoint, i.e. a broken rewrite, and silently mislabeled clusters.
+      val nonStar = edges.as("a")
+        .join(edges.as("b"), col("a.v") === col("b.u"), "left_semi")
+      if (!nonStar.isEmpty)
+        throw new IllegalStateException(
+          "two-star fixpoint is not a union of stars — rewrite bug")
       // fixpoint stars: roots appear only as v (or not at all for
       // singleton inputs, which verified pair graphs never produce)
       edges.select(col("u").as("doc_id"), col("v").as("label"))
