@@ -463,6 +463,46 @@ object LlmQueries {
                round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS surprisal
         FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram-LM perplexity banding (CCNet): add-one-smoothed conditional
+    // model, all-integer p numerator/denominator, DECIMAL contribution
+    // sums, band cuts quantile-rounded to 4 dp — and NO exp() (Math.exp
+    // vs libm is not bit-pinned; log-perplexity is monotone-equivalent).
+    QueryDef("text_bigram_perplexity",
+      (s, dir) => TextAnalysis.bigramPerplexity(s, dir),
+      Some {
+        val bands = TextAnalysis.PerplexityCuts.map(_.toString)
+        s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1])) AS big
+               FROM tk WHERE len(t) >= 2),
+        tf AS (SELECT doc_id, big, count(*) AS tf FROM bg GROUP BY 1, 2),
+        mdl AS (SELECT big, sum(tf) AS c FROM tf GROUP BY 1),
+        ctx AS (SELECT string_split(big, ' ')[1] AS w1, sum(c) AS ctx
+                FROM mdl GROUP BY 1),
+        voc AS (SELECT count(DISTINCT token) AS v
+                FROM (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents)),
+        sc AS (SELECT doc_id, tf,
+                      CAST(round(tf * -ln(CAST(c + 1 AS DOUBLE) / CAST(ctx + v AS DOUBLE)), 9)
+                        AS DECIMAL(28, 9)) AS contrib
+               FROM tf JOIN mdl USING (big)
+                       JOIN ctx ON string_split(big, ' ')[1] = ctx.w1
+                       CROSS JOIN voc),
+        lp AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                      round(CAST(sum(contrib) AS DOUBLE) / sum(tf), 6) AS log_ppl
+               FROM sc GROUP BY 1),
+        cuts AS (SELECT round(quantile_cont(log_ppl, ${bands(0)}), 4) AS c1,
+                        round(quantile_cont(log_ppl, ${bands(1)}), 4) AS c2
+                 FROM lp)
+        SELECT doc_id, n_bigrams, log_ppl,
+               CASE WHEN log_ppl <= c1 THEN 'head'
+                    WHEN log_ppl <= c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp CROSS JOIN cuts ORDER BY doc_id"""
+      }),
+
     // Quality-stratified sampling: surprisal-scored decile cuts (both
     // engines round the interpolated cut points to 4 dp before the
     // per-row comparison — quantile_cont and Spark's percentile share the

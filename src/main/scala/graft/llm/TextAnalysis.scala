@@ -315,6 +315,104 @@ object TextAnalysis {
       .sortWithinPartitions(col("doc_id"))
   }
 
+  /** Head/middle/tail cut fractions for [[bigramPerplexity]] — exact
+    * decimal literals so both engines interpolate the same quantiles
+    * (CCNet splits its perplexity distribution into three quality bands;
+    * 30/40/30 here). */
+  val PerplexityCuts: Seq[Double] = Seq(0.3, 0.7)
+
+  /** Broadcast gate for the bigram model in [[bigramPerplexity]]: the
+    * model row count is bounded above by total bigram OCCURRENCES
+    * (Σ per-doc (n_tokens − 1), one cheap scan-side job — the lineDedup
+    * gate discipline); ~48 B per in-memory model row keeps 2M rows well
+    * inside a 128 MB broadcast budget. Over the gate the score join
+    * shuffles on the bigram key instead (128-bit-free but content-keyed —
+    * Heaps-law vocabulary, no single hot reducer). */
+  val BigramModelBroadcastMaxRows = 2000000L
+
+  /** Bigram-LM perplexity scoring — the full CCNet quality gate (Wenzek
+    * et al., "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): train an add-one-smoothed bigram language model on
+    * the corpus, score every document by its mean negative log-probability
+    * under that model, and band the corpus into head/middle/tail quality
+    * buckets at the [[PerplexityCuts]] quantiles. Complements
+    * [[unigramSurprisal]] (bag-of-words frequency proxy) with a
+    * CONDITIONAL model: a doc built of common words in improbable ORDER
+    * scores tail here while the unigram proxy cannot see it.
+    *
+    * Model: p(w2|w1) = (c(w1w2) + 1) / (ctx(w1) + V) with ctx(w1) =
+    * Σ_w c(w1 w) and V = corpus distinct-token count — all-integer
+    * numerator/denominator, so the double division is bit-identical in
+    * both engines. Per-doc score = Σ tf·round(−ln p, 9) summed as exact
+    * DECIMAL (addition-order-independent), divided by the bigram count
+    * and rounded to 6 dp (`log_ppl` — the exp() to true perplexity is
+    * deliberately NOT taken: Math.exp vs libm exp is not bit-pinned
+    * across engines, and the banding is monotone in either form). Band
+    * cuts are ONE exact-percentile aggregate rounded to 4 dp and
+    * broadcast (the [[Corpus.qualityStratifiedSample]] discipline — at
+    * 100 TB swap in percentile_approx; never a global rank window).
+    *
+    * 100 TB shape: per-doc bigram tf is corpus-sized but range-clustered
+    * by doc_id at birth, so the scoring groupBy is shuffle-free; the
+    * model + context relations are vocabulary-sized aggregates joined
+    * WITHIN the broadcast gate ([[BigramModelBroadcastMaxRows]]); V and
+    * the cuts ride as broadcast 1-row aggregates. Docs with fewer than 2
+    * tokens have no bigram transitions and are excluded identically in
+    * both engines. */
+  def bigramPerplexity(s: SparkSession, dir: String): DataFrame =
+    bigramPerplexityOf(docs(s, dir), BigramModelBroadcastMaxRows)
+
+  /** [[bigramPerplexity]] over any (doc_id, text) relation with an
+    * explicit broadcast gate — the unit-test hook (BigramPerplexitySpec
+    * forces the shuffled-join fallback with gate 0). */
+  private[llm] def bigramPerplexityOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val bigArr = transform(sequence(lit(1), n - 1), i =>
+      concat_ws(" ", element_at(t, i.cast(IntegerType)),
+        element_at(t, (i + 1).cast(IntegerType))))
+    val tf = d.where(n >= 2)
+      .select(col("doc_id"), explode(bigArr).as("big"))
+      .groupBy(col("doc_id"), col("big"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("doc_id"))
+    val model = tf.groupBy(col("big")).agg(sum(col("tf")).as("c"))
+      .withColumn("w1", split(col("big"), " ").getItem(0))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    val scored = model.join(ctx, "w1").select(col("big"), col("c"), col("ctx"))
+    val voc = d.select(explode(t).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    // gate sizing: Σ (n_tokens − 1) ≥ distinct bigrams — one cheap
+    // scan-side job (text column only), conservative-safe
+    val bigBound = d.where(n >= 2)
+      .agg(coalesce(sum((n - 1).cast(LongType)), lit(0L))).head().getLong(0)
+    val contrib = round(col("tf") *
+        -log((col("c") + 1).cast(DoubleType) / (col("ctx") + col("v")).cast(DoubleType)), 9)
+      .cast(DecimalType(28, 9))
+    val joined =
+      if (bigBound <= broadcastMaxRows) tf.join(broadcast(scored), "big")
+      else tf.join(scored.hint("shuffle_hash"), "big")
+    val lp = joined
+      .crossJoin(broadcast(voc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(contrib).as("sdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sdec").cast(DoubleType) / col("n_bigrams"), 6).as("log_ppl"))
+    val qs = PerplexityCuts.map(_.toString).mkString(", ")
+    val cuts = lp.agg(
+      expr(s"transform(percentile(log_ppl, array($qs)), c -> round(c, 4))")
+        .as("cuts"))
+    val band = element_at(array(lit("head"), lit("middle"), lit("tail")),
+      size(filter(col("cuts"), c => col("log_ppl") > c)) + 1)
+    val banded = lp.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("log_ppl"), band.as("bucket"))
+    // broadcast branch: tf's range clustering survives the broadcast join
+    // and the shuffle-free groupBy → local sort is a total order; the
+    // shuffled fallback loses it → pay the explicit total-order sort
+    if (bigBound <= broadcastMaxRows) banded.sortWithinPartitions(col("doc_id"))
+    else banded.orderBy(col("doc_id"))
+  }
+
   /** Top merge candidates for [[bpePairs]]. */
   val BpeTopPairs = 20
 
