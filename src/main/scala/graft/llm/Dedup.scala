@@ -235,8 +235,12 @@ object Dedup {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .persist())
 
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(s, dir)
+  /** (doc_id, band, bkey) banding relation from any (doc_id, sset)
+    * shingle-set relation — purely per-row (signature fold + band-key
+    * posexplode), no shuffle and no state, so it serves the batch LSH
+    * join AND the streaming census ([[graft.streaming.NearDupStream]])
+    * from one definition. */
+  private[graft] def bandsFromSets(sets: DataFrame): DataFrame = {
     def h(i: Int): Column = {
       val (a, b) = minhashSeeds(i)
       array_min(transform(col("hrs"),
@@ -252,8 +256,13 @@ object Dedup {
         (0 until RowsPerBand).map(r =>
           col(s"m${b * RowsPerBand + r}").cast(StringType)): _*)
     }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir)
+    val bands = bandsFromSets(sets)
     val cand = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -63,6 +63,26 @@ object LlmQueries {
         FROM lab l JOIN cs USING (cluster_id)
         ORDER BY cluster_id, doc_id"""
 
+  /** Shared DuckDB CTE chain (follows from scratch): distinct 3-shingles →
+    * base hashes → 64-permutation MinHash signature → 16×4 band keys.
+    * Ends in `bd(doc_id, band, bkey)` — the lockstep twin of
+    * [[Dedup.bandsFromSets]], consumed by the batch LSH pair join and the
+    * streamed bucket census. */
+  private lazy val MinhashBandCtes: String = {
+    val seeds = Dedup.minhashSeeds.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""$ShinglesCte,
+       |hr AS (SELECT doc_id, ${hash64Sql("sh")} % ${Dedup.BaseHashMod} AS hr
+       |       FROM sh),
+       |hs AS (SELECT doc_id, s.i,
+       |              min((s.a * hr + s.b) % ${Dedup.MinhashP}) AS m
+       |       FROM hr CROSS JOIN (VALUES $seeds) s(i, a, b)
+       |       GROUP BY doc_id, s.i),
+       |bd AS (SELECT doc_id, i // 4 AS band,
+       |              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+       |       FROM hs GROUP BY doc_id, i // 4)""".stripMargin
+  }
+
   /** DuckDB sequential-fold dot product of two list expressions (twin of
     * [[Similarity.dot]]). */
   private def dotSql(a: String, b: String): String =
@@ -210,19 +230,8 @@ object LlmQueries {
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some {
-        val seeds = Dedup.minhashSeeds.zipWithIndex
-          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
         s"""
-        WITH $ShinglesCte,
-        hr AS (SELECT doc_id, ${hash64Sql("sh")} % ${Dedup.BaseHashMod} AS hr
-               FROM sh),
-        hs AS (SELECT doc_id, s.i,
-                      min((s.a * hr + s.b) % ${Dedup.MinhashP}) AS m
-               FROM hr CROSS JOIN (VALUES $seeds) s(i, a, b)
-               GROUP BY doc_id, s.i),
-        bd AS (SELECT doc_id, i // 4 AS band,
-                      string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
-               FROM hs GROUP BY doc_id, i // 4),
+        WITH $MinhashBandCtes,
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bd a JOIN bd b
                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -240,6 +249,21 @@ object LlmQueries {
         SELECT doc_a, doc_b, jaccard FROM ver
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
       }),
+
+    // STREAMING MinHash banding: the same bandsFromSets definition run on
+    // a document file stream, bucket census kept as complete-mode keyed
+    // aggregation state, AvailableNow drain — the oracle recomputes the
+    // full 64-permutation signature arithmetic in SQL, so the hash match
+    // certifies the streamed census equals the batch banding exactly
+    // (count/min/max are order-insensitive under any micro-batch split).
+    QueryDef("dedup_minhash_streamed",
+      (s, dir) => graft.streaming.NearDupStream.minhashCensusStreamed(s, dir),
+      Some(s"""
+        WITH $MinhashBandCtes
+        SELECT band, bkey, count(*) AS n_docs,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM bd GROUP BY band, bkey HAVING count(*) >= 2
+        ORDER BY band, bkey""")),
 
     // Connected components over the verified near-dup pair graph. The
     // oracle recomputes the exhaustive pair set, then closes it with a
