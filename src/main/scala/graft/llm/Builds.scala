@@ -28,5 +28,7 @@ object Builds {
     "build_bm25_stats" ->
       ((s, d) => { Corpus.bm25PerDoc(s, d).count(); () }),
     "build_term_freqs" ->
-      ((s, d) => { TextAnalysis.termFreqs(s, d).count(); () }))
+      ((s, d) => { TextAnalysis.termFreqs(s, d).count(); () }),
+    "build_bigram_freqs" ->
+      ((s, d) => { TextAnalysis.bigramFreqs(s, d).count(); () }))
 }

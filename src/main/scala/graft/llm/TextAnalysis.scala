@@ -322,11 +322,12 @@ object TextAnalysis {
   val PerplexityCuts: Seq[Double] = Seq(0.3, 0.7)
 
   /** Broadcast gate for the bigram model in [[bigramPerplexity]]: the
-    * model row count is bounded above by total bigram OCCURRENCES
-    * (Σ per-doc (n_tokens − 1), one cheap scan-side job — the lineDedup
-    * gate discipline); ~48 B per in-memory model row keeps 2M rows well
-    * inside a 128 MB broadcast budget. Over the gate the score join
-    * shuffles on the bigram key instead (128-bit-free but content-keyed —
+    * model row count is bounded above by the cached [[bigramFreqs]] row
+    * count (entry path; a metadata-cheap count over the persisted index)
+    * or by total bigram occurrences Σ per-doc (n_tokens − 1) (inline test
+    * path — the lineDedup gate discipline); ~48 B per in-memory model row
+    * keeps 2M rows well inside a 128 MB broadcast budget. Over the gate
+    * the score join shuffles on the bigram key instead (content-keyed —
     * Heaps-law vocabulary, no single hot reducer). */
   val BigramModelBroadcastMaxRows = 2000000L
 
@@ -359,45 +360,95 @@ object TextAnalysis {
     * the cuts ride as broadcast 1-row aggregates. Docs with fewer than 2
     * tokens have no bigram transitions and are excluded identically in
     * both engines. */
-  def bigramPerplexity(s: SparkSession, dir: String): DataFrame =
-    bigramPerplexityOf(docs(s, dir), BigramModelBroadcastMaxRows)
+  def bigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tf = bigramFreqs(s, dir)
+    // gate sizing: cached-index row count ≥ distinct bigrams — a
+    // metadata-cheap job over the persisted relation, no corpus scan
+    perplexityFrom(tf, bigramModel(s, dir), tf.count(),
+      docFreqs(s, dir).agg(count(lit(1)).as("v")),
+      BigramModelBroadcastMaxRows)
+  }
 
-  /** [[bigramPerplexity]] over any (doc_id, text) relation with an
-    * explicit broadcast gate — the unit-test hook (BigramPerplexitySpec
-    * forces the shuffled-join fallback with gate 0). */
-  private[llm] def bigramPerplexityOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
+  /** The (big, c, ctx) model rollup of [[bigramFreqs]] — static per
+    * corpus and vocabulary-sized, so it persists alongside the index
+    * (the [[docFreqs]]-rides-[[termFreqs]] discipline); scoring queries
+    * then broadcast the cached rollup instead of re-aggregating the
+    * bigram relation per run. */
+  private val bgModelCache = new graft.SessionMemo[DataFrame]
+
+  private def bigramModel(s: SparkSession, dir: String): DataFrame =
+    bgModelCache.getOrElseUpdate(s, dir)(
+      modelOf(bigramFreqs(s, dir)).persist())
+
+  private def modelOf(tf: DataFrame): DataFrame = {
+    val model = tf.groupBy(col("big")).agg(sum(col("tf")).as("c"))
+      .withColumn("w1", split(col("big"), " ").getItem(0))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
+    model.join(ctx, "w1").select(col("big"), col("c"), col("ctx"))
+  }
+
+  /** The per-doc bigram-occurrence index feeding [[bigramPerplexity]] —
+    * every consuming subtree (model, context, scoring, band cuts) reads
+    * this one persisted relation instead of re-running the corpus explode
+    * (the [[termFreqs]] build discipline, including its RANGE clustering:
+    * the scoring groupBy and the ordered finish ride the build-time
+    * partitioning). */
+  private val bgCache = new graft.SessionMemo[DataFrame]
+
+  private[graft] def bigramFreqs(s: SparkSession, dir: String): DataFrame =
+    bgCache.getOrElseUpdate(s, dir)(
+      bigramTf(docs(s, dir)).repartitionByRange(col("doc_id")).persist())
+
+  /** Per-doc bigram term frequencies of a (doc_id, text) relation. */
+  private def bigramTf(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val bigArr = transform(sequence(lit(1), n - 1), i =>
       concat_ws(" ", element_at(t, i.cast(IntegerType)),
         element_at(t, (i + 1).cast(IntegerType))))
-    val tf = d.where(n >= 2)
+    d.where(n >= 2)
       .select(col("doc_id"), explode(bigArr).as("big"))
       .groupBy(col("doc_id"), col("big"))
       .agg(count(lit(1)).as("tf"))
-      .repartitionByRange(col("doc_id"))
-    val model = tf.groupBy(col("big")).agg(sum(col("tf")).as("c"))
-      .withColumn("w1", split(col("big"), " ").getItem(0))
-    val ctx = model.groupBy(col("w1")).agg(sum(col("c")).as("ctx"))
-    val scored = model.join(ctx, "w1").select(col("big"), col("c"), col("ctx"))
-    val voc = d.select(explode(t).as("token"))
-      .agg(countDistinct(col("token")).as("v"))
-    // gate sizing: Σ (n_tokens − 1) ≥ distinct bigrams — one cheap
-    // scan-side job (text column only), conservative-safe
+  }
+
+  /** [[bigramPerplexity]] over any (doc_id, text) relation with an
+    * explicit broadcast gate — the unit-test hook (BigramPerplexitySpec
+    * forces the shuffled-join fallback with gate 0). Builds the tf
+    * relation inline (uncached) with the same range clustering. */
+  private[llm] def bigramPerplexityOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    // occurrence upper bound Σ (n_tokens − 1) — one cheap text-column job
     val bigBound = d.where(n >= 2)
       .agg(coalesce(sum((n - 1).cast(LongType)), lit(0L))).head().getLong(0)
+    val tf = bigramTf(d).repartitionByRange(col("doc_id"))
+    perplexityFrom(tf, modelOf(tf), bigBound,
+      d.select(explode(t).as("token")).agg(countDistinct(col("token")).as("v")),
+      broadcastMaxRows)
+  }
+
+  private def perplexityFrom(tf: DataFrame, scored: DataFrame, bigBound: Long,
+      voc: DataFrame, broadcastMaxRows: Long): DataFrame = {
     val contrib = round(col("tf") *
         -log((col("c") + 1).cast(DoubleType) / (col("ctx") + col("v")).cast(DoubleType)), 9)
       .cast(DecimalType(28, 9))
     val joined =
       if (bigBound <= broadcastMaxRows) tf.join(broadcast(scored), "big")
       else tf.join(scored.hint("shuffle_hash"), "big")
+    // lp is consumed TWICE (band-cuts percentile + the banded output);
+    // without materialization the second consumer re-runs the whole
+    // scoring subtree incl. the model broadcast build (measured 1.44s →
+    // 0.9s warm at sf0.1). Eager localCheckpoint materializes the per-doc
+    // relation once — slim (one row per doc) and partitioning-preserving,
+    // so the broadcast branch's local-sort finish still holds.
     val lp = joined
       .crossJoin(broadcast(voc))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"), sum(contrib).as("sdec"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sdec").cast(DoubleType) / col("n_bigrams"), 6).as("log_ppl"))
+      .localCheckpoint()
     val qs = PerplexityCuts.map(_.toString).mkString(", ")
     val cuts = lp.agg(
       expr(s"transform(percentile(log_ppl, array($qs)), c -> round(c, 4))")
