@@ -920,6 +920,49 @@ object LlmQueries {
         ORDER BY cluster_id, vec_id"""
       }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-partitioned semantic dedup —
+    // assign every vector to its nearest deterministic centroid, exact
+    // pairwise cosines WITHIN clusters only, drop anyone with a
+    // higher-priority near neighbor (low centroid-cosine kept, the
+    // paper's diversity rule). The oracle mirrors the E-step as a
+    // row_number argmax and the dominance fold over the both-orientations
+    // pair list; each unordered pair's cosine is computed once in both
+    // engines. NOT components (chain c drops even when its dominator b
+    // dropped) and blind to cross-cluster pairs — both pinned by
+    // SemDedupSpec as the operator's contract.
+    QueryDef("dedup_semantic",
+      (s, dir) => Similarity.semDedup(s, dir),
+      Some(s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.SemCentroidBase}
+                     AND vec_id < ${Similarity.SemCentroidBase + Similarity.SemCentroids}),
+        sl AS (SELECT e.vec_id, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS csim
+               FROM embeddings e CROSS JOIN c),
+        a0 AS (SELECT vec_id, cent_id, csim FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cent_id) AS rn FROM sl)
+               WHERE rn = 1),
+        asg AS MATERIALIZED (SELECT a0.*, e.embedding
+                             FROM a0 JOIN embeddings e USING (vec_id)),
+        pr AS (SELECT x.vec_id AS va, x.csim AS ca,
+                      y.vec_id AS vb, y.csim AS cb
+               FROM asg x JOIN asg y
+                 ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+               WHERE ${cosineSql("x.embedding", "y.embedding")}
+                       >= ${Similarity.SemDupCosine}),
+        bo AS (SELECT va, ca, vb, cb FROM pr
+               UNION ALL SELECT vb, cb, va, ca FROM pr),
+        st AS (SELECT va, count(*) AS n_near,
+                      max(CASE WHEN cb < ca OR (cb = ca AND vb < va)
+                               THEN 1 ELSE 0 END) AS dom
+               FROM bo GROUP BY va)
+        SELECT a.vec_id, a.cent_id, a.csim AS centroid_sim,
+               CAST(coalesce(st.n_near, 0) AS BIGINT) AS n_near,
+               coalesce(st.dom, 0) = 0 AS kept
+        FROM asg a LEFT JOIN st ON st.va = a.vec_id
+        ORDER BY a.vec_id""")),
+
     // Per-label centroids: element-wise mean via the (label, pos) explode
     // shuffle; both engines 9-dp-round components into DECIMAL sums and
     // share one IEEE division per component, so the 6-dp summary scalars
