@@ -204,6 +204,43 @@ object LlmQueries {
         FROM r WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
 
+  private val sqTopKOracle: String = s"""
+        WITH ex AS (SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                    FROM embeddings,
+                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        prm AS (SELECT pos, min(v) AS mn,
+                       (max(v) - min(v)) / ${Similarity.SqMaxCode}.0 AS st
+                FROM ex GROUP BY pos),
+        cz AS (SELECT x.vec_id, x.pos, p.mn, p.st,
+                      CASE WHEN p.st > 0
+                      THEN least(CAST(${Similarity.SqMaxCode} AS BIGINT),
+                                 greatest(CAST(0 AS BIGINT),
+                                   CAST(floor((x.v - p.mn) / p.st) AS BIGINT)))
+                      ELSE CAST(0 AS BIGINT) END AS q
+               FROM ex x JOIN prm p USING (pos)),
+        qz AS MATERIALIZED (
+          SELECT vec_id,
+                 list(mn + (CAST(q AS DOUBLE) + 0.5) * st ORDER BY pos) AS dhat
+          FROM cz GROUP BY vec_id),
+        qq AS (SELECT vec_id AS query_id, embedding AS qfull FROM embeddings
+               WHERE vec_id < ${Similarity.QueryCount}),
+        sc AS (SELECT qq.query_id, d.vec_id AS neighbor_id,
+                      ${cosineSql("qq.qfull", "d.dhat")} AS qcos
+               FROM qz d JOIN qq ON d.vec_id <> qq.query_id),
+        tc AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY qcos DESC, neighbor_id) AS rn FROM sc)
+               WHERE rn <= ${Similarity.SqCandidates}),
+        rr AS (SELECT t.query_id, t.neighbor_id,
+                      ${cosineSql("qe.embedding", "ne.embedding")} AS cosine
+               FROM tc t JOIN embeddings qe ON qe.vec_id = t.query_id
+                         JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rnk FROM rr)
+        WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -829,6 +866,16 @@ object LlmQueries {
       (s, dir) => Similarity.ivfTopK(s, dir),
       Some(ivfTopKOracle)),
 
+    // SQ-ANN — the embedding-COMPRESSION tier: 8-bit per-dimension affine
+    // codes (shared corpus min/max params), candidates ranked by the
+    // ASYMMETRIC dequantized cosine (full-precision query × cell-midpoint
+    // reconstruction — the Faiss SQ discipline), exact cosine rerank of
+    // the top-C. The oracle mirrors the quantizer, the midpoint
+    // reconstruction, and both rank windows.
+    QueryDef("similarity_ann_sq",
+      (s, dir) => Similarity.sqTopK(s, dir),
+      Some(sqTopKOracle)),
+
     // ANN recall@k vs the exact baseline (r10 VERDICT #7): the number an
     // ANN user actually asks for. Both engines run the identical
     // arithmetic — per query, |approx top-k ∩ brute top-k| / k — over the
@@ -841,6 +888,7 @@ object LlmQueries {
         WITH brute AS ($bruteTopKOracle),
         lshk AS ($annLshOracle),
         ivfk AS ($ivfTopKOracle),
+        sqk AS ($sqTopKOracle),
         hits AS (
           SELECT 'ann_lsh' AS method, b.query_id,
                  CAST(count(l.query_id) AS BIGINT) AS n_hits
@@ -852,6 +900,12 @@ object LlmQueries {
                  CAST(count(i.query_id) AS BIGINT) AS n_hits
           FROM brute b LEFT JOIN ivfk i
             ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id
+          UNION ALL
+          SELECT 'sq' AS method, b.query_id,
+                 CAST(count(s.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN sqk s
+            ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
           GROUP BY b.query_id)
         SELECT method, query_id, n_hits,
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
