@@ -911,6 +911,44 @@ object LlmQueries {
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
         FROM hits ORDER BY method, query_id""")),
 
+    // Ranking-quality eval (MRR + NDCG@k) for all three ANN tiers against
+    // the exact baseline: graded gains k+1−brute_rank, host-inlined
+    // 1/log2(r+1) discount literals shared by both dialects (neither
+    // engine's libm is trusted for bit-stable logs), DCG folded in rank
+    // order (the dotSql sequential-fold pattern). NDCG penalizes
+    // right-neighbors-wrong-ORDER, which recall@k cannot see.
+    QueryDef("similarity_rank_quality",
+      (s, dir) => Similarity.rankQuality(s, dir),
+      Some {
+        val discCase = Similarity.ndcgDiscounts.zipWithIndex
+          .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+          .mkString(" ")
+        s"""
+        WITH brute AS ($bruteTopKOracle),
+        lshk AS ($annLshOracle),
+        ivfk AS ($ivfTopKOracle),
+        sqk AS ($sqTopKOracle),
+        g AS (SELECT query_id, neighbor_id,
+                     ${Similarity.TopK} + 1 - rnk AS gain FROM brute),
+        rk AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id, rnk FROM lshk
+               UNION ALL
+               SELECT 'ivf', query_id, neighbor_id, rnk FROM ivfk
+               UNION ALL
+               SELECT 'sq', query_id, neighbor_id, rnk FROM sqk),
+        ct AS (SELECT rk.method, rk.query_id, rk.rnk,
+                      coalesce(g.gain, 0) AS gain,
+                      CASE rk.rnk $discCase END AS disc
+               FROM rk LEFT JOIN g USING (query_id, neighbor_id)),
+        per AS (SELECT method, query_id,
+                       list_sum(list(gain * disc ORDER BY rnk)) AS dcg,
+                       min(CASE WHEN gain > 0 THEN rnk END) AS fh
+                FROM ct GROUP BY 1, 2)
+        SELECT method, query_id, CAST(fh AS BIGINT) AS first_hit_rank,
+               round(coalesce(1.0 / fh, 0.0), 6) AS mrr,
+               round(dcg / ${Similarity.ndcgIdeal}, 6) AS ndcg
+        FROM per ORDER BY method, query_id"""
+      }),
+
     QueryDef("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDups(s, dir),
       Some {

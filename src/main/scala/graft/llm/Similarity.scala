@@ -752,6 +752,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** NDCG rank discounts 1/log2(r+1) for r = 1..[[TopK]], computed ONCE
+    * host-side and inlined as full-precision literals into BOTH dialects
+    * (the plane-literal discipline) — neither engine's libm is trusted
+    * for bit-stable logs (the BigramPerplexity exp() lesson). */
+  lazy val ndcgDiscounts: Array[Double] =
+    (1 to TopK).map(r => math.log(2) / math.log(r + 1)).toArray
+
+  /** Ideal DCG for the gain profile ([[TopK]], ..., 1) — the brute top-k
+    * IS the ideal ranking, so IDCG is this constant in both engines. */
+  lazy val ndcgIdeal: Double =
+    (1 to TopK).map(r => (TopK + 1 - r) * ndcgDiscounts(r - 1)).sum
+
+  /** Retrieval ranking-quality evaluation — the eval harness a retrieval
+    * deployment runs beyond recall@k: per (method, query), the first-hit
+    * rank, MRR (1/first-hit, 0 when nothing relevant retrieved), and
+    * NDCG@[[TopK]] with graded relevance derived from the EXACT ranking
+    * ([[bruteTopK]] rank r ⇒ gain k+1−r; non-top-k docs gain 0). Unlike
+    * recall, NDCG penalizes a tier for retrieving the right neighbors in
+    * the wrong ORDER. Evaluates all three ANN tiers ([[annLshTopK]],
+    * [[ivfTopK]], [[sqTopK]]).
+    *
+    * DCG sums fold in RANK order over a sorted collected array (Spark)
+    * and an ORDER BY rnk list (oracle) — the dotSql/aggregate sequential-
+    * fold pattern — so the float accumulation is bit-identical; discounts
+    * and IDCG are shared host literals.
+    *
+    * 100 TB: the eval joins (Q·k)-row relations — broadcast-trivial at
+    * any corpus size; the cost is the underlying top-k pipelines (a real
+    * deployment evaluates on a sampled query set exactly like this). */
+  def rankQuality(s: SparkSession, dir: String): DataFrame = {
+    val legs = Seq(
+      "ann_lsh" -> annLshTopK(s, dir),
+      "ivf" -> ivfTopK(s, dir),
+      "sq" -> sqTopK(s, dir))
+    val ranked = legs.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+        col("rnk"))
+    }.reduce(_ union _)
+    rankQualityOf(ranked,
+      bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"),
+        (lit(TopK + 1) - col("rnk")).as("gain")))
+  }
+
+  /** [[rankQuality]] over prepared (method, query_id, neighbor_id, rnk)
+    * rankings and a (query_id, neighbor_id, gain) ideal — unit-test
+    * hook. */
+  private[llm] def rankQualityOf(ranked: DataFrame,
+      ideal: DataFrame): DataFrame = {
+    val discs = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      ndcgDiscounts.map(lit(_))): _*)
+    val contrib = ranked
+      .join(broadcast(ideal), Seq("query_id", "neighbor_id"), "left")
+      .select(col("method"), col("query_id"), col("rnk"),
+        coalesce(col("gain"), lit(0L)).as("gain"),
+        element_at(discs, col("rnk").cast(IntegerType)).as("disc"))
+    contrib.groupBy(col("method"), col("query_id"))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("rnk"),
+              (col("gain") * col("disc")).as("c")))),
+            x => x.getField("c")),
+          lit(0.0), (acc, x) => acc + x).as("dcg"),
+        min(when(col("gain") > 0, col("rnk"))).as("first_hit"))
+      .select(col("method"), col("query_id"),
+        col("first_hit").cast(LongType).as("first_hit_rank"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        round(col("dcg") / lit(ndcgIdeal), 6).as("ndcg"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   /** SemDeDup centroid ids: [SemCentroidBase, SemCentroidBase+SemCentroids)
     * — a DISTINCT deterministic centroid set from the IVF index's
     * ([[CentroidBase]]) so the two partitionings stay uncorrelated. K is
