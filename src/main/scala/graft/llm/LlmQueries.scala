@@ -1055,6 +1055,37 @@ object LlmQueries {
         FROM asg a LEFT JOIN st ON st.va = a.vec_id
         ORDER BY a.vec_id""")),
 
+    // Nearest-centroid label classifier — the prototype/quality-classifier
+    // shape of curation stacks: per-label centroids (the labelCentroids
+    // decimal-mean arithmetic, so both engines hold identical 6-dp
+    // prototypes), cosine argmax assignment (label tiebreak), confusion
+    // matrix out. max_by(pred, struct(sim, -pred)) == the oracle's
+    // row_number(ORDER BY sim DESC, pred) = 1.
+    QueryDef("embedding_centroid_classify",
+      (s, dir) => Similarity.centroidClassify(s, dir),
+      Some(s"""
+        WITH ex AS (SELECT label, i AS pos,
+                           CAST(round(CAST(embedding[i] AS DOUBLE), 9)
+                             AS DECIMAL(28,9)) AS v
+                    FROM embeddings,
+                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        comp AS (SELECT label, pos,
+                        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                 FROM ex GROUP BY 1, 2),
+        cent AS (SELECT label AS pred, list(c ORDER BY pos) AS cv
+                 FROM comp GROUP BY label),
+        sims AS (SELECT e.vec_id, e.label, c.pred,
+                        ${cosineSql("e.embedding", "c.cv")} AS sim
+                 FROM embeddings e CROSS JOIN cent c),
+        p AS (SELECT vec_id, label, pred FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, pred) AS rn FROM sims)
+              WHERE rn = 1)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(pred AS BIGINT) AS predicted,
+               count(*) AS n_vecs
+        FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Per-label centroids: element-wise mean via the (label, pos) explode
     // shuffle; both engines 9-dp-round components into DECIMAL sums and
     // share one IEEE division per component, so the 6-dp summary scalars

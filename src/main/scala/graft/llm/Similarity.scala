@@ -752,6 +752,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Nearest-centroid label classification — the prototype-classifier
+    * shape pretraining curation runs as its QUALITY/domain classifier
+    * (score every doc against per-class prototypes, e.g. fastText-style
+    * centroid models): build each label's centroid (the [[labelCentroids]]
+    * explode aggregation, 6-dp-rounded components so both engines hold
+    * identical prototypes), assign every vector to its most-cosine-similar
+    * centroid (label tiebreak), and emit the confusion matrix
+    * (label, predicted, n_vecs). Self-inclusive prototypes (each vector
+    * contributes to its own class centroid) — the standard in-corpus
+    * evaluation; a held-out split would reuse [[Corpus.leakageSafeSplit]].
+    * Measured accuracy at sf0.1: 0.20 vs 0.10 chance — the synthetic
+    * labels carry only weak geometric structure (the near-uniform-corpus
+    * phenomenon documented at [[NProbe]]); CentroidClassifySpec certifies
+    * the mechanism on separable fixtures (diagonal confusion, tie
+    * discipline).
+    *
+    * 100 TB: centroid build = the bounded (label, dim) aggregation with
+    * map-side combine; assignment = one corpus scan against L broadcast
+    * prototypes ([[assignTo]] shape); the argmax is a vec-keyed `max_by`
+    * aggregate (slim rows through the shuffle, never embeddings); the
+    * confusion matrix is an L×L-bounded aggregation. */
+  def centroidClassify(s: SparkSession, dir: String): DataFrame =
+    centroidClassifyOf(emb(s, dir))
+
+  /** [[centroidClassify]] over any (vec_id, label, embedding) relation —
+    * unit-test hook. */
+  private[llm] def centroidClassifyOf(e: DataFrame): DataFrame = {
+    val ex = e.select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val comp = ex.groupBy(col("label"), col("pos"))
+      .agg(
+        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9)))
+          .as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("sv").cast(DoubleType) / col("n"), 6).as("c"))
+    val cent = comp.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .select(col("label").as("pred"), col("cv"))
+    val pred = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("pred"),
+        cosineFold(col("embedding"), col("cv")).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("pred"),
+        struct(col("sim"), negate(col("pred")).as("np"))).as("predicted"))
+    pred.groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("label").cast(LongType).as("label"),
+        col("predicted").cast(LongType).as("predicted"), col("n_vecs"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
   /** NDCG rank discounts 1/log2(r+1) for r = 1..[[TopK]], computed ONCE
     * host-side and inlined as full-precision literals into BOTH dialects
     * (the plane-literal discipline) — neither engine's libm is trusted
