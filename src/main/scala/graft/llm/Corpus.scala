@@ -1046,4 +1046,60 @@ object Corpus {
           .otherwise("test"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source DATA CARD — the dataset-documentation report every corpus
+    * release ships (Datasheets for Datasets / Dolma-style data cards):
+    * one row per source with doc/char/token volumes, mean doc length,
+    * language inventory (distinct count + most-frequent language, count
+    * desc / lexicographic tiebreak), and the exact-duplicate exposure
+    * (docs whose md5 appears ≥ 2 times ANYWHERE in the corpus — the X1
+    * currency — so a source is charged for duplicates it shares with
+    * other sources, which is exactly the provenance question a card
+    * answers).
+    *
+    * 100 TB: every aggregation is source- or hash-keyed with map-side
+    * combine; the duplicate flag is a hash-keyed join against the
+    * (small) duplicated-hash set — never corpus-sized driver state; the
+    * top-language window partitions by source over the bounded
+    * (source × lang) counts; means are one IEEE division of exact long
+    * sums. */
+  def dataCard(s: SparkSession, dir: String): DataFrame =
+    dataCardOf(docs(s, dir))
+
+  /** [[dataCard]] over any (doc_id, source, lang, n_chars, text) relation
+    * — unit-test hook. */
+  private[llm] def dataCardOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.select(col("source"), col("lang"), col("n_chars"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      md5(col("text")).as("h"))
+    val dupHashes = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("nc"))
+      .where(col("nc") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    val per = base.join(dupHashes, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(coalesce(col("is_dup"), lit(0))).cast(LongType).as("n_dup_docs"))
+    val top = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    per.join(top, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("mean_tokens"), col("n_langs"),
+        col("top_lang"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast(DoubleType) / col("n_docs"), 6)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
 }

@@ -358,7 +358,46 @@ object CorpusQueries {
                      coalesce(CAST(1.0 AS DOUBLE) / (${Similarity.RrfK} + sem_rank), 0),
                      6) AS rrf_score
         FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
-        ORDER BY rrf_score DESC, doc_id"""))
+        ORDER BY rrf_score DESC, doc_id""")),
+
+    // Per-source data card (Datasheets/Dolma-style release report):
+    // volumes, mean length, language inventory (+ top language, count
+    // desc / lexicographic tiebreak), and exact-duplicate exposure — a
+    // source is charged for md5 duplicates it shares with OTHER sources
+    // (corpus-wide hash counts, the dedup_exact currency). All sums cast
+    // to BIGINT so both engines emit identical integer types; means are
+    // one IEEE division of exact long sums.
+    QueryDef("corpus_data_card",
+      (s, dir) => Corpus.dataCard(s, dir),
+      Some("""
+        WITH base AS (SELECT source, lang, n_chars,
+                             CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS n_tokens,
+                             md5(text) AS h
+                      FROM documents),
+        dh AS (SELECT h FROM (SELECT h, count(*) AS nc FROM base GROUP BY h)
+               WHERE nc >= 2),
+        fl AS (SELECT b.*, CASE WHEN dh.h IS NULL THEN 0 ELSE 1 END AS is_dup
+               FROM base b LEFT JOIN dh ON b.h = dh.h),
+        per AS (SELECT source, count(*) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6)
+                         AS mean_tokens,
+                       count(DISTINCT lang) AS n_langs,
+                       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+                FROM fl GROUP BY source),
+        lc AS (SELECT source, lang, count(*) AS cnt FROM documents
+               GROUP BY 1, 2),
+        tp AS (SELECT source, lang AS top_lang FROM (
+                 SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY cnt DESC, lang) AS rn FROM lc)
+               WHERE rn = 1)
+        SELECT p.source, p.n_docs, p.total_chars, p.total_tokens,
+               p.mean_tokens, p.n_langs, tp.top_lang, p.n_dup_docs,
+               round(CAST(p.n_dup_docs AS DOUBLE) / p.n_docs, 6) AS dup_frac
+        FROM per p JOIN tp USING (source)
+        ORDER BY p.source"""))
   )
 
   /** The BM25 scoring chain (through the per-doc `agg` relation) — shared
