@@ -241,6 +241,60 @@ object LlmQueries {
         WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
 
+  private val pqTopKOracle: String = {
+    val M = Similarity.PqSubspaces
+    val D = Similarity.PqSubDim
+    val K = Similarity.PqCodewords
+    s"""
+        WITH dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
+                    FROM embeddings
+                    WHERE vec_id >= ${Similarity.PqCodebookBase}
+                      AND vec_id < ${Similarity.PqCodebookBase + K}),
+        cb AS (SELECT g.m, dn.k,
+                      list_transform(generate_series(1, $D),
+                        j -> CAST(dn.embedding[g.m * $D + j] AS DOUBLE)) AS cw
+               FROM dn CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        sub AS (SELECT e.vec_id, g.m,
+                       list_transform(generate_series(1, $D),
+                         j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
+                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        d2 AS (SELECT s.vec_id, s.m, c.k,
+                      round(list_sum(list_transform(generate_series(1, $D),
+                        j -> (s.sv[j] - c.cw[j]) * (s.sv[j] - c.cw[j]))), 9) AS d2
+               FROM sub s JOIN cb c USING (m)),
+        cd AS (SELECT vec_id, m, k AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY d2, k) AS rn FROM d2)
+               WHERE rn = 1),
+        codes AS MATERIALIZED (SELECT vec_id, list(code ORDER BY m) AS codes
+                               FROM cd GROUP BY vec_id),
+        lt AS (SELECT q.vec_id AS query_id, c.m, c.k,
+                      list_sum(list_transform(generate_series(1, $D),
+                        j -> CAST(q.embedding[c.m * $D + j] AS DOUBLE) * c.cw[j]))
+                        AS lv
+               FROM embeddings q CROSS JOIN cb c
+               WHERE q.vec_id < ${Similarity.QueryCount}),
+        luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
+                 FROM lt GROUP BY query_id),
+        sc AS (SELECT l.query_id, d.vec_id AS neighbor_id,
+                      round(list_sum(list_transform(generate_series(1, $M),
+                        m -> l.lut[(m - 1) * $K + d.codes[m] + 1])), 9) AS score
+               FROM codes d CROSS JOIN luta l WHERE d.vec_id <> l.query_id),
+        tc AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS rn FROM sc)
+               WHERE rn <= ${Similarity.PqCandidates}),
+        rr AS (SELECT t.query_id, t.neighbor_id,
+                      ${cosineSql("qe.embedding", "ne.embedding")} AS cosine
+               FROM tc t JOIN embeddings qe ON qe.vec_id = t.query_id
+                         JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rnk FROM rr)
+        WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -866,6 +920,17 @@ object LlmQueries {
       (s, dir) => Similarity.ivfTopK(s, dir),
       Some(ivfTopKOracle)),
 
+    // PQ-ANN — the PRODUCT-quantization compression tier (Jégou et al.):
+    // 8 sub-codebooks of 16 deterministic codewords, least-L2 assignment
+    // (4 bytes of codes per vector), per-query ADC lookup tables, the
+    // M-lookup approximate dot, exact cosine rerank. The oracle mirrors
+    // the codebook slices, assignment, LUT, lookup sum, and both rank
+    // windows; every fold runs in fixed index order with 9-dp-rounded
+    // ranking keys.
+    QueryDef("similarity_ann_pq",
+      (s, dir) => Similarity.pqTopK(s, dir),
+      Some(pqTopKOracle)),
+
     // SQ-ANN — the embedding-COMPRESSION tier: 8-bit per-dimension affine
     // codes (shared corpus min/max params), candidates ranked by the
     // ASYMMETRIC dequantized cosine (full-precision query × cell-midpoint
@@ -889,6 +954,7 @@ object LlmQueries {
         lshk AS ($annLshOracle),
         ivfk AS ($ivfTopKOracle),
         sqk AS ($sqTopKOracle),
+        pqk AS ($pqTopKOracle),
         hits AS (
           SELECT 'ann_lsh' AS method, b.query_id,
                  CAST(count(l.query_id) AS BIGINT) AS n_hits
@@ -906,6 +972,12 @@ object LlmQueries {
                  CAST(count(s.query_id) AS BIGINT) AS n_hits
           FROM brute b LEFT JOIN sqk s
             ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+          GROUP BY b.query_id
+          UNION ALL
+          SELECT 'pq' AS method, b.query_id,
+                 CAST(count(p.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN pqk p
+            ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
           GROUP BY b.query_id)
         SELECT method, query_id, n_hits,
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
@@ -928,13 +1000,16 @@ object LlmQueries {
         lshk AS ($annLshOracle),
         ivfk AS ($ivfTopKOracle),
         sqk AS ($sqTopKOracle),
+        pqk AS ($pqTopKOracle),
         g AS (SELECT query_id, neighbor_id,
                      ${Similarity.TopK} + 1 - rnk AS gain FROM brute),
         rk AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id, rnk FROM lshk
                UNION ALL
                SELECT 'ivf', query_id, neighbor_id, rnk FROM ivfk
                UNION ALL
-               SELECT 'sq', query_id, neighbor_id, rnk FROM sqk),
+               SELECT 'sq', query_id, neighbor_id, rnk FROM sqk
+               UNION ALL
+               SELECT 'pq', query_id, neighbor_id, rnk FROM pqk),
         ct AS (SELECT rk.method, rk.query_id, rk.rnk,
                       coalesce(g.gain, 0) AS gain,
                       CASE rk.rnk $discCase END AS disc
