@@ -204,6 +204,20 @@ object LlmQueries {
         FROM r WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
 
+  /** The SemDeDup cluster-assignment CTEs (deterministic centroids →
+    * rounded-cosine argmax), shared by dedup_semantic and
+    * embedding_hard_negatives so the two oracles cannot drift. */
+  private val semAssignCtes: String = s"""c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.SemCentroidBase}
+                     AND vec_id < ${Similarity.SemCentroidBase + Similarity.SemCentroids}),
+        sl AS (SELECT e.vec_id, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS csim
+               FROM embeddings e CROSS JOIN c),
+        a0 AS (SELECT vec_id, cent_id, csim FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cent_id) AS rn FROM sl)
+               WHERE rn = 1)"""
+
   private val sqTopKOracle: String = s"""
         WITH ex AS (SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
                     FROM embeddings,
@@ -1100,16 +1114,7 @@ object LlmQueries {
     QueryDef("dedup_semantic",
       (s, dir) => Similarity.semDedup(s, dir),
       Some(s"""
-        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-                   WHERE vec_id >= ${Similarity.SemCentroidBase}
-                     AND vec_id < ${Similarity.SemCentroidBase + Similarity.SemCentroids}),
-        sl AS (SELECT e.vec_id, c.cent_id,
-                      ${cosineSql("e.embedding", "c.cv")} AS csim
-               FROM embeddings e CROSS JOIN c),
-        a0 AS (SELECT vec_id, cent_id, csim FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY csim DESC, cent_id) AS rn FROM sl)
-               WHERE rn = 1),
+        WITH $semAssignCtes,
         asg AS MATERIALIZED (SELECT a0.*, e.embedding
                              FROM a0 JOIN embeddings e USING (vec_id)),
         pr AS (SELECT x.vec_id AS va, x.csim AS ca,
@@ -1160,6 +1165,42 @@ object LlmQueries {
                CAST(pred AS BIGINT) AS predicted,
                count(*) AS n_vecs
         FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Contrastive-pair mining: per anchor, the most-similar SAME-label
+    // cluster-mate is the positive; the top-HardNegatives most-similar
+    // OTHER-label cluster-mates are the hard negatives (the DPR/SimCSE
+    // mining recipe, scoped to the shared SemDeDup cluster assignment —
+    // semAssignCtes verbatim, so this oracle and dedup_semantic cannot
+    // drift). Pairs cosine once, both orientations, two rank windows.
+    QueryDef("embedding_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(s, dir),
+      Some(s"""
+        WITH $semAssignCtes,
+        asg AS MATERIALIZED (SELECT a0.vec_id, a0.cent_id, e.embedding, e.label
+                             FROM a0 JOIN embeddings e USING (vec_id)),
+        pr AS (SELECT x.vec_id AS va, x.label AS la,
+                      y.vec_id AS vb, y.label AS lb,
+                      ${cosineSql("x.embedding", "y.embedding")} AS cos
+               FROM asg x JOIN asg y
+                 ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id),
+        bo AS (SELECT va, la, vb, lb, cos FROM pr
+               UNION ALL SELECT vb, lb, va, la, cos FROM pr),
+        ps AS (SELECT va AS vec_id, 'pos' AS role,
+                      CAST(rank AS BIGINT) AS rank,
+                      vb AS partner_id, cos AS cosine FROM (
+                 SELECT *, row_number() OVER (PARTITION BY va
+                           ORDER BY cos DESC, vb) AS rank
+                 FROM bo WHERE la = lb)
+               WHERE rank = 1),
+        ng AS (SELECT va AS vec_id, 'neg' AS role,
+                      CAST(rank AS BIGINT) AS rank,
+                      vb AS partner_id, cos AS cosine FROM (
+                 SELECT *, row_number() OVER (PARTITION BY va
+                           ORDER BY cos DESC, vb) AS rank
+                 FROM bo WHERE la <> lb)
+               WHERE rank <= ${Similarity.HardNegatives})
+        SELECT * FROM (SELECT * FROM ps UNION ALL SELECT * FROM ng)
+        ORDER BY vec_id, role, rank""")),
 
     // Per-label centroids: element-wise mean via the (label, pos) explode
     // shuffle; both engines 9-dp-round components into DECIMAL sums and

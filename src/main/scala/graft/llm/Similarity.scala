@@ -933,6 +933,64 @@ object Similarity {
       .orderBy(col("label"), col("predicted"))
   }
 
+  /** Hard negatives mined per anchor. */
+  val HardNegatives = 3
+
+  /** Contrastive-pair mining — the training-set builder for embedding
+    * models (DPR/SimCSE-style): for every anchor vector, the POSITIVE is
+    * its most-cosine-similar SAME-label neighbor and the HARD NEGATIVES
+    * are the [[HardNegatives]] most-similar OTHER-label neighbors — the
+    * negatives that actually teach the model, because they are the ones
+    * it currently confuses. Candidate generation is scoped to the
+    * [[semAssign]] cluster (the SemDeDup partitioning — published miners
+    * restrict to an ANN neighborhood for exactly this reason), so an
+    * anchor with no same-label cluster-mate emits no positive row and
+    * one with < k other-label mates emits fewer negatives; both engines
+    * mirror that scoping exactly. One row per (anchor, role, rank):
+    * role 'pos' rank 1, role 'neg' ranks 1..k, with the partner id and
+    * 6-dp cosine.
+    *
+    * 100 TB: reuses the memoized cluster assignment; the pair stage is
+    * the [[semDedupOf]] cluster-keyed self-join (each unordered pair's
+    * cosine computed once, exploded to both orientations); the role
+    * windows partition per anchor over cluster-bounded candidate sets;
+    * K grows with the corpus to bound per-cluster work. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val lab = emb(s, dir).select(col("vec_id"), col("label"))
+    hardNegativesOf(
+      semAssign(s, dir).join(lab, "vec_id"), HardNegatives)
+  }
+
+  /** [[hardNegatives]] over a prebuilt labeled assignment
+    * (vec_id, cent_id, csim, embedding, label) — unit-test hook. */
+  private[llm] def hardNegativesOf(assigned: DataFrame,
+      negK: Int): DataFrame = {
+    val pr = assigned.as("x").join(assigned.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("x.label").as("la"),
+        col("y.vec_id").as("vb"), col("y.label").as("lb"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+    val both = pr.union(
+      pr.select(col("vb"), col("lb"), col("va"), col("la"), col("cos")))
+    val wPos = Window.partitionBy(col("va"))
+      .orderBy(col("cos").desc, col("vb"))
+    val pos = both.where(col("la") === col("lb"))
+      .withColumn("rank", row_number().over(wPos))
+      .where(col("rank") === 1)
+      .select(col("va").as("vec_id"), lit("pos").as("role"),
+        col("rank").cast(LongType).as("rank"),
+        col("vb").as("partner_id"), col("cos").as("cosine"))
+    val neg = both.where(col("la") =!= col("lb"))
+      .withColumn("rank", row_number().over(wPos))
+      .where(col("rank") <= negK)
+      .select(col("va").as("vec_id"), lit("neg").as("role"),
+        col("rank").cast(LongType).as("rank"),
+        col("vb").as("partner_id"), col("cos").as("cosine"))
+    pos.union(neg)
+      .orderBy(col("vec_id"), col("role"), col("rank"))
+  }
+
   /** NDCG rank discounts 1/log2(r+1) for r = 1..[[TopK]], computed ONCE
     * host-side and inlined as full-precision literals into BOTH dialects
     * (the plane-literal discipline) — neither engine's libm is trusted
