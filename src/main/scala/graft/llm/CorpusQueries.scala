@@ -397,7 +397,25 @@ object CorpusQueries {
                p.mean_tokens, p.n_langs, tp.top_lang, p.n_dup_docs,
                round(CAST(p.n_dup_docs AS DOUBLE) / p.n_docs, 6) AS dup_frac
         FROM per p JOIN tp USING (source)
-        ORDER BY p.source"""))
+        ORDER BY p.source""")),
+
+    // STREAMED twin of the data card's volume half: the same per-source
+    // volumes/mean/language-inventory maintained as ONE keyed streaming
+    // aggregation over a documents file stream (complete mode,
+    // AvailableNow drain). The oracle recomputes the card columns in
+    // batch SQL — the hash match certifies the drained stream state
+    // equals the batch aggregation exactly.
+    QueryDef("corpus_data_card_streamed",
+      (s, dir) => graft.streaming.DataCardStream.dataCardStreamed(s, dir),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS total_tokens,
+               round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                       / count(*), 6) AS mean_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 
   /** The BM25 scoring chain (through the per-doc `agg` relation) — shared
