@@ -298,6 +298,20 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val tierCache = new graft.SessionMemo[Map[String, DataFrame]]
+
+  /** The five (Q·k)-row tier rankings as persisted session artifacts,
+    * consumed by the recall and NDCG eval entries (see [[annRecall]]'s
+    * r13 note). */
+  private def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] =
+    tierCache.getOrElseUpdate(s, dir)(Map(
+      "brute" -> bruteTopK(s, dir).persist(),
+      "ann_lsh" -> annLshTopK(s, dir).persist(),
+      "ivf" -> ivfTopK(s, dir).persist(),
+      "sq" -> sqTopK(s, dir).persist(),
+      "pq" -> pqTopK(s, dir).persist()))
+
   /** ANN recall@k against the exact brute-force baseline (r10 VERDICT #7)
     * — per query, |approx top-k ∩ [[bruteTopK]]| / k, for both
     * approximate tiers ([[annLshTopK]], [[ivfTopK]]). The rounded recall
@@ -307,22 +321,29 @@ object Similarity {
     *
     * 100 TB: both join legs are (|Q|·k)-row relations — the baseline and
     * approx top-k sets — so the intersection join is broadcast-trivial;
-    * the cost is the three underlying top-k pipelines themselves (a real
+    * the cost is the underlying top-k pipelines themselves (a real
     * deployment evaluates recall on a sampled query set exactly like
-    * this, with the brute leg the expensive one by design). */
+    * this, with the brute leg the expensive one by design).
+    *
+    * r13: the five tier rankings are session-memoized ([[evalTiers]] —
+    * the [[embPairs]] derived-artifact discipline: the tier ENTRIES keep
+    * re-running their full pipelines unaided, while the two EVAL entries
+    * read the session-built rankings, exactly as a deployment evaluates
+    * the rankings it already computed — so recall and NDCG do not pay
+    * five pipeline builds each). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // ONE brute-baseline evaluation joined against BOTH approximate tiers
-    // in a single plan (a per-leg union would run the brute pipeline — the
-    // expensive leg by design — once per tier), then unpivoted to the
-    // (method, query_id) grain the oracle emits.
-    val brute = bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"))
-    val lsh = annLshTopK(s, dir)
+    // ONE brute-baseline evaluation joined against every approximate tier
+    // in a single plan, then unpivoted to the (method, query_id) grain
+    // the oracle emits.
+    val tiers = evalTiers(s, dir)
+    val brute = tiers("brute").select(col("query_id"), col("neighbor_id"))
+    val lsh = tiers("ann_lsh")
       .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
-    val ivf = ivfTopK(s, dir)
+    val ivf = tiers("ivf")
       .select(col("query_id").as("iq"), col("neighbor_id").as("iv"))
-    val sq = sqTopK(s, dir)
+    val sq = tiers("sq")
       .select(col("query_id").as("sq_q"), col("neighbor_id").as("sn"))
-    val pq = pqTopK(s, dir)
+    val pq = tiers("pq")
       .select(col("query_id").as("pq_q"), col("neighbor_id").as("pn"))
     brute
       .join(broadcast(lsh),
@@ -1021,17 +1042,18 @@ object Similarity {
     * any corpus size; the cost is the underlying top-k pipelines (a real
     * deployment evaluates on a sampled query set exactly like this). */
   def rankQuality(s: SparkSession, dir: String): DataFrame = {
+    val tiers = evalTiers(s, dir)
     val legs = Seq(
-      "ann_lsh" -> annLshTopK(s, dir),
-      "ivf" -> ivfTopK(s, dir),
-      "pq" -> pqTopK(s, dir),
-      "sq" -> sqTopK(s, dir))
+      "ann_lsh" -> tiers("ann_lsh"),
+      "ivf" -> tiers("ivf"),
+      "pq" -> tiers("pq"),
+      "sq" -> tiers("sq"))
     val ranked = legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
         col("rnk"))
     }.reduce(_ union _)
     rankQualityOf(ranked,
-      bruteTopK(s, dir).select(col("query_id"), col("neighbor_id"),
+      tiers("brute").select(col("query_id"), col("neighbor_id"),
         (lit(TopK + 1) - col("rnk")).as("gain")))
   }
 
