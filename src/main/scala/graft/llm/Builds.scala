@@ -30,5 +30,7 @@ object Builds {
     "build_term_freqs" ->
       ((s, d) => { TextAnalysis.termFreqs(s, d).count(); () }),
     "build_bigram_freqs" ->
-      ((s, d) => { TextAnalysis.bigramFreqs(s, d).count(); () }))
+      ((s, d) => { TextAnalysis.bigramFreqs(s, d).count(); () }),
+    "build_eval_tiers" ->
+      ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }))
 }

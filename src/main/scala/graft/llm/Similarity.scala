@@ -304,7 +304,7 @@ object Similarity {
   /** The five (Q·k)-row tier rankings as persisted session artifacts,
     * consumed by the recall and NDCG eval entries (see [[annRecall]]'s
     * r13 note). */
-  private def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] =
+  private[llm] def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] =
     tierCache.getOrElseUpdate(s, dir)(Map(
       "brute" -> bruteTopK(s, dir).persist(),
       "ann_lsh" -> annLshTopK(s, dir).persist(),
@@ -326,11 +326,15 @@ object Similarity {
     * this, with the brute leg the expensive one by design).
     *
     * r13: the five tier rankings are session-memoized ([[evalTiers]] —
-    * the [[embPairs]] derived-artifact discipline: the tier ENTRIES keep
-    * re-running their full pipelines unaided, while the two EVAL entries
-    * read the session-built rankings, exactly as a deployment evaluates
-    * the rankings it already computed — so recall and NDCG do not pay
-    * five pipeline builds each). */
+    * the [[embPairs]] derived-artifact discipline; a deployment evaluates
+    * the rankings it already computed, so recall and NDCG read them
+    * instead of paying five pipeline builds each). Because Spark's
+    * CacheManager substitutes a persisted relation into ANY matching
+    * plan, the standalone tier entries also read this cache once built —
+    * measured: ann_sq 0.69→0.11 s, ann_recall 1.32→0.24 s bench mins —
+    * so the cold cost is surfaced as its own metric, `build_eval_tiers`
+    * in [[Builds]] (the r10 memoized-build discipline, like the k-means
+    * fixpoint). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     // ONE brute-baseline evaluation joined against every approximate tier
     // in a single plan, then unpivoted to the (method, query_id) grain
