@@ -1070,14 +1070,17 @@ object Corpus {
     * — unit-test hook. */
   private[llm] def dataCardOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE base pass (md5 + tokenize are the real per-row work — the
+    // first form materialized them twice, once per side of a dup-hash
+    // join); the corpus-wide dup flag is a count window over the hash
+    // partitioning — one h-keyed exchange whose partition sizes are dup
+    // multiplicities, scale-safe
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val base = d.select(col("source"), col("lang"), col("n_chars"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"),
       md5(col("text")).as("h"))
-    val dupHashes = base.groupBy(col("h"))
-      .agg(count(lit(1)).as("nc"))
-      .where(col("nc") >= 2)
-      .select(col("h"), lit(1).as("is_dup"))
-    val per = base.join(dupHashes, Seq("h"), "left")
+      .withColumn("nc", count(lit(1)).over(w))
+    val per = base
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1086,7 +1089,8 @@ object Corpus {
         round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_tokens"),
         countDistinct(col("lang")).as("n_langs"),
-        sum(coalesce(col("is_dup"), lit(0))).cast(LongType).as("n_dup_docs"))
+        sum(when(col("nc") >= 2, 1L).otherwise(0L)).cast(LongType)
+          .as("n_dup_docs"))
     val top = d.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(

@@ -947,6 +947,8 @@ object Similarity {
       .select(col("label").as("pred"), col("cv"))
     val pred = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("pred"),
+        // cosineFold, not the native expression: cv is ARRAY<DOUBLE>
+        // (6-dp prototype components) and cosine_sim is float-only
         cosineFold(col("embedding"), col("cv")).as("sim"))
       .groupBy(col("vec_id"), col("label"))
       .agg(max_by(col("pred"),
