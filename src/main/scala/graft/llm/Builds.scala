@@ -32,5 +32,7 @@ object Builds {
     "build_bigram_freqs" ->
       ((s, d) => { TextAnalysis.bigramFreqs(s, d).count(); () }),
     "build_eval_tiers" ->
-      ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }))
+      ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }),
+    "build_label_prototypes" ->
+      ((s, d) => { Similarity.labelComp(s, d).count(); () }))
 }

@@ -653,16 +653,31 @@ object Similarity {
     * Reverted to this form; at genuinely high dim counts the explode
     * pattern is also the shape that scales (state per (label,dim) key,
     * not per aggregate column). */
-  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val ex = e.select(col("label"),
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    labelCentroidsFrom(labelComp(s, dir))
+
+  /** The (label, pos, n, c) per-component prototype relation — the CLASS
+    * PROTOTYPE index artifact both [[labelCentroids]] and
+    * [[centroidClassify]] consume, built once per (session, dir) and
+    * persisted (cold cost surfaced as `build_label_prototypes` in
+    * [[Builds]]). */
+  private val labelCompCache = new graft.SessionMemo[DataFrame]
+
+  private[llm] def labelComp(s: SparkSession, dir: String): DataFrame =
+    labelCompCache.getOrElseUpdate(s, dir)(labelCompOf(emb(s, dir)).persist())
+
+  /** [[labelComp]] over any (label, embedding) relation — unit-test hook. */
+  private[llm] def labelCompOf(e: DataFrame): DataFrame =
+    e.select(col("label"),
       posexplode(col("embedding")).as(Seq("pos", "v")))
-    val comp = ex.groupBy(col("label"), col("pos"))
+      .groupBy(col("label"), col("pos"))
       .agg(
         sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9))).as("sv"),
         count(lit(1)).as("n"))
       .select(col("label"), col("pos"), col("n"),
         round(col("sv").cast(DoubleType) / col("n"), 6).as("c"))
+
+  private def labelCentroidsFrom(comp: DataFrame): DataFrame = {
     comp.groupBy(col("label"))
       .agg(
         min(col("n")).as("n_vecs"),
@@ -927,20 +942,14 @@ object Similarity {
     * aggregate (slim rows through the shuffle, never embeddings); the
     * confusion matrix is an L×L-bounded aggregation. */
   def centroidClassify(s: SparkSession, dir: String): DataFrame =
-    centroidClassifyOf(emb(s, dir))
+    classifyWith(emb(s, dir), labelComp(s, dir))
 
   /** [[centroidClassify]] over any (vec_id, label, embedding) relation —
-    * unit-test hook. */
-  private[llm] def centroidClassifyOf(e: DataFrame): DataFrame = {
-    val ex = e.select(col("label"),
-      posexplode(col("embedding")).as(Seq("pos", "v")))
-    val comp = ex.groupBy(col("label"), col("pos"))
-      .agg(
-        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9)))
-          .as("sv"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("pos"),
-        round(col("sv").cast(DoubleType) / col("n"), 6).as("c"))
+    * unit-test hook (builds its own uncached prototypes). */
+  private[llm] def centroidClassifyOf(e: DataFrame): DataFrame =
+    classifyWith(e, labelCompOf(e))
+
+  private def classifyWith(e: DataFrame, comp: DataFrame): DataFrame = {
     val cent = comp.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
