@@ -309,6 +309,82 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
   }
 
+  /** IVF-ADC oracle: the IVF assignment/probe CTEs (c/a0/a/qp — the
+    * ivfTopKOracle names) composed with the PQ code/LUT CTEs (the
+    * pqTopKOracle names), candidates = probed-list members, scored by
+    * the ADC lookup sum, exact-cosine rerank. */
+  private val ivfAdcOracle: String = {
+    val M = Similarity.PqSubspaces
+    val D = Similarity.PqSubDim
+    val K = Similarity.PqCodewords
+    s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.CentroidBase}
+                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
+        a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS sim
+               FROM embeddings e CROSS JOIN c),
+        a AS (SELECT vec_id, cent_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cent_id) AS rn FROM a0)
+              WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn
+                 FROM a0 WHERE vec_id < ${Similarity.QueryCount})
+               WHERE rn <= ${Similarity.NProbe}),
+        dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
+               FROM embeddings
+               WHERE vec_id >= ${Similarity.PqCodebookBase}
+                 AND vec_id < ${Similarity.PqCodebookBase + K}),
+        cb AS (SELECT g.m, dn.k,
+                      list_transform(generate_series(1, $D),
+                        j -> CAST(dn.embedding[g.m * $D + j] AS DOUBLE)) AS cw
+               FROM dn CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        sub AS (SELECT e.vec_id, g.m,
+                       list_transform(generate_series(1, $D),
+                         j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
+                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        d2 AS (SELECT s.vec_id, s.m, c2.k,
+                      round(list_sum(list_transform(generate_series(1, $D),
+                        j -> (s.sv[j] - c2.cw[j]) * (s.sv[j] - c2.cw[j]))), 9) AS d2
+               FROM sub s JOIN cb c2 USING (m)),
+        cd AS (SELECT vec_id, m, k AS code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY d2, k) AS rn FROM d2)
+               WHERE rn = 1),
+        codes AS MATERIALIZED (SELECT vec_id, list(code ORDER BY m) AS codes
+                               FROM cd GROUP BY vec_id),
+        lt AS (SELECT q.vec_id AS query_id, cb.m, cb.k,
+                      list_sum(list_transform(generate_series(1, $D),
+                        j -> CAST(q.embedding[cb.m * $D + j] AS DOUBLE) * cb.cw[j]))
+                        AS lv
+               FROM embeddings q CROSS JOIN cb
+               WHERE q.vec_id < ${Similarity.QueryCount}),
+        luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
+                 FROM lt GROUP BY query_id),
+        sc AS (SELECT qp.query_id, d.vec_id AS neighbor_id,
+                      round(list_sum(list_transform(generate_series(1, $M),
+                        m -> l.lut[(m - 1) * $K + d.codes[m] + 1])), 9) AS score
+               FROM codes d
+               JOIN a ON a.vec_id = d.vec_id
+               JOIN qp ON a.cent_id = qp.cent_id AND d.vec_id <> qp.query_id
+               JOIN luta l ON l.query_id = qp.query_id),
+        tc AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS rn FROM sc)
+               WHERE rn <= ${Similarity.PqCandidates}),
+        rr AS (SELECT t.query_id, t.neighbor_id,
+                      ${cosineSql("qe.embedding", "ne.embedding")} AS cosine
+               FROM tc t JOIN embeddings qe ON qe.vec_id = t.query_id
+                         JOIN embeddings ne ON ne.vec_id = t.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rnk FROM rr)
+        WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -944,6 +1020,15 @@ object LlmQueries {
     QueryDef("similarity_ann_pq",
       (s, dir) => Similarity.pqTopK(s, dir),
       Some(pqTopKOracle)),
+
+    // IVF-ADC — the published billion-scale composition (Faiss IVFx,PQy):
+    // IVF centroids prune the scan to NProbe inverted lists, PQ ADC
+    // lookup sums score the 4-byte codes inside the probed lists, exact
+    // cosine reranks. Certifies end to end the composition both tiers'
+    // scale notes promise.
+    QueryDef("similarity_ann_ivfpq",
+      (s, dir) => Similarity.ivfAdcTopK(s, dir),
+      Some(ivfAdcOracle)),
 
     // SQ-ANN — the embedding-COMPRESSION tier: 8-bit per-dimension affine
     // codes (shared corpus min/max params), candidates ranked by the

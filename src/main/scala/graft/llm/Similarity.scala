@@ -874,18 +874,16 @@ object Similarity {
   }
 
   /** [[pqTopK]] over any (vec_id, embedding) relation — unit-test hook. */
-  private[llm] def pqTopKOf(e: DataFrame, queryCount: Int, cand: Int,
-      topK: Int): DataFrame = {
-    val codes = pqCodesOf(e)
-    val cb = pqCodebookOf(e)
-    val q = e.where(col("vec_id") < queryCount)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
-    val luts = q
-      .select(col("query_id"),
+  /** Per-query ADC lookup tables (query_id, lut[M·K]) — subspace dots of
+    * the full-precision query against every codeword, flattened in
+    * (m, k) order. */
+  private def pqLutsOf(e: DataFrame, queryCount: Int): DataFrame =
+    e.where(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"),
         posexplode(array((0 until PqSubspaces).map(m =>
-          slice(col("qfull"), m * PqSubDim + 1, PqSubDim)): _*))
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
           .as(Seq("m", "qs")))
-      .join(broadcast(cb), "m")
+      .join(broadcast(pqCodebookOf(e)), "m")
       .select(col("query_id"), (col("m") * PqCodewords + col("k")).as("idx"),
         aggregate(
           zip_with(col("qs"), col("cw"),
@@ -895,20 +893,23 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("idx"), col("lv")))),
         x => x.getField("lv")).as("lut"))
-    val scored = codes.join(broadcast(luts),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(aggregate(
-          transform(sequence(lit(1), lit(PqSubspaces)), m =>
-            element_at(col("lut"),
-              (m - 1) * lit(PqCodewords) +
-                element_at(col("codes"), m).cast(IntegerType) + 1)),
-          lit(0.0), (acc, v) => acc + v), 9).as("score"))
-    val wc = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    val topc = scored.withColumn("rn", row_number().over(wc))
-      .where(col("rn") <= cand)
-      .select(col("query_id"), col("neighbor_id"))
+
+  /** The M-lookup ADC sum over a code array under a `lut` column, 9-dp
+    * rounded for the deterministic rank key. */
+  private def adcScore(codes: Column): Column =
+    round(aggregate(
+      transform(sequence(lit(1), lit(PqSubspaces)), m =>
+        element_at(col("lut"),
+          (m - 1) * lit(PqCodewords) +
+            element_at(codes, m).cast(IntegerType) + 1)),
+      lit(0.0), (acc, v) => acc + v), 9)
+
+  /** Exact-cosine rerank of a (query_id, neighbor_id) candidate relation
+    * — the shared tail of every compression tier. */
+  private def exactRerank(e: DataFrame, topc: DataFrame, queryCount: Int,
+      topK: Int): DataFrame = {
+    val q = e.where(col("vec_id") < queryCount)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qfull"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     e.join(broadcast(topc), col("vec_id") === col("neighbor_id"))
@@ -918,6 +919,65 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= topK)
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private[llm] def pqTopKOf(e: DataFrame, queryCount: Int, cand: Int,
+      topK: Int): DataFrame = {
+    val scored = pqCodesOf(e).join(broadcast(pqLutsOf(e, queryCount)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcScore(col("codes")).as("score"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val topc = scored.withColumn("rn", row_number().over(wc))
+      .where(col("rn") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(e, topc, queryCount, topK)
+  }
+
+  /** IVF-ADC — THE published billion-scale ANN architecture (Jégou et
+    * al.'s IVFADC; Faiss `IVFx,PQy`): the IVF centroids PRUNE the scan to
+    * the query's [[NProbe]] inverted lists, and inside the probed lists
+    * candidates are scored by the PQ ADC lookup sum over 4-byte codes —
+    * pruning × compression composed, with the exact-cosine rerank tail.
+    * This entry certifies end-to-end the composition both tiers' 100 TB
+    * notes promise; IvfAdcSpec pins the pruning contract (every returned
+    * neighbor's assigned centroid is among the query's probed lists) and
+    * measures recall (bounded by PQ's coarse K=16 codebook — the recall
+    * knobs are NProbe, the codebook size, and training, exactly as
+    * published).
+    *
+    * 100 TB: the search-time state is (vec_id, cent_id, codes) — the
+    * partitioned-by-list 4-byte-code layout real systems ship; the probe
+    * join is cent_id-keyed against a broadcast (Q·NProbe)-row probe set;
+    * scoring touches only probed-list members; rerank touches Q×C true
+    * vectors. */
+  def ivfAdcTopK(s: SparkSession, dir: String): DataFrame =
+    ivfAdcTopKOf(emb(s, dir), ivfIndex(s, dir), QueryCount, NProbe,
+      PqCandidates, TopK)
+
+  /** [[ivfAdcTopK]] over explicit corpus + IVF-index relations —
+    * unit-test hook. */
+  private[llm] def ivfAdcTopKOf(e: DataFrame, idx: DataFrame,
+      queryCount: Int, nProbe: Int, cand: Int, topK: Int): DataFrame = {
+    val dcodes = pqCodesOf(e)
+      .join(idx.where(col("rn") === 1).select(col("vec_id"), col("cent_id")),
+        "vec_id")
+    val qprobe = idx.where(col("vec_id") < queryCount && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+    val scored = dcodes.as("d")
+      .join(broadcast(qprobe.as("qp")),
+        col("d.cent_id") === col("qp.cent_id") &&
+          col("d.vec_id") =!= col("qp.query_id"))
+      .join(broadcast(pqLutsOf(e, queryCount)), "query_id")
+      .select(col("query_id"), col("d.vec_id").as("neighbor_id"),
+        adcScore(col("d.codes")).as("score"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val topc = scored.withColumn("rn2", row_number().over(wc))
+      .where(col("rn2") <= cand)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(e, topc, queryCount, topK)
   }
 
   /** Nearest-centroid label classification — the prototype-classifier
