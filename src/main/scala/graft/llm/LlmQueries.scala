@@ -563,6 +563,55 @@ object LlmQueries {
           AND uniq_ratio >= 0.35 AND stopword_ratio <= 0.2
         ORDER BY doc_id""")),
 
+    // The full published Gopher rules battery (Rae et al. 2021 §A.1.1) as
+    // a per-doc audit: measured signals + one flag per rule + composite
+    // verdict. Ratios 6-dp-rounded BEFORE the threshold compare in both
+    // engines; the symbol count divides the '...' residual by 3.0 (both
+    // engines float-divide); regexes restricted to the Java∩RE2 subset.
+    QueryDef("text_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(s, dir),
+      Some(s"""
+        WITH q AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 round(CAST(list_sum(list_transform(string_split(text, ' '),
+                         w -> length(w))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS mean_word_len,
+                 round((CAST(length(text) - length(regexp_replace(text,
+                          '[#…]', '', 'g')) AS DOUBLE)
+                        + (length(text) - length(regexp_replace(text,
+                            '\\.\\.\\.', '', 'g'))) / 3)
+                       / len(string_split(text, ' ')), 6) AS symbol_ratio,
+                 round(CAST(len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) AS alpha_frac,
+                 CAST(len(list_filter(
+                   [${TextAnalysis.GopherStopwords.map("'" + _ + "'").mkString(", ")}],
+                   sw -> list_contains(string_split(text, ' '), sw)))
+                   AS BIGINT) AS n_stopwords
+          FROM documents)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+               n_stopwords,
+               n_words >= ${TextAnalysis.GopherMinWords}
+                 AND n_words <= ${TextAnalysis.GopherMaxWords} AS f_word_count,
+               mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+                 AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+                 AS f_mean_len,
+               symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+                 AS f_symbols,
+               alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac} AS f_alpha,
+               n_stopwords >= ${TextAnalysis.GopherMinStopwords}
+                 AS f_stopwords,
+               (n_words >= ${TextAnalysis.GopherMinWords}
+                 AND n_words <= ${TextAnalysis.GopherMaxWords})
+                 AND (mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+                 AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen})
+                 AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+                 AND alpha_frac >= ${TextAnalysis.GopherMinAlphaFrac}
+                 AND n_stopwords >= ${TextAnalysis.GopherMinStopwords}
+                 AS passes
+        FROM q ORDER BY doc_id""")),
+
     // Repetition rule: the oracle computes max-gram-frequency relationally
     // (unnest + group + max); the Spark side's sorted-fold is per-row —
     // same VALUES, deliberately different mechanics (the fold is the
