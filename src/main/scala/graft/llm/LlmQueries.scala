@@ -1555,6 +1555,35 @@ object LlmQueries {
          AND c.ts BETWEEN p.ts - INTERVAL ${graft.streaming.Attribution.AttributionWindowMinutes} MINUTE AND p.ts
         ORDER BY purchase_event_id, click_event_id""")),
 
+    // Strict ordered funnel (view → click → purchase), first-touch: each
+    // stage's timestamp must be at or after the previous stage's; a
+    // purchase before the qualifying click does not convert. Every stage
+    // is a user-keyed min-aggregate over a stage-gated join.
+    QueryDef("events_funnel",
+      (s, dir) => graft.streaming.Events.funnel(s, dir),
+      Some("""
+        WITH b AS (SELECT user_id, event_type, ts FROM events),
+        tv AS (SELECT user_id, min(ts) AS t_view FROM b
+               WHERE event_type = 'view' GROUP BY 1),
+        tc AS (SELECT b.user_id, min(b.ts) AS t_click
+               FROM b JOIN tv ON b.user_id = tv.user_id
+               WHERE b.event_type = 'click' AND b.ts >= tv.t_view
+               GROUP BY 1),
+        tp AS (SELECT b.user_id, min(b.ts) AS t_purchase
+               FROM b JOIN tc ON b.user_id = tc.user_id
+               WHERE b.event_type = 'purchase' AND b.ts >= tc.t_click
+               GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM b)
+        SELECT u.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+               CAST((CASE WHEN tv.t_view IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN tc.t_click IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN tp.t_purchase IS NULL THEN 0 ELSE 1 END)
+                 AS BIGINT) AS stage
+        FROM u LEFT JOIN tv USING (user_id)
+               LEFT JOIN tc USING (user_id)
+               LEFT JOIN tp USING (user_id)
+        ORDER BY u.user_id""")),
+
     QueryDef("events_sessions",
       (s, dir) => Events.sessions(s, dir),
       Some(s"""

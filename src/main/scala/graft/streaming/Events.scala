@@ -256,4 +256,47 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
 
   private val sessionWindowRan = new graft.SessionMemo[Unit]
+
+  /** Strict ordered conversion FUNNEL (view → click → purchase) with
+    * first-touch semantics — the product-analytics staple: per user,
+    * t_view = the FIRST view; t_click = the first click AT OR AFTER
+    * t_view; t_purchase = the first purchase at or after t_click; stage =
+    * how deep the user got (0–3). Strictness is the point: a purchase
+    * BEFORE the qualifying click does not convert (FunnelSpec pins
+    * exactly that, plus the at-the-same-instant `>=` boundary and
+    * out-of-order early clicks).
+    *
+    * 100 TB: every stage is a user-keyed filter+aggregate or user-keyed
+    * join — one shuffle key throughout, bucketable by user; no global
+    * windows, no event-order sort (min() does first-touch). A longer
+    * funnel is the same chain, one stage per step. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelOf(events(s, dir))
+
+  /** [[funnel]] over any (user_id, event_type, ts) relation — unit-test
+    * hook. */
+  private[graft] def funnelOf(e: DataFrame): DataFrame = {
+    val base = e.select(col("user_id"), col("event_type"), col("ts"))
+    val tv = base.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val tc = base.where(col("event_type") === "click")
+      .join(tv, "user_id")
+      .where(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val tp = base.where(col("event_type") === "purchase")
+      .join(tc, "user_id")
+      .where(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    base.select(col("user_id")).distinct()
+      .join(tv, Seq("user_id"), "left")
+      .join(tc, Seq("user_id"), "left")
+      .join(tp, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0))
+          .cast(LongType).as("stage"))
+      .orderBy(col("user_id"))
+  }
 }
