@@ -1555,6 +1555,46 @@ object LlmQueries {
          AND c.ts BETWEEN p.ts - INTERVAL ${graft.streaming.Attribution.AttributionWindowMinutes} MINUTE AND p.ts
         ORDER BY purchase_event_id, click_event_id""")),
 
+    // Cohort retention: cohort = day of first event per user; per
+    // (cohort_day, day_offset), active-user count + rate vs cohort size.
+    QueryDef("events_retention",
+      (s, dir) => graft.streaming.Events.retention(s, dir),
+      Some("""
+        WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+                   FROM events GROUP BY 1),
+        act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+        sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+        cells AS (SELECT f.cohort_day,
+                         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                           AS day_offset,
+                         count(*) AS n_active
+                  FROM act a JOIN f USING (user_id)
+                  GROUP BY 1, 2)
+        SELECT c.cohort_day, c.day_offset, c.n_active, sz.cohort_size,
+               round(CAST(c.n_active AS DOUBLE) / sz.cohort_size, 6)
+                 AS retention
+        FROM cells c JOIN sz USING (cohort_day)
+        ORDER BY c.cohort_day, c.day_offset""")),
+
+    // Trailing 3-day moving average of daily per-type counts — the
+    // RANGE-frame window surface: the frame is an event-time interval,
+    // so calendar gaps shrink the frame (not a fixed row count).
+    QueryDef("events_moving_avg",
+      (s, dir) => graft.streaming.Events.movingAvg(s, dir),
+      Some("""
+        WITH d AS (SELECT date_trunc('day', ts) AS day, event_type,
+                          count(*) AS n_events
+                   FROM events GROUP BY 1, 2)
+        SELECT day, event_type, n_events,
+               round(CAST(sum(n_events) OVER w AS DOUBLE)
+                     / count(n_events) OVER w, 6) AS avg_3d
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                               AND CURRENT ROW)
+        ORDER BY day, event_type""")),
+
     // Strict ordered funnel (view → click → purchase), first-touch: each
     // stage's timestamp must be at or after the previous stage's; a
     // purchase before the qualifying click does not convert. Every stage

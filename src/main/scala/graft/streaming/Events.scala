@@ -299,4 +299,66 @@ object Events {
           .cast(LongType).as("stage"))
       .orderBy(col("user_id"))
   }
+
+  /** Cohort RETENTION — the product-analytics staple next to [[funnel]]:
+    * cohort = the day of a user's FIRST event; for every (cohort_day,
+    * day_offset) cell, how many of the cohort's users were active that
+    * many days later, and the retention rate against the cohort size.
+    * Offset 0 is the cohort day itself (rate 1.0 by construction — a
+    * useful self-check the spec pins).
+    *
+    * 100 TB: first-touch and activity relations are user-keyed
+    * aggregates (ONE shuffle key, bucketable); the cell aggregation is
+    * keyed by (cohort_day, offset) — a bounded calendar domain; rates
+    * are one IEEE division of exact counts. */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionOf(events(s, dir))
+
+  /** [[retention]] over any (user_id, ts) relation — unit-test hook. */
+  private[graft] def retentionOf(e: DataFrame): DataFrame = {
+    val f = e.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    val act = e.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day")).distinct()
+    val sizes = f.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    act.join(f, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType)
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast(DoubleType) / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Trailing 3-day moving average of daily event counts per type — the
+    * RANGE-frame window surface (every other certified window is a ROWS
+    * frame or an unbounded aggregate): the frame is defined by an
+    * event-TIME interval, so calendar gaps shrink the frame instead of
+    * sliding over a fixed row count (MovingAvgSpec pins the gap case).
+    *
+    * 100 TB: the daily pre-aggregation shuffles once on (day, type) —
+    * bounded calendar × type domain — and the window partitions by type
+    * over day-ordered rows; the average divides exact long sums once. */
+  def movingAvg(s: SparkSession, dir: String): DataFrame =
+    movingAvgOf(events(s, dir))
+
+  /** [[movingAvg]] over any (event_type, ts) relation — unit-test hook. */
+  private[graft] def movingAvgOf(e: DataFrame): DataFrame = {
+    val daily = e.groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day").cast(LongType))
+      .rangeBetween(-2L * 86400, 0)
+    daily.select(col("day"), col("event_type"), col("n_events"),
+        round(sum(col("n_events")).over(w).cast(DoubleType) /
+          count(col("n_events")).over(w), 6).as("avg_3d"))
+      .orderBy(col("day"), col("event_type"))
+  }
 }
