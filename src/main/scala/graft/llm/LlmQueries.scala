@@ -385,6 +385,31 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
   }
 
+  /** Shared by events_funnel and its streamed twin — one oracle text,
+    * zero drift. */
+  private val funnelOracle: String = """
+        WITH b AS (SELECT user_id, event_type, ts FROM events),
+        tv AS (SELECT user_id, min(ts) AS t_view FROM b
+               WHERE event_type = 'view' GROUP BY 1),
+        tc AS (SELECT b.user_id, min(b.ts) AS t_click
+               FROM b JOIN tv ON b.user_id = tv.user_id
+               WHERE b.event_type = 'click' AND b.ts >= tv.t_view
+               GROUP BY 1),
+        tp AS (SELECT b.user_id, min(b.ts) AS t_purchase
+               FROM b JOIN tc ON b.user_id = tc.user_id
+               WHERE b.event_type = 'purchase' AND b.ts >= tc.t_click
+               GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM b)
+        SELECT u.user_id, tv.t_view, tc.t_click, tp.t_purchase,
+               CAST((CASE WHEN tv.t_view IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN tc.t_click IS NULL THEN 0 ELSE 1 END)
+                    + (CASE WHEN tp.t_purchase IS NULL THEN 0 ELSE 1 END)
+                 AS BIGINT) AS stage
+        FROM u LEFT JOIN tv USING (user_id)
+               LEFT JOIN tc USING (user_id)
+               LEFT JOIN tp USING (user_id)
+        ORDER BY u.user_id"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -1601,28 +1626,17 @@ object LlmQueries {
     // is a user-keyed min-aggregate over a stage-gated join.
     QueryDef("events_funnel",
       (s, dir) => graft.streaming.Events.funnel(s, dir),
-      Some("""
-        WITH b AS (SELECT user_id, event_type, ts FROM events),
-        tv AS (SELECT user_id, min(ts) AS t_view FROM b
-               WHERE event_type = 'view' GROUP BY 1),
-        tc AS (SELECT b.user_id, min(b.ts) AS t_click
-               FROM b JOIN tv ON b.user_id = tv.user_id
-               WHERE b.event_type = 'click' AND b.ts >= tv.t_view
-               GROUP BY 1),
-        tp AS (SELECT b.user_id, min(b.ts) AS t_purchase
-               FROM b JOIN tc ON b.user_id = tc.user_id
-               WHERE b.event_type = 'purchase' AND b.ts >= tc.t_click
-               GROUP BY 1),
-        u AS (SELECT DISTINCT user_id FROM b)
-        SELECT u.user_id, tv.t_view, tc.t_click, tp.t_purchase,
-               CAST((CASE WHEN tv.t_view IS NULL THEN 0 ELSE 1 END)
-                    + (CASE WHEN tc.t_click IS NULL THEN 0 ELSE 1 END)
-                    + (CASE WHEN tp.t_purchase IS NULL THEN 0 ELSE 1 END)
-                 AS BIGINT) AS stage
-        FROM u LEFT JOIN tv USING (user_id)
-               LEFT JOIN tc USING (user_id)
-               LEFT JOIN tp USING (user_id)
-        ORDER BY u.user_id""")),
+      Some(funnelOracle)),
+
+    // The SAME funnel maintained as per-user mapGroupsWithState state on
+    // the events stream (update mode; the drained relation keeps each
+    // user's latest emission = final state). Shares the batch oracle
+    // VERBATIM — the hash match certifies stream-batch equivalence of
+    // the state machine under event-time-ordered delivery.
+    QueryDef("events_funnel_streamed",
+      (s, dir) => graft.streaming.FunnelStream.funnelStreamed(s, dir),
+      Some(funnelOracle)),
+
 
     QueryDef("events_sessions",
       (s, dir) => Events.sessions(s, dir),
