@@ -385,9 +385,11 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
   }
 
-  /** Shared by events_funnel and its streamed twin — one oracle text,
-    * zero drift. */
-  private val funnelOracle: String = """
+  /** Shared by events_funnel, its streamed twin, AND the sql_ surface
+    * twin (the text is pure shared ANSI, so sql_events_funnel runs the
+    * SAME string through spark.sql that DuckDB runs as the oracle) —
+    * one text, zero drift. */
+  private[graft] val funnelOracle: String = """
         WITH b AS (SELECT user_id, event_type, ts FROM events),
         tv AS (SELECT user_id, min(ts) AS t_view FROM b
                WHERE event_type = 'view' GROUP BY 1),

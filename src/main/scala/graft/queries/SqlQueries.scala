@@ -290,6 +290,14 @@ object SqlQueries {
       Some("""
         SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
                count(*) AS n_copies
-        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""))
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
+
+    // The strict ordered funnel through the SQL surface. The body is
+    // graft.llm.LlmQueries.funnelOracle VERBATIM on both sides — the
+    // text is pure shared ANSI (CTE chain of stage-gated min-aggregates),
+    // so Spark executes the exact string DuckDB checks.
+    QueryDef("sql_events_funnel",
+      sqlRaw(graft.llm.LlmQueries.funnelOracle),
+      Some(graft.llm.LlmQueries.funnelOracle))
   )
 }
