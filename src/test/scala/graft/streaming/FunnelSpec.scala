@@ -46,4 +46,38 @@ class FunnelSpec extends SparkSpec {
     assert(got(5L) == ((Some(ts(7)), Some(ts(7)), Some(ts(7)), 3L)))
     assert(got(6L) == ((Some(ts(1)), None, None, 1L)))
   }
+
+  test("N-stage generalization: a 4-stage funnel keeps strict ordering") {
+    // view → click → add_to_cart → purchase (r13 VERDICT #7)
+    val ev4: Seq[(Long, String, Timestamp)] = Seq(
+      // user 1: clean 4-stage conversion
+      (1L, "view", ts(1)), (1L, "click", ts(2)),
+      (1L, "add_to_cart", ts(3)), (1L, "purchase", ts(4)),
+      // user 2: cart BEFORE the qualifying click → stops at stage 2,
+      // so the later purchase cannot convert either
+      (2L, "view", ts(1)), (2L, "add_to_cart", ts(2)),
+      (2L, "click", ts(3)), (2L, "purchase", ts(4)),
+      // user 3: skips the cart entirely → stage 2 despite a purchase
+      (3L, "view", ts(1)), (3L, "click", ts(2)), (3L, "purchase", ts(3)))
+    val got = Events.funnelStagesOf(
+        ev4.toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "add_to_cart", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(3)),
+        Option(r.getTimestamp(4)), r.getLong(5)))
+      .toMap
+    assert(got(1L) == ((Some(ts(3)), Some(ts(4)), 4L)))
+    assert(got(2L) == ((None, None, 2L)),
+      "a cart before the qualifying click must not count, nor may the " +
+        "purchase that depends on it")
+    assert(got(3L) == ((None, None, 2L)))
+  }
+
+  test("3-stage funnelOf is exactly the generalized chain") {
+    val e = events.toDF("user_id", "event_type", "ts")
+    val a = Events.funnelOf(e).collect().toSeq
+    val b = Events.funnelStagesOf(e, Seq("view", "click", "purchase"))
+      .collect().toSeq
+    assert(a == b)
+  }
 }
