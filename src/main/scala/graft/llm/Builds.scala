@@ -36,5 +36,7 @@ object Builds {
     "build_eval_tiers" ->
       ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }),
     "build_label_prototypes" ->
-      ((s, d) => { Similarity.labelComp(s, d).count(); () }))
+      ((s, d) => { Similarity.labelComp(s, d).count(); () }),
+    "build_dsv2_docs" ->
+      ((s, d) => { DocsDsv2.path(s, d); () }))
 }

@@ -308,6 +308,24 @@ object LlmQueries {
   /** Name of the final trained-codebook CTE inside [[pqTrainCtes]]. */
   private val pqCbFinal = s"cb${Similarity.PqTrainRounds}"
 
+  /** Shared verbatim by text_stats and its dsv2_text_stats connector twin
+    * (one text, zero drift — the Bloom/decontaminate discipline). */
+  private val textStatsOracle: String = """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+               round(CAST(list_sum(list_transform(string_split(text, ' '),
+                       x -> length(x))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS alpha_ratio,
+               len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens
+        FROM documents ORDER BY doc_id"""
+
   private val pqTopKOracle: String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
@@ -567,21 +585,22 @@ object LlmQueries {
 
     QueryDef("text_stats",
       (s, dir) => TextAnalysis.stats(s, dir),
-      Some("""
-        SELECT doc_id,
-               length(text) AS n_chars,
-               len(string_split(text, ' ')) AS n_tokens,
-               len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-               round(CAST(list_sum(list_transform(string_split(text, ' '),
-                       x -> length(x))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS avg_token_len,
-               round(CAST(len(list_filter(string_split(text, ' '),
-                       x -> x IN ('the', 'a'))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
-               round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-                     / length(text), 6) AS alpha_ratio,
-               len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens
-        FROM documents ORDER BY doc_id""")),
+      Some(textStatsOracle)),
+
+    // The DataSourceV2 CONNECTOR certification (r13 VERDICT "What's
+    // missing" #2): the SAME per-doc stats arithmetic
+    // (TextAnalysis.statsOf — one definition) computed over the corpus
+    // read THROUGH the custom `graftdocs` TableProvider (bucketed
+    // columnar files written by the connector's own
+    // RequiresDistributionAndOrdering write path; scan does column
+    // pruning, doc_id filter pushdown, and reports key-grouped
+    // partitioning). Shares text_stats' oracle VERBATIM — the connector
+    // changes the scan, not one output bit. GraftDocsSourceSpec pins the
+    // plan shapes (PushedFilters, pruned ReadSchema, file pruning, the
+    // no-shuffle bucket-aligned plans).
+    QueryDef("dsv2_text_stats",
+      (s, dir) => TextAnalysis.statsOf(DocsDsv2.docs(s, dir)),
+      Some(textStatsOracle)),
 
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(s, dir),

@@ -35,10 +35,16 @@ object TextAnalysis {
 
   /** Per-document quality/statistics signals: token counts, uniqueness,
     * average token length, stopword ratio, alphabetic ratio. */
-  def stats(s: SparkSession, dir: String): DataFrame = {
+  def stats(s: SparkSession, dir: String): DataFrame =
+    statsOf(docs(s, dir))
+
+  /** [[stats]] over any (doc_id, text) relation — shared by the parquet
+    * entry and the `dsv2_text_stats` connector twin (one definition, so
+    * the connector cannot drift the arithmetic). */
+  private[llm] def statsOf(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       n.as("n_tokens"),
