@@ -99,6 +99,14 @@ object Bench {
     // that noise; the min also sheds the first sample's JVM/codegen
     // warm-up, which the old single sample charged to whichever build
     // ran first).
+    // r14: the index builds are cross-session artifacts now
+    // (graft.IndexStore) — a plain sample would time a store READ, not
+    // the build. Both graded samples force the build path (bypassRead:
+    // build + commit, never read), keeping "builds" the honest cold
+    // metric; a third fresh session then times the DEPLOYMENT path — a
+    // store hit — reported separately as builds_store_read (the r13
+    // "What's missing" #3 second-session number).
+    graft.IndexStore.bypassRead = true
     val buildsRun1: Seq[(String, Double)] = {
       val s0 = makeSession()
       s0.sparkContext.setLogLevel("WARN")
@@ -125,6 +133,7 @@ object Bench {
     // overstate the engine. Sample 2 on this session; MIN of the two
     // fresh-session samples is reported (r11 VERDICT #5).
     val buildsRun2 = timeBuilds(spark, sfDir)
+    graft.IndexStore.bypassRead = false
     val buildTimings: Seq[(String, Double)] =
       buildsRun1.zip(buildsRun2).map { case ((name, a), (_, b)) =>
         name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
@@ -275,9 +284,29 @@ object Bench {
     val buildSamplesJson = buildsRun1.zip(buildsRun2)
       .map { case ((k, a), (_, b)) => "\"" + k + "\":[" + f3(a) + "," + f3(b) + "]" }
       .mkString("{", ",", "}")
+    // Second-session DEPLOYMENT path (r14, r13 "What's missing" #3): the
+    // main session must be fully stopped first — getOrCreate would hand
+    // back the live session (warm memo caches), and even a newSession
+    // shares the CacheManager, which substitutes the in-memory artifact
+    // into a plan-identical parquet read. A genuinely fresh session's
+    // builders hit the store the cold samples committed: the measured
+    // cost is the artifact READ a deployment pays instead of the build.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
+    val buildsStoreRead: Seq[(String, Double)] = {
+      val s2 = makeSession()
+      s2.sparkContext.setLogLevel("WARN")
+      val t = timeBuilds(s2, sfDir)
+      s2.stop()
+      t
+    }
+    val buildsStoreJson = buildsStoreRead
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val detail =
       s"""{"total":${f3(total)},"builds":$buildsJson,""" +
         s""""build_samples":$buildSamplesJson,""" +
+        s""""builds_store_read":$buildsStoreJson,""" +
         s""""mins":$qs,"samples":$samplesJson,""" +
         s""""contention_spread_max":${f3(spreadMax)},""" +
         s""""contaminated":$contaminated,""" +
@@ -317,12 +346,10 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
         s""""queries":{},"queries_detail":"BENCH_DETAIL.json","failed":$failedJson,""" +
         s""""etl_rows_per_sec":${loadRate.round},"sf":"$sfName"}"""
+    // (the main session was already stopped before the store-read
+    // sample; nothing prints after the graded JSON line)
     val lastLine = if (full.length <= 1800) full else compact
     if (lastLine ne full) println(full)
-    // stop() before the final println: session shutdown can emit log lines,
-    // and nothing may print after the graded JSON
-    try spark.stop()
-    catch { case e: Throwable => System.err.println(s"[bench] stop: $e") }
     println(lastLine)
   }
 }

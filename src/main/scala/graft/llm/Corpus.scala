@@ -749,11 +749,15 @@ object Corpus {
 
   private[llm] def bm25PerDoc(s: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate(s, dir) {
-      val t = tokens(col("text"))
-      docs(s, dir)
-        .select(col("doc_id") +: size(t).as("dl") +:
-          Bm25Query.map(term => size(filter(t, x => x === term)).as(tfc(term))): _*)
-        .persist()
+      // r14: cross-session artifact (r13 VERDICT "What's missing" #3)
+      graft.IndexStore.readOrBuild(s, dir, "bm25_stats",
+        s"v1;q=${Bm25Query.mkString(",")}") {
+        val t = tokens(col("text"))
+        docs(s, dir)
+          .select(col("doc_id") +: size(t).as("dl") +:
+            Bm25Query.map(term =>
+              size(filter(t, x => x === term)).as(tfc(term))): _*)
+      }.persist()
     }
 
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {

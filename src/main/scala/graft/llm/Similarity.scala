@@ -301,16 +301,35 @@ object Similarity {
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val tierCache = new graft.SessionMemo[Map[String, DataFrame]]
 
-  /** The five (Q·k)-row tier rankings as persisted session artifacts,
-    * consumed by the recall and NDCG eval entries (see [[annRecall]]'s
-    * r13 note). */
-  private[llm] def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] =
-    tierCache.getOrElseUpdate(s, dir)(Map(
-      "brute" -> bruteTopK(s, dir).persist(),
-      "ann_lsh" -> annLshTopK(s, dir).persist(),
-      "ivf" -> ivfTopK(s, dir).persist(),
-      "sq" -> sqTopK(s, dir).persist(),
-      "pq" -> pqTopK(s, dir).persist()))
+  /** The five (Q·k)-row tier rankings as persisted artifacts, consumed
+    * by the recall and NDCG eval entries (see [[annRecall]]'s r13 note).
+    * r14: stored CROSS-SESSION through [[graft.IndexStore]] as one
+    * tier-labeled table (r13 VERDICT "What's missing" #3) — a second
+    * session reads the committed rankings instead of re-paying the five
+    * pipeline builds; the fingerprint carries every constant the tiers
+    * depend on, and the recall/NDCG oracles re-derive from scratch so a
+    * stale store fails the gate loudly rather than silently. */
+  private[llm] def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val names = Seq("brute", "ann_lsh", "ivf", "sq", "pq")
+    tierCache.getOrElseUpdate(s, dir) {
+      val stored = graft.IndexStore.readOrBuild(s, dir, "eval_tiers",
+        s"v1;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
+          s"np=$NProbe;cb=$CentroidBase;c=$Centroids;sqc=$SqCandidates;" +
+          s"pqm=$PqSubspaces;pqk=$PqCodewords;pqr=$PqTrainRounds;" +
+          s"pqc=$PqCandidates") {
+        Seq("brute" -> bruteTopK(s, dir), "ann_lsh" -> annLshTopK(s, dir),
+          "ivf" -> ivfTopK(s, dir), "sq" -> sqTopK(s, dir),
+          "pq" -> pqTopK(s, dir))
+          .map { case (n, df) =>
+            df.select(lit(n).as("tier"), col("query_id"),
+              col("neighbor_id"), col("cosine"), col("rnk"))
+          }
+          .reduce(_ union _)
+      }.persist()
+      names.map(n =>
+        n -> stored.where(col("tier") === n).drop("tier").persist()).toMap
+    }
+  }
 
   /** ANN recall@k against the exact brute-force baseline (r10 VERDICT #7)
     * — per query, |approx top-k ∩ [[bruteTopK]]| / k, for both
@@ -502,6 +521,12 @@ object Similarity {
     * [[ivfIndex]], not a per-query recomputation. */
   def ivfKmeansConverged(s: SparkSession, dir: String): DataFrame =
     kmeansCache.getOrElseUpdate(s, dir) {
+      // r14: the converged result is a cross-session warehouse artifact
+      // (r13 VERDICT "What's missing" #3) — a second session reads the
+      // committed fixpoint instead of re-running the Lloyd loop; the
+      // oracle unrolls from scratch, so staleness fails the gate loudly
+      graft.IndexStore.readOrBuild(s, dir, "ivf_kmeans_fixpoint",
+        s"v1;base=$CentroidBase;k=$Centroids;cap=$MaxKmeansIters") {
       // the loop's embedding side reads the PERSISTED index relation
       // (same (vec_id, embedding) values as the parquet), not emb(): the
       // old form re-scanned + re-spread the parquet twice per round
@@ -570,6 +595,7 @@ object Similarity {
       prevRef.foreach(_.unpersist())
       result
       }
+      }.orderBy(col("cent_id")).persist()
     }
 
   val NearDupCosine = 0.4
@@ -857,7 +883,10 @@ object Similarity {
     * [[Builds]], the memoized-build discipline). */
   private[llm] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCbCache.getOrElseUpdate(s, dir)(
-      pqTrainedCodebookOf(emb(s, dir)).persist())
+      graft.IndexStore.readOrBuild(s, dir, "pq_codebook",
+        s"v1;m=$PqSubspaces;k=$PqCodewords;r=$PqTrainRounds;" +
+          s"base=$PqCodebookBase")(
+        pqTrainedCodebookOf(emb(s, dir))).persist())
 
   /** The (vec_id, m, sv) subvector relation — each vector split into its
     * M contiguous [[PqSubDim]]-dim slices. */
