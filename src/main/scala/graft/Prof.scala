@@ -191,6 +191,17 @@ object Prof {
         // Builds pass on the same session (the r13 bench-session shape).
         // Bench-shaped sessions (AQE off, 64m broadcast) to match the
         // graded metric.
+        //
+        // MEASURED (r14, sf0.1): isolated best 54.6k rows/s (runs 41.6k /
+        // 54.6k / 54.1k), cotenant best 66.0k (59.5k / 64.1k / 66.0k) —
+        // co-tenancy is EXONERATED: the post-builds arm is ~20% FASTER
+        // because the 38s builds pass warms JIT/page cache, so moving the
+        // load to a fresh session (the r13 VERDICT's conditional fix)
+        // would hurt. An isolated fresh session on byte-identical code
+        // plateaus at ~55k today — the r13 graded 55.5k — so the r12
+        // 74.3k reflects that measurement window's host conditions, not
+        // an r13 regression. Carried as host drift; the min-of-two
+        // protocol already reports the best observed run.
         spark.stop()
         def arm(tag: String, withBuilds: Boolean): Double = {
           val s = SparkSession.builder()
@@ -225,6 +236,74 @@ object Prof {
         val cot = arm("cotenant", withBuilds = true)
         println(f"[prof] etl_ab best isolated=${iso.round} cotenant=${cot.round} rows/s")
         return
+      } else if (args.head == "tail14") {
+        // r14 (r13 VERDICT #5/#6): attribute the four remaining tail
+        // entries. Each gets the normalize-style ladder: a scan/skeleton
+        // floor, the entry's distinctive stage added, then the full
+        // entry — the deltas separate real operator work from the fixed
+        // job/sort floor a 32-core local bench charges every entry.
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.Similarity
+        import graft.streaming.Events
+
+        // --- events_sliding (10.8x, 0.55s): tumbling vs 4x-overlap
+        // sliding, with and without the trailing global sort.
+        val ev = Events.events(spark, sfDir)
+        bench("ev_scan")(ev.select(col("ts"), col("event_type"), col("value")))
+        val hourlyNoSort = ev
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("total_value"))
+        bench("ev_hourly_nosort")(hourlyNoSort)
+        val slidingNoSort = ev
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("total_value"))
+        bench("ev_sliding_nosort")(slidingNoSort)
+        bench("ev_sliding_full")(Events.sliding(spark, sfDir))
+
+        // --- embedding_centroid_classify (4.2x, 0.51s): score vs argmax
+        // vs full confusion matrix, over the memoized prototypes.
+        Similarity.labelComp(spark, sfDir).count() // warm (build_label_prototypes)
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val cent = Similarity.labelComp(spark, sfDir).groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+          .select(col("label").as("pred"), col("cv"))
+        bench("cls_score")(e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("pred"),
+            Similarity.cosineFold(col("embedding"), col("cv")).as("sim")))
+        bench("cls_argmax")(e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("pred"),
+            Similarity.cosineFold(col("embedding"), col("cv")).as("sim"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max_by(col("pred"),
+            struct(col("sim"), negate(col("pred")).as("np"))).as("predicted")))
+        bench("cls_full")(SparkEntry.queries("embedding_centroid_classify")(spark, sfDir))
+
+        // --- corpus_data_card (0.80s vs 36ms oracle): the one base pass
+        // (md5 + tokenize) vs + dup-count window vs the full card.
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val cardBase = d.select(col("source"), col("lang"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("n_tokens"),
+          md5(col("text")).as("h"))
+        bench("card_base")(cardBase)
+        bench("card_dupwin")(cardBase
+          .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("h")))))
+        bench("card_full")(SparkEntry.queries("corpus_data_card")(spark, sfDir))
+
+        // --- percentiles_by_store (0.57 -> 0.80s, no code change): an
+        // isolated min-of-5 re-measure; if it lands back near the r12
+        // 0.57s the bench drift was suite co-tenancy, not a plan change.
+        bench("pct_full")(SparkEntry.queries("percentiles_by_store")(spark, sfDir))
       } else if (args.head == "curation_ab") {
         // r13: does the scan re-spread pay for curationPipeline (regex
         // passes are scan-side) the way it does for substr_dedup, or is it

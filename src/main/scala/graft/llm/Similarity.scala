@@ -689,7 +689,7 @@ object Similarity {
     * [[Builds]]). */
   private val labelCompCache = new graft.SessionMemo[DataFrame]
 
-  private[llm] def labelComp(s: SparkSession, dir: String): DataFrame =
+  private[graft] def labelComp(s: SparkSession, dir: String): DataFrame =
     labelCompCache.getOrElseUpdate(s, dir)(labelCompOf(emb(s, dir)).persist())
 
   /** [[labelComp]] over any (label, embedding) relation — unit-test hook. */
@@ -1113,10 +1113,10 @@ object Similarity {
     * discipline).
     *
     * 100 TB: centroid build = the bounded (label, dim) aggregation with
-    * map-side combine; assignment = one corpus scan against L broadcast
-    * prototypes ([[assignTo]] shape); the argmax is a vec-keyed `max_by`
-    * aggregate (slim rows through the shuffle, never embeddings); the
-    * confusion matrix is an L×L-bounded aggregation. */
+    * map-side combine; assignment = one corpus scan with a PER-ROW
+    * argmax fold against the single broadcast prototype row (r14: no
+    * L× row blowup, no vec-keyed shuffle — the first exchange in the
+    * whole plan is the L×L-bounded confusion aggregation). */
   def centroidClassify(s: SparkSession, dir: String): DataFrame =
     classifyWith(emb(s, dir), labelComp(s, dir))
 
@@ -1126,22 +1126,45 @@ object Similarity {
     classifyWith(e, labelCompOf(e))
 
   private def classifyWith(e: DataFrame, comp: DataFrame): DataFrame = {
-    val cent = comp.groupBy(col("label"))
+    // ONE broadcast row packs every prototype (pred-ascending) and the
+    // argmax is a PER-ROW scan over that array — the old form exploded
+    // each vector L× (crossJoin against L centroid rows) and paid a
+    // vec-keyed exchange to max_by the blowup back. r14 tail ladder:
+    // locally the two are a WASH (0.69 vs 0.64s min, inside the ±10%
+    // session noise — the per-row HOF cosine math plus the job floor
+    // dominate either way), but this is the fastText-classifier shape
+    // that scales: zero shuffles and no L× row multiplier before the
+    // L×L-bounded confusion agg, where the old exchange carried
+    // corpus-scale rows. Tie discipline unchanged (max sim, tie -> min
+    // pred) and the same IEEE ops as [[cosineFold]] (dot/(norm·norm),
+    // 6-dp round), with both norms hoisted out of the per-centroid
+    // lambda.
+    val packed = comp.groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
-      .select(col("label").as("pred"), col("cv"))
-    val pred = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("pred"),
-        // cosineFold, not the native expression: cv is ARRAY<DOUBLE>
-        // (6-dp prototype components) and cosine_sim is float-only
-        cosineFold(col("embedding"), col("cv")).as("sim"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max_by(col("pred"),
-        struct(col("sim"), negate(col("pred")).as("np"))).as("predicted"))
+      .agg(array_sort(collect_list(struct(
+        col("label").cast(LongType).as("pred"), col("cv"),
+        norm(col("cv")).as("cn")))).as("cents"))
+    val pred = e.crossJoin(broadcast(packed))
+      .select(col("label"), col("embedding"),
+        norm(col("embedding")).as("en"), col("cents"))
+      .select(col("label"),
+        // each similarity computed ONCE (transform), then a linear
+        // array_max over (sim, -pred) structs: max sim, tie -> max(-pred)
+        // = min pred — the old max_by(struct(sim, -pred)) ordering
+        negate(array_max(transform(col("cents"), c =>
+          struct(
+            round(dot(col("embedding"), c.getField("cv")) /
+              (col("en") * c.getField("cn")), 6).as("s"),
+            negate(c.getField("pred")).as("np"))))
+          .getField("np")).as("predicted"))
+      // zero-prototype edge: array_max over an empty array is null; the
+      // old crossJoin form emitted no rows — keep that contract
+      .where(col("predicted") >= 0)
     pred.groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n_vecs"))
       .select(col("label").cast(LongType).as("label"),
-        col("predicted").cast(LongType).as("predicted"), col("n_vecs"))
+        col("predicted"), col("n_vecs"))
       .orderBy(col("label"), col("predicted"))
   }
 
