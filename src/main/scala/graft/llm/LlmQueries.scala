@@ -176,8 +176,11 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
   }
 
-  private val ivfTopKOracle: String = s"""
-        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+  /** The IVF nearest-centroid assignment CTEs (deterministic centroid
+    * set → (sim desc, cent_id) argmax), shared by similarity_ivf_topk
+    * and the r14 index-census entries so the three oracles cannot
+    * drift. */
+  private val ivfAssignCtes: String = s"""c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
                    WHERE vec_id >= ${Similarity.CentroidBase}
                      AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
         a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
@@ -186,7 +189,18 @@ object LlmQueries {
         a AS (SELECT vec_id, embedding, cent_id FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY sim DESC, cent_id) AS rn FROM a0)
-              WHERE rn = 1),
+              WHERE rn = 1)"""
+
+  /** Inverted-list census over the [[ivfAssignCtes]] assignment — ONE
+    * text shared verbatim by the batch and streamed census entries. */
+  private val ivfCensusOracle: String = s"""
+        WITH $ivfAssignCtes
+        SELECT cent_id, count(*) AS n_vecs,
+               min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        FROM a GROUP BY cent_id ORDER BY cent_id"""
+
+  private val ivfTopKOracle: String = s"""
+        WITH $ivfAssignCtes,
         qp AS (SELECT vec_id AS query_id, embedding AS qv, cent_id FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, cent_id) AS rn
@@ -601,6 +615,30 @@ object LlmQueries {
     QueryDef("dsv2_text_stats",
       (s, dir) => TextAnalysis.statsOf(DocsDsv2.docs(s, dir)),
       Some(textStatsOracle)),
+
+    // The connector's AGGREGATE-pushdown surface (r14): count/min/max by
+    // bucket COMPLETE-pushes into the scan and is answered from the
+    // manifest's exact per-file stats — a metadata-only query that opens
+    // zero data files (GraftDocsSourceSpec proves it by truncating every
+    // .gdf and aggregating anyway; the oracle recomputes from the raw
+    // documents rows, so the manifest stats are certified against ground
+    // truth, not trusted). The cast to BIGINT sits ABOVE the aggregate,
+    // so the pushed grouping still sees the stored int bucket column.
+    QueryDef("dsv2_bucket_stats",
+      (s, dir) => DocsDsv2.docs(s, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+          col("min_doc"), col("max_doc"))
+        .orderBy(col("bucket")),
+      Some(s"""
+        SELECT CAST(doc_id % ${DocsDsv2.Buckets} AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM documents GROUP BY 1 ORDER BY bucket""")),
 
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(s, dir),
@@ -1135,6 +1173,25 @@ object LlmQueries {
     QueryDef("similarity_ivf_topk",
       (s, dir) => Similarity.ivfTopK(s, dir),
       Some(ivfTopKOracle)),
+
+    // IVF INDEX MAINTENANCE (r14): the inverted-list census — per
+    // centroid: list size and min/max vec_id — the index-health surface
+    // a deployed ANN server consults for probe planning and retrain
+    // triggers. Batch form reads the memoized ivfIndex's rn=1 assignment
+    // (one definition of "assigned" for index, probe, and census).
+    QueryDef("similarity_ivf_census",
+      (s, dir) => graft.streaming.IvfIngestStream.census(s, dir),
+      Some(ivfCensusOracle)),
+
+    // The STREAMED ingest path of the same census: vectors arrive on a
+    // file stream, each assigned per row against the packed broadcast
+    // centroids (stream-legal argmax — no window), census kept as keyed
+    // aggregation state, AvailableNow drain. Shares the batch oracle
+    // VERBATIM (stream-batch equivalence); IvfIngestStreamSpec pins the
+    // cross-batch arrival case with MemoryStream.
+    QueryDef("similarity_ivf_census_streamed",
+      (s, dir) => graft.streaming.IvfIngestStream.censusStreamed(s, dir),
+      Some(ivfCensusOracle)),
 
     // PQ-ANN — the PRODUCT-quantization compression tier (Jégou et al.):
     // 8 sub-codebooks of 64 codewords TRAINED by per-subspace Lloyd

@@ -235,7 +235,7 @@ object Similarity {
     * rows, the minimal relation both probe legs read. */
   private val ivfCache = new graft.SessionMemo[DataFrame]
 
-  private[llm] def ivfIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfIndex(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrElseUpdate(s, dir) {
       ivfIndexOf(emb(s, dir), CentroidBase, Centroids, QueryCount, NProbe)
         .persist()

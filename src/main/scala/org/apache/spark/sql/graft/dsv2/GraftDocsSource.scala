@@ -12,7 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -45,6 +47,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Like the parquet connector, pushed filters are still returned as
   *    residuals for row-level re-evaluation — pruning is a superset
   *    guarantee, and `PushedFilters` in the plan is the contract pin.
+  *  - '''Aggregate pushdown''' (`SupportsPushDownAggregates`, r14):
+  *    `COUNT(*)`/`COUNT(doc_id)`/`MIN(doc_id)`/`MAX(doc_id)`, optionally
+  *    `GROUP BY bucket`, complete-push to a METADATA-ONLY scan answered
+  *    from the manifest's exact per-file stats — zero data files opened
+  *    (the spec truncates every `.gdf` and aggregates anyway); with any
+  *    filter present Spark keeps the real aggregation (this connector's
+  *    filters are always residual, so stats can never serve a filtered
+  *    query).
   *  - '''Reported partitioning''' (`SupportsReportPartitioning` +
   *    [[HasPartitionKey]]): when the `bucket` column survives pruning,
   *    the scan reports [[KeyGroupedPartitioning]] on `identity(bucket)`
@@ -177,10 +187,11 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
 
 private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Boolean, Seq[AggregateFunc])] = None
 
   /** doc_id comparisons drive file pruning; everything else is untouched.
     * ALL filters are returned as residuals (Spark re-evaluates row-level,
@@ -197,10 +208,120 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** AGGREGATE pushdown (the other thing a 100 TB connector lives by):
+    * `COUNT(*)/COUNT(doc_id)/MIN(doc_id)/MAX(doc_id)`, optionally
+    * grouped by `bucket`, are answered ENTIRELY from the manifest's
+    * exact per-file stats — a metadata-only scan that opens zero data
+    * files (the Iceberg/parquet `count(*)` optimization). Complete
+    * pushdown only: Spark removes the Aggregate node and the scan emits
+    * final values. Residual-filter safety is structural — Spark only
+    * attempts aggregate pushdown when no post-scan filters remain, and
+    * this connector returns EVERY filter as a residual, so a filtered
+    * query can never consume stale stats (GraftDocsSourceSpec pins
+    * that fallback). */
+  private def translateAgg(agg: Aggregation): Option[(Boolean, Seq[AggregateFunc])] = {
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+        name: String): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq(name)
+      case _ => false
+    }
+    val byBucket = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(g) if isCol(g, "bucket") => Some(true)
+      case _ => None
+    }
+    val ok = agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && isCol(c.column, "doc_id")
+      case m: Min => isCol(m.column, "doc_id")
+      case m: Max => isCol(m.column, "doc_id")
+      case _ => false
+    }
+    byBucket.filter(_ => ok && pushed.isEmpty)
+      .map(b => (b, agg.aggregateExpressions.toSeq))
+  }
 
-  override def build(): Scan = new GdfScan(path, manifest, required, pushed)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = translateAgg(agg)
+    pushedAgg.isDefined
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // a pushed aggregation fixes the scan schema; pruning applies only
+    // to the row-level path
+    if (pushedAgg.isEmpty) required = requiredSchema
+
+  override def build(): Scan = pushedAgg match {
+    case Some((byBucket, funcs)) => new GdfAggScan(path, manifest, byBucket, funcs)
+    case None => new GdfScan(path, manifest, required, pushed)
+  }
+}
+
+/** Metadata-only scan serving a completely-pushed aggregation from the
+  * manifest stats: one driver-computed partition, zero `.gdf` reads
+  * (GraftDocsSourceSpec proves it by truncating every data file and
+  * aggregating anyway). Output schema/rows are group column first, then
+  * the aggregate results, positionally — the complete-pushdown contract. */
+private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
+    byBucket: Boolean, funcs: Seq[AggregateFunc]) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val groupFields =
+      if (byBucket) Seq(org.apache.spark.sql.types.StructField("bucket", IntegerType))
+      else Seq.empty
+    val aggFields = funcs.zipWithIndex.map { case (_, i) =>
+      // CountStar/Count -> LongType; Min/Max(doc_id) -> doc_id's LongType
+      org.apache.spark.sql.types.StructField(s"agg_$i", LongType)
+    }
+    StructType(groupFields ++ aggFields)
+  }
+
+  private def rows: Seq[Array[Any]] = {
+    def rowFor(files: Seq[GdfManifest.FileStat], key: Option[Int]): Array[Any] = {
+      val aggs: Seq[Any] = funcs.map {
+        case _: CountStar | _: Count => files.map(_.rows).sum: Any
+        case _: Min => if (files.isEmpty) null else files.map(_.minDocId).min: Any
+        case _: Max => if (files.isEmpty) null else files.map(_.maxDocId).max: Any
+        case other => throw new IllegalStateException(s"unpushable $other")
+      }
+      (key.map(k => k: Any).toSeq ++ aggs).toArray
+    }
+    if (byBucket)
+      manifest.files.groupBy(_.bucket).toSeq.sortBy(_._1)
+        .map { case (b, fs) => rowFor(fs, Some(b)) }
+    else Seq(rowFor(manifest.files, None))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GdfAggPartition(rows.map(_.toSeq).toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GdfAggReaderFactory
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graftdocs $path, PushedAggregation: " +
+      s"[groupByBucket=$byBucket, ${funcs.mkString(", ")}] (metadata-only)"
+}
+
+private[dsv2] case class GdfAggPartition(rows: Array[Seq[Any]])
+    extends InputPartition
+
+private[dsv2] class GdfAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[GdfAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[dsv2] case class GdfInputPartition(file: String, bucket: Int)

@@ -107,4 +107,66 @@ class GraftDocsSourceSpec extends SparkSpec {
     val b = TextAnalysis.stats(spark, sf001).collect()
     assert(a.sameElements(b))
   }
+
+  // the aggregate-pushdown pins read the OPTIMIZED LOGICAL plan (AQE
+  // wraps the physical plan of any query with exchanges, hiding nodes
+  // from a naive collect): a completely-pushed aggregation REMOVES the
+  // logical Aggregate; a declined one keeps it
+  private def hasAgg(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined
+  private def v2scan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.getOrElse(fail("no DataSourceV2ScanRelation in plan"))
+
+  test("aggregate pushdown: count/min/max by bucket is metadata-only") {
+    // a private table copy whose data files we can destroy
+    val dir = java.nio.file.Files.createTempDirectory("gdf-agg-spec").toFile
+    try {
+      viaParquet
+        .withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "8")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      val truth = viaParquet
+        .groupBy(pmod(col("doc_id"), lit(8L)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+        .orderBy(col("bucket")).collect()
+      // destroy every data file: only the manifest can answer now
+      dir.listFiles().filter(_.getName.endsWith(".gdf"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, Array.emptyByteArray))
+      val t = spark.read.format("graftdocs").load(dir.getAbsolutePath)
+      val agg = t.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+          max(col("doc_id")).as("mx"))
+        .orderBy(col("bucket"))
+      assert(!hasAgg(agg), s"aggregate was not pushed:\n${agg.queryExecution.optimizedPlan}")
+      assert(v2scan(agg).description().contains("PushedAggregation"),
+        "scan description missing PushedAggregation")
+      assert(agg.collect().sameElements(truth),
+        "manifest-served aggregate diverged from ground truth")
+      // global (no grouping) form pushes too
+      val g = t.agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"))
+      assert(!hasAgg(g) && g.collect()(0).getLong(0) == viaParquet.count())
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("aggregate pushdown declines when a filter or other aggs are present") {
+    // residual filters force the row-level path (stats cannot answer a
+    // filtered query) — and the answer is still exact
+    val filtered = viaConnector.where(col("doc_id") < 100L)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(hasAgg(filtered), "filtered aggregate must not be pushed")
+    assert(filtered.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      viaParquet.where(col("doc_id") < 100L).count())
+    // an unsupported aggregate (sum) keeps the real aggregation
+    val summed = viaConnector.groupBy(col("bucket"))
+      .agg(sum(col("n_chars")).as("s"))
+    assert(hasAgg(summed), "sum must not be pushed")
+  }
 }
