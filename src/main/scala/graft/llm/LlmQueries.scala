@@ -1166,6 +1166,44 @@ object LlmQueries {
       },
       Some(bruteTopKOracle)),
 
+    // The OPTIMIZER-RULE tier through the graded surface (r14): the SQL
+    // text below spells out the textbook higher-order-function cosine —
+    // aggregate(zip_with(...)) / (sqrt(Σx²)·sqrt(Σy²)) — with no mention
+    // of the native function; GraftExtensions.register installs
+    // FuseCosineFold (experimental.extraOptimizations, the post-build
+    // seam), which rewrites the fold into the fused single-pass
+    // CosineSimilarity kernel. FuseCosineFoldSpec pins that THIS entry's
+    // optimized plan actually contains the native kernel (otherwise the
+    // entry would pass without certifying the rule — the fold alone is
+    // already bit-identical), plus the type/shape guards. Shares the
+    // brute-force oracle verbatim.
+    QueryDef("sql_similarity_topk_fused",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftExtensions.register(s)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .createOrReplaceTempView("embeddings")
+        def sumSq(v: String) =
+          s"sqrt(aggregate(transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+            s"0.0D, (acc, v) -> acc + v))"
+        s.sql(s"""
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                     FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+          p AS (SELECT /*+ BROADCAST(q) */ q.query_id, e.vec_id AS neighbor_id,
+                       round(aggregate(zip_with(q.qv, e.embedding,
+                               (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             0.0D, (acc, v) -> acc + v)
+                             / (${sumSq("q.qv")} * ${sumSq("e.embedding")}), 6) AS cosine
+                FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          r AS (SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM p)
+          SELECT query_id, neighbor_id, cosine, rnk
+          FROM r WHERE rnk <= ${Similarity.TopK}
+          ORDER BY query_id, rnk""")
+      },
+      Some(bruteTopKOracle)),
+
     QueryDef("similarity_ann_lsh",
       (s, dir) => Similarity.annLshTopK(s, dir),
       Some(annLshOracle)),

@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // the whole-operator tier: the native as-of join's planner strategy
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the optimizer-rule tier: fuse the composable cosine fold into the
+    // native single-pass kernel (r14)
+    ext.injectOptimizerRule(_ => FuseCosineFold)
   }
 }
 
@@ -81,6 +84,13 @@ object GraftExtensions {
       if (!registry.functionExists(ident)) {
         registry.registerFunction(ident, info, builder)
       }
+    }
+    // optimizer rules cannot be injected into a built session through
+    // SparkSessionExtensions; experimental.extraOptimizations is the
+    // supported post-build seam (guarded for idempotence)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(FuseCosineFold)) {
+      spark.experimental.extraOptimizations = extra :+ FuseCosineFold
     }
   }
 }
