@@ -1051,6 +1051,59 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Snapshot-diff fixture constants: the two corpus VERSIONS are derived
+    * deterministically from the one driver table (the driver ships a
+    * single snapshot) — the PREVIOUS snapshot lacks `doc_id % `[[DiffAddedMod]]`
+    * = `[[DiffAddedRes]] rows (those read as ADDED) and carries mutated
+    * text for `doc_id % `[[DiffChangedMod]]` = 0` rows (CHANGED); the
+    * CURRENT snapshot lacks `doc_id % `[[DiffRemovedMod]]` =
+    * `[[DiffRemovedRes]] rows (REMOVED). Both engines derive both
+    * versions from the same rows, so the diff itself is what the hash
+    * match certifies. */
+  val DiffAddedMod = 7
+  val DiffAddedRes = 3
+  val DiffRemovedMod = 11
+  val DiffRemovedRes = 5
+  val DiffChangedMod = 5
+
+  /** Corpus VERSION DIFF — the dataset-versioning operation every managed
+    * corpus release runs (what changed between snapshot N-1 and N):
+    * full-outer join the two snapshots on doc_id comparing content
+    * digests, emit one row per doc with status
+    * added/removed/changed/unchanged.
+    *
+    * 100 TB: digests (not texts) flow through the one doc_id-keyed
+    * full-outer join — two bucketable corpus-scale sides, each reduced to
+    * (id, 16-byte digest) at the scan; the classification is a per-row
+    * CASE. This is the Delta/Iceberg snapshot-compare shape without the
+    * table format. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val prev = d
+      .where(pmod(col("doc_id"), lit(DiffAddedMod.toLong)) =!= DiffAddedRes)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(DiffChangedMod.toLong)) === 0,
+          concat(lit("v0 "), col("text"))).otherwise(col("text")).as("text"))
+    val cur = d
+      .where(pmod(col("doc_id"), lit(DiffRemovedMod.toLong)) =!= DiffRemovedRes)
+      .select(col("doc_id"), col("text"))
+    snapshotDiffOf(prev, cur)
+  }
+
+  /** [[snapshotDiff]] over any two (doc_id, text) snapshots — unit-test
+    * hook (CorpusSpec pins each status category on a hand fixture). */
+  private[llm] def snapshotDiffOf(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
+    val c = cur.select(col("doc_id"), md5(col("text")).as("h_cur"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_prev") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source DATA CARD — the dataset-documentation report every corpus
     * release ships (Datasheets for Datasets / Dolma-style data cards):
     * one row per source with doc/char/token volumes, mean doc length,

@@ -253,6 +253,30 @@ object CorpusQueries {
                doc_start % ${Corpus.PackBudget} AS offset_in_pack
         FROM p ORDER BY doc_id""")),
 
+    // Corpus VERSION DIFF (r14, X72): the dataset-versioning compare —
+    // two snapshots derived deterministically from the one driver table
+    // (prev lacks the doc_id%7=3 rows and mutates doc_id%5=0 texts; cur
+    // lacks doc_id%11=5), full-outer-joined on doc_id over content
+    // digests, one status row per doc. The hash match certifies the diff
+    // classification itself; digests, never texts, cross the join.
+    QueryDef("corpus_snapshot_diff",
+      (s, dir) => Corpus.snapshotDiff(s, dir),
+      Some(s"""
+        WITH prev AS (SELECT doc_id,
+                             md5(CASE WHEN doc_id % ${Corpus.DiffChangedMod} = 0
+                                 THEN 'v0 ' || text ELSE text END) AS h_prev
+                      FROM documents
+                      WHERE doc_id % ${Corpus.DiffAddedMod} <> ${Corpus.DiffAddedRes}),
+        cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents
+                WHERE doc_id % ${Corpus.DiffRemovedMod} <> ${Corpus.DiffRemovedRes})
+        SELECT doc_id,
+               CASE WHEN h_prev IS NULL THEN 'added'
+                    WHEN h_cur IS NULL THEN 'removed'
+                    WHEN h_prev <> h_cur THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM prev FULL JOIN cur USING (doc_id)
+        ORDER BY doc_id""")),
+
     // Feature assembly across documents⋈embeddings on the record id; the
     // norm is the same sequential double fold as the similarity oracles.
     QueryDef("corpus_doc_features",

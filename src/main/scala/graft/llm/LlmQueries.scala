@@ -1204,6 +1204,60 @@ object LlmQueries {
       },
       Some(bruteTopKOracle)),
 
+    // Distributed PCA by POWER ITERATION (r14, X73): dominant principal
+    // direction of the embedding corpus — the All-but-the-Top
+    // post-processing / anisotropy-diagnostic primitive. Mean and
+    // covariance use the exact-decimal-sum discipline (order-independent
+    // under any partitioning); the 8 fixed iteration rounds are unrolled
+    // as MATERIALIZED CTEs in the oracle (the kmeans-converged
+    // discipline); every dot/norm is the shared index-sequential fold.
+    QueryDef("embedding_pca_power",
+      (s, dir) => Pca.pcaPower(s, dir),
+      Some {
+        val d = Similarity.Dims
+        val rounds = (1 to Pca.PcaRounds).map { r =>
+          val prev = if (r == 1) "v0" else s"v${r - 1}"
+          s""",
+        w$r AS (SELECT i, list_sum(list_transform(generate_series(1, $d),
+                         q -> cr[q] * v[q])) AS w FROM cr, $prev),
+        wl$r AS (SELECT list(w ORDER BY i) AS wl FROM w$r),
+        v$r AS MATERIALIZED (SELECT list_transform(wl,
+                 x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS v
+               FROM wl$r)"""
+        }.mkString
+        val vn = s"v${Pca.PcaRounds}"
+        s"""
+        WITH ex AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                    FROM embeddings,
+                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9)))
+                                      AS DOUBLE) / count(*), 6) AS mu
+               FROM ex GROUP BY pos),
+        cx AS MATERIALIZED (SELECT e.vec_id, e.pos, e.v - m.mu AS d
+                            FROM ex e JOIN mu m USING (pos)),
+        cov AS MATERIALIZED (
+          SELECT a.pos AS i, b.pos AS j,
+                 round(CAST(sum(CAST(round(a.d * b.d, 12) AS DECIMAL(38,12)))
+                            AS DOUBLE) / (SELECT count(*) FROM embeddings), 9) AS c
+          FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+        cr AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cov GROUP BY i),
+        v0 AS (SELECT list_transform(generate_series(1, $d),
+                 q -> CAST(0.125 AS DOUBLE)) AS v)
+        $rounds,
+        cvr AS (SELECT i, list_sum(list_transform(generate_series(1, $d),
+                         q -> cr[q] * v[q])) AS cv, cr[i + 1] AS diag
+                FROM cr, $vn),
+        lam AS (SELECT round(CAST(sum(CAST(round(cv * v[i + 1], 12)
+                                          AS DECIMAL(38,12))) AS DOUBLE), 9) AS eigenvalue,
+                       round(CAST(sum(CAST(round(diag, 12)
+                                          AS DECIMAL(38,12))) AS DOUBLE), 9) AS trace
+                FROM cvr, $vn)
+        SELECT CAST(u.i - 1 AS BIGINT) AS pos, v[u.i] AS component,
+               eigenvalue, round(eigenvalue / trace, 6) AS var_explained
+        FROM $vn, lam, LATERAL unnest(generate_series(1, $d)) u(i)
+        ORDER BY pos"""
+      }),
+
     QueryDef("similarity_ann_lsh",
       (s, dir) => Similarity.annLshTopK(s, dir),
       Some(annLshOracle)),

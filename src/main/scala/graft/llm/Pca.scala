@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Distributed PCA by POWER ITERATION — the dominant principal direction
+  * of the embedding corpus, the linear-algebra primitive behind the
+  * standard embedding post-processing step (Mu & Viswanath 2018,
+  * "All-but-the-Top": subtract the mean, remove the top principal
+  * component(s)) and behind spectral diagnostics of a representation
+  * (anisotropy = how much of the variance the top direction hoards).
+  *
+  * Pipeline, every stage oracle-lockstep:
+  *  1. per-dimension MEAN (the [[Similarity.labelComp]] exact-decimal-sum
+  *     discipline, 6-dp means);
+  *  2. COVARIANCE numerator C[i][j] = Σ_rows d_i·d_j over centered values,
+  *     as a (i, j)-keyed aggregation with per-term 12-dp rounding into
+  *     DECIMAL(38,12) sums (order-independent across any partitioning),
+  *     one IEEE division by n, 9-dp rounding;
+  *  3. [[PcaRounds]] fixed POWER-ITERATION rounds from the exact v0 =
+  *     1/√d = 0.125 (d = 64, so v0 is exactly representable): w = C·v as
+  *     a per-row index-sequential fold ([[Similarity.dot]]) against the
+  *     broadcast packed v, norm as the same fold over the packed w, next
+  *     v = round(w/‖w‖, 9). Fixed rounds, not a tolerance loop — the
+  *     kmeans-converged oracle discipline, unrolled as MATERIALIZED CTEs
+  *     on the DuckDB side.
+  *
+  * Output: one row per dimension (pos, component) plus the Rayleigh
+  * quotient λ = vᵀCv (the top eigenvalue estimate) and the total
+  * variance tr(C)/that λ explains, replicated per row — PcaSpec pins the
+  * result against a planted dominant direction and the eigen-equation
+  * residual ‖Cv − λv‖ on corpus data.
+  *
+  * 100 TB: mean and covariance are the only corpus passes — both are
+  * bounded-domain keyed aggregations (d and d² keys) with map-side
+  * combine, so the exploded n·d² pair terms are folded into ≤ d² partial
+  * rows per partition BEFORE the shuffle (the Gramian partial-agg
+  * shape); the iteration itself touches only the d²-row matrix and a
+  * d-element vector — broadcast-sized, zero corpus scans per round. */
+object Pca {
+
+  val PcaRounds = 8
+  val Dims = Similarity.Dims
+
+  /** Single-file corpus → re-spread for per-row projection work. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** The packed per-dimension mean — ONE row holding the d-element mean
+    * vector (6-dp components, exact decimal sums). */
+  private[llm] def meanRowOf(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9))).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        round(col("sv").cast(DoubleType) / col("n"), 6).as("mu"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("mu"))
+
+  /** The covariance numerator rows C[i] packed per i — (i, crow) with
+    * crow the d-element j-ordered list of round(Σ d_i·d_j / n, 9). */
+  private[llm] def covRowsOf(e: DataFrame): DataFrame = {
+    val n = e.count()
+    val centered = e.crossJoin(broadcast(meanRowOf(e)))
+      .select(zip_with(col("embedding"), col("mu"),
+        (x, m) => x.cast(DoubleType) - m).as("c"))
+    centered
+      .select(posexplode(col("c")).as(Seq("i", "di")), col("c"))
+      .select(col("i"), col("di"), posexplode(col("c")).as(Seq("j", "dj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("di") * col("dj"), 12)
+        .cast(DecimalType(38, 12))).as("s"))
+      .select(col("i"), col("j"),
+        round(col("s").cast(DoubleType) / n, 9).as("c"))
+      .groupBy(col("i"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        x => x.getField("c")).as("crow"))
+  }
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val cache = new graft.SessionMemo[DataFrame]
+
+  def pcaPower(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s, dir)(pcaPowerOf(emb(s, dir)).persist())
+
+  /** [[pcaPower]] over any (vec_id, embedding) relation — unit-test hook
+    * (dims overridable so PcaSpec can plant a low-dim fixture). */
+  private[llm] def pcaPowerOf(e: DataFrame, dims: Int = Dims): DataFrame = {
+    val cov = covRowsOf(e).persist()
+    cov.count() // materialize once; every round reads these d rows
+    // v0 = 1/sqrt(d) = exactly 0.125 for d = 64
+    var v = cov.sparkSession.range(1)
+      .select(array_repeat(lit(1.0 / math.sqrt(dims)), dims).as("v"))
+    for (_ <- 1 to PcaRounds) {
+      val w = cov.crossJoin(broadcast(v))
+        .select(col("i"), Similarity.dot(col("crow"), col("v")).as("w"))
+      val wRow = w.agg(transform(array_sort(collect_list(
+        struct(col("i"), col("w")))), x => x.getField("w")).as("w"))
+      v = wRow.select(transform(col("w"),
+        x => round(x / Similarity.norm(col("w")), 9)).as("v"))
+        .localCheckpoint(true)
+    }
+    // Rayleigh quotient λ = vᵀ(Cv) and trace(C), folded in index order
+    val cvi = cov.crossJoin(broadcast(v))
+      .select(col("i"), Similarity.dot(col("crow"), col("v")).as("cv"),
+        element_at(col("crow"), (col("i") + 1).cast("int")).as("diag"))
+    val lam = cvi.crossJoin(broadcast(v))
+      .agg(
+        round(sum(round(col("cv") * element_at(col("v"),
+          (col("i") + 1).cast("int")), 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType), 9).as("eigenvalue"),
+        round(sum(round(col("diag"), 12).cast(DecimalType(38, 12)))
+          .cast(DoubleType), 9).as("trace"))
+    v.select(posexplode(col("v")).as(Seq("pos", "component")))
+      .select(col("pos").cast(LongType).as("pos"), col("component"))
+      .crossJoin(broadcast(lam))
+      .select(col("pos"), col("component"), col("eigenvalue"),
+        round(col("eigenvalue") / col("trace"), 6).as("var_explained"))
+      .orderBy(col("pos"))
+  }
+}

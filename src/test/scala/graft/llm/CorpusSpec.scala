@@ -204,4 +204,15 @@ class CorpusSpec extends SparkSpec {
       BigDecimal(u).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
     assert(math.abs(r.getDouble(4) - expected) < 1e-12)
   }
+
+  test("snapshotDiff: every status category on a hand fixture") {
+    val prev = Seq(1L -> "same", 2L -> "old text", 3L -> "gone")
+      .toDF("doc_id", "text")
+    val cur = Seq(1L -> "same", 2L -> "new text", 4L -> "fresh")
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotDiffOf(prev, cur)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.sameElements(Array(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added")))
+  }
 }
