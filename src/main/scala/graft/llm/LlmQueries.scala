@@ -91,6 +91,44 @@ object LlmQueries {
   private[llm] def cosineSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
+  /** The PCA power-iteration CTE chain — per-dimension exact-decimal
+    * means, 12-dp-rounded DECIMAL(38,12) covariance, and
+    * [[Pca.PcaRounds]] unrolled MATERIALIZED rounds from the exact
+    * v0 = 1/√d — shared VERBATIM by `embedding_pca_power` and
+    * `embedding_abtt` (the shared-CTE no-drift discipline). The final
+    * direction lives in the [[pcaFinalV]] CTE as the packed list `v`. */
+  private[llm] lazy val pcaFinalV: String = s"v${Pca.PcaRounds}"
+
+  private[llm] lazy val pcaCtes: String = {
+    val d = Similarity.Dims
+    val rounds = (1 to Pca.PcaRounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s""",
+        w$r AS (SELECT i, list_sum(list_transform(generate_series(1, $d),
+                         q -> cr[q] * v[q])) AS w FROM cr, $prev),
+        wl$r AS (SELECT list(w ORDER BY i) AS wl FROM w$r),
+        v$r AS MATERIALIZED (SELECT list_transform(wl,
+                 x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS v
+               FROM wl$r)"""
+    }.mkString
+    s"""ex AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                    FROM embeddings,
+                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9)))
+                                      AS DOUBLE) / count(*), 6) AS mu
+               FROM ex GROUP BY pos),
+        cx AS MATERIALIZED (SELECT e.vec_id, e.pos, e.v - m.mu AS d
+                            FROM ex e JOIN mu m USING (pos)),
+        cov AS MATERIALIZED (
+          SELECT a.pos AS i, b.pos AS j,
+                 round(CAST(sum(CAST(round(a.d * b.d, 12) AS DECIMAL(38,12)))
+                            AS DOUBLE) / (SELECT count(*) FROM embeddings), 9) AS c
+          FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+        cr AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cov GROUP BY i),
+        v0 AS (SELECT list_transform(generate_series(1, $d),
+                 q -> CAST(0.125 AS DOUBLE)) AS v)$rounds"""
+  }
+
   /** The iterative-BPE-training round CTEs, shared by text_bpe_train
     * (reads the m<k> rule rows) and text_bpe_train_apply (reads the final
     * stream st<n>). Every round's rule and stream are MATERIALIZED —
@@ -1215,47 +1253,48 @@ object LlmQueries {
       (s, dir) => Pca.pcaPower(s, dir),
       Some {
         val d = Similarity.Dims
-        val rounds = (1 to Pca.PcaRounds).map { r =>
-          val prev = if (r == 1) "v0" else s"v${r - 1}"
-          s""",
-        w$r AS (SELECT i, list_sum(list_transform(generate_series(1, $d),
-                         q -> cr[q] * v[q])) AS w FROM cr, $prev),
-        wl$r AS (SELECT list(w ORDER BY i) AS wl FROM w$r),
-        v$r AS MATERIALIZED (SELECT list_transform(wl,
-                 x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS v
-               FROM wl$r)"""
-        }.mkString
-        val vn = s"v${Pca.PcaRounds}"
         s"""
-        WITH ex AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
-                    FROM embeddings,
-                         LATERAL unnest(generate_series(1, len(embedding))) u(i)),
-        mu AS (SELECT pos, round(CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9)))
-                                      AS DOUBLE) / count(*), 6) AS mu
-               FROM ex GROUP BY pos),
-        cx AS MATERIALIZED (SELECT e.vec_id, e.pos, e.v - m.mu AS d
-                            FROM ex e JOIN mu m USING (pos)),
-        cov AS MATERIALIZED (
-          SELECT a.pos AS i, b.pos AS j,
-                 round(CAST(sum(CAST(round(a.d * b.d, 12) AS DECIMAL(38,12)))
-                            AS DOUBLE) / (SELECT count(*) FROM embeddings), 9) AS c
-          FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
-        cr AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cr FROM cov GROUP BY i),
-        v0 AS (SELECT list_transform(generate_series(1, $d),
-                 q -> CAST(0.125 AS DOUBLE)) AS v)
-        $rounds,
+        WITH $pcaCtes,
         cvr AS (SELECT i, list_sum(list_transform(generate_series(1, $d),
                          q -> cr[q] * v[q])) AS cv, cr[i + 1] AS diag
-                FROM cr, $vn),
+                FROM cr, $pcaFinalV),
         lam AS (SELECT round(CAST(sum(CAST(round(cv * v[i + 1], 12)
                                           AS DECIMAL(38,12))) AS DOUBLE), 9) AS eigenvalue,
                        round(CAST(sum(CAST(round(diag, 12)
                                           AS DECIMAL(38,12))) AS DOUBLE), 9) AS trace
-                FROM cvr, $vn)
+                FROM cvr, $pcaFinalV)
         SELECT CAST(u.i - 1 AS BIGINT) AS pos, v[u.i] AS component,
                eigenvalue, round(eigenvalue / trace, 6) AS var_explained
-        FROM $vn, lam, LATERAL unnest(generate_series(1, $d)) u(i)
+        FROM $pcaFinalV, lam, LATERAL unnest(generate_series(1, $d)) u(i)
         ORDER BY pos"""
+      }),
+
+    // ALL-BUT-THE-TOP post-processing (r14, X74): the transform X73's
+    // direction exists to feed — per vector, the projection coefficient
+    // onto the top principal direction and the residual norm after its
+    // removal. Shares the ENTIRE PCA CTE chain verbatim ([[pcaCtes]], the
+    // shared-CTE no-drift discipline); the unrounded sequential-fold dot
+    // feeds the residual in both engines, rounding only at the output.
+    QueryDef("embedding_abtt",
+      (s, dir) => Pca.abtt(s, dir),
+      Some {
+        val d = Similarity.Dims
+        s"""
+        WITH $pcaCtes,
+        mul AS (SELECT list(mu ORDER BY pos) AS mu FROM mu),
+        cent AS (SELECT e.vec_id,
+                        list_transform(generate_series(1, $d),
+                          i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS c, v
+                 FROM embeddings e, mul, $pcaFinalV),
+        pc AS (SELECT vec_id, c, v,
+                      list_sum(list_transform(generate_series(1, $d),
+                        i -> c[i] * v[i])) AS proj
+               FROM cent)
+        SELECT vec_id, round(proj, 6) AS top_coeff,
+               round(sqrt(list_sum(list_transform(generate_series(1, $d),
+                 i -> (c[i] - proj * v[i]) * (c[i] - proj * v[i])))), 6)
+                 AS resid_norm
+        FROM pc ORDER BY vec_id"""
       }),
 
     QueryDef("similarity_ann_lsh",

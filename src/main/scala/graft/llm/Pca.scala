@@ -84,8 +84,53 @@ object Pca {
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val cache = new graft.SessionMemo[DataFrame]
 
+  /** The trained direction as a persisted cross-session artifact
+    * ([[graft.IndexStore]] — the covariance pass is the expensive part;
+    * surfaced cold as `build_pca_power` in [[Builds]]). The store does
+    * not preserve row order, so the entry ordering is re-applied here. */
   def pcaPower(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s, dir)(pcaPowerOf(emb(s, dir)).persist())
+    cache.getOrElseUpdate(s, dir)(
+      graft.IndexStore.readOrBuild(s, dir, "pca_power",
+        s"v1;rounds=$PcaRounds;d=$Dims")(pcaPowerOf(emb(s, dir)))
+        .persist())
+      .orderBy(col("pos"))
+
+  /** ALL-BUT-THE-TOP post-processing (Mu & Viswanath 2018) — the step
+    * [[pcaPower]] exists to feed: center every embedding on the corpus
+    * mean, remove its projection onto the dominant principal direction.
+    * Output certifies the transform per vector: the projection
+    * COEFFICIENT onto the top direction and the RESIDUAL NORM after
+    * removal (6 dp each; the unrounded sequential-fold dot feeds the
+    * residual so both engines run one identical double pipeline).
+    *
+    * 100 TB: one corpus pass for the mean (bounded-domain keyed agg) and
+    * one for the projection (per-row folds against the broadcast packed
+    * mean + direction — the [[pcaPower]] artifact is d rows, read from
+    * the committed store); no shuffle above the output sort. */
+  def abtt(s: SparkSession, dir: String): DataFrame =
+    abttOf(emb(s, dir), pcaPower(s, dir))
+
+  /** [[abtt]] over any embedding relation + PCA result — unit-test hook
+    * (PcaSpec pins coefficient/residual on the planted fixture). */
+  private[llm] def abttOf(e: DataFrame, pca: DataFrame): DataFrame = {
+    val vRow = pca
+      .agg(transform(array_sort(collect_list(
+        struct(col("pos"), col("component")))),
+        x => x.getField("component")).as("v"))
+    e.crossJoin(broadcast(meanRowOf(e)))
+      .crossJoin(broadcast(vRow))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("mu"),
+          (x, m) => x.cast(DoubleType) - m).as("c"),
+        col("v"))
+      .select(col("vec_id"), col("c"), col("v"),
+        Similarity.dot(col("c"), col("v")).as("proj"))
+      .select(col("vec_id"),
+        round(col("proj"), 6).as("top_coeff"),
+        round(Similarity.norm(zip_with(col("c"), col("v"),
+          (ci, vi) => ci - col("proj") * vi)), 6).as("resid_norm"))
+      .orderBy(col("vec_id"))
+  }
 
   /** [[pcaPower]] over any (vec_id, embedding) relation — unit-test hook
     * (dims overridable so PcaSpec can plant a low-dim fixture). */

@@ -35,6 +35,25 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(3) - 100.0 / 101.0) < 1e-3)
   }
 
+  test("abtt removes the dominant axis: coeff = planted swing, residual = the rest") {
+    val rows = (0 until 40).map { k =>
+      val s3 = if (k % 2 == 0) 10.0f else -10.0f
+      val s5 = if (k % 4 < 2) 1.0f else -1.0f
+      (k.toLong, Array(0.5f, 0f, 0f, s3, 0f, s5, 0f, 0.25f).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Pca.abttOf(e, Pca.pcaPowerOf(e, dims = 8)).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      // projection onto the (±) dominant axis is the ±10 swing of dim 3;
+      // what survives removal is exactly dim 5's ±1 swing
+      assert(math.abs(math.abs(r.getDouble(1)) - 10.0) < 1e-3,
+        s"coeff ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3,
+        s"residual ${r.getDouble(2)}")
+    }
+  }
+
   test("corpus result is a unit vector with var_explained in (0, 1]") {
     val out = Pca.pcaPower(spark, sf001).collect()
     assert(out.length == Similarity.Dims)
