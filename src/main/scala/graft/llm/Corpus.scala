@@ -25,7 +25,7 @@ object Corpus {
   val ChunkSize = 50
   val ChunkStride = 40 // 10-token overlap between consecutive chunks
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[llm] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .repartition(s.sparkContext.defaultParallelism)
 

@@ -337,7 +337,7 @@ object Dedup {
     * bench measures real work. */
   private val pairsCache = new graft.SessionMemo[DataFrame]
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[llm] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate(s, dir) {
       ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).persist()
     }

@@ -593,6 +593,50 @@ object LlmQueries {
       (s, dir) => Dedup.clustersTwoStar(s, dir),
       Some(clustersSql)),
 
+    // PAGERANK over the same verified pair graph (r14, X75): the damped
+    // iterative link-analysis prior, all documents as vertices, docs
+    // without near-dups as DANGLING nodes (mass redistributed uniformly).
+    // 8 fixed rounds unrolled as MATERIALIZED CTEs; the neighbor sums and
+    // dangling mass are 12-dp-rounded DECIMAL(38,12) accumulations
+    // (order-independent), ranks re-rounded to 9 dp each round — both
+    // engines walk bit-identical rank vectors. Shares the clusters
+    // oracle's pair/edge CTEs verbatim.
+    QueryDef("dedup_pagerank",
+      (s, dir) => PageRank.pagerank(s, dir),
+      Some {
+        val rounds = (1 to PageRank.Rounds).map { t =>
+          val prev = if (t == 1) "r0" else s"r${t - 1}"
+          s""",
+        c$t AS (SELECT e.dst AS doc_id,
+                       CAST(sum(CAST(round(r.rank / dg.deg, 12)
+                                     AS DECIMAL(38,12))) AS DOUBLE) AS cin
+                FROM e JOIN $prev r ON e.src = r.doc_id
+                       JOIN deg dg ON e.src = dg.doc_id
+                GROUP BY 1),
+        d$t AS (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12)
+                                              AS DECIMAL(38,12))) AS DOUBLE),
+                                CAST(0 AS DOUBLE)) AS dm
+                FROM $prev r JOIN deg dg USING (doc_id) WHERE dg.deg = 0),
+        r$t AS MATERIALIZED (SELECT dg.doc_id,
+                round(CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) *
+                      (coalesce(c.cin, CAST(0 AS DOUBLE)) + dm / n), 9) AS rank
+                FROM deg dg LEFT JOIN c$t c USING (doc_id), d$t, nn)"""
+        }.mkString
+        s"""
+        WITH RECURSIVE $ShinglesCte,
+        $ClusterClosureCtes,
+        nn AS (SELECT count(*) AS n FROM documents),
+        deg AS MATERIALIZED (SELECT d.doc_id, coalesce(dd.deg, 0) AS deg
+               FROM documents d
+               LEFT JOIN (SELECT src AS doc_id, count(*) AS deg
+                          FROM e GROUP BY 1) dd USING (doc_id)),
+        r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n AS rank FROM deg, nn)
+        $rounds
+        SELECT dg.doc_id, dg.deg AS out_deg, r.rank AS pagerank
+        FROM r${PageRank.Rounds} r JOIN deg dg USING (doc_id)
+        ORDER BY doc_id"""
+      }),
+
     // Leakage-safe train/val/test split: the split key is the near-dup
     // CLUSTER canonical id (the same closure as dedup_clusters), so a dup
     // cluster can never straddle splits. Unclustered docs are their own

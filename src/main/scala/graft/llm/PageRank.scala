@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** PAGERANK over the verified near-dup pair graph — the iterative link-
+  * analysis primitive (Page et al. 1999) corpus-curation pipelines use
+  * as a quality/centrality prior (rank-within-neighborhood picks the
+  * canonical copy of a near-dup family better than min-id; web-scale
+  * curation ranks the hyperlink graph the same way). Vertices = ALL
+  * documents; edges = the symmetric [[Dedup.verifiedPairs]] relation
+  * (the same pair graph the connected-components entries close over);
+  * docs with no near-dup are DANGLING nodes whose mass is redistributed
+  * uniformly — the full published treatment, not the drop-dangling
+  * shortcut.
+  *
+  * Fixed [[Rounds]] damped rounds (α = [[Damping]]), the kmeans-
+  * converged fixed-rounds discipline, unrolled as MATERIALIZED CTEs in
+  * the oracle. Each round, per vertex u:
+  *
+  *   rank'(u) = (1−α)/N + α·(Σ_{v→u} round(rank(v)/deg(v), 12)
+  *                            + danglingMass/N)
+  *
+  * with the neighbor sum and the dangling mass accumulated as
+  * 12-dp-rounded DECIMAL(38,12) partial sums — order-independent under
+  * any partitioning — then one IEEE double expression and a 9-dp round
+  * per rank per round, so both engines walk bit-identical rank vectors.
+  *
+  * 100 TB: the Pregel shape — the static (src, dst, deg) edge relation
+  * and the N-row rank relation shuffle on the vertex key each round
+  * (join by src, aggregate by dst; both bucketable on doc_id so a real
+  * deployment pays ZERO sort exchanges per round); the dangling mass is
+  * one scalar broadcast; per-round state is N slim rows, checkpointed to
+  * keep lineage flat. Rounds are O(1) by construction.
+  */
+object PageRank {
+
+  val Rounds = 8
+  val Damping = 0.85
+
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(Corpus.docs(s, dir).select(col("doc_id")),
+      Dedup.verifiedPairs(s, dir))
+
+  /** [[pagerank]] over any (doc_id) vertex relation and (doc_a, doc_b)
+    * pair relation — unit-test hook (PageRankSpec pins hand graphs). */
+  private[llm] def pagerankOf(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val session = vertices.sparkSession
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+
+    // Static per-vertex out-degree (0 = dangling), kept for the whole
+    // loop; N enters every rank expression as a plain double literal.
+    val deg = vertices
+      .join(edges.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("deg")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist()
+    val n = deg.count()
+    val srcDeg = edges.join(deg.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .persist()
+
+    val width = if (n <= 1000000L) 8
+      else session.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranks = graft.Tuning.withNarrowShuffle(session, width) {
+      var r = deg.select(col("doc_id"), (lit(1.0) / n).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to Rounds) {
+        val contrib = srcDeg
+          .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(round(col("rank") / col("deg"), 12)
+            .cast(DecimalType(38, 12))).cast(DoubleType).as("cin"))
+        val dangling = deg.where(col("deg") === 0)
+          .join(r, Seq("doc_id"))
+          .agg(coalesce(sum(round(col("rank"), 12)
+            .cast(DecimalType(38, 12))).cast(DoubleType), lit(0.0)).as("dm"))
+        r = deg.select(col("doc_id"))
+          .join(contrib, Seq("doc_id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("doc_id"),
+            round(lit(0.15) / n + lit(0.85) *
+              (coalesce(col("cin"), lit(0.0)) + col("dm") / n), 9).as("rank"))
+          .localCheckpoint(true)
+      }
+      r
+    }
+    // deg/srcDeg stay persisted: Spark's CacheManager dedupes by
+    // canonicalized plan, so re-running the entry (bench passes) reuses
+    // the same cache entries instead of stacking new ones.
+    ranks.join(deg, Seq("doc_id"))
+      .select(col("doc_id"), col("deg").as("out_deg"),
+        col("rank").as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+}
