@@ -1095,14 +1095,20 @@ object Corpus {
   private[llm] def snapshotDiffOf(prev: DataFrame, cur: DataFrame): DataFrame = {
     val p = prev.select(col("doc_id"), md5(col("text")).as("h_prev"))
     val c = cur.select(col("doc_id"), md5(col("text")).as("h_cur"))
-    p.join(c, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("h_prev").isNull, "added")
-          .when(col("h_cur").isNull, "removed")
-          .when(col("h_prev") =!= col("h_cur"), "changed")
-          .otherwise("unchanged").as("status"))
-      .orderBy(col("doc_id"))
+    classifyDiff(p.join(c, Seq("doc_id"), "full_outer"))
   }
+
+  /** The status CASE over a (doc_id, h_prev, h_cur) digest relation —
+    * shared by the batch join above and the drained streamed state
+    * ([[graft.streaming.SnapshotDiffStream]]), so the two entries cannot
+    * diverge in classification. */
+  private[graft] def classifyDiff(digests: DataFrame): DataFrame =
+    digests.select(col("doc_id"),
+      when(col("h_prev").isNull, "added")
+        .when(col("h_cur").isNull, "removed")
+        .when(col("h_prev") =!= col("h_cur"), "changed")
+        .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
 
   /** Per-source DATA CARD — the dataset-documentation report every corpus
     * release ships (Datasheets for Datasets / Dolma-style data cards):

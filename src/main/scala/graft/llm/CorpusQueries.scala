@@ -14,6 +14,28 @@ object CorpusQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle of [[Corpus.snapshotDiff]] AND the streamed CDC twin
+    * ([[graft.streaming.SnapshotDiffStream]]) — both engines derive both
+    * snapshot versions from the one driver table (prev lacks the
+    * doc_id%7=3 rows and mutates doc_id%5=0 texts; cur lacks
+    * doc_id%11=5), so the hash match certifies the diff classification
+    * itself; digests, never texts, cross the join. */
+  private val snapshotDiffSql = s"""
+        WITH prev AS (SELECT doc_id,
+                             md5(CASE WHEN doc_id % ${Corpus.DiffChangedMod} = 0
+                                 THEN 'v0 ' || text ELSE text END) AS h_prev
+                      FROM documents
+                      WHERE doc_id % ${Corpus.DiffAddedMod} <> ${Corpus.DiffAddedRes}),
+        cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents
+                WHERE doc_id % ${Corpus.DiffRemovedMod} <> ${Corpus.DiffRemovedRes})
+        SELECT doc_id,
+               CASE WHEN h_prev IS NULL THEN 'added'
+                    WHEN h_cur IS NULL THEN 'removed'
+                    WHEN h_prev <> h_cur THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM prev FULL JOIN cur USING (doc_id)
+        ORDER BY doc_id"""
+
   /** Shared oracle of [[Corpus.decontaminate]] AND
     * [[Corpus.decontaminateBloom]] (the bloom path is output-identical by
     * construction — prefilter + exact confirm): each non-benchmark doc's
@@ -261,21 +283,17 @@ object CorpusQueries {
     // classification itself; digests, never texts, cross the join.
     QueryDef("corpus_snapshot_diff",
       (s, dir) => Corpus.snapshotDiff(s, dir),
-      Some(s"""
-        WITH prev AS (SELECT doc_id,
-                             md5(CASE WHEN doc_id % ${Corpus.DiffChangedMod} = 0
-                                 THEN 'v0 ' || text ELSE text END) AS h_prev
-                      FROM documents
-                      WHERE doc_id % ${Corpus.DiffAddedMod} <> ${Corpus.DiffAddedRes}),
-        cur AS (SELECT doc_id, md5(text) AS h_cur FROM documents
-                WHERE doc_id % ${Corpus.DiffRemovedMod} <> ${Corpus.DiffRemovedRes})
-        SELECT doc_id,
-               CASE WHEN h_prev IS NULL THEN 'added'
-                    WHEN h_cur IS NULL THEN 'removed'
-                    WHEN h_prev <> h_cur THEN 'changed'
-                    ELSE 'unchanged' END AS status
-        FROM prev FULL JOIN cur USING (doc_id)
-        ORDER BY doc_id""")),
+      Some(snapshotDiffSql)),
+
+    // The STREAMED (CDC) form of the same diff (r14, X76): rows fan out
+    // into derived prev/cur digest rows as they arrive; one doc_id-keyed
+    // aggregation holds (h_prev, h_cur) state; the status CASE reads the
+    // drained state. The fold is exact and order-insensitive, so the
+    // entry shares the batch oracle VERBATIM — the hash match certifies
+    // stream == batch under any micro-batch split.
+    QueryDef("corpus_snapshot_diff_streamed",
+      (s, dir) => graft.streaming.SnapshotDiffStream.snapshotDiffStreamed(s, dir),
+      Some(snapshotDiffSql)),
 
     // Feature assembly across documents⋈embeddings on the record id; the
     // norm is the same sequential double fold as the similarity oracles.
