@@ -954,6 +954,51 @@ object LlmQueries {
         FROM lp CROSS JOIN cuts ORDER BY doc_id"""
       }),
 
+    // Weak-label Naive-Bayes quality classifier (GPT-3/CCNet lineage):
+    // all-integer model numerators/denominators, 9-dp ln weights, DECIMAL
+    // contribution sums, prediction on the 6-dp-rounded score — the
+    // surprisal float discipline. The oracle retrains the model from
+    // scratch, so the hash match certifies train AND apply.
+    QueryDef("text_quality_classifier",
+      (s, dir) => TextAnalysis.nbQualityClassifier(s, dir),
+      Some {
+        val srcs = TextAnalysis.NbTargetSources
+          .map(s => s"'$s'").mkString(", ")
+        s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        lab AS (SELECT doc_id, source IN ($srcs) AS is_target FROM documents),
+        tfl AS (SELECT doc_id, token, tf, is_target
+                FROM tf JOIN lab USING (doc_id)),
+        ct AS (SELECT token,
+                      sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ct_t,
+                      sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS ct_o
+               FROM tfl GROUP BY 1),
+        tot AS (SELECT sum(ct_t) AS tot_t, sum(ct_o) AS tot_o,
+                       count(*) AS v FROM ct),
+        w AS (SELECT token,
+                     round(ln(CAST(ct_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
+                         - ln(CAST(ct_o + 1 AS DOUBLE) / CAST(tot_o + v AS DOUBLE)),
+                       9) AS w
+              FROM ct CROSS JOIN tot),
+        pri AS (SELECT round(ln(
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS DOUBLE)),
+                 9) AS w0 FROM lab),
+        sc AS (SELECT doc_id, is_target, tf,
+                      CAST(round(tf * w, 9) AS DECIMAL(28, 9)) AS c
+               FROM tfl JOIN w USING (token)),
+        agg AS (SELECT doc_id, is_target, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       round(CAST(sum(c) AS DOUBLE) + w0, 6) AS score
+                FROM sc CROSS JOIN pri GROUP BY doc_id, is_target, w0)
+        SELECT doc_id,
+               CASE WHEN is_target THEN 'target' ELSE 'other' END AS label,
+               n_tokens, score,
+               CASE WHEN score > 0 THEN 'target' ELSE 'other' END AS pred
+        FROM agg ORDER BY doc_id"""
+      }),
+
     // Quality-stratified sampling: surprisal-scored decile cuts (both
     // engines round the interpolated cut points to 4 dp before the
     // per-row comparison — quantile_cont and Spark's percentile share the

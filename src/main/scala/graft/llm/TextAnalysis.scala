@@ -543,6 +543,78 @@ object TextAnalysis {
     else banded.orderBy(col("doc_id"))
   }
 
+  /** The weak-label "reference quality" source set for
+    * [[nbQualityClassifier]] — the published quality-filter setup labels a
+    * trusted slice (Wikipedia/books in GPT-3/CCNet; a source subset here)
+    * as the positive class and the raw crawl as the negative one. */
+  val NbTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** Multinomial NAIVE-BAYES quality classifier — the linear
+    * quality-filter stage of the GPT-3 / CCNet / fastText lineage: train
+    * on weak source labels ([[NbTargetSources]] = positive class), score
+    * every document by its add-one-smoothed token log-odds, and predict
+    * target/other at the zero threshold. Train and apply in one job:
+    *
+    *   w(token) = ln((ct⁺+1)/(tot⁺+V)) − ln((ct⁻+1)/(tot⁻+V))   (9 dp)
+    *   score(doc) = Σ_token tf·w(token) + ln(n⁺/n⁻)              (6 dp)
+    *
+    * All model numerators/denominators are exact integers, so the double
+    * divisions are bit-identical across engines; each ln is rounded to
+    * 9 dp (absorbing libm ulp skew), per-token contributions are
+    * 9-dp-rounded DECIMALs summed order-independently, and the prediction
+    * compares the ROUNDED score — the surprisal/perplexity float
+    * discipline end to end.
+    *
+    * 100 TB shape: class counts are ONE token-keyed aggregation over the
+    * persisted [[termFreqs]] index joined with the slim (doc_id, label)
+    * relation (both sides bucketable on doc_id; the label column rides a
+    * 9-byte row, never the text); the trained model is a vocabulary-sized
+    * broadcast (the [[tfidfTopK]] idf discipline); scoring re-reads the
+    * index, so the corpus explode still runs once per session; priors,
+    * totals, and V are 1-row broadcast aggregates. */
+  def nbQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    nbQualityClassifierOf(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")),
+      termFreqs(s, dir))
+
+  /** [[nbQualityClassifier]] over any (doc_id, source) + (doc_id, token,
+    * tf) pair of relations — unit-testable form. */
+  private[llm] def nbQualityClassifierOf(labels0: DataFrame,
+      tf: DataFrame): DataFrame = {
+    val labels = labels0.select(col("doc_id"),
+      col("source").isin(NbTargetSources: _*).as("is_target"))
+    val tfl = tf.join(labels, "doc_id")
+    val byTok = tfl.groupBy(col("token"))
+      .agg(sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("ct_t"),
+        sum(when(!col("is_target"), col("tf")).otherwise(lit(0L))).as("ct_o"))
+    val tot = byTok.agg(sum(col("ct_t")).as("tot_t"),
+      sum(col("ct_o")).as("tot_o"), count(lit(1)).as("v"))
+    // per-token log-odds weight, 9 dp — the vocabulary-sized model
+    val w = byTok.crossJoin(broadcast(tot))
+      .select(col("token"), round(
+        log((col("ct_t") + 1).cast(DoubleType) /
+          (col("tot_t") + col("v")).cast(DoubleType)) -
+        log((col("ct_o") + 1).cast(DoubleType) /
+          (col("tot_o") + col("v")).cast(DoubleType)), 9).as("w"))
+    val pri = labels.agg(round(
+      log(sum(when(col("is_target"), 1L).otherwise(0L)).cast(DoubleType) /
+        sum(when(!col("is_target"), 1L).otherwise(0L)).cast(DoubleType)),
+      9).as("w0"))
+    val contrib = round(col("tf").cast(DoubleType) * col("w"), 9)
+      .cast(DecimalType(28, 9))
+    val score = round(col("sdec").cast(DoubleType) + col("w0"), 6)
+    tfl.join(broadcast(w), "token")
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"),
+        when(col("is_target"), "target").otherwise("other").as("label"),
+        col("n_tokens"), score.as("score"),
+        when(score > 0, "target").otherwise("other").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top merge candidates for [[bpePairs]]. */
   val BpeTopPairs = 20
 
