@@ -1110,6 +1110,86 @@ object Corpus {
         .otherwise("unchanged").as("status"))
       .orderBy(col("doc_id"))
 
+  /** Hashed-feature bucket space for [[dsirSelect]] (DSIR hashes n-grams
+    * into a fixed bucket index — 10k in the paper; smaller here to match
+    * the synthetic corpus vocabulary). */
+  val DsirBuckets = 1024L
+
+  /** Fraction of the raw pool [[dsirSelect]] keeps (the paper selects the
+    * resample size; expressed here as a keep-quantile over the pool). */
+  val DsirKeepFrac = 0.25
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * select raw-pool documents that look like the target distribution by
+    * importance weight under two hashed bag-of-n-grams models.
+    * Features = word unigrams + bigrams hashed into [[DsirBuckets]]
+    * buckets ([[Text.hash64]] — the shared-hash discipline); the target
+    * model trains on the [[TextAnalysis.NbTargetSources]] docs, the raw
+    * model on everything else; per-doc importance
+    *   log w(x) = Σ_gram [ln p̂_target(b(gram)) − ln p̂_raw(b(gram))]
+    * with add-one smoothing over the bucket space (all-integer
+    * numerators/denominators, per-ln 9-dp rounding, DECIMAL occurrence
+    * sums — the surprisal float discipline). Resampling is the paper's
+    * Gumbel-top-k: key = log w + Gumbel noise derived DETERMINISTICALLY
+    * from the salted doc-id hash (u ∈ (0,1) from the hash's micro-bucket,
+    * g = −ln(−ln u) rounded 9 dp); selection keeps the top
+    * [[DsirKeepFrac]] of the pool via ONE exact-percentile cut rounded to
+    * 4 dp and broadcast (the [[qualityStratifiedSample]] discipline — at
+    * 100 TB swap in percentile_approx, never a global rank window).
+    *
+    * 100 TB shape: the gram explode is stateless per-row work (occurrence
+    * rows carry only (doc_id, bucket) — 16 bytes, never text); bucket
+    * counts aggregate onto a BOUNDED key domain (≤ [[DsirBuckets]]) with
+    * map-side combine; the trained model is a ≤1024-row broadcast; doc
+    * scoring is ONE doc_id-keyed aggregation; the cut rides as a 1-row
+    * broadcast. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirSelectOf(docs(s, dir))
+
+  /** [[dsirSelect]] over any (doc_id, source, text) relation —
+    * unit-testable form. */
+  private[llm] def dsirSelectOf(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val bigr = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(t, i.cast(IntegerType)),
+          element_at(t, (i + 1).cast(IntegerType)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val feats = d.select(col("doc_id"),
+        col("source").isin(TextAnalysis.NbTargetSources: _*).as("is_target"),
+        explode(concat(t, bigr)).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(hash64(col("gram")), lit(DsirBuckets)).as("b"))
+    val ct = feats.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct_t"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("ct_r"))
+    val tot = ct.agg(sum(col("ct_t")).as("tot_t"), sum(col("ct_r")).as("tot_r"))
+    val w = ct.crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log((col("ct_t") + 1).cast(DoubleType) /
+          (col("tot_t") + DsirBuckets).cast(DoubleType)) -
+        log((col("ct_r") + 1).cast(DoubleType) /
+          (col("tot_r") + DsirBuckets).cast(DoubleType)), 9).as("w"))
+    val scored = feats.where(!col("is_target"))
+      .join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("w").cast(DecimalType(28, 9))).as("sdec"))
+    val u = (pmod(hash64(concat(lit("dsir|"), col("doc_id").cast(StringType))),
+      lit(1000000L)).cast(DoubleType) + 0.5) / 1000000.0
+    val gumbel = round(-log(-log(u)), 9)
+    val keyed = scored
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sdec").cast(DoubleType), 6).as("logw"))
+      .withColumn("gkey", round(col("logw") + gumbel, 6))
+    val cut = keyed.agg(round(
+      expr(s"percentile(gkey, ${1 - DsirKeepFrac})"), 4).as("cut"))
+    keyed.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_grams"), col("logw"), col("gkey"),
+        (col("gkey") >= col("cut")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source DATA CARD — the dataset-documentation report every corpus
     * release ships (Datasheets for Datasets / Dolma-style data cards):
     * one row per source with doc/char/token volumes, mean doc length,

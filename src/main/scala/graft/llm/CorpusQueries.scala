@@ -295,6 +295,53 @@ object CorpusQueries {
       (s, dir) => graft.streaming.SnapshotDiffStream.snapshotDiffStreamed(s, dir),
       Some(snapshotDiffSql)),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // bucket models (shared hash64), add-one smoothing over the bucket
+    // space, 9-dp ln weights + DECIMAL occurrence sums, deterministic
+    // hash-seeded Gumbel keys, ONE 4-dp percentile cut — the oracle
+    // retrains both models from scratch so the hash match certifies the
+    // whole select pipeline.
+    QueryDef("corpus_dsir_select",
+      (s, dir) => Corpus.dsirSelect(s, dir),
+      Some {
+        val srcs = graft.llm.TextAnalysis.NbTargetSources
+          .map(s => s"'$s'").mkString(", ")
+        val b = Corpus.DsirBuckets
+        s"""
+        WITH tk AS (SELECT doc_id, source IN ($srcs) AS is_target,
+                           string_split(text, ' ') AS t FROM documents),
+        gr AS (SELECT doc_id, is_target, unnest(t) AS gram FROM tk
+               UNION ALL
+               SELECT doc_id, is_target,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1])) AS gram
+               FROM tk WHERE len(t) >= 2),
+        fb AS (SELECT doc_id, is_target, ${hash64Sql("gram")} % $b AS b
+               FROM gr),
+        ct AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct_t,
+                      sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS ct_r
+               FROM fb GROUP BY 1),
+        tot AS (SELECT sum(ct_t) AS tot_t, sum(ct_r) AS tot_r FROM ct),
+        w AS (SELECT b,
+                     round(ln(CAST(ct_t + 1 AS DOUBLE) / CAST(tot_t + $b AS DOUBLE))
+                         - ln(CAST(ct_r + 1 AS DOUBLE) / CAST(tot_r + $b AS DOUBLE)),
+                       9) AS w
+              FROM ct CROSS JOIN tot),
+        sc AS (SELECT doc_id, count(*) AS n_grams,
+                      round(CAST(sum(CAST(w AS DECIMAL(28, 9))) AS DOUBLE), 6)
+                        AS logw
+               FROM fb JOIN w USING (b) WHERE NOT is_target GROUP BY doc_id),
+        ky AS (SELECT doc_id, n_grams, logw,
+                      round(logw + round(-ln(-ln(
+                        (${hash64Sql("concat('dsir|', CAST(doc_id AS VARCHAR))")}
+                          % 1000000 + 0.5) / 1000000.0)), 9), 6) AS gkey
+               FROM sc),
+        cut AS (SELECT round(quantile_cont(gkey, ${1 - Corpus.DsirKeepFrac}), 4)
+                         AS cut FROM ky)
+        SELECT doc_id, n_grams, logw, gkey, gkey >= cut AS selected
+        FROM ky CROSS JOIN cut ORDER BY doc_id"""
+      }),
+
     // Feature assembly across documents⋈embeddings on the record id; the
     // norm is the same sequential double fold as the similarity oracles.
     QueryDef("corpus_doc_features",
