@@ -23,6 +23,48 @@ object LlmQueries {
       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
       |       FROM tk WHERE len(t) >= 3)""".stripMargin
 
+  /** Shared oracle of [[TextAnalysis.nbQualityClassifier]] AND the
+    * streamed scorer ([[graft.streaming.NbScoreStream]]) — the streamed
+    * occurrence-level decimal fold equals the batch tf-level exact
+    * decimal product, so ONE SQL text certifies both. */
+  private val nbClassifierSql = {
+    val srcs = TextAnalysis.NbTargetSources
+      .map(s => s"'$s'").mkString(", ")
+    s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        lab AS (SELECT doc_id, source IN ($srcs) AS is_target FROM documents),
+        tfl AS (SELECT doc_id, token, tf, is_target
+                FROM tf JOIN lab USING (doc_id)),
+        ct AS (SELECT token,
+                      sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ct_t,
+                      sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS ct_o
+               FROM tfl GROUP BY 1),
+        tot AS (SELECT sum(ct_t) AS tot_t, sum(ct_o) AS tot_o,
+                       count(*) AS v FROM ct),
+        w AS (SELECT token,
+                     round(ln(CAST(ct_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
+                         - ln(CAST(ct_o + 1 AS DOUBLE) / CAST(tot_o + v AS DOUBLE)),
+                       9) AS w
+              FROM ct CROSS JOIN tot),
+        pri AS (SELECT round(ln(
+                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS DOUBLE)),
+                 9) AS w0 FROM lab),
+        sc AS (SELECT doc_id, is_target, tf,
+                      CAST(tf AS DECIMAL(9, 0)) * CAST(w AS DECIMAL(28, 9)) AS c
+               FROM tfl JOIN w USING (token)),
+        agg AS (SELECT doc_id, is_target, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       round(CAST(sum(c) AS DOUBLE) + w0, 6) AS score
+                FROM sc CROSS JOIN pri GROUP BY doc_id, is_target, w0)
+        SELECT doc_id,
+               CASE WHEN is_target THEN 'target' ELSE 'other' END AS label,
+               n_tokens, score,
+               CASE WHEN score > 0 THEN 'target' ELSE 'other' END AS pred
+        FROM agg ORDER BY doc_id"""
+  }
+
   /** DuckDB twin of [[Text.hash64]]. */
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
@@ -961,43 +1003,17 @@ object LlmQueries {
     // scratch, so the hash match certifies train AND apply.
     QueryDef("text_quality_classifier",
       (s, dir) => TextAnalysis.nbQualityClassifier(s, dir),
-      Some {
-        val srcs = TextAnalysis.NbTargetSources
-          .map(s => s"'$s'").mkString(", ")
-        s"""
-        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                     FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        lab AS (SELECT doc_id, source IN ($srcs) AS is_target FROM documents),
-        tfl AS (SELECT doc_id, token, tf, is_target
-                FROM tf JOIN lab USING (doc_id)),
-        ct AS (SELECT token,
-                      sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ct_t,
-                      sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS ct_o
-               FROM tfl GROUP BY 1),
-        tot AS (SELECT sum(ct_t) AS tot_t, sum(ct_o) AS tot_o,
-                       count(*) AS v FROM ct),
-        w AS (SELECT token,
-                     round(ln(CAST(ct_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE))
-                         - ln(CAST(ct_o + 1 AS DOUBLE) / CAST(tot_o + v AS DOUBLE)),
-                       9) AS w
-              FROM ct CROSS JOIN tot),
-        pri AS (SELECT round(ln(
-                   CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS DOUBLE)),
-                 9) AS w0 FROM lab),
-        sc AS (SELECT doc_id, is_target, tf,
-                      CAST(round(tf * w, 9) AS DECIMAL(28, 9)) AS c
-               FROM tfl JOIN w USING (token)),
-        agg AS (SELECT doc_id, is_target, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                       round(CAST(sum(c) AS DOUBLE) + w0, 6) AS score
-                FROM sc CROSS JOIN pri GROUP BY doc_id, is_target, w0)
-        SELECT doc_id,
-               CASE WHEN is_target THEN 'target' ELSE 'other' END AS label,
-               n_tokens, score,
-               CASE WHEN score > 0 THEN 'target' ELSE 'other' END AS pred
-        FROM agg ORDER BY doc_id"""
-      }),
+      Some(nbClassifierSql)),
+
+    // The STREAMED scorer (X79): model trained OFFLINE on the committed
+    // corpus, arriving docs scored ONLINE through a stream-static
+    // broadcast model join + one keyed decimal fold. The occurrence-level
+    // decimal sum equals the batch tf·w decimal product exactly, so the
+    // entry shares the batch oracle VERBATIM — the hash match certifies
+    // offline-train == online-apply under any micro-batch split.
+    QueryDef("text_quality_classifier_streamed",
+      (s, dir) => graft.streaming.NbScoreStream.nbScoreStreamed(s, dir),
+      Some(nbClassifierSql)),
 
     // Quality-stratified sampling: surprisal-scored decile cuts (both
     // engines round the interpolated cut points to 4 dp before the

@@ -560,10 +560,11 @@ object TextAnalysis {
     *
     * All model numerators/denominators are exact integers, so the double
     * divisions are bit-identical across engines; each ln is rounded to
-    * 9 dp (absorbing libm ulp skew), per-token contributions are
-    * 9-dp-rounded DECIMALs summed order-independently, and the prediction
-    * compares the ROUNDED score — the surprisal/perplexity float
-    * discipline end to end.
+    * 9 dp (absorbing libm ulp skew), per-token contributions are EXACT
+    * decimal products tf·w summed order-independently (so the streamed
+    * occurrence-level fold of [[graft.streaming.NbScoreStream]] is equal
+    * bit-for-bit), and the prediction compares the ROUNDED score — the
+    * surprisal/perplexity float discipline end to end.
     *
     * 100 TB shape: class counts are ONE token-keyed aggregation over the
     * persisted [[termFreqs]] index joined with the slim (doc_id, label)
@@ -578,19 +579,23 @@ object TextAnalysis {
         .select(col("doc_id"), col("source")),
       termFreqs(s, dir))
 
-  /** [[nbQualityClassifier]] over any (doc_id, source) + (doc_id, token,
-    * tf) pair of relations — unit-testable form. */
-  private[llm] def nbQualityClassifierOf(labels0: DataFrame,
-      tf: DataFrame): DataFrame = {
-    val labels = labels0.select(col("doc_id"),
-      col("source").isin(NbTargetSources: _*).as("is_target"))
-    val tfl = tf.join(labels, "doc_id")
+  /** The weak label column for [[nbQualityClassifier]] /
+    * [[graft.streaming.NbScoreStream]]. */
+  private[graft] def nbLabel(source: Column): Column =
+    source.isin(NbTargetSources: _*)
+
+  /** Trained NB model from a (doc_id, token, tf, is_target) relation +
+    * the (doc_id, is_target) label relation: (per-token 9-dp log-odds
+    * weight relation, 1-row prior). Shared by the batch classifier and
+    * the streamed scorer so offline train and online apply cannot
+    * drift. */
+  private[graft] def nbModelFrom(tfl: DataFrame,
+      labels: DataFrame): (DataFrame, DataFrame) = {
     val byTok = tfl.groupBy(col("token"))
       .agg(sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("ct_t"),
         sum(when(!col("is_target"), col("tf")).otherwise(lit(0L))).as("ct_o"))
     val tot = byTok.agg(sum(col("ct_t")).as("tot_t"),
       sum(col("ct_o")).as("tot_o"), count(lit(1)).as("v"))
-    // per-token log-odds weight, 9 dp — the vocabulary-sized model
     val w = byTok.crossJoin(broadcast(tot))
       .select(col("token"), round(
         log((col("ct_t") + 1).cast(DoubleType) /
@@ -601,18 +606,38 @@ object TextAnalysis {
       log(sum(when(col("is_target"), 1L).otherwise(0L)).cast(DoubleType) /
         sum(when(!col("is_target"), 1L).otherwise(0L)).cast(DoubleType)),
       9).as("w0"))
-    val contrib = round(col("tf").cast(DoubleType) * col("w"), 9)
-      .cast(DecimalType(28, 9))
+    (w, pri)
+  }
+
+  /** The 9-dp weight as an EXACT decimal — contributions multiply/sum in
+    * decimal (never a double round of a product), so the batch tf-level
+    * fold and the streamed occurrence-level fold are equal bit-for-bit. */
+  private[graft] def nbWDec: Column = col("w").cast(DecimalType(28, 9))
+
+  /** Final scoring select over an aggregated (doc_id, is_target,
+    * n_tokens, sdec) relation — shared batch/streamed tail. */
+  private[graft] def nbFinish(agged: DataFrame, pri: DataFrame): DataFrame = {
     val score = round(col("sdec").cast(DoubleType) + col("w0"), 6)
-    tfl.join(broadcast(w), "token")
-      .groupBy(col("doc_id"), col("is_target"))
-      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
-      .crossJoin(broadcast(pri))
+    agged.crossJoin(broadcast(pri))
       .select(col("doc_id"),
         when(col("is_target"), "target").otherwise("other").as("label"),
         col("n_tokens"), score.as("score"),
         when(score > 0, "target").otherwise("other").as("pred"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[nbQualityClassifier]] over any (doc_id, source) + (doc_id, token,
+    * tf) pair of relations — unit-testable form. */
+  private[graft] def nbQualityClassifierOf(labels0: DataFrame,
+      tf: DataFrame): DataFrame = {
+    val labels = labels0.select(col("doc_id"), nbLabel(col("source")).as("is_target"))
+    val tfl = tf.join(labels, "doc_id")
+    val (w, pri) = nbModelFrom(tfl, labels)
+    val agged = tfl.join(broadcast(w), "token")
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast(DecimalType(9, 0)) * nbWDec).as("sdec"))
+    nbFinish(agged, pri)
   }
 
   /** Top merge candidates for [[bpePairs]]. */

@@ -66,7 +66,7 @@ class NbClassifierSpec extends SparkSpec {
     rows.map { case (id, src, _) =>
       val mine = tf.filter(_._1 == id)
       val sdec = mine.map(x =>
-        BigDecimal(r(x._3.toDouble * w(x._2), 9)).setScale(9)).sum
+        BigDecimal(w(x._2)).setScale(9) * BigDecimal(x._3)).sum
       val score = r(sdec.toDouble + w0, 6)
       (id, if (isT(src)) "target" else "other", mine.map(_._3).sum, score,
         if (score > 0) "target" else "other")
