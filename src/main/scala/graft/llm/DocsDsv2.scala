@@ -44,4 +44,46 @@ object DocsDsv2 {
     * bucket layout column, which consumers prune away). */
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.format("graftdocs").load(path(s, dir))
+
+  /** Files per micro-batch for [[statsStreamed]] — 8 bucket files at 3
+    * per trigger exercise a genuine multi-batch drain. */
+  val StreamMaxFilesPerTrigger = 3
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val streamed = new graft.SessionMemo[Unit]
+
+  /** The corpus STREAMED through the connector's MicroBatchStream
+    * ([[org.apache.spark.sql.graft.dsv2]] `GdfMicroBatchStream`): bucket
+    * files are the append log, `maxfilespertrigger` paces admission, and
+    * a `Trigger.AvailableNow` drain snapshots the manifest once — the
+    * connector's streaming face certified end to end. The per-row stats
+    * projection is the SHARED [[TextAnalysis.statsSelect]], and every
+    * file is consumed exactly once across batches, so the appended union
+    * equals the batch read bit-for-bit and the entry shares text_stats'
+    * oracle VERBATIM. */
+  def statsStreamed(s: SparkSession, dir: String): DataFrame = {
+    val p = path(s, dir)
+    val out = s"$p-stream-stats"
+    synchronized {
+      if (!streamed.contains(s, dir)) {
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
+        val docStream = s.readStream.format("graftdocs")
+          .option("maxfilespertrigger", StreamMaxFilesPerTrigger.toString)
+          .load(p)
+        val q = TextAnalysis.statsSelect(docStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/result")
+          }
+          .start()
+        q.awaitTermination()
+        streamed.put(s, dir, ())
+      }
+    }
+    s.read.parquet(s"$out/result").orderBy(col("doc_id"))
+  }
 }

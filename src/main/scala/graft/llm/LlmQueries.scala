@@ -740,6 +740,18 @@ object LlmQueries {
       (s, dir) => TextAnalysis.statsOf(DocsDsv2.docs(s, dir)),
       Some(textStatsOracle)),
 
+    // The connector's STREAMING face (r14, X80): the same corpus drained
+    // through the custom MicroBatchStream (bucket-file offsets,
+    // maxfilespertrigger admission control, AvailableNow snapshot) with
+    // the SHARED stats projection. Every file is consumed exactly once
+    // across micro-batches, so the appended union equals the batch read
+    // and the entry shares text_stats' oracle VERBATIM — the hash match
+    // certifies the offset log end to end. GdfStreamSpec pins the
+    // multi-batch pacing and exactly-once file consumption.
+    QueryDef("dsv2_stream_stats",
+      (s, dir) => DocsDsv2.statsStreamed(s, dir),
+      Some(textStatsOracle)),
+
     // The connector's AGGREGATE-pushdown surface (r14): count/min/max by
     // bucket COMPLETE-pushes into the scan and is answered from the
     // manifest's exact per-file stats — a metadata-only query that opens

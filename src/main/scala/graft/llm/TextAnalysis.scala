@@ -41,7 +41,13 @@ object TextAnalysis {
   /** [[stats]] over any (doc_id, text) relation — shared by the parquet
     * entry and the `dsv2_text_stats` connector twin (one definition, so
     * the connector cannot drift the arithmetic). */
-  private[llm] def statsOf(d: DataFrame): DataFrame = {
+  private[llm] def statsOf(d: DataFrame): DataFrame =
+    statsSelect(d).orderBy(col("doc_id"))
+
+  /** The stateless per-row projection of [[statsOf]] (no sort) — legal on
+    * a stream; shared with the connector's streamed entry so the three
+    * stats forms cannot drift. */
+  private[graft] def statsSelect(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     d.select(
@@ -59,7 +65,7 @@ object TextAnalysis {
       // deterministic stand-in for learned-merge subword tokenization
       size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
         .as("n_subtokens")
-    ).orderBy(col("doc_id"))
+    )
   }
 
   /** Language-ID by function-word hit counts: score per profile, predict
