@@ -889,6 +889,36 @@ object LlmQueries {
                count(*) AS term_freq
         FROM tok GROUP BY token ORDER BY token""")),
 
+    // Count-min sketch heavy hitters (Cormode & Muthukrishnan): the
+    // sketch is RELATIONAL (salted-hash buckets, (j,b) cell sums), so
+    // the oracle recomputes it exactly — estimates are certified
+    // bit-for-bit, not just error-bounded; `overcount >= 0` per row is
+    // the published never-underestimate invariant, visible in the data.
+    QueryDef("text_cms_heavy_hitters",
+      (s, dir) => TextAnalysis.cmsHeavyHitters(s, dir),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        dfr AS (SELECT token, count(*) AS term_freq FROM tok GROUP BY 1),
+        js AS (SELECT unnest(generate_series(0, ${TextAnalysis.CmsDepth - 1}))
+                 AS j),
+        cell AS (SELECT j,
+                        ${hash64Sql("concat('cms', CAST(j AS VARCHAR), '|', token)")}
+                          % ${TextAnalysis.CmsWidth} AS b,
+                        CAST(sum(term_freq) AS BIGINT) AS cell
+                 FROM dfr CROSS JOIN js GROUP BY 1, 2),
+        topk AS (SELECT token, term_freq FROM dfr
+                 ORDER BY term_freq DESC, token LIMIT ${TextAnalysis.CmsTopK}),
+        probe AS (SELECT token, term_freq, j,
+                         ${hash64Sql("concat('cms', CAST(j AS VARCHAR), '|', token)")}
+                           % ${TextAnalysis.CmsWidth} AS b
+                  FROM topk CROSS JOIN js)
+        SELECT token, term_freq AS exact_count, min(cell) AS cms_estimate,
+               min(cell) - term_freq AS overcount
+        FROM probe JOIN cell USING (j, b)
+        GROUP BY token, term_freq
+        ORDER BY exact_count DESC, token""")),
+
     QueryDef("text_tfidf_topk",
       (s, dir) => TextAnalysis.tfidfTopK(s, dir),
       Some("""

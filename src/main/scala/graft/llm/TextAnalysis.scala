@@ -549,6 +549,58 @@ object TextAnalysis {
     else banded.orderBy(col("doc_id"))
   }
 
+  /** Count-min sketch geometry for [[cmsHeavyHitters]] (Cormode &
+    * Muthukrishnan 2005): depth d=4 independent hash rows, width w=256
+    * buckets — ε ≈ e/w overcount at δ ≈ e^-d confidence. */
+  val CmsDepth = 4
+  val CmsWidth = 256L
+  val CmsTopK = 20
+
+  /** COUNT-MIN SKETCH heavy hitters — the frequency-sketch family the
+    * sketch tier was missing (HLL++ = distinct, approx-percentile =
+    * quantiles, Bloom = membership; CMS = frequency): estimate token
+    * frequencies from a d×w cell grid and report the top-[[CmsTopK]]
+    * exact-count tokens with their CMS estimates and the guaranteed
+    * overcount (CMS never underestimates — `overcount ≥ 0` is the
+    * published invariant, visible per row). Built RELATIONALLY — row j's
+    * bucket is the salted [[Text.hash64]] of the token, cells are ONE
+    * bounded-domain (j, bucket) aggregation — so the oracle recomputes
+    * the sketch exactly (unlike opaque sketch objects, which certify
+    * only error bounds); cell sums are exact longs, so estimates are
+    * bit-deterministic under any partitioning/merge order, which is the
+    * relational restatement of CMS's commutative-merge property.
+    *
+    * 100 TB: the sketch build reads the persisted vocabulary index (one
+    * explode×d over vocab-sized rows, never the corpus), aggregates onto
+    * a ≤ d·w cell domain with map-side combine, and broadcasts the
+    * ≤1024-row grid; the top-k is TakeOrderedAndProject. A streaming
+    * deployment runs the same cell aggregation keyed on (j, bucket) —
+    * bounded state by construction. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    cmsFrom(docFreqs(s, dir).select(col("token"), col("term_freq")))
+
+  /** [[cmsHeavyHitters]] over any (token, term_freq) relation —
+    * unit-testable form. */
+  private[llm] def cmsFrom(dfr: DataFrame): DataFrame = {
+    val js = explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j")
+    def bucket: Column = pmod(hash64(concat(lit("cms"),
+      col("j").cast(StringType), lit("|"), col("token"))), lit(CmsWidth))
+    val cells = dfr.select(col("token"), col("term_freq"), js)
+      .withColumn("b", bucket)
+      .groupBy(col("j"), col("b"))
+      .agg(sum(col("term_freq")).as("cell"))
+    dfr.orderBy(col("term_freq").desc, col("token")).limit(CmsTopK)
+      .select(col("token"), col("term_freq"), js)
+      .withColumn("b", bucket)
+      .join(broadcast(cells), Seq("j", "b"))
+      .groupBy(col("token"), col("term_freq"))
+      .agg(min(col("cell")).as("cms_estimate"))
+      .select(col("token"), col("term_freq").as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("term_freq")).as("overcount"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   /** The weak-label "reference quality" source set for
     * [[nbQualityClassifier]] — the published quality-filter setup labels a
     * trusted slice (Wikipedia/books in GPT-3/CCNet; a source subset here)
