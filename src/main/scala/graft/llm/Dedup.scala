@@ -550,4 +550,45 @@ object Dedup {
     System.err.println(s"[graft.clusters] converged after $round rounds")
     labels
   }
+
+  /** CROSS-SOURCE n-gram OVERLAP MATRIX — the provenance artifact a
+    * corpus release ships next to its data card: for every source pair,
+    * how much word-[[ShingleK]]-gram content they share (distinct shared
+    * shingle hashes, per-source distinct counts, and the shingle-set
+    * Jaccard). Exact-hash overlap degenerates on a corpus with few
+    * verbatim duplicates; shingle-level overlap is the currency the
+    * decontamination/near-dup tiers already use, and it surfaces the
+    * boilerplate exposure BETWEEN sources that doc-level dedup can miss.
+    *
+    * 100 TB: the (source, shingle-hash) relation is ONE hash-keyed
+    * distinct whose volume is bounded by |sources| × vocabulary (never
+    * corpus occurrences); the self-join fans out per shingle to the ≤ S
+    * sources sharing it — pair space is bounded by the SOURCE domain
+    * (S²/2 output rows), never doc pairs; denominators ride a broadcast
+    * S-row relation. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(docs(s, dir))
+
+  /** [[sourceOverlap]] over any (source, text) relation — unit-test
+    * hook. */
+  private[llm] def sourceOverlapOf(d: DataFrame): DataFrame = {
+    val sh = d.select(col("source"),
+        explode(shingles(col("text"), ShingleK)).as("sh"))
+      .select(col("source"), hash64(col("sh")).as("h"))
+      .distinct()
+    val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(per.select(col("source").as("source_a"),
+        col("n").as("n_a"))), "source_a")
+      .join(broadcast(per.select(col("source").as("source_b"),
+        col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -721,6 +721,33 @@ object LlmQueries {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY doc_a, doc_b""")),
 
+    // Cross-source shingle-overlap matrix (r14, X82): per source pair,
+    // distinct shared 3-gram hashes + per-source set sizes + Jaccard.
+    // Pair space is bounded by the SOURCE domain — the provenance report
+    // a corpus release ships next to its data card.
+    QueryDef("dedup_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT source, string_split(text, ' ') AS t
+                    FROM documents),
+        oc AS (SELECT source,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+               FROM tk WHERE len(t) >= 3),
+        sh AS (SELECT DISTINCT source, ${hash64Sql("sh")} AS h FROM oc),
+        per AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*) AS n_shared
+               FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT source_a, source_b, pa.n AS n_a, pb.n AS n_b, n_shared,
+               round(CAST(n_shared AS DOUBLE) / (pa.n + pb.n - n_shared), 6)
+                 AS jaccard
+        FROM pr JOIN per pa ON pa.source = pr.source_a
+                JOIN per pb ON pb.source = pr.source_b
+        ORDER BY source_a, source_b""")),
+
     QueryDef("text_stats",
       (s, dir) => TextAnalysis.stats(s, dir),
       Some(textStatsOracle)),
