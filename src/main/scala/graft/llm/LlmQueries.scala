@@ -1237,6 +1237,35 @@ object LlmQueries {
                CAST(greatest(length(text) - 7, 0) AS BIGINT) AS n_grams
         FROM documents ORDER BY doc_id""")),
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    // positional 3-gram hashes, window-of-4 minima with the RIGHTMOST
+    // tie rule, distinct selected (pos, hash) pairs — local
+    // fingerprinting with the published detection guarantee.
+    QueryDef("doc_winnow_fingerprint",
+      (s, dir) => TextAnalysis.winnowFingerprints(s, dir),
+      Some {
+        val w = TextAnalysis.WinnowW
+        s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+        gr AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+               FROM tk WHERE len(t) >= 3),
+        hs AS (SELECT doc_id,
+                      list_transform(g, x ->
+                        ${hash64Sql("x")}) AS h
+               FROM gr WHERE len(g) >= $w),
+        win AS (SELECT doc_id, j, h[j:j+${w - 1}] AS wl
+                FROM hs, LATERAL unnest(generate_series(1, len(h) - ${w - 1}))
+                  u(j))
+        SELECT DISTINCT doc_id,
+               CAST(j - 1 + ($w + 1 -
+                 list_position(list_reverse(wl), list_min(wl))) AS BIGINT)
+                 AS pos,
+               list_min(wl) AS fp
+        FROM win ORDER BY doc_id, pos"""
+      }),
+
     QueryDef("similarity_topk",
       (s, dir) => Similarity.bruteTopK(s, dir),
       Some(bruteTopKOracle)),

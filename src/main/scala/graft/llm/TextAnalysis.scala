@@ -973,6 +973,56 @@ object TextAnalysis {
       greatest(length(col("text")) - 7, lit(0)).cast(LongType).as("n_grams")
     ).orderBy(col("doc_id"))
 
+  /** Winnowing window size (Schleimer et al. 2003): every window of this
+    * many consecutive gram hashes contributes its minimum. */
+  val WinnowW = 4
+
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): from each document's POSITIONAL word-3-gram
+    * hash sequence (duplicates kept — positions matter, unlike
+    * [[Text.shingles]]'s sets), every window of [[WinnowW]] consecutive
+    * hashes selects its minimum, ties resolved to the RIGHTMOST position
+    * (the paper's rule); the distinct selected (position, hash) pairs are
+    * the fingerprint set. The published guarantee: any shared token run
+    * of length ≥ w + k − 1 between two documents yields a shared
+    * fingerprint, and selected positions are never more than w apart —
+    * local fingerprinting with a detection floor, which the global-min
+    * [[fingerprint]] cannot give. Docs with fewer than w grams are out of
+    * scope (same contract as the shingle minimum).
+    *
+    * 100 TB: entirely per-row — gram hashing, the window fold, and the
+    * distinct selection all run as codegen'd higher-order functions
+    * inside one pass over the corpus scan; output is the ~2/(w+1)
+    * winnowing density of gram positions; no shuffle above the sort. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowOf(docs(s, dir))
+
+  /** [[winnowFingerprints]] over any (doc_id, text) relation —
+    * unit-testable form. */
+  private[llm] def winnowOf(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val k = Dedup.ShingleK
+    val grams = transform(sequence(lit(0), n - k), i =>
+      concat_ws(" ", (0 until k).map(j =>
+        element_at(t, (i + j + 1).cast(IntegerType))): _*))
+    val w = WinnowW
+    d.where(n >= k + w - 1)
+      .select(col("doc_id"), transform(grams, g => hash64(g)).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("hs")) - w), j => {
+          val win = slice(col("hs"), j + 1, lit(w))
+          val mn = array_min(win)
+          // rightmost index of the min inside the window (the tie rule)
+          val rpos = array_max(transform(sequence(lit(1), lit(w)), p =>
+            when(element_at(win, p.cast(IntegerType)) === mn, p)
+              .otherwise(lit(0L))))
+          struct((j + rpos).cast(LongType).as("pos"), mn.as("fp"))
+        }))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** PII patterns for [[piiRedact]], applied in this order. Every regex is
     * restricted to syntax Java's engine and DuckDB's RE2 interpret
     * identically (character classes, bounded repetition, ASCII `\b` —
