@@ -1600,7 +1600,7 @@ object LlmQueries {
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
         FROM hits ORDER BY method, query_id""")),
 
-    // Ranking-quality eval (MRR + NDCG@k) for all three ANN tiers against
+    // Ranking-quality eval (MRR + NDCG@k) for all four ANN tiers against
     // the exact baseline: graded gains k+1−brute_rank, host-inlined
     // 1/log2(r+1) discount literals shared by both dialects (neither
     // engine's libm is trusted for bit-stable logs), DCG folded in rank
@@ -1644,6 +1644,73 @@ object LlmQueries {
                round(coalesce(CAST(1.0 AS DOUBLE) / fh, CAST(0.0 AS DOUBLE)), 6) AS mrr,
                round(dcg / CAST(${Similarity.ndcgIdeal} AS DOUBLE), 6) AS ndcg
         FROM per ORDER BY method, query_id"""
+      }),
+
+    // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    // greedy λ·rel − μ·max-sim selection over the exact top-C pool. The
+    // oracle unrolls the MmrK greedy rounds as generated CTEs (the
+    // kmeans-unroll discipline). Scoring is EXACT integer micro-units
+    // (λ₁₀·rel_u − μ₁₀·maxsim_u over cosines lifted to millionths — see
+    // Similarity.MmrLambdaTenths): `round(0.7·rel, 6)` would land on the
+    // half boundary whenever the product's 7th decimal is 5, where the
+    // two engines round different ways.
+    QueryDef("similarity_mmr_topk",
+      (s, dir) => Similarity.mmrTopK(s, dir),
+      Some {
+        val lam = Similarity.MmrLambdaTenths
+        val mu = Similarity.MmrMuTenths
+        val rounds = (2 to Similarity.MmrK).map { r =>
+          s""",
+        ms$r AS (SELECT p.query_id, p.a_id, max(p.sim_u) AS ms_u
+                 FROM pw p JOIN s${r - 1} s ON p.query_id = s.query_id
+                                           AND p.b_id = s.neighbor_id
+                 GROUP BY 1, 2),
+        sc$r AS (SELECT c.query_id, c.neighbor_id, c.relevance,
+                        $lam * c.rel_u - $mu * m.ms_u AS score_u
+                 FROM cand c JOIN ms$r m ON m.query_id = c.query_id
+                                        AND m.a_id = c.neighbor_id
+                 WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s2
+                                   WHERE s2.query_id = c.query_id
+                                     AND s2.neighbor_id = c.neighbor_id)),
+        s$r AS MATERIALIZED (
+          SELECT * FROM s${r - 1}
+          UNION ALL
+          SELECT query_id, neighbor_id, CAST($r AS BIGINT) AS mmr_rank,
+                 relevance, score_u
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_u DESC, neighbor_id) AS rn
+                FROM sc$r) WHERE rn = 1)"""
+        }.mkString
+        s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        p0 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ${cosineSql("q.qv", "e.embedding")} AS relevance
+               FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+        cand AS MATERIALIZED (
+          SELECT query_id, neighbor_id, relevance,
+                 CAST(round(relevance * 1000000, 0) AS BIGINT) AS rel_u
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY relevance DESC, neighbor_id) AS rnk FROM p0)
+          WHERE rnk <= ${Similarity.MmrCandidates}),
+        cv AS (SELECT c.query_id, c.neighbor_id, e.embedding
+               FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+        pw AS MATERIALIZED (
+          SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+                 CAST(round(${cosineSql("x.embedding", "y.embedding")}
+                      * 1000000, 0) AS BIGINT) AS sim_u
+          FROM cv x JOIN cv y ON x.query_id = y.query_id
+                             AND x.neighbor_id <> y.neighbor_id),
+        s1 AS MATERIALIZED (
+          SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS mmr_rank,
+                 relevance, $lam * rel_u AS score_u
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY relevance DESC, neighbor_id) AS rn
+                FROM cand) WHERE rn = 1)$rounds
+        SELECT query_id, neighbor_id, mmr_rank, relevance,
+               CAST(score_u AS DOUBLE) / 10000000.0 AS mmr_score
+        FROM s${Similarity.MmrK} ORDER BY query_id, mmr_rank"""
       }),
 
     QueryDef("dedup_embedding_cosine",

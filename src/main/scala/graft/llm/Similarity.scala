@@ -1460,4 +1460,151 @@ object Similarity {
           6).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // MMR diversified re-ranking (Carbonell & Goldstein 1998)
+
+  /** Exact candidate pool width per query for [[mmrTopK]] — the re-rank
+    * operates on the top-[[MmrCandidates]] by relevance, the published
+    * "retrieve R, re-rank to k" shape. */
+  val MmrCandidates = 10
+
+  /** Diversified result size (≤ [[MmrCandidates]]). */
+  val MmrK = 5
+
+  /** MMR trade-off λ = [[MmrLambdaTenths]]/10, μ = 1−λ. The score is
+    * computed in EXACT INTEGER micro-units — score_u = λ₁₀·rel_u −
+    * μ₁₀·maxsim_u over the 6-dp cosines lifted to integer millionths —
+    * because `round(0.7·rel, 6)` lands ON the half boundary whenever the
+    * product's 7th decimal is 5, and there Spark (shortest-repr
+    * BigDecimal) and DuckDB (binary-value) round DIFFERENT ways (observed
+    * at sf0.01: 0.7·0.371485 → 0.26004 vs 0.260039). Integer arithmetic
+    * has no boundary: both engines rank on the same exact long and emit
+    * score_u/10⁷ through one deterministic IEEE division. */
+  val MmrLambdaTenths = 7L
+  val MmrMuTenths = 3L
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): from the exact top-[[MmrCandidates]] relevance pool,
+    * greedily select [[MmrK]] results maximizing
+    * `λ·cos(q,d) − μ·max_{s∈S} cos(d,s)` — the result set trades pure
+    * relevance for novelty, the standard answer to near-duplicate
+    * neighbors crowding a retrieval page (and, in a training-data
+    * pipeline, to sampling diverse exemplars per query). Rank 1 is the
+    * pure-relevance argmax (S empty ⇒ score = λ·rel); each later round
+    * re-scores the REMAINING pool against the grown S. Scoring is exact
+    * integer micro-arithmetic (see [[MmrLambdaTenths]]) with neighbor_id
+    * ties — both engines select identically with NO rounding boundary.
+    *
+    * All arithmetic shared with the oracle: relevances and pairwise sims
+    * are the 6-dp [[cosine]] lifted to integer millionths; the greedy
+    * rounds are unrolled IDENTICALLY (Spark: [[MmrK]]−1 DataFrame rounds;
+    * oracle: [[MmrK]]−1 generated CTEs — the kmeans-unroll discipline).
+    *
+    * 100 TB: the corpus-scale work is ONE exact top-C scan (the
+    * [[bruteTopK]] shape — per-partition partial top-C, then the
+    * query-keyed merge; swap in an ANN tier for the pool at scale) plus
+    * ONE slim semi-join fetching the ≤ Q·C candidate vectors. Everything
+    * after — the C×C pairwise matrix and the greedy rounds — lives on
+    * broadcast-sized (Q·C²) relations; the selection loop never touches
+    * the corpus again (the pool and pair matrix are persisted, so the
+    * K−1 rounds re-read ~100-row cached relations, not the scan). */
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val mmrPoolCache = new graft.SessionMemo[(DataFrame, DataFrame)]
+
+  /** The (candidate pool, pairwise-sim matrix) pair for [[mmrTopK]],
+    * built once per (session, dir) and persisted — the greedy rounds
+    * re-read these ≤ Q·C² cached rows, never the corpus. */
+  private def mmrPool(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    mmrPoolCache.getOrElseUpdate(s, dir)(mmrPoolOf(emb(s, dir)))
+
+  /** [[mmrPool]] over any (vec_id, embedding) relation — unit-test
+    * hook. */
+  private[llm] def mmrPoolOf(e: DataFrame): (DataFrame, DataFrame) = {
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")).where(col("query_id") < QueryCount)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("relevance").desc, col("neighbor_id"))
+    // one corpus scan: exact top-C relevance pool per query
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("relevance"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= MmrCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("relevance"),
+        microUnits(col("relevance")).as("rel_u"))
+      .persist()
+    // one slim semi-join: fetch the ≤ Q·C distinct candidate vectors
+    val cvec = e.join(
+        broadcast(cand.select(col("neighbor_id").as("cid")).distinct()),
+        col("vec_id") === col("cid"))
+      .select(col("vec_id"), col("embedding"))
+    // C×C pairwise cosine matrix per query (Q·C² rows, broadcast-sized)
+    val withVec = cand
+      .join(broadcast(cvec), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"))
+    val pw = withVec.as("x")
+      .join(broadcast(withVec.as("y")),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a_id"), col("y.neighbor_id").as("b_id"),
+        microUnits(cosine(col("x.embedding"), col("y.embedding")))
+          .as("sim_u"))
+      .persist()
+    (cand, pw)
+  }
+
+  /** A 6-dp-rounded cosine lifted to exact integer millionths — the
+    * ·10⁶ product and nearest-int round are deterministic IEEE ops on
+    * the identical double, so both engines get the identical long. */
+  private def microUnits(c: Column): Column =
+    round(c * lit(1000000.0), 0).cast(LongType)
+
+  def mmrTopK(s: SparkSession, dir: String): DataFrame =
+    mmrSelect(mmrPool(s, dir))
+
+  /** The greedy selection over a prepared (pool, pairwise) — unit-test
+    * hook via [[mmrPoolOf]]. */
+  private[llm] def mmrSelect(pool: (DataFrame, DataFrame)): DataFrame = {
+    val (cand, pw) = pool
+    // greedy rounds, unrolled: rank 1 = relevance argmax
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("relevance").desc, col("neighbor_id"))
+    var sel = cand.withColumn("rn", row_number().over(w1))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("mmr_rank"),
+        col("relevance"),
+        (lit(MmrLambdaTenths) * col("rel_u")).as("score_u"))
+    for (r <- 2 to MmrK) {
+      val rem = cand.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = pw
+        .join(sel.select(col("query_id").as("sq"),
+          col("neighbor_id").as("sid")),
+          col("query_id") === col("sq") && col("b_id") === col("sid"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim_u")).as("ms_u"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_u").desc, col("neighbor_id"))
+      val pick = rem
+        .join(ms, rem("query_id") === ms("query_id") &&
+          col("neighbor_id") === col("a_id"))
+        .select(rem("query_id"), col("neighbor_id"), col("relevance"),
+          (lit(MmrLambdaTenths) * col("rel_u") -
+            lit(MmrMuTenths) * col("ms_u")).as("score_u"))
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(r.toLong).as("mmr_rank"), col("relevance"), col("score_u"))
+      // eager localCheckpoint = materialize + cut lineage (the Lloyd-loop
+      // discipline): round r's plan references sel three times; without
+      // truncation the composed plan grows ~3^K sub-trees.
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+        col("relevance"),
+        (col("score_u").cast(DoubleType) / lit(1.0e7)).as("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
 }
