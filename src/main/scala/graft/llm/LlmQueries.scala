@@ -1713,6 +1713,48 @@ object LlmQueries {
         FROM s${Similarity.MmrK} ORDER BY query_id, mmr_rank"""
       }),
 
+    // Rocchio pseudo-relevance feedback (Rocchio 1971): exact top-k →
+    // feedback centroid μ (refineCentroids decimal discipline) → re-query
+    // with q′ = q + β·μ (β = 3/4, dyadic ⇒ one exact IEEE multiply-add
+    // per component — no rounding boundary) → final top-k with the
+    // was_feedback audit flag marking docs feedback surfaced.
+    QueryDef("similarity_prf_rocchio",
+      (s, dir) => Similarity.prfTopK(s, dir),
+      Some(s"""
+        WITH brute AS ($bruteTopKOracle),
+        fb AS (SELECT query_id, neighbor_id FROM brute),
+        fvec AS (SELECT f.query_id, i - 1 AS pos,
+                        CAST(e.embedding[i] AS DOUBLE) AS v
+                 FROM fb f JOIN embeddings e ON e.vec_id = f.neighbor_id,
+                      LATERAL unnest(generate_series(1, len(e.embedding))) u(i)),
+        mu AS (SELECT query_id, pos,
+                      round(CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9)))
+                                 AS DOUBLE) / count(*), 6) AS m
+               FROM fvec GROUP BY 1, 2),
+        q0 AS (SELECT vec_id AS query_id, i - 1 AS pos,
+                      CAST(embedding[i] AS DOUBLE) AS qv
+               FROM embeddings,
+                    LATERAL unnest(generate_series(1, len(embedding))) u(i)
+               WHERE vec_id < ${Similarity.QueryCount}),
+        qp AS (SELECT query_id,
+                      list(qv + CAST(${Similarity.RocchioBeta} AS DOUBLE) * m
+                           ORDER BY pos) AS qpv
+               FROM q0 JOIN mu USING (query_id, pos) GROUP BY query_id),
+        p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosineSql("q.qpv", "e.embedding")} AS cosine
+              FROM embeddings e JOIN qp q ON e.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT r.query_id, r.neighbor_id, r.cosine,
+               CAST(r.rnk AS BIGINT) AS rnk,
+               (f.neighbor_id IS NOT NULL) AS was_feedback
+        FROM r LEFT JOIN fb f ON f.query_id = r.query_id
+                             AND f.neighbor_id = r.neighbor_id
+        WHERE r.rnk <= ${Similarity.TopK}
+        ORDER BY r.query_id, r.rnk""")),
+
     QueryDef("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDups(s, dir),
       Some {

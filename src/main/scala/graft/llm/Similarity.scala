@@ -75,8 +75,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(org.apache.spark.sql.graft.functions.cosine_sim(a, b), 6)
 
-  def bruteTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTopKOf(emb(s, dir))
+
+  /** [[bruteTopK]] over any (vec_id, embedding) relation — unit-test
+    * hook. */
+  private[llm] def bruteTopKOf(e: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .where(col("query_id") < QueryCount)
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -1484,31 +1488,6 @@ object Similarity {
   val MmrLambdaTenths = 7L
   val MmrMuTenths = 3L
 
-  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
-    * SIGIR 1998): from the exact top-[[MmrCandidates]] relevance pool,
-    * greedily select [[MmrK]] results maximizing
-    * `λ·cos(q,d) − μ·max_{s∈S} cos(d,s)` — the result set trades pure
-    * relevance for novelty, the standard answer to near-duplicate
-    * neighbors crowding a retrieval page (and, in a training-data
-    * pipeline, to sampling diverse exemplars per query). Rank 1 is the
-    * pure-relevance argmax (S empty ⇒ score = λ·rel); each later round
-    * re-scores the REMAINING pool against the grown S. Scoring is exact
-    * integer micro-arithmetic (see [[MmrLambdaTenths]]) with neighbor_id
-    * ties — both engines select identically with NO rounding boundary.
-    *
-    * All arithmetic shared with the oracle: relevances and pairwise sims
-    * are the 6-dp [[cosine]] lifted to integer millionths; the greedy
-    * rounds are unrolled IDENTICALLY (Spark: [[MmrK]]−1 DataFrame rounds;
-    * oracle: [[MmrK]]−1 generated CTEs — the kmeans-unroll discipline).
-    *
-    * 100 TB: the corpus-scale work is ONE exact top-C scan (the
-    * [[bruteTopK]] shape — per-partition partial top-C, then the
-    * query-keyed merge; swap in an ANN tier for the pool at scale) plus
-    * ONE slim semi-join fetching the ≤ Q·C candidate vectors. Everything
-    * after — the C×C pairwise matrix and the greedy rounds — lives on
-    * broadcast-sized (Q·C²) relations; the selection loop never touches
-    * the corpus again (the pool and pair matrix are persisted, so the
-    * K−1 rounds re-read ~100-row cached relations, not the scan). */
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val mmrPoolCache = new graft.SessionMemo[(DataFrame, DataFrame)]
 
@@ -1561,6 +1540,31 @@ object Similarity {
   private def microUnits(c: Column): Column =
     round(c * lit(1000000.0), 0).cast(LongType)
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    * SIGIR 1998): from the exact top-[[MmrCandidates]] relevance pool,
+    * greedily select [[MmrK]] results maximizing
+    * `λ·cos(q,d) − μ·max_{s∈S} cos(d,s)` — the result set trades pure
+    * relevance for novelty, the standard answer to near-duplicate
+    * neighbors crowding a retrieval page (and, in a training-data
+    * pipeline, to sampling diverse exemplars per query). Rank 1 is the
+    * pure-relevance argmax (S empty ⇒ score = λ·rel); each later round
+    * re-scores the REMAINING pool against the grown S. Scoring is exact
+    * integer micro-arithmetic (see [[MmrLambdaTenths]]) with neighbor_id
+    * ties — both engines select identically with NO rounding boundary.
+    *
+    * All arithmetic shared with the oracle: relevances and pairwise sims
+    * are the 6-dp [[cosine]] lifted to integer millionths; the greedy
+    * rounds are unrolled IDENTICALLY (Spark: [[MmrK]]−1 DataFrame rounds;
+    * oracle: [[MmrK]]−1 generated CTEs — the kmeans-unroll discipline).
+    *
+    * 100 TB: the corpus-scale work is ONE exact top-C scan (the
+    * [[bruteTopK]] shape — per-partition partial top-C, then the
+    * query-keyed merge; swap in an ANN tier for the pool at scale) plus
+    * ONE slim semi-join fetching the ≤ Q·C candidate vectors. Everything
+    * after — the C×C pairwise matrix and the greedy rounds — lives on
+    * broadcast-sized (Q·C²) relations; the selection loop never touches
+    * the corpus again (the pool and pair matrix are persisted, so the
+    * K−1 rounds re-read ~100-row cached relations, not the scan). */
   def mmrTopK(s: SparkSession, dir: String): DataFrame =
     mmrSelect(mmrPool(s, dir))
 
@@ -1606,5 +1610,80 @@ object Similarity {
         col("relevance"),
         (col("score_u").cast(DoubleType) / lit(1.0e7)).as("mmr_score"))
       .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Rocchio pseudo-relevance feedback (Rocchio 1971 / PRF)
+
+  /** Rocchio feedback weight β. DELIBERATELY dyadic (3/4): q′ = q + β·μ
+    * is then ONE exact IEEE multiply-add per component in both engines —
+    * no rounding step, no half-boundary hazard (α = 1, and the standard
+    * negative-feedback γ term is 0 in pure pseudo-relevance feedback,
+    * where every feedback doc is presumed relevant). */
+  val RocchioBeta = 0.75
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio 1971, the classic PRF
+    * loop): run the exact top-[[TopK]] retrieval, form the feedback
+    * centroid μ of the retrieved vectors, re-query with q′ = q + β·μ, and
+    * return the FINAL top-[[TopK]] with a `was_feedback` audit flag — the
+    * rows where it is false are the docs feedback SURFACED (query drift
+    * toward the relevant region), the classic recall win PRF exists for.
+    *
+    * Feedback docs are kept in the final ranking (standard PRF — they
+    * re-rank near the top naturally); only the query vector itself is
+    * excluded, as in [[bruteTopK]]. μ uses the [[refineCentroids]]
+    * exact-decimal discipline (9-dp DECIMAL component sums, 6-dp mean) so
+    * both engines assemble the identical q′.
+    *
+    * 100 TB: two corpus scans (the initial retrieval — memoized via
+    * [[evalTiers]], shared with the eval entries — and the re-query) plus
+    * one broadcast semi-join fetching Q·k feedback vectors; μ aggregation
+    * shuffles Q·k·[[Dims]] slim component rows. The re-query is the
+    * bruteTopK shape — at scale the q′ batch re-queries an ANN tier
+    * instead, same as the pool note on [[mmrTopK]]. */
+  def prfTopK(s: SparkSession, dir: String): DataFrame =
+    prfFrom(emb(s, dir), evalTiers(s, dir)("brute"))
+
+  /** [[prfTopK]] over prepared (vec_id, embedding) + brute top-k
+    * relations — unit-test hook. */
+  private[llm] def prfFrom(e: DataFrame, brute: DataFrame): DataFrame = {
+    val fb = brute.select(col("query_id"), col("neighbor_id"))
+    // feedback vectors: broadcast the Q·k id pairs against one scan
+    val fvec = e.join(broadcast(fb), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+    // per-dimension exact-decimal mean (the refineCentroids discipline)
+    val mu = fvec.groupBy(col("query_id"), col("pos"))
+      .agg(
+        sum(round(col("v").cast(DoubleType), 9).cast(DecimalType(28, 9)))
+          .as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("query_id"), col("pos"),
+        round(col("sv").cast(DoubleType) / col("n"), 6).as("m"))
+    // q′ = q + β·μ assembled in pos order (β dyadic ⇒ exact)
+    val q0 = e.where(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("pos", "qv")))
+    val qprime = q0.join(mu, Seq("query_id", "pos"))
+      .select(col("query_id"), col("pos"),
+        (col("qv").cast(DoubleType) + lit(RocchioBeta) * col("m")).as("c"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("qpv"))
+    // re-query: exact top-k against q′ (cosineFold — q′ is array<double>,
+    // outside the float-typed native kernel's signature)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.join(broadcast(qprime), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineFold(col("qpv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .join(broadcast(fb.withColumn("was_feedback", lit(true))),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rnk").cast(LongType).as("rnk"),
+        coalesce(col("was_feedback"), lit(false)).as("was_feedback"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 }
