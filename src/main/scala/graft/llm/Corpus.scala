@@ -857,11 +857,11 @@ object Corpus {
     domainMixCache.getOrElseUpdate(s, dir)(perDocTokens(docs(s, dir)).persist())
 
   private def perDocTokens(d: DataFrame): DataFrame =
-    d.select(col("source"), col("doc_id"),
+    d.select(col("source"), col("lang"), col("doc_id"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"))
 
-  /** [[domainMix]] over any (doc_id, source, text) relation (test path —
-    * no persist; fixtures are tiny). */
+  /** [[domainMix]] over any (doc_id, source, lang, text) relation (test
+    * path — no persist; fixtures are tiny). */
   private[llm] def domainMixOf(d: DataFrame): DataFrame =
     mixOfPerDoc(perDocTokens(d))
 
@@ -936,6 +936,75 @@ object Corpus {
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
       .orderBy(col("source"))
+  }
+
+  /** Modulus for the deterministic per-doc keep decision in
+    * [[temperatureMix]]. */
+  val TempKeepMod = 1000000L
+
+  /** Temperature-based multilingual mixing (the XLM / mT5 α-sampling
+    * rule): per language, p_l = token share, q_l = p_l^α / Σ_m p_m^α with
+    * α = 0.5 — the reweighting that lifts low-resource languages in a
+    * pretraining mix without letting the head language drown them.
+    * α = 0.5 is chosen because it makes p^α an EXACT operation: IEEE-754
+    * sqrt is correctly rounded in BOTH engines, so the reweighting needs
+    * no libm trust (it is also exactly XLM's published temperature; a
+    * general-α deployment pays a pow() whose last-ulp behavior differs
+    * across libms — the BigramPerplexity exp() lesson). The
+    * report carries, per language: docs/tokens, the raw share p, the
+    * temperature share q (the TARGET mix), the downsample-only rate
+    * (boost q/p normalized so the most-boosted language keeps
+    * everything — a single-pass engine cannot upsample), and the
+    * docs/tokens surviving the deterministic keep-hash — the domainMix
+    * audit shape, by language with a principled target instead of a cap.
+    *
+    * Exactness: √p is IEEE-correctly-rounded (identical in both engines);
+    * the √p sum uses the 9-dp DECIMAL order-independent discipline; the
+    * two ratios are 6-dp-rounded at each step with BOTH operands already
+    * 6-dp, mirrored term-for-term in the oracle.
+    *
+    * 100 TB: reuses the ONE persisted slim (source, lang, doc_id,
+    * n_tokens) tokenization index [[domainMix]] builds; above it only
+    * bounded-domain relations move — a ≤#langs-row aggregate, three
+    * unpartitioned windows over that aggregate (legal: language
+    * registries are bounded, never corpus-scale), one broadcast join
+    * back, one conditional aggregation (the fused two-job mixOfPerDoc
+    * shape). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(domainPerDoc(s, dir))
+
+  /** [[temperatureMix]] over a prepared (lang, doc_id, n_tokens) slim
+    * index — unit-test hook. */
+  private[llm] def temperatureMixOf(perDoc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val total = sum(col("lang_tokens")).over(w).cast(DoubleType)
+    val shares = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        round(col("lang_tokens") / total, 6).as("share"),
+        round(sqrt(col("lang_tokens").cast(DoubleType) / total), 9)
+          .cast(DecimalType(28, 9)).as("sp"))
+    val den = sum(col("sp")).over(w).cast(DoubleType)
+    val temp = shares
+      .withColumn("temp_share", round(col("sp").cast(DoubleType) / den, 6))
+      .withColumn("r0", round(col("temp_share") / col("share"), 6))
+    val rmax = max(col("r0")).over(w)
+    val rates = temp
+      .withColumn("sample_rate", round(col("r0") / rmax, 6))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("share"),
+        col("temp_share"), col("sample_rate"))
+    val keep = pmod(hash64(concat(lit("tmix|"), col("doc_id").cast(StringType))),
+      lit(TempKeepMod)).cast(DoubleType)
+      .lt(col("sample_rate") * lit(TempKeepMod.toDouble))
+    perDoc
+      .join(broadcast(rates), "lang")
+      .groupBy(col("lang"), col("n_docs"), col("lang_tokens"), col("share"),
+        col("temp_share"), col("sample_rate"))
+      .agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
   }
 
   // ---- weighted reservoir sampling ------------------------------------

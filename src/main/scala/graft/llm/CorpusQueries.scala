@@ -389,6 +389,50 @@ object CorpusQueries {
         FROM rates r LEFT JOIN kept k USING (source)
         ORDER BY r.source""")),
 
+    // Temperature-based multilingual mixing (XLM α-sampling, α = 0.5):
+    // q_l ∝ √p_l — sqrt is IEEE-correctly-rounded in both engines, the
+    // one temperature needing no libm trust; the √p sum is the 9-dp
+    // DECIMAL order-independent discipline; the q/p boost is normalized
+    // to a downsample-only rate (most-boosted language keeps all).
+    QueryDef("corpus_temperature_mix",
+      (s, dir) => Corpus.temperatureMix(s, dir),
+      Some(s"""
+        WITH perdoc AS (SELECT lang, doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT)
+                                 AS n_tokens
+                        FROM documents),
+        bylang AS (SELECT lang, count(*) AS n_docs,
+                          sum(n_tokens) AS lang_tokens
+                   FROM perdoc GROUP BY 1),
+        tot AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) AS total FROM bylang),
+        sp AS (SELECT lang, n_docs, CAST(lang_tokens AS BIGINT) AS lang_tokens,
+                      round(lang_tokens / total, 6) AS share,
+                      CAST(round(sqrt(lang_tokens / total), 9)
+                           AS DECIMAL(28,9)) AS sp
+               FROM bylang CROSS JOIN tot),
+        den AS (SELECT CAST(sum(sp) AS DOUBLE) AS den FROM sp),
+        tsh AS (SELECT s.lang, s.n_docs, s.lang_tokens, s.share,
+                       round(CAST(s.sp AS DOUBLE) / den, 6) AS temp_share
+                FROM sp s CROSS JOIN den),
+        bst AS (SELECT *, round(temp_share / share, 6) AS r0 FROM tsh),
+        rm AS (SELECT max(r0) AS rmax FROM bst),
+        rates AS (SELECT lang, n_docs, lang_tokens, share, temp_share,
+                         round(r0 / rmax, 6) AS sample_rate
+                  FROM bst CROSS JOIN rm),
+        kept AS (SELECT p.lang, count(*) AS n_kept,
+                        sum(p.n_tokens) AS kept_tokens
+                 FROM perdoc p JOIN rates r USING (lang)
+                 WHERE ${hash64Sql("concat('tmix|', CAST(p.doc_id AS VARCHAR))")}
+                         % ${Corpus.TempKeepMod}
+                       < r.sample_rate * ${Corpus.TempKeepMod}
+                 GROUP BY 1)
+        SELECT r.lang, r.n_docs, r.lang_tokens, r.share, r.temp_share,
+               r.sample_rate,
+               coalesce(k.n_kept, 0) AS n_kept,
+               CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM rates r LEFT JOIN kept k USING (lang)
+        ORDER BY r.lang""")),
+
     // Weighted reservoir (Efraimidis–Spirakis): priority arithmetic must
     // run in DOUBLE end-to-end — a bare 0.5/1000000.0 literal chain
     // divides as DECIMAL in DuckDB and diverges from Spark's IEEE fold

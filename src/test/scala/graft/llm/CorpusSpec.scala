@@ -2,6 +2,8 @@ package graft.llm
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 /** Pins [[Corpus]] edge cases: chunk tails shorter than `ChunkSize`,
@@ -162,7 +164,8 @@ class CorpusSpec extends SparkSpec {
     // srcB tiny (rate clamps to 1.0 → every doc survives the keep-hash)
     val rows = (0 until 50).map(i => (i.toLong, "srcA", Seq.fill(100)("w").mkString(" "))) ++
       (50 until 60).map(i => (i.toLong, "srcB", Seq.fill(10)("w").mkString(" ")))
-    val out = Corpus.domainMixOf(rows.toDF("doc_id", "source", "text"))
+    val out = Corpus.domainMixOf(
+      rows.toDF("doc_id", "source", "text").withColumn("lang", lit("xx")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
     assert(out.map(_._1).toSeq === Seq("srcA", "srcB"))
