@@ -907,6 +907,74 @@ object LlmQueries {
                round(CAST(max(c) AS DOUBLE) / n_grams, 6) AS rep_ratio
         FROM f GROUP BY doc_id, n_grams ORDER BY doc_id""")),
 
+    // The FULL Gopher repetition battery (Rae et al. 2021 Table A1): top
+    // n-gram char fractions (n=2..4) + duplicated-n-gram char coverage
+    // (n=5..10), each flagged at the published threshold. Character
+    // quantities are word chars (separators excluded) — the pinned
+    // engine-portable definition documented on the Spark side.
+    QueryDef("text_repetition_battery",
+      (s, dir) => TextAnalysis.repetitionBattery(s, dir),
+      Some {
+        val pivots = TextAnalysis.RepBatteryThresholds.map { case (n, _) =>
+          val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+          s"coalesce(max(CASE WHEN fr.n = $n THEN frac END), CAST(0 AS DOUBLE)) AS $nm"
+        }.mkString(",\n               ")
+        val flags = TextAnalysis.RepBatteryThresholds.map { case (n, th) =>
+          val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+          s"$nm <= CAST($th AS DOUBLE) AS f_$nm"
+        }.mkString(",\n               ")
+        val passes = TextAnalysis.RepBatteryThresholds.map { case (n, th) =>
+          val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+          s"$nm <= CAST($th AS DOUBLE)"
+        }.mkString(" AND ")
+        s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(t, w -> length(w)))
+                            AS BIGINT) AS total_chars
+                FROM tk),
+        gr AS (SELECT doc_id, n, i - 1 AS pos,
+                      array_to_string(t[i:i+n-1], ' ') AS gram
+               FROM tk CROSS JOIN generate_series(2, 10) nn(n),
+                    LATERAL unnest(generate_series(1, len(t) - n + 1)) u(i)
+               WHERE len(t) >= n),
+        cnt AS (SELECT doc_id, n, gram, count(*) AS c
+                FROM gr GROUP BY 1, 2, 3),
+        top AS (SELECT doc_id, n,
+                       CAST(c * (length(gram) - (n - 1)) AS BIGINT) AS covered
+                FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, gram) AS rn
+                      FROM cnt WHERE n <= 4)
+                WHERE rn = 1),
+        dcp AS (SELECT DISTINCT g.doc_id, g.n, g.pos + j AS cp
+                FROM gr g JOIN cnt USING (doc_id, n, gram),
+                     LATERAL unnest(generate_series(0, g.n - 1)) v(j)
+                WHERE c >= 2 AND g.n >= 5),
+        tokp AS (SELECT doc_id, i - 1 AS pos,
+                        CAST(length(t[i]) AS BIGINT) AS wlen
+                 FROM tk, LATERAL unnest(generate_series(1, len(t))) u(i)),
+        dup AS (SELECT d.doc_id, d.n, CAST(sum(tp.wlen) AS BIGINT) AS covered
+                FROM dcp d JOIN tokp tp ON tp.doc_id = d.doc_id
+                                       AND tp.pos = d.cp
+                GROUP BY 1, 2),
+        fr AS (SELECT f.doc_id, f.n,
+                      round(CAST(f.covered AS DOUBLE) / t.total_chars, 6)
+                        AS frac
+               FROM (SELECT * FROM top UNION ALL SELECT * FROM dup) f
+               JOIN tot t USING (doc_id)),
+        piv AS (SELECT t.doc_id, t.n_words, t.total_chars,
+               $pivots
+                FROM tot t LEFT JOIN fr ON fr.doc_id = t.doc_id
+                GROUP BY 1, 2, 3)
+        SELECT doc_id, n_words, total_chars,
+               ${TextAnalysis.RepBatteryThresholds.map { case (n, _) =>
+          if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+        }.mkString(", ")},
+               $flags,
+               ($passes) AS passes
+        FROM piv ORDER BY doc_id"""
+      }),
+
     QueryDef("text_vocab",
       (s, dir) => TextAnalysis.vocab(s, dir),
       Some("""

@@ -306,6 +306,120 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The published Gopher repetition thresholds (Rae et al. 2021, Table
+    * A1): max fraction of characters in the MOST COMMON n-gram (n = 2..4)
+    * and in DUPLICATED n-grams (n = 5..10). */
+  val RepBatteryThresholds: Seq[(Int, Double)] = Seq(
+    2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15, 6 -> 0.14,
+    7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021 Table A1 — the
+    * other nine published repetition signals beyond X24's 3-gram
+    * max-multiplicity): per doc, for n = 2..4 the fraction of characters
+    * inside occurrences of the doc's most common word n-gram, and for
+    * n = 5..10 the fraction of characters covered by n-grams occurring
+    * MORE THAN ONCE (each covered word counted once, however many
+    * duplicated grams overlap it), plus one flag per signal at the
+    * published threshold and the composite verdict.
+    *
+    * Pinned definition (implementations differ; this one is exact and
+    * engine-portable): "characters" are word characters — separators
+    * excluded — so total_chars = Σ word lengths, a top gram's occurrence
+    * chars = occurrences · Σ its word lengths, and duplicated-gram
+    * coverage = Σ wlen over the distinct word positions any duplicated
+    * n-gram touches. Top-gram ties break lexicographically; docs shorter
+    * than n words score 0 for that signal; fractions are 6-dp-rounded
+    * before the threshold compare (the gopherRules discipline).
+    *
+    * 100 TB: gram rows are generated IN-ROW (one nested higher-order
+    * expression, no join) and every aggregation is keyed by doc_id or
+    * (doc_id, n, gram) — doc-clustered shuffles of slim rows, the
+    * bigramTf shape ×9; the duplicate-coverage explode multiplies only
+    * DUPLICATED occurrences (n·dups rows, not n·corpus). Nothing global
+    * moves except the output sort. */
+  def repetitionBattery(s: SparkSession, dir: String): DataFrame =
+    repetitionBatteryOf(docs(s, dir))
+
+  /** [[repetitionBattery]] over any (doc_id, text) relation — unit-test
+    * hook. */
+  private[llm] def repetitionBatteryOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val m = size(t)
+    // (n, pos, gram) rows for n = 2..10, generated in-row; the m<n guard
+    // is required because sequence(0, m-n) runs DESCENDING when m<n
+    val ns = array((2 to 10).map(lit(_)): _*)
+    val gramRows = flatten(transform(ns, n =>
+      when(m >= n,
+        transform(sequence(lit(0), m - n),
+          i => struct(n.as("n"), i.as("pos"),
+            array_join(slice(t, i + 1, n), " ").as("gram"))))
+        .otherwise(array().cast(ArrayType(StructType(Seq(
+          StructField("n", IntegerType), StructField("pos", IntegerType),
+          StructField("gram", StringType))))))))
+    val base = d.select(col("doc_id"), col("text"))
+    val grams = base
+      .select(col("doc_id"), explode(gramRows).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+    // per-doc word-char totals + per-position word lengths
+    val docTotals = base.select(col("doc_id"),
+      m.cast(LongType).as("n_words"),
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("total_chars"))
+    val tok = base.select(col("doc_id"),
+      posexplode(t).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), length(col("w")).cast(LongType)
+        .as("wlen"))
+    val cnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    // n = 2..4: the most common gram's occurrence chars (gram word chars
+    // = length − (n−1) separators)
+    val wTop = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("c").desc, col("gram"))
+    val top = cnt.where(col("n") <= 4)
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n"),
+        (col("c") * (length(col("gram")) - (col("n") - 1)))
+          .cast(LongType).as("covered"))
+    // n = 5..10: distinct word positions covered by duplicated grams
+    val dupCov = grams.where(col("n") >= 5)
+      .join(cnt.where(col("c") >= 2), Seq("doc_id", "n", "gram"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("cp"))
+      .distinct()
+      .join(tok.withColumnRenamed("pos", "cp"), Seq("doc_id", "cp"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("wlen")).as("covered"))
+    val fracs = top.unionByName(dupCov)
+    // assemble one row per doc: conditional aggregation over the fixed n
+    // set, then the published thresholds
+    val aggs = RepBatteryThresholds.map { case (n, _) =>
+      val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+      max(when(col("n") === n, col("frac"))).as(nm)
+    }
+    val out = docTotals.join(
+        fracs.join(docTotals.select(col("doc_id"), col("total_chars")),
+            "doc_id")
+          .select(col("doc_id"), col("n"),
+            round(col("covered").cast(DoubleType) / col("total_chars"), 6)
+              .as("frac")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("n_words"), col("total_chars"))
+      .agg(aggs.head, aggs.tail: _*)
+    val flagged = RepBatteryThresholds.foldLeft(out) { case (df, (n, th)) =>
+      val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+      df.withColumn(nm, coalesce(col(nm), lit(0.0)))
+        .withColumn(s"f_$nm", col(nm) <= th)
+    }
+    flagged
+      .withColumn("passes", RepBatteryThresholds.map { case (n, _) =>
+        val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+        col(s"f_$nm")
+      }.reduce(_ && _))
+      .orderBy(col("doc_id"))
+  }
+
   /** Text normalization — the per-row scrub pass a pretraining corpus runs
     * before hashing/dedup (lowercase → strip non-alphanumerics → collapse
     * runs of spaces → trim). Emits the normalized text's md5 plus
