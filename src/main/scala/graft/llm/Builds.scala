@@ -40,5 +40,7 @@ object Builds {
     "build_pca_power" ->
       ((s, d) => { Pca.pcaPower(s, d).count(); () }),
     "build_dsv2_docs" ->
-      ((s, d) => { DocsDsv2.path(s, d); () }))
+      ((s, d) => { DocsDsv2.path(s, d); () }),
+    "build_unigram_lm" ->
+      ((s, d) => { TextAnalysis.unigramLm(s, d).count(); () }))
 }

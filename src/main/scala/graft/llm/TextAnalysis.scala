@@ -1190,4 +1190,163 @@ object TextAnalysis {
         Seq(total, md5(redacted).as("redacted_md5")): _*)
       .orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-style EM, Kudo 2018)
+
+  /** Longest candidate subword piece. */
+  val UlmMaxPieceLen = 4
+
+  /** Multi-char pieces admitted to the SEED vocabulary (top by corpus
+    * count; all single chars are always in). */
+  val UlmSeedMulti = 40
+
+  /** EM rounds (Viterbi E-step, count M-step) — static, unrolled
+    * IDENTICALLY in the oracle. */
+  val UlmRounds = 2
+
+  /** Multi-char pieces surviving the final prune. */
+  val UlmFinalMulti = 20
+
+  /** Static Viterbi unroll depth. Words LONGER than this are excluded
+    * from the EM by BOTH engines (consistent, documented — the TESTDATA
+    * cap discipline: the corpus max word length is 8; if a fixture
+    * regeneration exceeds the cap, raise it). */
+  val UlmMaxWordLen = 10
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val ulmCache = new graft.SessionMemo[DataFrame]
+
+  /** UNIGRAM-LM TOKENIZER training (Kudo 2018; the SentencePiece
+    * algorithm) — the other published subword family next to BPE
+    * (X37/X46): seed a piece vocabulary from weighted substring counts,
+    * run [[UlmRounds]] EM rounds — E-step = per-word VITERBI segmentation
+    * under current piece log-probs, M-step = usage re-count — then prune
+    * to chars + top-[[UlmFinalMulti]] multi-char pieces and emit the
+    * final vocabulary with its final-segmentation usage. Differences from
+    * full SentencePiece, documented not hidden: pruning keeps top pieces
+    * by EM count rather than by likelihood-loss ranking, and the seed is
+    * top-by-count rather than suffix-array ESA scoring — the EM core
+    * (Viterbi + re-estimation) is the published algorithm.
+    *
+    * Exactness across engines: piece scores are ln(count/total) rounded
+    * to 9 dp and summed as DECIMAL(28,9) (the unigramSurprisal ln
+    * discipline — order-independent, exactly comparable), so Viterbi
+    * argmaxes are EXACT decimal compares with the (score desc, earlier
+    * split-point) tie rule; every DP step, EM round, and the final
+    * re-segmentation is unrolled IDENTICALLY in the generated-CTE oracle
+    * (the kmeans/BPE-unroll discipline).
+    *
+    * 100 TB: the ONLY corpus-scale work is the word-count aggregation
+    * (one exchange keyed by word, map-side combined). Everything after —
+    * candidate substrings, the DP table, usage counts — is keyed by the
+    * DISTINCT-WORD vocabulary (millions of rows at web scale, never the
+    * corpus), exactly how production subword trainers operate on a word
+    * frequency table. The per-step DP relations are localCheckpointed
+    * (the Lloyd-loop discipline): step j references steps j−1..j−4, and
+    * without truncation the analyzed plan grows 4^depth subtrees. */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    ulmCache.getOrElseUpdate(s, dir)(unigramLmOf(docs(s, dir)))
+
+  /** [[unigramLm]] over any (doc_id, text) relation — unit-test hook. */
+  private[llm] def unigramLmOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the one corpus-scale aggregation: word → corpus count
+    val wc = d.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .select(col("word"), col("wcount"),
+        length(col("word")).cast(IntegerType).as("wlen"))
+      .persist()
+    // candidate pieces: substrings (len 1..UlmMaxPieceLen) weighted by
+    // word counts — vocab-keyed, in-row generation
+    val sub = wc.select(col("wcount"),
+        explode(flatten(transform(
+          sequence(lit(1), least(lit(UlmMaxPieceLen), col("wlen"))),
+          l => transform(sequence(lit(0), col("wlen") - l),
+            i => col("word").substr(i + lit(1), l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("cnt"))
+      .withColumn("plen", length(col("piece")))
+      .persist()
+    val chars = sub.where(col("plen") === 1).select(col("piece"), col("cnt"))
+    val seed = chars.unionByName(
+      sub.where(col("plen") > 1).select(col("piece"), col("cnt"))
+        .orderBy(col("cnt").desc, col("piece")).limit(UlmSeedMulti))
+
+    // ln(count/total) at 9 dp as exact decimal — the shared currency
+    def scored(v: DataFrame): DataFrame = {
+      val tot = sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType)
+      v.withColumn("score",
+        round(log(col("cnt").cast(DoubleType)) - log(tot), 9)
+          .cast(DecimalType(28, 9)))
+        .localCheckpoint()
+    }
+
+    // per-word Viterbi under the given scores: dp[j] = best over split
+    // points i ∈ [j−maxPiece, j−1] with vocab piece word[i+1..j]; ties →
+    // earlier i (longer last piece); carries the segmentation inline
+    def viterbi(vocab: DataFrame): DataFrame = {
+      val v = broadcast(vocab.select(col("piece"), col("score")))
+      var dp = wc.where(col("wlen") <= UlmMaxWordLen)
+        .select(col("word"), col("wlen"), lit(0).as("j"),
+          lit(0).cast(DecimalType(28, 9)).as("score"), lit("").as("seg"))
+        .localCheckpoint()
+      for (j <- 1 to UlmMaxWordLen) {
+        val wd = Window.partitionBy(col("word"))
+          .orderBy(col("score").desc, col("i").asc)
+        val best = dp
+          .where(col("j") >= j - UlmMaxPieceLen && col("j") < j &&
+            col("wlen") >= j)
+          .select(col("word"), col("wlen"), col("j").as("i"),
+            col("score").as("psc"), col("seg"))
+          .withColumn("piece", col("word").substr(col("i") + 1, lit(j) - col("i")))
+          .join(v, "piece")
+          .select(col("word"), col("wlen"), col("i"),
+            (col("psc") + col("score")).cast(DecimalType(28, 9)).as("score"),
+            concat(col("seg"), lit(" "), col("piece")).as("seg"))
+          .withColumn("rn", row_number().over(wd))
+          .where(col("rn") === 1)
+          .select(col("word"), col("wlen"), lit(j).as("j"), col("score"),
+            col("seg"))
+        dp = dp.unionByName(best).localCheckpoint()
+      }
+      dp.where(col("j") === col("wlen"))
+        .select(col("word"), ltrim(col("seg")).as("seg"))
+    }
+
+    def usage(segs: DataFrame): DataFrame = segs
+      .join(wc.select(col("word"), col("wcount")), "word")
+      .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("cnt"))
+
+    // M-step: multi-char counts = usage; every char stays with a floor
+    // of 1 (alphabet completeness — SentencePiece never drops required
+    // chars; without the floor an unused char scores −∞ and some word
+    // could become unsegmentable in a later round)
+    def mstep(use: DataFrame): DataFrame =
+      use.where(length(col("piece")) > 1)
+        .unionByName(chars.select(col("piece"))
+          .join(use.withColumnRenamed("cnt", "ucnt"), Seq("piece"), "left")
+          .select(col("piece"),
+            greatest(coalesce(col("ucnt"), lit(0L)), lit(1L)).as("cnt")))
+
+    var vocab = scored(seed)
+    for (_ <- 1 to UlmRounds)
+      vocab = scored(mstep(usage(viterbi(vocab))))
+    // final prune: chars + top multi-char, rescored over the kept mass
+    val pruned = scored(
+      vocab.where(length(col("piece")) === 1).select(col("piece"), col("cnt"))
+        .unionByName(vocab.where(length(col("piece")) > 1)
+          .select(col("piece"), col("cnt"))
+          .orderBy(col("cnt").desc, col("piece")).limit(UlmFinalMulti)))
+    val finalUse = usage(viterbi(pruned))
+      .withColumnRenamed("cnt", "usage")
+    val tot = sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType)
+    pruned.select(col("piece"), col("cnt"))
+      .join(broadcast(finalUse), Seq("piece"), "left")
+      .select(col("piece"), length(col("piece")).cast(LongType).as("piece_len"),
+        col("cnt").cast(LongType).as("em_count"),
+        coalesce(col("usage"), lit(0L)).as("usage"),
+        round(col("cnt") / tot, 6).as("prob"))
+      .orderBy(col("piece"))
+  }
 }
