@@ -208,6 +208,89 @@ object LlmQueries {
     init + rounds
   }
 
+  /** The unigram-LM training CTE chain (Kudo 2018 EM), shared VERBATIM by
+    * `text_unigram_lm` (reads the vf vocab + usef usage) and
+    * `text_unigram_apply` (reads the segf word→segmentation map) — the
+    * bpeTrainRoundsSql one-text-zero-drift discipline. Every Viterbi DP
+    * step of every pass and both EM rounds are unrolled as generated
+    * MATERIALIZED CTEs; scores are 9-dp DECIMAL ln(count/total) summed
+    * exactly, ties (score desc, earlier split point). */
+  private lazy val ulmTrainCtes: String = {
+    import TextAnalysis.{UlmMaxPieceLen => P, UlmMaxWordLen => J,
+      UlmRounds, UlmSeedMulti, UlmFinalMulti}
+    def scoredCte(name: String, src: String): String =
+      s""",
+        $name AS MATERIALIZED (
+          SELECT piece, cnt,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)) -
+                            ln(CAST((SELECT sum(cnt) FROM $src) AS DOUBLE)),
+                            9) AS DECIMAL(28,9)) AS score
+          FROM $src)"""
+    def viterbiCtes(tag: String, vname: String): String = {
+      val steps = (1 to J).map { j =>
+        val prevs = (math.max(0, j - P) until j)
+          .map(i => s"SELECT * FROM dp${tag}_$i").mkString(" UNION ALL ")
+        s""",
+        dp${tag}_$j AS MATERIALIZED (
+          SELECT word, wlen, $j AS j, score, seg FROM (
+            SELECT d.word, d.wlen,
+                   CAST(d.score + v.score AS DECIMAL(28,9)) AS score,
+                   d.seg || ' ' || v.piece AS seg,
+                   row_number() OVER (PARTITION BY d.word
+                     ORDER BY CAST(d.score + v.score AS DECIMAL(28,9)) DESC,
+                              d.j ASC) AS rn
+            FROM ($prevs) d
+            JOIN $vname v ON v.piece = substr(d.word, d.j + 1, $j - d.j)
+            WHERE d.wlen >= $j)
+          WHERE rn = 1)"""
+      }.mkString
+      val all = (1 to J).map(j => s"SELECT * FROM dp${tag}_$j")
+        .mkString(" UNION ALL ")
+      s""",
+        dp${tag}_0 AS (SELECT word, wlen, 0 AS j,
+                              CAST(0 AS DECIMAL(28,9)) AS score, '' AS seg
+                       FROM wc WHERE wlen <= $J)$steps,
+        seg$tag AS MATERIALIZED (
+          SELECT word, ltrim(seg) AS seg FROM ($all) WHERE j = wlen),
+        use$tag AS MATERIALIZED (
+          SELECT p.piece, sum(w.wcount) AS cnt
+          FROM seg$tag s JOIN wc w USING (word),
+               LATERAL unnest(string_split(s.seg, ' ')) p(piece)
+          GROUP BY 1)"""
+    }
+    val rounds = (1 to UlmRounds).map { r =>
+      viterbiCtes(s"r$r", s"v${r - 1}") + s""",
+        m$r AS (SELECT piece, cnt FROM user$r WHERE length(piece) > 1
+                UNION ALL
+                SELECT c.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+                FROM (SELECT piece FROM sub WHERE plen = 1) c
+                LEFT JOIN user$r u USING (piece))""" +
+        scoredCte(s"v$r", s"m$r")
+    }.mkString
+    s"""wc AS MATERIALIZED (
+          SELECT word, count(*) AS wcount, length(word) AS wlen
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY 1),
+        sub AS MATERIALIZED (
+          SELECT piece, sum(wcount) AS cnt, length(piece) AS plen FROM (
+            SELECT wcount, substr(word, i, l) AS piece
+            FROM wc CROSS JOIN generate_series(1, $P) ll(l),
+                 LATERAL unnest(generate_series(1, wlen - l + 1)) u(i)
+            WHERE wlen >= l)
+          GROUP BY 1),
+        seed AS (SELECT piece, cnt FROM sub WHERE plen = 1
+                 UNION ALL
+                 SELECT piece, cnt FROM (
+                   SELECT piece, cnt FROM sub WHERE plen > 1
+                   ORDER BY cnt DESC, piece LIMIT $UlmSeedMulti))${scoredCte("v0", "seed")}$rounds,
+        pr AS (SELECT piece, cnt FROM v$UlmRounds WHERE length(piece) = 1
+               UNION ALL
+               SELECT piece, cnt FROM (
+                 SELECT piece, cnt FROM v$UlmRounds WHERE length(piece) > 1
+                 ORDER BY cnt DESC, piece LIMIT $UlmFinalMulti))${scoredCte("vf", "pr")}${viterbiCtes("f", "vf")}"""
+  }
+
   /** The three ANN-tier oracle texts, shared between their own entries and
     * the recall entry (which embeds each as a nested-WITH CTE body). */
   private val bruteTopKOracle: String = s"""
@@ -983,89 +1066,35 @@ object LlmQueries {
     // identically at every round.
     QueryDef("text_unigram_lm",
       (s, dir) => TextAnalysis.unigramLm(s, dir),
-      Some {
-        import TextAnalysis.{UlmMaxPieceLen => P, UlmMaxWordLen => J,
-          UlmRounds, UlmSeedMulti, UlmFinalMulti}
-        def scoredCte(name: String, src: String): String =
-          s""",
-        $name AS MATERIALIZED (
-          SELECT piece, cnt,
-                 CAST(round(ln(CAST(cnt AS DOUBLE)) -
-                            ln(CAST((SELECT sum(cnt) FROM $src) AS DOUBLE)),
-                            9) AS DECIMAL(28,9)) AS score
-          FROM $src)"""
-        def viterbiCtes(tag: String, vname: String): String = {
-          val steps = (1 to J).map { j =>
-            val prevs = (math.max(0, j - P) until j)
-              .map(i => s"SELECT * FROM dp${tag}_$i").mkString(" UNION ALL ")
-            s""",
-        dp${tag}_$j AS MATERIALIZED (
-          SELECT word, wlen, $j AS j, score, seg FROM (
-            SELECT d.word, d.wlen,
-                   CAST(d.score + v.score AS DECIMAL(28,9)) AS score,
-                   d.seg || ' ' || v.piece AS seg,
-                   row_number() OVER (PARTITION BY d.word
-                     ORDER BY CAST(d.score + v.score AS DECIMAL(28,9)) DESC,
-                              d.j ASC) AS rn
-            FROM ($prevs) d
-            JOIN $vname v ON v.piece = substr(d.word, d.j + 1, $j - d.j)
-            WHERE d.wlen >= $j)
-          WHERE rn = 1)"""
-          }.mkString
-          val all = (1 to J).map(j => s"SELECT * FROM dp${tag}_$j")
-            .mkString(" UNION ALL ")
-          s""",
-        dp${tag}_0 AS (SELECT word, wlen, 0 AS j,
-                              CAST(0 AS DECIMAL(28,9)) AS score, '' AS seg
-                       FROM wc WHERE wlen <= $J)$steps,
-        seg$tag AS MATERIALIZED (
-          SELECT word, ltrim(seg) AS seg FROM ($all) WHERE j = wlen),
-        use$tag AS MATERIALIZED (
-          SELECT p.piece, sum(w.wcount) AS cnt
-          FROM seg$tag s JOIN wc w USING (word),
-               LATERAL unnest(string_split(s.seg, ' ')) p(piece)
-          GROUP BY 1)"""
-        }
-        val rounds = (1 to UlmRounds).map { r =>
-          viterbiCtes(s"r$r", s"v${r - 1}") + s""",
-        m$r AS (SELECT piece, cnt FROM user$r WHERE length(piece) > 1
-                UNION ALL
-                SELECT c.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
-                FROM (SELECT piece FROM sub WHERE plen = 1) c
-                LEFT JOIN user$r u USING (piece))""" +
-            scoredCte(s"v$r", s"m$r")
-        }.mkString
-        s"""
-        WITH wc AS MATERIALIZED (
-          SELECT word, count(*) AS wcount, length(word) AS wlen
-          FROM (SELECT unnest(string_split(text, ' ')) AS word
-                FROM documents)
-          GROUP BY 1),
-        sub AS MATERIALIZED (
-          SELECT piece, sum(wcount) AS cnt, length(piece) AS plen FROM (
-            SELECT wcount, substr(word, i, l) AS piece
-            FROM wc CROSS JOIN generate_series(1, $P) ll(l),
-                 LATERAL unnest(generate_series(1, wlen - l + 1)) u(i)
-            WHERE wlen >= l)
-          GROUP BY 1),
-        seed AS (SELECT piece, cnt FROM sub WHERE plen = 1
-                 UNION ALL
-                 SELECT piece, cnt FROM (
-                   SELECT piece, cnt FROM sub WHERE plen > 1
-                   ORDER BY cnt DESC, piece LIMIT $UlmSeedMulti))${scoredCte("v0", "seed")}$rounds,
-        pr AS (SELECT piece, cnt FROM v$UlmRounds WHERE length(piece) = 1
-               UNION ALL
-               SELECT piece, cnt FROM (
-                 SELECT piece, cnt FROM v$UlmRounds WHERE length(piece) > 1
-                 ORDER BY cnt DESC, piece LIMIT $UlmFinalMulti))${scoredCte("vf", "pr")}${viterbiCtes("f", "vf")}
+      Some(s"""
+        WITH $ulmTrainCtes
         SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS piece_len,
                CAST(v.cnt AS BIGINT) AS em_count,
                CAST(coalesce(u.cnt, 0) AS BIGINT) AS usage,
                round(CAST(v.cnt AS DOUBLE) /
                      (SELECT CAST(sum(cnt) AS DOUBLE) FROM vf), 6) AS prob
         FROM vf v LEFT JOIN usef u ON u.piece = v.piece
-        ORDER BY v.piece"""
-      }),
+        ORDER BY v.piece""")),
+
+    // Tokenizer application: re-tokenize the corpus with the trained
+    // unigram vocab (the bpe_train_apply output shape). Shares the ENTIRE
+    // training chain VERBATIM via ulmTrainCtes; over-cap words pass
+    // through unsegmented in both engines.
+    QueryDef("text_unigram_apply",
+      (s, dir) => TextAnalysis.unigramApply(s, dir),
+      Some(s"""
+        WITH $ulmTrainCtes,
+        tkd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        app AS (SELECT tt.doc_id, tt.i AS pos, coalesce(m.seg, tt.w) AS seg
+                FROM (SELECT doc_id, i, t[i] AS w
+                      FROM tkd,
+                           LATERAL unnest(generate_series(1, len(t))) u(i)) tt
+                LEFT JOIN segf m ON m.word = tt.w)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_before,
+               CAST(sum(len(string_split(seg, ' '))) AS BIGINT)
+                 AS n_tokens_after,
+               md5(string_agg(seg, ' ' ORDER BY pos)) AS retok_md5
+        FROM app GROUP BY doc_id ORDER BY doc_id""")),
 
     QueryDef("text_vocab",
       (s, dir) => TextAnalysis.vocab(s, dir),

@@ -1216,6 +1216,19 @@ object TextAnalysis {
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val ulmCache = new graft.SessionMemo[DataFrame]
+  private val ulmPartsCache = new graft.SessionMemo[(DataFrame, DataFrame)]
+  private val ulmSegmapCache = new graft.SessionMemo[DataFrame]
+
+  private def ulmFingerprint: String =
+    s"v1;p=$UlmMaxPieceLen;seed=$UlmSeedMulti;r=$UlmRounds;" +
+      s"f=$UlmFinalMulti;j=$UlmMaxWordLen"
+
+  /** The (vocab stats, word→segmentation map) training artifacts, built
+    * once per (session, dir) — both committed through
+    * [[graft.IndexStore]] so later sessions reload the trained tokenizer
+    * instead of re-paying the EM (the eval-tiers discipline). */
+  private def ulmParts(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ulmPartsCache.getOrElseUpdate(s, dir)(unigramLmParts(docs(s, dir)))
 
   /** UNIGRAM-LM TOKENIZER training (Kudo 2018; the SentencePiece
     * algorithm) — the other published subword family next to BPE
@@ -1246,10 +1259,26 @@ object TextAnalysis {
     * (the Lloyd-loop discipline): step j references steps j−1..j−4, and
     * without truncation the analyzed plan grows 4^depth subtrees. */
   def unigramLm(s: SparkSession, dir: String): DataFrame =
-    ulmCache.getOrElseUpdate(s, dir)(unigramLmOf(docs(s, dir)))
+    ulmCache.getOrElseUpdate(s, dir) {
+      graft.IndexStore.readOrBuild(s, dir, "unigram_lm", ulmFingerprint)(
+        ulmParts(s, dir)._1).orderBy(col("piece"))
+    }
+
+  /** The trained word → segmentation map (one row per in-cap distinct
+    * word), stored like the vocab itself. */
+  private[llm] def unigramSegmap(s: SparkSession, dir: String): DataFrame =
+    ulmSegmapCache.getOrElseUpdate(s, dir) {
+      graft.IndexStore.readOrBuild(s, dir, "unigram_segmap", ulmFingerprint)(
+        ulmParts(s, dir)._2)
+    }
 
   /** [[unigramLm]] over any (doc_id, text) relation — unit-test hook. */
-  private[llm] def unigramLmOf(d: DataFrame): DataFrame = {
+  private[llm] def unigramLmOf(d: DataFrame): DataFrame =
+    unigramLmParts(d)._1
+
+  /** The full training pipeline: returns (final vocab stats, final
+    * word→seg map). */
+  private def unigramLmParts(d: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // the one corpus-scale aggregation: word → corpus count
     val wc = d.select(explode(tokens(col("text"))).as("word"))
@@ -1338,15 +1367,45 @@ object TextAnalysis {
         .unionByName(vocab.where(length(col("piece")) > 1)
           .select(col("piece"), col("cnt"))
           .orderBy(col("cnt").desc, col("piece")).limit(UlmFinalMulti)))
-    val finalUse = usage(viterbi(pruned))
-      .withColumnRenamed("cnt", "usage")
+    val finalSegs = viterbi(pruned)
+    val finalUse = usage(finalSegs).withColumnRenamed("cnt", "usage")
     val tot = sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType)
-    pruned.select(col("piece"), col("cnt"))
+    val stats = pruned.select(col("piece"), col("cnt"))
       .join(broadcast(finalUse), Seq("piece"), "left")
       .select(col("piece"), length(col("piece")).cast(LongType).as("piece_len"),
         col("cnt").cast(LongType).as("em_count"),
         coalesce(col("usage"), lit(0L)).as("usage"),
         round(col("cnt") / tot, 6).as("prob"))
       .orderBy(col("piece"))
+    (stats, finalSegs)
+  }
+
+  /** TOKENIZER APPLICATION: re-tokenize the corpus with the trained
+    * unigram-LM vocabulary — per doc, token counts before/after and the
+    * md5 of the re-tokenized stream (the [[bpeTrainApply]] output shape,
+    * so the two subword families are directly comparable). Words beyond
+    * the [[UlmMaxWordLen]] DP cap pass through unsegmented (consistent in
+    * both engines, same cap note as training).
+    *
+    * 100 TB: segmentation happens ONCE per distinct word (the trained
+    * map, an [[graft.IndexStore]] artifact); applying it to the corpus is
+    * a broadcast join on the exploded token stream plus ONE doc-keyed
+    * aggregation to reassemble — no per-doc Viterbi ever runs at corpus
+    * scale. */
+  def unigramApply(s: SparkSession, dir: String): DataFrame = {
+    val segmap = broadcast(unigramSegmap(s, dir))
+    val tok = docs(s, dir).select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+    tok.join(segmap, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("seg"), col("word")).as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens_before"),
+        sum(size(split(col("seg"), " "))).cast(LongType)
+          .as("n_tokens_after"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")))).as("retok_md5"))
+      .orderBy(col("doc_id"))
   }
 }
