@@ -1902,6 +1902,26 @@ object LlmQueries {
         FROM s${Similarity.MmrK} ORDER BY query_id, mmr_rank"""
       }),
 
+    // kNN majority-vote classification (Cover & Hart 1967) over the exact
+    // top-k: votes desc, best-rank asc, label asc — the pinned tie chain.
+    QueryDef("embedding_knn_classify",
+      (s, dir) => Similarity.knnClassify(s, dir),
+      Some(s"""
+        WITH brute AS ($bruteTopKOracle),
+        v AS (SELECT b.query_id, e.label, count(*) AS votes,
+                     min(b.rnk) AS best_rnk
+              FROM brute b JOIN embeddings e ON e.vec_id = b.neighbor_id
+              GROUP BY 1, 2),
+        p AS (SELECT query_id, label, votes,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY votes DESC, best_rnk ASC, label ASC) AS rn
+              FROM v)
+        SELECT p.query_id, q.label AS true_label, p.label AS pred_label,
+               p.votes, p.label = q.label AS correct
+        FROM p JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.rn = 1
+        ORDER BY p.query_id""")),
+
     // Rocchio pseudo-relevance feedback (Rocchio 1971): exact top-k →
     // feedback centroid μ (refineCentroids decimal discipline) → re-query
     // with q′ = q + β·μ (β = 3/4, dyadic ⇒ one exact IEEE multiply-add

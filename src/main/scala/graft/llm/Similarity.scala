@@ -1613,6 +1613,52 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // kNN majority-vote classification (Cover & Hart 1967)
+
+  /** k-NEAREST-NEIGHBOR classification of the query vectors (Cover & Hart
+    * 1967): each query's label is predicted by majority vote over its
+    * exact top-[[TopK]] neighbors' labels — the non-parametric
+    * counterpart to the prototype classifier (X58), which it complements
+    * exactly where prototypes fail (non-convex label regions). Vote ties
+    * break on (votes desc, best neighbor rank asc, label asc) — the
+    * nearer neighborhood wins, pinned deterministically in both engines.
+    * Emits per query: true label, predicted label, the winning vote
+    * count, and the correctness flag.
+    *
+    * 100 TB: rides the memoized/stored [[evalTiers]] brute ranking (Q·k
+    * rows) — the expensive part is the top-k pipeline, already an index
+    * artifact; the vote itself is a broadcast label join plus a
+    * (Q·labels)-bounded aggregation. Swapping in an ANN tier for the
+    * neighbor source changes one line, same as every consumer of the
+    * tier table. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    knnClassifyOf(evalTiers(s, dir)("brute"),
+      e.select(col("vec_id"), col("label")))
+  }
+
+  /** [[knnClassify]] over prepared (query_id, neighbor_id, rnk) and
+    * (vec_id, label) relations — unit-test hook. */
+  private[llm] def knnClassifyOf(brute: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val votes = brute
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label"))), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("best_rnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rnk").asc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // Rocchio pseudo-relevance feedback (Rocchio 1971 / PRF)
 
   /** Rocchio feedback weight β. DELIBERATELY dyadic (3/4): q′ = q + β·μ
