@@ -1254,6 +1254,55 @@ object LlmQueries {
         FROM lp CROSS JOIN cuts ORDER BY doc_id"""
       }),
 
+    // Interpolated KNESER–NEY bigram perplexity (X84): the published
+    // n-gram smoother (Kneser & Ney 1995 / Chen & Goodman 1998 — KenLM's
+    // default, CCNet's actual filter model). All five model quantities
+    // are exact integers; D = 0.75 keeps c−D exact; the probability tree
+    // is fully parenthesized and written identically in both dialects
+    // (every host literal CAST AS DOUBLE — the plane-literal discipline),
+    // then the 9-dp-ln/DECIMAL-sum/6-dp-score/4-dp-cut pipeline of the
+    // add-one entry. The oracle retrains the whole model from scratch.
+    QueryDef("text_kn_perplexity",
+      (s, dir) => TextAnalysis.knPerplexity(s, dir),
+      Some {
+        val bands = TextAnalysis.PerplexityCuts.map(_.toString)
+        val d = s"CAST(${TextAnalysis.KnDiscount} AS DOUBLE)"
+        s"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1])) AS big
+               FROM tk WHERE len(t) >= 2),
+        tf AS (SELECT doc_id, big, count(*) AS tf FROM bg GROUP BY 1, 2),
+        mdl AS (SELECT big, string_split(big, ' ')[1] AS w1,
+                       string_split(big, ' ')[2] AS w2, sum(tf) AS c
+                FROM tf GROUP BY 1, 2, 3),
+        ctx AS (SELECT w1, sum(c) AS cw1, count(*) AS n1f FROM mdl GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS n1p FROM mdl GROUP BY 1),
+        nbt AS (SELECT count(*) AS nbt FROM mdl),
+        sc AS (SELECT doc_id, tf,
+                      CAST(round(tf * -ln(
+                        ((CAST(c AS DOUBLE) - $d) / CAST(cw1 AS DOUBLE))
+                        + ((($d * CAST(n1f AS DOUBLE)) / CAST(cw1 AS DOUBLE))
+                           * (CAST(n1p AS DOUBLE) / CAST(nbt AS DOUBLE)))), 9)
+                        AS DECIMAL(28, 9)) AS contrib
+               FROM tf JOIN mdl USING (big)
+                       JOIN ctx USING (w1)
+                       JOIN cont USING (w2)
+                       CROSS JOIN nbt),
+        lp AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                      round(CAST(sum(contrib) AS DOUBLE) / sum(tf), 6) AS log_ppl
+               FROM sc GROUP BY 1),
+        cuts AS (SELECT round(quantile_cont(log_ppl, ${bands(0)}), 4) AS c1,
+                        round(quantile_cont(log_ppl, ${bands(1)}), 4) AS c2
+                 FROM lp)
+        SELECT doc_id, n_bigrams, log_ppl,
+               CASE WHEN log_ppl <= c1 THEN 'head'
+                    WHEN log_ppl <= c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lp CROSS JOIN cuts ORDER BY doc_id"""
+      }),
+
     // Weak-label Naive-Bayes quality classifier (GPT-3/CCNet lineage):
     // all-integer model numerators/denominators, 9-dp ln weights, DECIMAL
     // contribution sums, prediction on the 6-dp-rounded score — the

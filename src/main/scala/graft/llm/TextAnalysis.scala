@@ -648,6 +648,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sdec").cast(DoubleType) / col("n_bigrams"), 6).as("log_ppl"))
       .localCheckpoint()
+    bandedPerplexity(lp, bigBound <= broadcastMaxRows)
+  }
+
+  /** Shared head/middle/tail banding tail of [[perplexityFrom]] and
+    * [[knFrom]] — ONE definition (exact type-7 percentile cuts rounded
+    * to 4 dp, broadcast, per-row band CASE) so the two smoothers' band
+    * semantics cannot drift. `broadcastPath` reports whether the caller
+    * took the broadcast model join (per-doc rows still carry the tf
+    * index's doc_id range clustering → local sort is a total order) or
+    * the shuffled fallback (clustering lost → explicit total-order
+    * sort). */
+  private def bandedPerplexity(lp: DataFrame, broadcastPath: Boolean): DataFrame = {
     val qs = PerplexityCuts.map(_.toString).mkString(", ")
     val cuts = lp.agg(
       expr(s"transform(percentile(log_ppl, array($qs)), c -> round(c, 4))")
@@ -659,8 +671,110 @@ object TextAnalysis {
     // broadcast branch: tf's range clustering survives the broadcast join
     // and the shuffle-free groupBy → local sort is a total order; the
     // shuffled fallback loses it → pay the explicit total-order sort
-    if (bigBound <= broadcastMaxRows) banded.sortWithinPartitions(col("doc_id"))
+    if (broadcastPath) banded.sortWithinPartitions(col("doc_id"))
     else banded.orderBy(col("doc_id"))
+  }
+
+  /** Absolute-discount constant for [[knPerplexity]]. 3/4 is exactly
+    * representable in binary, so `c − D` and the `D·n1f` backoff mass
+    * are exact doubles in both engines; 0.75 is also the fixed discount
+    * Chen & Goodman's baseline interpolated-KN configuration uses before
+    * the count-of-counts estimate. */
+  val KnDiscount = 0.75
+
+  /** Interpolated KNESER–NEY bigram perplexity (Kneser & Ney 1995, in
+    * the Chen & Goodman 1998 interpolated form) — the smoother the
+    * published n-gram quality gates actually ship (KenLM's default, the
+    * model behind CCNet's perplexity filter), upgrading
+    * [[bigramPerplexity]]'s add-one baseline:
+    *
+    *   p_KN(w2|w1) = (c(w1w2) − D)/c(w1)
+    *               + ((D·N1+(w1·))/c(w1)) · (N1+(·w2)/N1+(··))
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * CONTEXTS preceding w2 (the continuation probability — how freely a
+    * word attaches to new contexts, not how often it occurs; the KN
+    * insight that "Francisco" is frequent but only ever follows "San"),
+    * and N1+(··) = distinct bigram types. Every scored bigram was seen
+    * in training (the model IS the corpus), so c ≥ 1 > D and the
+    * published max(c − D, 0) clip never fires on the scoring path.
+    *
+    * Arithmetic contract: all five model quantities (c, c(w1), N1+(w1·),
+    * N1+(·w2), N1+(··)) are exact integers; D = [[KnDiscount]] keeps
+    * c − D and D·N1+ exact; the fully-parenthesized probability tree is
+    * written identically in both dialects, so each double op rounds
+    * identically. Per-doc score = Σ tf·round(−ln p, 9) as exact DECIMAL
+    * (order-independent), / bigram count, rounded to 6 dp; banding is
+    * the shared [[bandedPerplexity]] tail on the same
+    * [[PerplexityCuts]].
+    *
+    * 100 TB shape: identical to [[bigramPerplexity]] — the corpus-sized
+    * work is the one persisted [[bigramFreqs]] index; the KN model adds
+    * only two more VOCABULARY-sized aggregates (continuation fan-in
+    * joins the same type relation the context rollup already reads) and
+    * a 1-row type-count broadcast; scoring rides the same
+    * broadcast-gated join + range-clustered shuffle-free groupBy. */
+  def knPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tf = bigramFreqs(s, dir)
+    knFrom(tf, knModel(s, dir), tf.count(), BigramModelBroadcastMaxRows)
+  }
+
+  /** The (big, c, cw1, n1f, n1p) KN model rollup — vocabulary-sized and
+    * static per corpus, so it persists alongside the index (the
+    * [[bigramModel]] discipline). */
+  private val knModelCache = new graft.SessionMemo[DataFrame]
+
+  private def knModel(s: SparkSession, dir: String): DataFrame =
+    knModelCache.getOrElseUpdate(s, dir)(
+      knModelOf(bigramFreqs(s, dir)).persist())
+
+  private def knModelOf(tf: DataFrame): DataFrame = {
+    val mdl = tf.groupBy(col("big")).agg(sum(col("tf")).as("c"))
+      .withColumn("w1", split(col("big"), " ").getItem(0))
+      .withColumn("w2", split(col("big"), " ").getItem(1))
+    // each mdl row is one distinct bigram TYPE, so count(*) over the w1
+    // (w2) key is exactly N1+(w1·) (N1+(·w2)) — no extra distinct pass
+    val ctx = mdl.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1f"))
+    val cont = mdl.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    mdl.join(ctx, "w1").join(cont, "w2")
+      .select(col("big"), col("c"), col("cw1"), col("n1f"), col("n1p"))
+  }
+
+  /** [[knPerplexity]] over any (doc_id, text) relation with an explicit
+    * broadcast gate — the unit-test hook (KnPerplexitySpec forces the
+    * shuffled fallback with gate 0). */
+  private[llm] def knPerplexityOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val bigBound = d.where(n >= 2)
+      .agg(coalesce(sum((n - 1).cast(LongType)), lit(0L))).head().getLong(0)
+    val tf = bigramTf(d).repartitionByRange(col("doc_id"))
+    knFrom(tf, knModelOf(tf), bigBound, broadcastMaxRows)
+  }
+
+  private def knFrom(tf: DataFrame, model: DataFrame, bigBound: Long,
+      broadcastMaxRows: Long): DataFrame = {
+    val dD = lit(KnDiscount)
+    // fully-parenthesized so the Catalyst tree mirrors the oracle text
+    // op for op: ((c − D)/cw1) + (((D·n1f)/cw1) · (n1p/nbt))
+    val p = ((col("c") - dD) / col("cw1")) +
+      (((dD * col("n1f")) / col("cw1")) * (col("n1p") / col("nbt")))
+    val contrib = round(col("tf") * -log(p), 9).cast(DecimalType(28, 9))
+    val nbt = model.agg(count(lit(1)).as("nbt"))
+    val joined =
+      if (bigBound <= broadcastMaxRows) tf.join(broadcast(model), "big")
+      else tf.join(model.hint("shuffle_hash"), "big")
+    // localCheckpoint: lp feeds both the cuts aggregate and the banded
+    // output (the [[perplexityFrom]] rationale)
+    val lp = joined
+      .crossJoin(broadcast(nbt))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(contrib).as("sdec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sdec").cast(DoubleType) / col("n_bigrams"), 6).as("log_ppl"))
+      .localCheckpoint()
+    bandedPerplexity(lp, bigBound <= broadcastMaxRows)
   }
 
   /** Count-min sketch geometry for [[cmsHeavyHitters]] (Cormode &
