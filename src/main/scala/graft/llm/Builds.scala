@@ -42,5 +42,13 @@ object Builds {
     "build_dsv2_docs" ->
       ((s, d) => { DocsDsv2.path(s, d); () }),
     "build_unigram_lm" ->
-      ((s, d) => { TextAnalysis.unigramLm(s, d).count(); () }))
+      // force BOTH tokenizer artifacts (vocab + the word→segmentation
+      // map) so the store commit covers everything text_unigram_apply
+      // reads — r14 ADVICE: with only the vocab forced, a later session
+      // silently re-paid the full EM for the segmap.
+      ((s, d) => {
+        TextAnalysis.unigramLm(s, d).count()
+        TextAnalysis.unigramSegmap(s, d).count()
+        ()
+      }))
 }

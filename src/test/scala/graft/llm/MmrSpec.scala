@@ -33,7 +33,7 @@ class MmrSpec extends SparkSpec {
 
   private lazy val rows = {
     val e = planted.toDF("vec_id", "embedding")
-    Similarity.mmrSelect(Similarity.mmrPoolOf(e))
+    Similarity.mmrSelectOnce(e)
       .where(col("query_id") === 0L)
       .orderBy(col("mmr_rank"))
       .collect()
@@ -60,8 +60,7 @@ class MmrSpec extends SparkSpec {
   }
 
   test("every query yields MmrK distinct results ranked 1..K") {
-    val all = Similarity.mmrSelect(Similarity.mmrPoolOf(
-      planted.toDF("vec_id", "embedding")))
+    val all = Similarity.mmrSelectOnce(planted.toDF("vec_id", "embedding"))
     val per = all.groupBy("query_id")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("neighbor_id")).as("nd"),
