@@ -156,6 +156,20 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "r15_ab") {
+        // r15 (r14 VERDICT #2/#4): native winnow kernel vs the HOF form;
+        // in-row top-gram kernel battery vs ladder components. Also the
+        // bare doc scan + scan-and-sort skeleton to restate the floor.
+        import graft.llm.TextAnalysis
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        bench("doc_scan")(d.select(col("doc_id"), col("text")))
+        bench("doc_scan_sorted")(d.select(col("doc_id"),
+          length(col("text")).as("n")).orderBy(col("doc_id")))
+        bench("winnow_kernel")(TextAnalysis.winnowOf(d))
+        bench("winnow_hof")(TextAnalysis.winnowHofOf(d))
+        bench("battery_full")(TextAnalysis.repetitionBatteryOf(d))
+        bench("battery_topleg_only")(TextAnalysis.topGramCoveredRelational(d))
       } else if (args.head == "session_ab") {
         // r13 (r12 VERDICT #6): attribute events_session_window's 0.44 s
         // (native MergingSessions batch op) vs 0.35 s (window-fn twin) vs

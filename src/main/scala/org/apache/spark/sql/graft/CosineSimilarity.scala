@@ -98,6 +98,16 @@ object functions {
   def gram_max_freq(toks: Column, k: Int): Column =
     ExpressionUtils.column(GramMaxFreq(ExpressionUtils.expression(toks), k))
 
+  def top_gram_stats(toks: Column, k: Int): Column =
+    ExpressionUtils.column(TopGramStats(ExpressionUtils.expression(toks), k))
+
+  def winnow_select(hashes: Column, w: Int): Column =
+    ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hashes), w))
+
+  def winnow_fingerprints(toks: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(
+      WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
+
   def bloom_build(hash: Column, expectedItems: Long, fpp: Double): Column =
     ExpressionUtils.column(
       BloomBuildAgg(ExpressionUtils.expression(hash), expectedItems, fpp)

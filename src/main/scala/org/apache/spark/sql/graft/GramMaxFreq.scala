@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: the multiplicity of the most frequent word
@@ -44,10 +45,82 @@ case class GramMaxFreq(child: Expression, k: Int)
       newChild: Expression): GramMaxFreq = copy(child = newChild)
 }
 
+/** Native Catalyst expression: `top_gram_stats(tokens, k)` — the
+  * occurrence count AND character length of the single most frequent
+  * word k-gram, ties broken to the lexicographically (binary UTF8)
+  * smallest gram: exactly the `row_number over (count desc, gram)` = 1
+  * row of the relational formulation, so `c * (chars - (k-1))` is the
+  * Gopher top-n-gram covered-char mass (Rae et al. 2021 Table A1,
+  * n = 2..4) computed IN-ROW. Replaces three corpus-wide
+  * (doc_id, n, gram)-keyed count shuffles + rank windows in the
+  * repetition battery (r14 VERDICT #4) with one hash-counting JVM loop
+  * per doc; RepBatterySpec pins kernel/relational equality. Zero grams
+  * (fewer than k tokens) returns (0, 0) — the caller's m >= n guard
+  * makes the legs it feeds identical to the relational no-row case.
+  *
+  * Whole-stage codegen via [[doGenCode]] (static call); interpreted
+  * [[nullSafeEval]] shares the same kernel.
+  */
+case class TopGramStats(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c", LongType, nullable = false),
+    StructField("gram_chars", LongType, nullable = false)))
+
+  override def prettyName: String = "top_gram_stats"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    GramStats.topGram(toks.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GramStats.topGram($c, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopGramStats = copy(child = newChild)
+}
+
 /** Static kernel shared by the interpreted and generated paths. */
 object GramStats {
 
   private val Space = UTF8String.fromString(" ")
+
+  def topGram(toks: ArrayData, k: Int): InternalRow = {
+    val n = toks.numElements()
+    val m = n - k + 1
+    if (m <= 0) return InternalRow(0L, 0L)
+    val counts = new java.util.HashMap[UTF8String, Long](m * 2)
+    var i = 0
+    val parts = new Array[UTF8String](k)
+    while (i < m) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(Space,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): _*)
+      counts.merge(gram, 1L, (a, b) => a + b)
+      i += 1
+    }
+    // argmax on (count desc, gram binary-asc) — UTF8String.compareTo is
+    // the byte-wise order Spark's StringType sorts by, so this equals
+    // the relational row_number() tie rule
+    var best: UTF8String = null
+    var bestC = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestC || (c == bestC &&
+          (best == null || e.getKey.compareTo(best) < 0))) {
+        best = e.getKey
+        bestC = c
+      }
+    }
+    InternalRow(bestC, best.numChars().toLong)
+  }
 
   def maxFreq(toks: ArrayData, k: Int): Long = {
     val n = toks.numElements()

@@ -59,6 +59,31 @@ class RepBatterySpec extends SparkSpec {
     assert(rows(3L).getAs[Boolean]("passes"))
   }
 
+  test("native top_gram_stats kernel == relational explode/count/rank twin (r15)") {
+    // every (doc, n) the relational form emits must agree with the
+    // kernel-computed covered mass the battery now uses in-row; the
+    // relational twin emits NO row where m < n, and there the kernel's
+    // c = 0 makes covered 0 (pinned by the doc-3 zero test above)
+    import org.apache.spark.sql.functions._
+    val df = fixture.toDF("doc_id", "text")
+    val rel = TextAnalysis.topGramCoveredRelational(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val t = Text.tokens(col("text"))
+    val kern = (2 to 4).flatMap { n =>
+      val st = org.apache.spark.sql.graft.functions.top_gram_stats(t, n)
+      df.select(col("doc_id"), size(t).as("m"),
+          (st.getField("c") *
+            greatest(st.getField("gram_chars") - lit(n - 1), lit(0L)))
+            .cast("long").as("covered"))
+        .collect()
+        .map(r => ((r.getLong(0), n), r.getInt(1), r.getLong(2)))
+    }
+    kern.foreach { case (key @ (id, n), m, covered) =>
+      if (m >= n) assert(rel(key) == covered, s"doc $id n=$n")
+      else { assert(!rel.contains(key)); assert(covered == 0L) }
+    }
+  }
+
   test("composite verdict applies the published thresholds") {
     assert(!rows(1L).getAs[Boolean]("passes")) // 0.8 > 0.20 top-2
     assert(!rows(2L).getAs[Boolean]("passes"))

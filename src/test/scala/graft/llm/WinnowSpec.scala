@@ -53,6 +53,24 @@ class WinnowSpec extends SparkSpec {
     assert(run(corpus ++ tiny) === brute(corpus ++ tiny))
   }
 
+  test("native kernel == composable HOF form on every fixture (r15)") {
+    val rows = corpus ++ tiny
+    val hof = TextAnalysis.winnowHofOf(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(rows) === hof)
+  }
+
+  test("kernel handles adversarial shapes: all-equal, descending, exact-w") {
+    // all-equal hashes -> every window ties fully, rightmost selected,
+    // selections advance one per window; descending -> min always at the
+    // window's right edge; exactly w grams -> one window
+    val shaped = Seq(
+      10L -> "a a a a a a a a a a",         // identical grams
+      11L -> ("z9 z8 z7 z6 z5 z4 z3 z2 z1 z0"), // monotone gram stream
+      12L -> "p q r s t u")                 // w grams exactly (k=3 -> 4)
+    assert(run(shaped) === brute(shaped))
+  }
+
   test("density guarantee: selected positions never more than w apart") {
     val out = run(corpus)
     out.groupBy(_._1).foreach { case (_, fps) =>
