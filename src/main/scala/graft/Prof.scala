@@ -170,6 +170,69 @@ object Prof {
         bench("winnow_hof")(TextAnalysis.winnowHofOf(d))
         bench("battery_full")(TextAnalysis.repetitionBatteryOf(d))
         bench("battery_topleg_only")(TextAnalysis.topGramCoveredRelational(d))
+      } else if (args.head == "dsir_parts") {
+        // r15 (r14 VERDICT #3): attribute corpus_dsir_select. Ladder:
+        // the gram explode alone, the bucket-count model leg, the
+        // scoring leg, then the full entry.
+        import graft.llm.{Corpus, Text, TextAnalysis}
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val t = Text.tokens(col("text"))
+        val n = size(t)
+        val bigr = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+            concat_ws(" ", element_at(t, i.cast("int")),
+              element_at(t, (i + 1).cast("int")))))
+          .otherwise(array().cast(ArrayType(StringType)))
+        val feats = d.select(col("doc_id"),
+            col("source").isin(TextAnalysis.NbTargetSources: _*).as("is_target"),
+            explode(concat(t, bigr)).as("gram"))
+          .select(col("doc_id"), col("is_target"),
+            pmod(Text.hash64(col("gram")), lit(Corpus.DsirBuckets)).as("b"))
+        bench("dsir_explode_only")(feats
+          .groupBy(col("is_target")).agg(count(lit(1)).as("c")))
+        bench("dsir_model_leg")(feats.groupBy(col("b"))
+          .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct_t"),
+            sum(when(!col("is_target"), 1L).otherwise(0L)).as("ct_r")))
+        bench("dsir_explode_nohash")(d.select(col("doc_id"),
+            explode(concat(t, bigr)).as("gram"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
+        // the r14 shape verbatim (tot/w as separate broadcast jobs, no
+        // materialization anywhere) for the in-harness A/B
+        bench("dsir_r14_form") {
+          import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType => StrT}
+          val ct = feats.groupBy(col("b"))
+            .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct_t"),
+              sum(when(!col("is_target"), 1L).otherwise(0L)).as("ct_r"))
+          val tot = ct.agg(sum(col("ct_t")).as("tot_t"),
+            sum(col("ct_r")).as("tot_r"))
+          val w = ct.crossJoin(broadcast(tot))
+            .select(col("b"), round(
+              log((col("ct_t") + 1).cast(DoubleType) /
+                (col("tot_t") + Corpus.DsirBuckets).cast(DoubleType)) -
+              log((col("ct_r") + 1).cast(DoubleType) /
+                (col("tot_r") + Corpus.DsirBuckets).cast(DoubleType)), 9).as("w"))
+          val scored = feats.where(!col("is_target"))
+            .join(broadcast(w), "b")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_grams"),
+              sum(col("w").cast(DecimalType(28, 9))).as("sdec"))
+          val u = (pmod(Text.hash64(concat(lit("dsir|"),
+            col("doc_id").cast(StrT))),
+            lit(1000000L)).cast(DoubleType) + 0.5) / 1000000.0
+          val gumbel = round(-log(-log(u)), 9)
+          val keyed = scored
+            .select(col("doc_id"), col("n_grams"),
+              round(col("sdec").cast(DoubleType), 6).as("logw"))
+            .withColumn("gkey", round(col("logw") + gumbel, 6))
+          val cut = keyed.agg(round(
+            expr(s"percentile(gkey, ${1 - Corpus.DsirKeepFrac})"), 4).as("cut"))
+          keyed.crossJoin(broadcast(cut))
+            .select(col("doc_id"), col("n_grams"), col("logw"), col("gkey"),
+              (col("gkey") >= col("cut")).as("selected"))
+            .orderBy(col("doc_id"))
+        }
+        bench("dsir_full")(Corpus.dsirSelect(spark, sfDir))
       } else if (args.head == "session_ab") {
         // r13 (r12 VERDICT #6): attribute events_session_window's 0.44 s
         // (native MergingSessions batch op) vs 0.35 s (window-fn twin) vs
