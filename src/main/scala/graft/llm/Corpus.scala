@@ -1047,6 +1047,94 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  // ---- DoReMi-style iterative domain reweighting -----------------------
+
+  /** Fixed multiplicative-weights rounds for [[domainReweight]] — the
+    * kmeans/PageRank unroll discipline: the oracle materializes exactly
+    * this many rounds, so certification is depth-consistent at any sf. */
+  val DoremiRounds = 6
+
+  /** Hedge step size η (dyadic — η·excess is exact). */
+  val DoremiEta = 0.5
+
+  /** Uniform-smoothing mass c = 1/32 (dyadic; 1−c = 0.96875 exact) —
+    * DoReMi Algorithm 1's (1−c)·normalized + c·uniform step. */
+  val DoremiSmooth = 0.03125
+
+  /** DoReMi-STYLE iterative domain reweighting (Xie et al. 2023,
+    * "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — the Group-DRO multiplicative-weights update of
+    * Algorithm 1): per-source mixture weights α updated for
+    * [[DoremiRounds]] fixed rounds by
+    *   excess_k = max(0, loss_k − Σ_j α_j·loss_j)        (excess over mix)
+    *   α ∝ α · exp(η·excess)                             (Hedge step)
+    *   α ← (1−c)·normalize(α) + c/K                      (uniform smooth)
+    * emitting every round's (round, source, loss, excess, alpha) so the
+    * whole trajectory is certified, not just the endpoint. The loss
+    * proxy is the per-source token-weighted mean unigram surprisal (the
+    * X30 machinery at source grain — 9-dp per-(source,token)
+    * contributions, DECIMAL sums, 6-dp means). HONEST DIVERGENCE from
+    * the paper (documented, same scoping style as X88): published DoReMi
+    * recomputes per-step excess losses from a proxy model being trained
+    * under the current mixture; with a static corpus loss the recurrence
+    * is the same update rule converging toward the smoothed
+    * worst-domain-favoring fixpoint — the reweighting OPERATOR is what
+    * this entry certifies. exp() gets the same 9-dp-round treatment the
+    * suite gives ln() everywhere (neither libm is trusted raw).
+    *
+    * 100 TB: the corpus-scale work is ONE token aggregation (the tf
+    * shape); everything after lives on the K-row source domain — per
+    * round two 1-row aggregates (mixture loss, normalizer) and a K-row
+    * map, localCheckpointed (the Lloyd discipline). */
+  def domainReweight(s: SparkSession, dir: String): DataFrame =
+    domainReweightOf(docs(s, dir))
+
+  /** [[domainReweight]] over any (doc_id, source, text) relation —
+    * unit-test hook. */
+  private[graft] def domainReweightOf(d: DataFrame): DataFrame = {
+    val tf = d.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(sum(col("tf")).as("term_freq"))
+    val tot = dfr.agg(sum(col("term_freq")).cast(DoubleType)
+      .as("total_tokens"))
+    val contrib = round(col("tf") *
+      -log(col("term_freq").cast(DoubleType) / col("total_tokens")), 9)
+      .cast(DecimalType(28, 9))
+    val loss = tf.join(broadcast(dfr), "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
+      .select(col("source"),
+        round(col("sdec").cast(DoubleType) / col("n_tokens"), 6).as("loss"))
+      .localCheckpoint() // K rows — every round reads this, never the corpus
+    val kk = loss.count() // bounded driver scalar (control flow only)
+    var alpha = loss.select(col("source"), col("loss"),
+      round(lit(1.0) / kk, 9).as("alpha"))
+    val rounds = (1 to DoremiRounds).map { t =>
+      val lam = alpha.agg(
+        sum(round(col("alpha") * col("loss"), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("lam"))
+      val ex = alpha.crossJoin(broadcast(lam))
+        .select(col("source"), col("loss"), col("alpha"),
+          round(greatest(col("loss") - col("lam"), lit(0.0)), 9).as("excess"))
+      val u = ex.select(col("source"), col("loss"), col("excess"),
+        round(col("alpha") *
+          round(exp(lit(DoremiEta) * col("excess")), 9), 9).as("u"))
+      val sS = u.agg(sum(col("u").cast(DecimalType(28, 9)))
+        .cast(DoubleType).as("s"))
+      val upd = u.crossJoin(broadcast(sS))
+        .select(col("source"), col("loss"), col("excess"),
+          round(lit(1.0 - DoremiSmooth) * round(col("u") / col("s"), 9) +
+            lit(DoremiSmooth) / kk, 9).as("alpha"))
+        .localCheckpoint() // K rows; truncates the per-round lineage
+      alpha = upd
+      upd.select(lit(t).as("round"), col("source"), col("loss"),
+        col("excess"), col("alpha"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"), col("source"))
+  }
+
   // ---- weighted reservoir sampling ------------------------------------
 
   /** Global sample size for [[weightedReservoir]]. */

@@ -155,6 +155,65 @@ object CorpusQueries {
       (s, dir) => Corpus.decontaminateBloom(s, dir),
       Some(decontaminateSql)),
 
+    // DoReMi-style iterative domain reweighting (r15, Xie et al. 2023):
+    // Group-DRO multiplicative weights over the per-source surprisal
+    // loss proxy, DoremiRounds rounds UNROLLED as MATERIALIZED CTEs (the
+    // kmeans/PageRank discipline) — the hash match certifies the entire
+    // round-by-round weight trajectory. Every host literal CAST AS
+    // DOUBLE; exp() 9-dp-rounded exactly like the suite's ln().
+    QueryDef("corpus_domain_reweight",
+      (s, dir) => Corpus.domainReweight(s, dir),
+      Some {
+        val eta = Corpus.DoremiEta
+        val oneMinusC = 1.0 - Corpus.DoremiSmooth
+        val c = Corpus.DoremiSmooth
+        val rounds = (1 to Corpus.DoremiRounds).map { t =>
+          val prev = if (t == 1) "a0" else s"a${t - 1}"
+          s""",
+        m$t AS (SELECT CAST(sum(CAST(round(alpha * loss, 9)
+                                     AS DECIMAL(28,9))) AS DOUBLE) AS lam
+                FROM $prev),
+        e$t AS (SELECT source, loss, alpha,
+                       round(greatest(loss - lam, CAST(0 AS DOUBLE)), 9)
+                         AS excess
+                FROM $prev, m$t),
+        u$t AS (SELECT source, loss, excess,
+                       round(alpha * round(exp(CAST($eta AS DOUBLE) * excess),
+                                           9), 9) AS u
+                FROM e$t),
+        s$t AS (SELECT CAST(sum(CAST(u AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM u$t),
+        a$t AS MATERIALIZED (SELECT source, loss, excess,
+                       round(CAST($oneMinusC AS DOUBLE) * round(u / s, 9) +
+                             CAST($c AS DOUBLE) / kk, 9) AS alpha
+                FROM u$t, s$t, k)"""
+        }.mkString
+        val sel = (1 to Corpus.DoremiRounds).map(t =>
+          s"SELECT $t AS round, source, loss, excess, alpha FROM a$t")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT token, sum(tf) AS term_freq FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS total_tokens
+                FROM dfr),
+        sc AS (SELECT source, tf,
+                      CAST(round(tf * -ln(CAST(term_freq AS DOUBLE) /
+                                          total_tokens), 9)
+                        AS DECIMAL(28, 9)) AS c
+               FROM tf JOIN dfr USING (token) CROSS JOIN tot),
+        loss AS (SELECT source,
+                        round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS loss
+                 FROM sc GROUP BY source),
+        k AS (SELECT count(*) AS kk FROM loss),
+        a0 AS (SELECT source, loss,
+                      round(CAST(1 AS DOUBLE) / kk, 9) AS alpha
+               FROM loss, k)
+        $rounds
+        $sel ORDER BY round, source"""
+      }),
+
     // Benchmark-CONTAMINATION REPORT (r15): the per-eval-set overlap
     // rates a release publishes (GPT-3 Appendix C) next to the drop
     // pass. Eval sets = benchmark docs grouped by source; cells =
