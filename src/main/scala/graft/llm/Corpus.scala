@@ -956,6 +956,8 @@ object Corpus {
     //     group key (functionally dependent on source), and a source
     //     whose rate keeps nothing yields zero sums instead of a missing
     //     group, since every source has ≥ 1 doc by construction.
+    // partition-less window is BOUNDED: it runs over the per-source
+    // aggregate (≤ #sources rows), never the corpus
     val total = sum(col("src_tokens"))
       .over(Window.partitionBy()).cast(DoubleType)
     val rates = perDoc.groupBy(col("source"))
@@ -1017,6 +1019,8 @@ object Corpus {
     * index — unit-test hook. */
   private[llm] def temperatureMixOf(perDoc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // partition-less window is BOUNDED: it runs over the per-language
+    // aggregate (≤ #languages rows), never the corpus
     val w = Window.partitionBy()
     val total = sum(col("lang_tokens")).over(w).cast(DoubleType)
     val shares = perDoc.groupBy(col("lang"))

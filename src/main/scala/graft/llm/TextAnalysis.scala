@@ -1487,6 +1487,8 @@ object TextAnalysis {
 
     // ln(count/total) at 9 dp as exact decimal — the shared currency
     def scored(v: DataFrame): DataFrame = {
+      // partition-less window is BOUNDED: v is the candidate vocab,
+      // capped at UlmSeedMulti/UlmFinalMulti rows — never corpus-sized
       val tot = sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType)
       v.withColumn("score",
         round(log(col("cnt").cast(DoubleType)) - log(tot), 9)
@@ -1553,6 +1555,8 @@ object TextAnalysis {
           .orderBy(col("cnt").desc, col("piece")).limit(UlmFinalMulti)))
     val finalSegs = viterbi(pruned)
     val finalUse = usage(finalSegs).withColumnRenamed("cnt", "usage")
+    // partition-less window is BOUNDED: pruned is the final vocab
+    // (chars + top multi-char pieces), never corpus-sized
     val tot = sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType)
     val stats = pruned.select(col("piece"), col("cnt"))
       .join(broadcast(finalUse), Seq("piece"), "left")
