@@ -279,17 +279,31 @@ object Corpus {
     * join; the filter's no-false-negatives guarantee plus the exact join
     * over survivors makes the composition exact — so this entry shares
     * [[decontaminate]]'s oracle verbatim. */
+  /** The distinct benchmark-doc gram set — ONE definition shared by the
+    * batch decontaminate pair, the contamination report, and the r15
+    * streamed screen. */
+  private[graft] def benchmarkGrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.shingleSets(s, dir)
+      .where(col("doc_id") % BenchmarkMod === 0)
+      .select(explode(col("sset")).as("sh")).distinct()
+
+  /** The offline-built benchmark Bloom filter bytes (memoized per
+    * session+dir) — shared by [[decontaminateBloom]] and the streamed
+    * ingest screen. */
+  private[graft] def benchmarkBloom(s: SparkSession, dir: String): Array[Byte] =
+    bloomCache.getOrElseUpdate(s, dir) {
+      benchmarkGrams(s, dir)
+        .agg(org.apache.spark.sql.graft.functions.bloom_build(
+          hash64(col("sh")), BloomExpectedItems, BloomFpp).as("filter"))
+        .head().getAs[Array[Byte]](0)
+    }
+
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val sets = Dedup.shingleSets(s, dir)
     val isBench = col("doc_id") % BenchmarkMod === 0
     val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
     val benchGrams = ex.where(isBench).select(col("sh")).distinct()
-    val bloomBytes = bloomCache.getOrElseUpdate(s, dir) {
-      benchGrams
-        .agg(org.apache.spark.sql.graft.functions.bloom_build(
-          hash64(col("sh")), BloomExpectedItems, BloomFpp).as("filter"))
-        .head().getAs[Array[Byte]](0)
-    }
+    val bloomBytes = benchmarkBloom(s, dir)
     val pre = ex.where(!isBench)
       .where(org.apache.spark.sql.graft.functions.bloom_might_contain(lit(bloomBytes), hash64(col("sh"))))
     val hits = pre.join(broadcast(benchGrams), "sh")

@@ -155,6 +155,17 @@ object CorpusQueries {
       (s, dir) => Corpus.decontaminateBloom(s, dir),
       Some(decontaminateSql)),
 
+    // STREAMED decontamination (r15): the benchmark gram set + Bloom
+    // prefilter build OFFLINE, arriving docs screened ONLINE (per-row
+    // shingling, bloom-guarded exact-confirm broadcast join, one
+    // doc-keyed fold) — shares the batch oracle VERBATIM, so the hash
+    // match certifies offline-build == online-screen under any
+    // micro-batch split.
+    QueryDef("corpus_decontaminate_streamed",
+      (s, dir) => graft.streaming.DecontaminateStream
+        .decontaminateStreamed(s, dir),
+      Some(decontaminateSql)),
+
     // DoReMi-style iterative domain reweighting (r15, Xie et al. 2023):
     // Group-DRO multiplicative weights over the per-source surprisal
     // loss proxy, DoremiRounds rounds UNROLLED as MATERIALIZED CTEs (the
