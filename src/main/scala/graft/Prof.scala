@@ -170,6 +170,19 @@ object Prof {
         bench("winnow_hof")(TextAnalysis.winnowHofOf(d))
         bench("battery_full")(TextAnalysis.repetitionBatteryOf(d))
         bench("battery_topleg_only")(TextAnalysis.topGramCoveredRelational(d))
+      } else if (args.head == "doremi_parts") {
+        // r15: attribute corpus_domain_reweight's tail
+        import graft.llm.{Corpus, TextAnalysis}
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("source"))
+        def tf0 = TextAnalysis.termFreqs(spark, sfDir)
+          .join(src, "doc_id")
+          .groupBy(col("source"), col("token"))
+          .agg(sum(col("tf")).as("tf"))
+        bench("doremi_tfindex_read")(
+          TextAnalysis.termFreqs(spark, sfDir).groupBy().count())
+        bench("doremi_tf0")(tf0)
+        bench("doremi_full")(Corpus.domainReweight(spark, sfDir))
       } else if (args.head == "dsir_parts") {
         // r15 (r14 VERDICT #3): attribute corpus_dsir_select. Ladder:
         // the gram explode alone, the bucket-count model leg, the

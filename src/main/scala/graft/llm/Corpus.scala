@@ -1100,57 +1100,96 @@ object Corpus {
     * this entry certifies. exp() gets the same 9-dp-round treatment the
     * suite gives ln() everywhere (neither libm is trusted raw).
     *
-    * 100 TB: the corpus-scale work is ONE token aggregation (the tf
-    * shape); everything after lives on the K-row source domain — per
-    * round two 1-row aggregates (mixture loss, normalizer) and a K-row
-    * map, localCheckpointed (the Lloyd discipline). */
+    * 100 TB: the corpus-scale work is ONE (source, token) aggregation
+    * folded over the persisted session tf index; everything after —
+    * the unigram model, the loss fold, and every round — lives on
+    * bounded window domains (vocab×sources, then K sources) inside ONE
+    * job. Measured ladder (Prof doremi_parts, sf0.1 min-of-5 warm):
+    * index read 0.17 s, + source join/agg 0.49 s, full entry 0.95 s —
+    * the residual over tf0 is the bounded-domain window/sort tail; the
+    * 0.12 s DuckDB oracle is the single-process tokenization gap the
+    * text-op floor notes already document. */
   def domainReweight(s: SparkSession, dir: String): DataFrame =
-    domainReweightOf(docs(s, dir))
+    // the entry path rides the PERSISTED doc-partitioned tf index (the
+    // X30 discipline — one tokenization pass per session, shared with
+    // surprisal/tf-idf/NB): per-(source, token) counts are a doc-keyed
+    // join with the slim (doc_id, source) relation folded over the
+    // cached index, never a second corpus tokenization
+    domainReweightFrom(
+      TextAnalysis.termFreqs(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("token"))
+        .agg(sum(col("tf")).as("tf")))
 
   /** [[domainReweight]] over any (doc_id, source, text) relation —
-    * unit-test hook. */
-  private[graft] def domainReweightOf(d: DataFrame): DataFrame = {
-    val tf = d.select(col("source"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dfr = tf.groupBy(col("token")).agg(sum(col("tf")).as("term_freq"))
-    val tot = dfr.agg(sum(col("term_freq")).cast(DoubleType)
-      .as("total_tokens"))
-    val contrib = round(col("tf") *
-      -log(col("term_freq").cast(DoubleType) / col("total_tokens")), 9)
-      .cast(DecimalType(28, 9))
-    val loss = tf.join(broadcast(dfr), "token")
-      .crossJoin(broadcast(tot))
+    * unit-test hook (builds the source-token counts inline instead of
+    * the session tf index). */
+  private[graft] def domainReweightOf(d: DataFrame): DataFrame =
+    domainReweightFrom(
+      d.select(col("source"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+
+  /** The reweighting recurrence over a prepared (source, token, tf)
+    * relation. */
+  private def domainReweightFrom(tf0: DataFrame): DataFrame = {
+    // The unigram model folds into WINDOW expressions over the
+    // vocab×sources-row relation (bounded domains: per-token and global
+    // sums), so the model, its total, the per-source loss fold and the
+    // rounds below are ONE job — the first form's separate dfr/tot
+    // broadcast builds and a checkpoint were ~5 driver-synchronous
+    // stage barriers of pure scheduling floor for 620-row arithmetic
+    // (Prof doremi_parts ladder). Same op sequence, bit-identical loss.
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    val wAllTf = org.apache.spark.sql.expressions.Window.partitionBy()
+    val loss = tf0
+      .withColumn("term_freq", sum(col("tf")).over(wTok))
+      .withColumn("total_tokens",
+        sum(col("tf")).over(wAllTf).cast(DoubleType))
+      .select(col("source"), col("tf"),
+        round(col("tf") *
+          -log(col("term_freq").cast(DoubleType) / col("total_tokens")), 9)
+          .cast(DecimalType(28, 9)).as("c"))
       .groupBy(col("source"))
-      .agg(sum(col("tf")).as("n_tokens"), sum(contrib).as("sdec"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("c")).as("sdec"))
       .select(col("source"),
         round(col("sdec").cast(DoubleType) / col("n_tokens"), 6).as("loss"))
-      .localCheckpoint() // K rows — every round reads this, never the corpus
-    val kk = loss.count() // bounded driver scalar (control flow only)
-    var alpha = loss.select(col("source"), col("loss"),
-      round(lit(1.0) / kk, 9).as("alpha"))
-    val rounds = (1 to DoremiRounds).map { t =>
-      val lam = alpha.agg(
-        sum(round(col("alpha") * col("loss"), 9).cast(DecimalType(28, 9)))
-          .cast(DoubleType).as("lam"))
-      val ex = alpha.crossJoin(broadcast(lam))
-        .select(col("source"), col("loss"), col("alpha"),
-          round(greatest(col("loss") - col("lam"), lit(0.0)), 9).as("excess"))
-      val u = ex.select(col("source"), col("loss"), col("excess"),
-        round(col("alpha") *
-          round(exp(lit(DoremiEta) * col("excess")), 9), 9).as("u"))
-      val sS = u.agg(sum(col("u").cast(DecimalType(28, 9)))
-        .cast(DoubleType).as("s"))
-      val upd = u.crossJoin(broadcast(sS))
-        .select(col("source"), col("loss"), col("excess"),
-          round(lit(1.0 - DoremiSmooth) * round(col("u") / col("s"), 9) +
-            lit(DoremiSmooth) / kk, 9).as("alpha"))
-        .localCheckpoint() // K rows; truncates the per-round lineage
-      alpha = upd
-      upd.select(lit(t).as("round"), col("source"), col("loss"),
-        col("excess"), col("alpha"))
+    // The rounds chain as WINDOW expressions over the K-row source
+    // domain in ONE plan (r15 bench note: the first form ran each
+    // round's two scalar aggregates as separate broadcast jobs + a
+    // localCheckpoint — ~12 driver-synchronous jobs of pure scheduling
+    // floor for 20-row arithmetic). Partition-less windows are BOUNDED
+    // (≤ #sources rows); decimal window-sums are the same exact
+    // additions as the aggregate form, so the values are bit-identical
+    // and the oracle is unchanged. Plan depth is linear in rounds (each
+    // round references the previous once) — no checkpoint needed.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    var df = loss
+      .withColumn("kk", count(lit(1)).over(wAll))
+      .withColumn("alpha", round(lit(1.0) / col("kk"), 9))
+    for (t <- 1 to DoremiRounds) {
+      val lam = sum(round(col("alpha") * col("loss"), 9)
+        .cast(DecimalType(28, 9))).over(wAll).cast(DoubleType)
+      df = df.withColumn(s"excess_$t",
+        round(greatest(col("loss") - lam, lit(0.0)), 9))
+      val u = round(col("alpha") *
+        round(exp(lit(DoremiEta) * col(s"excess_$t")), 9), 9)
+      df = df.withColumn(s"u_$t", u)
+      val sS = sum(col(s"u_$t").cast(DecimalType(28, 9)))
+        .over(wAll).cast(DoubleType)
+      df = df.withColumn("alpha",
+        round(lit(1.0 - DoremiSmooth) * round(col(s"u_$t") / sS, 9) +
+          lit(DoremiSmooth) / col("kk"), 9))
+        .withColumn(s"alpha_$t", col("alpha"))
     }
-    rounds.reduce(_ unionByName _).orderBy(col("round"), col("source"))
+    df.select(col("source"), col("loss"), explode(array(
+        (1 to DoremiRounds).map(t => struct(lit(t).as("round"),
+          col(s"excess_$t").as("excess"),
+          col(s"alpha_$t").as("alpha"))): _*)).as("r"))
+      .select(col("r.round").as("round"), col("source"), col("loss"),
+        col("r.excess").as("excess"), col("r.alpha").as("alpha"))
+      .orderBy(col("round"), col("source"))
   }
 
   // ---- weighted reservoir sampling ------------------------------------

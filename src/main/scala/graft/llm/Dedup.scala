@@ -283,6 +283,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** BANDING-RECALL certification (r15 — the [[Similarity.annRecall]]
+    * discipline applied to the dedup family): per TRUE near-dup pair
+    * (the exhaustive PPJoin truth, [[ngramJaccard]]), did MinHash-LSH
+    * banding surface it? Banding has a published miss rate
+    * (P(collide) = 1 − (1 − J^r)^b — ≈ 0.64 at J = 0.5 under the 16×4
+    * budget), and recall is the number a dedup deployment actually
+    * tunes r×b against; the per-pair grain also names WHICH pairs the
+    * bands missed. Precision is 1 structurally (LSH candidates are
+    * exact-verified at the same threshold over the same shingle sets),
+    * which the shared-truth join certifies implicitly.
+    *
+    * 100 TB: both inputs are the near-dup-population-sized pair
+    * relations the entries already produce; the eval join is
+    * broadcast-trivial. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(s, dir)
+    val found = minhashLsh(s, dir)
+      .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
+    truth.join(broadcast(found),
+        col("doc_a") === col("fa") && col("doc_b") === col("fb"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("fa").isNotNull.as("found_by_lsh"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-doc 60-bit SimHash over shingle features: bit b is the sign of
     * Σ_features (±1 by feature-hash bit b). */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {

@@ -719,6 +719,34 @@ object LlmQueries {
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
       }),
 
+    // BANDING-RECALL eval (r15): per exhaustive-truth near-dup pair, did
+    // LSH banding surface it — the ann_recall discipline for the dedup
+    // family. The oracle composes the exhaustive PPJoin truth with the
+    // minhash candidate CTEs (both already certified standalone).
+    QueryDef("dedup_lsh_recall",
+      (s, dir) => Dedup.lshRecall(s, dir),
+      Some(s"""
+        WITH $MinhashBandCtes,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        truth AS (SELECT doc_a, doc_b,
+                         CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                           AS jaccard
+                  FROM pr JOIN sz sa ON doc_a = sa.doc_id
+                          JOIN sz sb ON doc_b = sb.doc_id
+                  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bd a JOIN bd b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id)
+        SELECT t.doc_a, t.doc_b, t.jaccard,
+               c.doc_a IS NOT NULL AS found_by_lsh
+        FROM truth t LEFT JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        ORDER BY t.doc_a, t.doc_b""")),
+
     // STREAMING MinHash banding: the same bandsFromSets definition run on
     // a document file stream, bucket census kept as complete-mode keyed
     // aggregation state, AvailableNow drain — the oracle recomputes the
