@@ -227,13 +227,22 @@ object Corpus {
     * 100 TB: eval-set grams are eval-suite-sized → broadcast; the corpus
     * side reads the shared shingle index once; the only aggregation
     * grain above gram rows is (eval_source, corpus_source) — bounded by
-    * the SOURCE domain (S² cells), never docs or grams. */
+    * the SOURCE domain (S² cells), never docs or grams.
+    *
+    * r15 floor note (min-of-5 warm at sf0.1): entry 1.33 s vs a 0.27 s
+    * oracle — the corpus-side gram explode over the cached shingle sets
+    * alone measures ~0.5 s (the shared text-op scan floor), the rest is
+    * the broadcast-build/stage tail; the hit join output (what the
+    * countDistinct pair aggregates) is eval-overlap-sized, so nothing
+    * here grows faster than the scan at 100 TB. */
   def contaminationReport(s: SparkSession, dir: String): DataFrame = {
     val sets = Dedup.shingleSets(s, dir)
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     val isBench = col("doc_id") % BenchmarkMod === 0
-    val ex = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
-      .join(src, "doc_id")
+    // source joins at DOC grain (5k rows), before the gram explode —
+    // joining after would multiply the join work by grams per doc
+    val ex = sets.join(src, "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("sset")).as("sh"))
     val bench = ex.where(isBench)
       .select(col("source").as("eval_source"), col("sh")).distinct()
     val evalTot = bench.groupBy(col("eval_source"))
