@@ -2316,6 +2316,47 @@ object LlmQueries {
                mean_r, mean_g, mean_b
         FROM c LEFT JOIN chs USING (media_id) ORDER BY media_id""")),
 
+    // AUDIO decode tier (r15): a second quarter of the media corpus
+    // ships as GENUINE RIFF/WAVE 8-bit mono PCM containers and the
+    // decode stage runs a REAL chunk-walking parser; the oracle
+    // re-derives every parsed header field (riff/data sizes, rate,
+    // channels, bits) and the exact Σ/Σ² amplitude stats from the
+    // character codes, so the hash match certifies the parse itself.
+    // The digest covers the data-chunk PAYLOAD (DuckDB has no
+    // md5-over-BLOB, and the header bytes are pinned through the parsed
+    // size/rate columns instead).
+    QueryDef("multimodal_audio",
+      (s, dir) => Multimodal.audioFeatures(s, dir),
+      Some(s"""
+        WITH d AS (SELECT doc_id AS media_id, source, text,
+                          strlen(text) AS n, doc_id % 4 = 1 AS is_wav
+                   FROM documents),
+        amp0 AS (SELECT media_id, ascii(substr(text, CAST(p AS INT), 1)) AS b
+                 FROM (SELECT media_id, text,
+                              unnest(generate_series(1, CAST(n AS INT))) AS p
+                       FROM d WHERE is_wav)),
+        amp AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
+                       CAST(sum(b * b) AS BIGINT) AS sq
+                FROM amp0 GROUP BY media_id)
+        SELECT d.media_id,
+               CASE WHEN is_wav THEN 'audio/wav' ELSE source END AS kind,
+               CAST(CASE WHEN is_wav THEN 44 + n ELSE n END AS BIGINT)
+                 AS n_bytes,
+               md5(text) AS payload_md5,
+               CAST(CASE WHEN is_wav THEN ${Multimodal.WavSampleRate} END
+                 AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN is_wav THEN 1 END AS BIGINT) AS n_channels,
+               CAST(CASE WHEN is_wav THEN 8 END AS BIGINT) AS bits,
+               CAST(CASE WHEN is_wav THEN n END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN is_wav THEN 36 + n END AS BIGINT) AS riff_size,
+               CASE WHEN is_wav
+                    THEN round(CAST(a.s AS DOUBLE) / n, 6) END AS mean_amp,
+               CASE WHEN is_wav
+                    THEN round(sqrt(CAST(a.sq AS DOUBLE) / n), 6) END
+                 AS rms_amp
+        FROM d LEFT JOIN amp a USING (media_id)
+        ORDER BY d.media_id""")),
+
     // Aspect-preserving resize metadata: integer floor arithmetic both
     // engines share exactly; ties (width == height) go to the width branch.
     QueryDef("multimodal_resize",

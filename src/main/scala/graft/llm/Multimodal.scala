@@ -177,6 +177,149 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  // ---- audio tier (r15) -------------------------------------------------
+
+  final case class AudioFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      payload_md5: String,
+      sample_rate: Option[Long],
+      n_channels: Option[Long],
+      bits: Option[Long],
+      n_samples: Option[Long],
+      riff_size: Option[Long],
+      mean_amp: Option[Double],
+      rms_amp: Option[Double])
+
+  /** REAL RIFF/WAVE PCM parser — the audio analogue of [[PpmDecoder]]:
+    * strict "RIFF"+LE32+"WAVE" preamble, then chunk iteration ("fmt "
+    * must declare PCM / 8-bit / mono before amplitude math is attempted;
+    * unknown chunks are skipped by their declared size, as a real reader
+    * must); the data chunk's unsigned samples fold to exact integer
+    * Σx/Σx² so mean and RMS amplitude are single IEEE divisions both
+    * engines compute identically. Returns None for anything malformed —
+    * the caller falls back to the opaque-payload stub path. */
+  object WavDecoder {
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def le16(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+    private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+        b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+    def decode(mediaId: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+      if (bytes.length < 44 || !fourcc(bytes, 0, "RIFF") ||
+        !fourcc(bytes, 8, "WAVE")) return None
+      val riffSize = le32(bytes, 4)
+      var i = 12
+      var rate, channels, bits = -1L
+      var fmtPcm = false
+      var dataStart, dataLen = -1L
+      while (i + 8 <= bytes.length && (dataStart < 0 || !fmtPcm)) {
+        val sz = le32(bytes, i + 4)
+        if (fourcc(bytes, i, "fmt ")) {
+          if (sz < 16 || i + 8 + 16 > bytes.length) return None
+          fmtPcm = le16(bytes, i + 8) == 1L
+          channels = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12)
+          bits = le16(bytes, i + 22)
+        } else if (fourcc(bytes, i, "data")) {
+          dataStart = i + 8
+          dataLen = sz
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (!fmtPcm || bits != 8 || channels != 1 || dataStart < 0 ||
+        dataStart + dataLen > bytes.length || dataLen <= 0) return None
+      var s = 0L
+      var sq = 0L
+      var p = 0
+      while (p < dataLen) {
+        val x = bytes(dataStart.toInt + p) & 0xffL
+        s += x
+        sq += x * x
+        p += 1
+      }
+      val payload = java.util.Arrays.copyOfRange(
+        bytes, dataStart.toInt, (dataStart + dataLen).toInt)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Some(AudioFeatures(
+        media_id = mediaId,
+        kind = "audio/wav",
+        n_bytes = bytes.length.toLong,
+        payload_md5 = md5hex(payload),
+        sample_rate = Some(rate),
+        n_channels = Some(channels),
+        bits = Some(bits),
+        n_samples = Some(dataLen),
+        riff_size = Some(riffSize),
+        mean_amp = Some(r6(s.toDouble / dataLen)),
+        rms_amp = Some(r6(math.sqrt(sq.toDouble / dataLen)))))
+    }
+  }
+
+  /** WAV sampling constants for the constructed containers. */
+  val WavSampleRate = 8000L
+
+  /** Build a canonical 44-byte-header mono 8-bit PCM WAV around a
+    * payload — shared by [[audioBlobs]] and the spec fixtures. */
+  private[llm] def wavContainer(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    out.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1) // PCM, mono
+    out.putInt(WavSampleRate.toInt).putInt(WavSampleRate.toInt) // byteRate = rate·1·1
+    out.putShort(1).putShort(8) // blockAlign, bits
+    out.put("data".getBytes("US-ASCII")).putInt(n)
+    out.put(payload)
+    out.array()
+  }
+
+  /** The audio face of the media corpus: a second quarter of the items
+    * (media_id ≡ 1 mod 4) ships as GENUINE RIFF/WAVE PCM containers —
+    * canonical 44-byte header + the (all-ASCII) text bytes as unsigned
+    * 8-bit mono samples — the rest stays opaque (the stub path). The
+    * container is a deterministic function of the text, so the DuckDB
+    * twin re-derives every parsed field (sizes, rate, sample count) and
+    * the exact Σ/Σ² amplitude stats from the character codes — the hash
+    * match certifies the real RIFF parse, not just plumbing. The decoder
+    * never sees the construction: content-sniffed magic only. */
+  def audioBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    val isWav = col("doc_id") % 4 === 1
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("blob"),
+        when(isWav, lit("audio/wav")).otherwise(col("source")).as("kind"))
+      .as[MediaBlob]
+      .map(b =>
+        if (b.kind == "audio/wav") b.copy(blob = wavContainer(b.blob)) else b)
+  }
+
+  /** Partition-wise audio decode: real RIFF parse when the magic
+    * matches, opaque-payload stub otherwise (parsed fields null — an
+    * undecoded payload has no samples). */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioBlobs(s, dir)
+      .mapPartitions { rows =>
+        rows.map { b =>
+          WavDecoder.decode(b.media_id, b.blob).getOrElse(
+            AudioFeatures(b.media_id, b.kind, b.blob.length.toLong,
+              md5hex(b.blob), None, None, None, None, None, None, None))
+        }
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
   /** Target box for [[resized]] (the ViT-style square input). */
   val ResizeBox = 224L
 
