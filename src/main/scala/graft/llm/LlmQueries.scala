@@ -1853,7 +1853,7 @@ object LlmQueries {
     // cosine reranks. Certifies end to end the composition both tiers'
     // scale notes promise.
     QueryDef("similarity_ann_ivfpq",
-      (s, dir) => Similarity.ivfAdcTopK(s, dir),
+      (s, dir) => Similarity.servedTier(s, dir, "ivfpq"),
       Some(ivfAdcOracle)),
 
     // SQ-ANN — the embedding-COMPRESSION tier: 8-bit per-dimension affine
@@ -1880,6 +1880,7 @@ object LlmQueries {
         ivfk AS ($ivfTopKOracle),
         sqk AS ($sqTopKOracle),
         pqk AS ($pqTopKOracle),
+        ipqk AS ($ivfAdcOracle),
         hits AS (
           SELECT 'ann_lsh' AS method, b.query_id,
                  CAST(count(l.query_id) AS BIGINT) AS n_hits
@@ -1903,6 +1904,12 @@ object LlmQueries {
                  CAST(count(p.query_id) AS BIGINT) AS n_hits
           FROM brute b LEFT JOIN pqk p
             ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+          GROUP BY b.query_id
+          UNION ALL
+          SELECT 'ivfpq' AS method, b.query_id,
+                 CAST(count(ip.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN ipqk ip
+            ON b.query_id = ip.query_id AND b.neighbor_id = ip.neighbor_id
           GROUP BY b.query_id)
         SELECT method, query_id, n_hits,
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
@@ -1931,11 +1938,14 @@ object LlmQueries {
         ivfk AS ($ivfTopKOracle),
         sqk AS ($sqTopKOracle),
         pqk AS ($pqTopKOracle),
+        ipqk AS ($ivfAdcOracle),
         g AS (SELECT query_id, neighbor_id,
                      ${Similarity.TopK} + 1 - rnk AS gain FROM brute),
         rk AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id, rnk FROM lshk
                UNION ALL
                SELECT 'ivf', query_id, neighbor_id, rnk FROM ivfk
+               UNION ALL
+               SELECT 'ivfpq', query_id, neighbor_id, rnk FROM ipqk
                UNION ALL
                SELECT 'sq', query_id, neighbor_id, rnk FROM sqk
                UNION ALL

@@ -314,16 +314,19 @@ object Similarity {
     * depend on, and the recall/NDCG oracles re-derive from scratch so a
     * stale store fails the gate loudly rather than silently. */
   private[llm] def evalTiers(s: SparkSession, dir: String): Map[String, DataFrame] = {
-    val names = Seq("brute", "ann_lsh", "ivf", "sq", "pq")
+    // r15: + the IVF-ADC composed tier (X63) — the billion-scale
+    // composition belongs in the eval harness next to its components
+    // (fingerprint bumped to v2 so committed v1 stores rebuild)
+    val names = Seq("brute", "ann_lsh", "ivf", "sq", "pq", "ivfpq")
     tierCache.getOrElseUpdate(s, dir) {
       val stored = graft.IndexStore.readOrBuild(s, dir, "eval_tiers",
-        s"v1;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
+        s"v2;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
           s"np=$NProbe;cb=$CentroidBase;c=$Centroids;sqc=$SqCandidates;" +
           s"pqm=$PqSubspaces;pqk=$PqCodewords;pqr=$PqTrainRounds;" +
           s"pqc=$PqCandidates") {
         Seq("brute" -> bruteTopK(s, dir), "ann_lsh" -> annLshTopK(s, dir),
           "ivf" -> ivfTopK(s, dir), "sq" -> sqTopK(s, dir),
-          "pq" -> pqTopK(s, dir))
+          "pq" -> pqTopK(s, dir), "ivfpq" -> ivfAdcTopK(s, dir))
           .map { case (n, df) =>
             df.select(lit(n).as("tier"), col("query_id"),
               col("neighbor_id"), col("cosine"), col("rnk"))
@@ -396,6 +399,8 @@ object Similarity {
       .select(col("query_id").as("sq_q"), col("neighbor_id").as("sn"))
     val pq = tiers("pq")
       .select(col("query_id").as("pq_q"), col("neighbor_id").as("pn"))
+    val ipq = tiers("ivfpq")
+      .select(col("query_id").as("ip_q"), col("neighbor_id").as("ipn"))
     brute
       .join(broadcast(lsh),
         col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
@@ -409,11 +414,16 @@ object Similarity {
       .join(broadcast(pq),
         col("query_id") === col("pq_q") && col("neighbor_id") === col("pn"),
         "left")
+      .join(broadcast(ipq),
+        col("query_id") === col("ip_q") && col("neighbor_id") === col("ipn"),
+        "left")
       .groupBy(col("query_id"))
       .agg(count(col("ln")).as("lsh_hits"), count(col("iv")).as("ivf_hits"),
-        count(col("sn")).as("sq_hits"), count(col("pn")).as("pq_hits"))
+        count(col("sn")).as("sq_hits"), count(col("pn")).as("pq_hits"),
+        count(col("ipn")).as("ivfpq_hits"))
       .select(col("query_id"), expr(
-        "stack(4, 'ann_lsh', lsh_hits, 'ivf', ivf_hits, 'pq', pq_hits, " +
+        "stack(5, 'ann_lsh', lsh_hits, 'ivf', ivf_hits, " +
+          "'ivfpq', ivfpq_hits, 'pq', pq_hits, " +
           "'sq', sq_hits) AS (method, n_hits)"))
       .select(col("method"), col("query_id"), col("n_hits"),
         round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
@@ -1272,8 +1282,10 @@ object Similarity {
     * NDCG@[[TopK]] with graded relevance derived from the EXACT ranking
     * ([[bruteTopK]] rank r ⇒ gain k+1−r; non-top-k docs gain 0). Unlike
     * recall, NDCG penalizes a tier for retrieving the right neighbors in
-    * the wrong ORDER. Evaluates all four ANN tiers ([[annLshTopK]],
-    * [[ivfTopK]], [[sqTopK]], [[pqTopK]]).
+    * the wrong ORDER. Evaluates all five ANN tiers ([[annLshTopK]],
+    * [[ivfTopK]], [[ivfAdcTopK]], [[sqTopK]], [[pqTopK]] — r15 adds the
+    * IVF-ADC composition, so the billion-scale architecture's quality is
+    * measured next to its components).
     *
     * DCG sums fold in RANK order over a sorted collected array (Spark)
     * and an ORDER BY rnk list (oracle) — the dotSql/aggregate sequential-
@@ -1288,6 +1300,7 @@ object Similarity {
     val legs = Seq(
       "ann_lsh" -> tiers("ann_lsh"),
       "ivf" -> tiers("ivf"),
+      "ivfpq" -> tiers("ivfpq"),
       "pq" -> tiers("pq"),
       "sq" -> tiers("sq"))
     val ranked = legs.map { case (m, df) =>
