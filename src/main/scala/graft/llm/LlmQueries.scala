@@ -585,6 +585,39 @@ object LlmQueries {
     * ivfTopKOracle names) composed with the PQ code/LUT CTEs (the
     * pqTopKOracle names), candidates = probed-list members, scored by
     * the ADC lookup sum, exact-cosine rerank. */
+  /** Shared oracle of multimodal_audio AND its streamed twin (the
+    * decode is stateless per row, so stream == batch by construction —
+    * the shared text is what certifies it). */
+  private lazy val multimodalAudioSql: String = s"""
+        WITH d AS (SELECT doc_id AS media_id, source, text,
+                          strlen(text) AS n, doc_id % 4 = 1 AS is_wav
+                   FROM documents),
+        amp0 AS (SELECT media_id, ascii(substr(text, CAST(p AS INT), 1)) AS b
+                 FROM (SELECT media_id, text,
+                              unnest(generate_series(1, CAST(n AS INT))) AS p
+                       FROM d WHERE is_wav)),
+        amp AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
+                       CAST(sum(b * b) AS BIGINT) AS sq
+                FROM amp0 GROUP BY media_id)
+        SELECT d.media_id,
+               CASE WHEN is_wav THEN 'audio/wav' ELSE source END AS kind,
+               CAST(CASE WHEN is_wav THEN 44 + n ELSE n END AS BIGINT)
+                 AS n_bytes,
+               md5(text) AS payload_md5,
+               CAST(CASE WHEN is_wav THEN ${Multimodal.WavSampleRate} END
+                 AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN is_wav THEN 1 END AS BIGINT) AS n_channels,
+               CAST(CASE WHEN is_wav THEN 8 END AS BIGINT) AS bits,
+               CAST(CASE WHEN is_wav THEN n END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN is_wav THEN 36 + n END AS BIGINT) AS riff_size,
+               CASE WHEN is_wav
+                    THEN round(CAST(a.s AS DOUBLE) / n, 6) END AS mean_amp,
+               CASE WHEN is_wav
+                    THEN round(sqrt(CAST(a.sq AS DOUBLE) / n), 6) END
+                 AS rms_amp
+        FROM d LEFT JOIN amp a USING (media_id)
+        ORDER BY d.media_id"""
+
   private val ivfAdcOracle: String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
@@ -2337,35 +2370,18 @@ object LlmQueries {
     // size/rate columns instead).
     QueryDef("multimodal_audio",
       (s, dir) => Multimodal.audioFeatures(s, dir),
-      Some(s"""
-        WITH d AS (SELECT doc_id AS media_id, source, text,
-                          strlen(text) AS n, doc_id % 4 = 1 AS is_wav
-                   FROM documents),
-        amp0 AS (SELECT media_id, ascii(substr(text, CAST(p AS INT), 1)) AS b
-                 FROM (SELECT media_id, text,
-                              unnest(generate_series(1, CAST(n AS INT))) AS p
-                       FROM d WHERE is_wav)),
-        amp AS (SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
-                       CAST(sum(b * b) AS BIGINT) AS sq
-                FROM amp0 GROUP BY media_id)
-        SELECT d.media_id,
-               CASE WHEN is_wav THEN 'audio/wav' ELSE source END AS kind,
-               CAST(CASE WHEN is_wav THEN 44 + n ELSE n END AS BIGINT)
-                 AS n_bytes,
-               md5(text) AS payload_md5,
-               CAST(CASE WHEN is_wav THEN ${Multimodal.WavSampleRate} END
-                 AS BIGINT) AS sample_rate,
-               CAST(CASE WHEN is_wav THEN 1 END AS BIGINT) AS n_channels,
-               CAST(CASE WHEN is_wav THEN 8 END AS BIGINT) AS bits,
-               CAST(CASE WHEN is_wav THEN n END AS BIGINT) AS n_samples,
-               CAST(CASE WHEN is_wav THEN 36 + n END AS BIGINT) AS riff_size,
-               CASE WHEN is_wav
-                    THEN round(CAST(a.s AS DOUBLE) / n, 6) END AS mean_amp,
-               CASE WHEN is_wav
-                    THEN round(sqrt(CAST(a.sq AS DOUBLE) / n), 6) END
-                 AS rms_amp
-        FROM d LEFT JOIN amp a USING (media_id)
-        ORDER BY d.media_id""")),
+      Some(multimodalAudioSql)),
+
+    // STREAMED decode twin (r15): the same content-sniffing WAV decoder
+    // run as containers arrive on a file stream — stateless per-row, so
+    // the drained append output equals the batch relation under ANY
+    // micro-batch split, certified by sharing the oracle verbatim;
+    // AudioStreamSpec pins the cross-batch MemoryStream case.
+    QueryDef("multimodal_audio_streamed",
+      (s, dir) => graft.streaming.AudioDecodeStream
+        .audioFeaturesStreamed(s, dir),
+      Some(multimodalAudioSql)),
+
 
     // Aspect-preserving resize metadata: integer floor arithmetic both
     // engines share exactly; ties (width == height) go to the width branch.

@@ -267,7 +267,7 @@ object Multimodal {
 
   /** Build a canonical 44-byte-header mono 8-bit PCM WAV around a
     * payload — shared by [[audioBlobs]] and the spec fixtures. */
-  private[llm] def wavContainer(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def wavContainer(payload: Array[Byte]): Array[Byte] = {
     val n = payload.length
     val out = java.nio.ByteBuffer.allocate(44 + n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -303,18 +303,21 @@ object Multimodal {
         if (b.kind == "audio/wav") b.copy(blob = wavContainer(b.blob)) else b)
   }
 
+  /** The opaque-payload fallback for undecodable audio containers
+    * (parsed fields null — an undecoded payload has no samples); ONE
+    * definition shared by the batch entry and the streamed twin. */
+  private[graft] def audioStub(b: MediaBlob): AudioFeatures =
+    AudioFeatures(b.media_id, b.kind, b.blob.length.toLong,
+      md5hex(b.blob), None, None, None, None, None, None, None)
+
   /** Partition-wise audio decode: real RIFF parse when the magic
-    * matches, opaque-payload stub otherwise (parsed fields null — an
-    * undecoded payload has no samples). */
+    * matches, opaque-payload stub otherwise. */
   def audioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     audioBlobs(s, dir)
       .mapPartitions { rows =>
-        rows.map { b =>
-          WavDecoder.decode(b.media_id, b.blob).getOrElse(
-            AudioFeatures(b.media_id, b.kind, b.blob.length.toLong,
-              md5hex(b.blob), None, None, None, None, None, None, None))
-        }
+        rows.map(b =>
+          WavDecoder.decode(b.media_id, b.blob).getOrElse(audioStub(b)))
       }
       .toDF()
       .orderBy(col("media_id"))
