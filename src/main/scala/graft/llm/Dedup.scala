@@ -627,10 +627,17 @@ object Dedup {
   /** [[sourceOverlap]] over any (source, text) relation — unit-test
     * hook. */
   private[llm] def sourceOverlapOf(d: DataFrame): DataFrame = {
+    // the distinct (source, gram-hash) relation is bounded by
+    // sources×vocabulary (slim fixed-width rows) and feeds FOUR
+    // consumers (both self-join legs + the two per-source size
+    // broadcasts) — materialized so the corpus explode+hash+distinct
+    // subtree runs once, not per consumer (r15: 1.18 s → the explode
+    // pass alone)
     val sh = d.select(col("source"),
         explode(shingles(col("text"), ShingleK)).as("sh"))
       .select(col("source"), hash64(col("sh")).as("h"))
       .distinct()
+      .localCheckpoint()
     val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
