@@ -1611,6 +1611,84 @@ object LlmQueries {
       (s, dir) => Similarity.servedTier(s, dir, "brute"),
       Some(bruteTopKOracle)),
 
+    // METADATA-FILTERED retrieval (r15): filter + vector in one query —
+    // exact top-k restricted to candidates whose paired document passes
+    // the predicate (lang = FilterLang), queries unrestricted: the
+    // filtered-search contract every production vector store ships.
+    QueryDef("similarity_filtered_topk",
+      (s, dir) => Similarity.filteredTopK(s, dir),
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        c AS (SELECT e.vec_id, e.embedding
+              FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+              WHERE d.lang = '${Similarity.FilterLang}'),
+        p AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${cosineSql("q.qv", "c.embedding")} AS cosine
+              FROM c JOIN q ON c.vec_id <> q.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                       AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk""")),
+
+    // MATRYOSHKA truncation eval (r15, Kusupati et al. 2022): recall@k
+    // of exact retrieval on the first-w embedding dims vs the full-width
+    // baseline, per width — the truncate-the-embedding serving knob; the
+    // full-width leg is the certified 1.0 identity row.
+    QueryDef("similarity_matryoshka_recall",
+      (s, dir) => Similarity.matryoshkaRecall(s, dir),
+      Some {
+        def dotW(a: String, b: String, w: Int): String =
+          s"list_sum(list_transform(generate_series(1, $w), " +
+            s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        def cosW(a: String, b: String, w: Int): String =
+          s"round(${dotW(a, b, w)} / (sqrt(${dotW(a, a, w)}) * " +
+            s"sqrt(${dotW(b, b, w)})), 6)"
+        val truncLegs = Similarity.MatryoshkaWidths
+          .filter(_ < Similarity.Dims).map { w =>
+            s"""
+        t$w AS (SELECT query_id, neighbor_id FROM (
+                 SELECT q.query_id, e.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY q.query_id
+                          ORDER BY ${cosW("q.qv", "e.embedding", w)} DESC,
+                                   e.vec_id) AS rnk
+                 FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+                WHERE rnk <= ${Similarity.TopK}),"""
+          }.mkString
+        val hitLegs = Similarity.MatryoshkaWidths.map { w =>
+          if (w == Similarity.Dims)
+            s"""
+          SELECT $w AS width, query_id,
+                 CAST(count(*) AS BIGINT) AS n_hits
+          FROM brute GROUP BY query_id"""
+          else
+            s"""
+          SELECT $w AS width, b.query_id,
+                 CAST(count(t.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN t$w t
+            ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+          GROUP BY b.query_id"""
+        }.mkString("\n          UNION ALL")
+        s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        brute AS (SELECT query_id, neighbor_id FROM (
+                   SELECT q.query_id, e.vec_id AS neighbor_id,
+                          row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY ${cosineSql("q.qv", "e.embedding")} DESC,
+                                     e.vec_id) AS rnk
+                   FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+                  WHERE rnk <= ${Similarity.TopK}),$truncLegs
+        hits AS ($hitLegs)
+        SELECT width, query_id, n_hits,
+               round(n_hits / ${Similarity.TopK}.0, 6) AS recall
+        FROM hits ORDER BY width, query_id"""
+      }),
+
     // One Lloyd iteration over the IVF assignment (r7 residual #3): the
     // oracle recomputes the assignment, the element-wise decimal means,
     // and the re-assignment with the shared cosine/mean arithmetic.

@@ -1340,6 +1340,113 @@ object Similarity {
       .orderBy(col("method"), col("query_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // metadata-filtered retrieval + Matryoshka truncation eval (r15)
+
+  /** The metadata predicate for [[filteredTopK]] — candidates must be
+    * documents in this language (the dominant one, so the filtered pool
+    * stays k-servable). */
+  val FilterLang = "en"
+
+  /** METADATA-FILTERED top-k retrieval — the "filtered search" every
+    * production vector store ships (filter + vector in ONE query):
+    * exact cosine top-k where CANDIDATES are restricted to vectors
+    * whose paired document satisfies a metadata predicate
+    * (lang = [[FilterLang]]); queries themselves are unrestricted, the
+    * standard filtered-ANN contract. The document join is the X33
+    * record-id alignment (embeddings.vec_id = documents.doc_id).
+    *
+    * 100 TB: the predicate filters the DOC-side slim (doc_id, lang)
+    * relation before the id join — with both tables bucketed by id the
+    * join is co-partitioned and shuffle-free, and with metadata embedded
+    * in the vector store's row groups it becomes a pushed scan filter
+    * (what HNSW/IVF engines call pre-filtering); everything downstream
+    * is the bruteTopK shape. An IVF deployment composes the same
+    * predicate into the inverted-list scan. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val allowed = Corpus.docs(s, dir)
+      .where(col("lang") === FilterLang)
+      .select(col("doc_id").as("vec_id"))
+    filteredTopKOf(emb(s, dir), allowed)
+  }
+
+  /** [[filteredTopK]] over any (vec_id, embedding) relation and an
+    * allowed-id relation — unit-test hook. */
+  private[llm] def filteredTopKOf(e: DataFrame,
+      allowed: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .where(col("query_id") < QueryCount)
+    val cand = e.join(allowed, "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Truncation widths for [[matryoshkaRecall]] — prefix lengths of the
+    * embedding, the MRL deployment knob (full width last as the 1.0
+    * sanity row). */
+  val MatryoshkaWidths: Seq[Int] = Seq(16, 32, Dims)
+
+  /** MATRYOSHKA truncation eval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — the truncate-the-embedding serving mode
+    * OpenAI/Google ship): per truncation width w, recall@k of the exact
+    * top-k computed on the FIRST w dimensions against the full-width
+    * exact baseline. The synthetic embeddings are not MRL-trained, so
+    * the measured recall quantifies what naive truncation costs on an
+    * isotropic corpus — the baseline a trained-MRL model is judged
+    * against; width = [[Dims]] is the identity leg (recall 1.0 by
+    * construction, certified not assumed).
+    *
+    * 100 TB: one bruteTopK-shaped pass per width over sliced vectors
+    * (in production the w-dim copy is the stored index — 4× less memory
+    * traffic at w = 16); the eval joins are (Q·k)-row broadcasts riding
+    * the stored full-width tier. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val brute = evalTiers(s, dir)("brute")
+      .select(col("query_id"), col("neighbor_id"))
+    // one left-join leg per width (the annRecall shape — the per-query
+    // group always exists because every query carries k brute rows, so
+    // a width that misses everything still reports n_hits = 0)
+    MatryoshkaWidths.map { wd =>
+      val ranked =
+        if (wd == Dims) evalTiers(s, dir)("brute")
+        else truncatedTopKOf(e, wd)
+      val t = ranked.select(col("query_id").as("tq"),
+        col("neighbor_id").as("tn"))
+      brute.join(broadcast(t),
+          col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("tn")).as("n_hits"))
+        .select(lit(wd).as("width"), col("query_id"), col("n_hits"),
+          round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("width"), col("query_id"))
+  }
+
+  /** Exact top-k under the FIRST-w-dims cosine — the truncated-serving
+    * pipeline (the bruteTopK shape over sliced vectors). */
+  private[llm] def truncatedTopKOf(e: DataFrame, wd: Int): DataFrame = {
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .where(col("query_id") < QueryCount)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(slice(col("qv"), 1, wd), slice(col("embedding"), 1, wd))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** SemDeDup centroid ids: [SemCentroidBase, SemCentroidBase+SemCentroids)
     * — a DISTINCT deterministic centroid set from the IVF index's
     * ([[CentroidBase]]) so the two partitionings stay uncorrelated. K is
