@@ -37,6 +37,8 @@ object Builds {
       ((s, d) => { Similarity.evalTiers(s, d).values.foreach(_.count()); () }),
     "build_label_prototypes" ->
       ((s, d) => { Similarity.labelComp(s, d).count(); () }),
+    "build_pagerank" ->
+      ((s, d) => { PageRank.pagerank(s, d).count(); () }),
     "build_pca_power" ->
       ((s, d) => { Pca.pcaPower(s, d).count(); () }),
     "build_dsv2_docs" ->
