@@ -1201,6 +1201,48 @@ object Corpus {
       .orderBy(col("round"), col("source"))
   }
 
+  /** REWEIGHTED RESAMPLING — the composition that closes the DoReMi
+    * loop (r15): [[domainReweight]] learns the target mixture α; this
+    * operator MATERIALIZES it — per source, the downsample-only rate
+    * that moves the realized token shares toward α (boost = α/share,
+    * normalized to the most-boosted source — the [[domainMix]]/
+    * [[temperatureMix]] rate discipline), then the deterministic
+    * keep-hash gate picks the survivors. Emits per source: volumes, the
+    * observed share, the learned α, the sample rate, and the kept
+    * doc/token counts.
+    *
+    * 100 TB: the α side is the K-row final round of the reweighting
+    * recurrence; shares are one bounded aggregation over per-doc token
+    * counts; rates broadcast; the keep decision is per-row hash
+    * arithmetic fused into the scan — the one corpus-scale pass. */
+  def domainReweightSample(s: SparkSession, dir: String): DataFrame = {
+    val alphas = domainReweight(s, dir)
+      .where(col("round") === DoremiRounds)
+      .select(col("source"), col("alpha"))
+    val perDoc = docs(s, dir).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    // partition-less windows are BOUNDED: per-source aggregate rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val st = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val sh = st.select(col("source"), col("n_docs"), col("src_tokens"),
+      round(col("src_tokens").cast(DoubleType) /
+        sum(col("src_tokens")).over(w).cast(DoubleType), 6).as("share"))
+    val rated = sh.join(alphas, "source")
+      .withColumn("boost", round(col("alpha") / col("share"), 6))
+      .withColumn("sample_rate",
+        round(col("boost") / max(col("boost")).over(w), 6))
+    val keep = pmod(hash64(concat(lit("drw|"), col("doc_id").cast(StringType))),
+      lit(TempKeepMod)).cast(DoubleType)
+      .lt(col("sample_rate") * lit(TempKeepMod.toDouble))
+    perDoc.join(broadcast(rated), "source")
+      .groupBy(col("source"), col("n_docs"), col("src_tokens"),
+        col("share"), col("alpha"), col("sample_rate"))
+      .agg(sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---- weighted reservoir sampling ------------------------------------
 
   /** Global sample size for [[weightedReservoir]]. */

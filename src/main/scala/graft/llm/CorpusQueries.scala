@@ -175,6 +175,67 @@ object CorpusQueries {
     QueryDef("corpus_domain_reweight",
       (s, dir) => Corpus.domainReweight(s, dir),
       Some {
+        val sel = (1 to Corpus.DoremiRounds).map(t =>
+          s"SELECT $t AS round, source, loss, excess, alpha FROM a$t")
+          .mkString("\n        UNION ALL ")
+        s"""
+        WITH $doremiCtes
+        $sel ORDER BY round, source"""
+      }),
+
+    // REWEIGHTED RESAMPLING (r15): materialize the DoReMi mixture — the
+    // final-round alphas drive downsample-only per-source rates
+    // (boost = alpha/share normalized to the most-boosted source, the
+    // temperature-mix discipline) and the shared deterministic keep-hash
+    // gate picks survivors. The oracle composes the FULL reweighting CTE
+    // chain verbatim (one definition, no drift) with the share/rate
+    // arithmetic and the same hash gate.
+    QueryDef("corpus_reweighted_sample",
+      (s, dir) => Corpus.domainReweightSample(s, dir),
+      Some {
+        val r = Corpus.DoremiRounds
+        s"""
+        WITH $doremiCtes,
+        pd AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+        st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+               FROM pd GROUP BY source),
+        tt AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS t FROM st),
+        shr AS (SELECT source, n_docs, src_tokens,
+                       round(CAST(src_tokens AS DOUBLE) / t, 6) AS share
+                FROM st, tt),
+        b AS (SELECT s.source, s.n_docs, s.src_tokens, s.share, a.alpha,
+                     round(a.alpha / s.share, 6) AS boost
+              FROM shr s JOIN a$r a USING (source)),
+        mx AS (SELECT max(boost) AS mb FROM b),
+        rt AS (SELECT source, n_docs, src_tokens, share, alpha,
+                      round(boost / mb, 6) AS sample_rate
+               FROM b, mx),
+        kept AS (SELECT p.source,
+                        CAST(sum(CASE WHEN ${hash64Sql(
+                          "concat('drw|', CAST(p.doc_id AS VARCHAR))")}
+                            % ${Corpus.TempKeepMod} <
+                            r.sample_rate * ${Corpus.TempKeepMod}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                        CAST(sum(CASE WHEN ${hash64Sql(
+                          "concat('drw|', CAST(p.doc_id AS VARCHAR))")}
+                            % ${Corpus.TempKeepMod} <
+                            r.sample_rate * ${Corpus.TempKeepMod}
+                          THEN p.n_tokens ELSE 0 END) AS BIGINT)
+                          AS kept_tokens
+                 FROM pd p JOIN rt r USING (source)
+                 GROUP BY p.source)
+        SELECT r.source, r.n_docs, r.src_tokens, r.share, r.alpha,
+               r.sample_rate, k.n_kept, k.kept_tokens
+        FROM rt r JOIN kept k USING (source)
+        ORDER BY r.source"""
+      }),
+
+    QueryDef("__DOREMI_PLACEHOLDER__",
+      (s, dir) => Corpus.domainReweight(s, dir),
+      Some {
         val eta = Corpus.DoremiEta
         val oneMinusC = 1.0 - Corpus.DoremiSmooth
         val c = Corpus.DoremiSmooth
