@@ -1215,11 +1215,23 @@ object Corpus {
     * recurrence; shares are one bounded aggregation over per-doc token
     * counts; rates broadcast; the keep decision is per-row hash
     * arithmetic fused into the scan — the one corpus-scale pass. */
-  def domainReweightSample(s: SparkSession, dir: String): DataFrame = {
-    val alphas = domainReweight(s, dir)
+  def domainReweightSample(s: SparkSession, dir: String): DataFrame =
+    domainReweightSampleFrom(domainReweight(s, dir), docs(s, dir))
+
+  /** [[domainReweightSample]] over any (doc_id, source, text) relation —
+    * unit-test hook (runs the reweighting recurrence inline instead of
+    * riding the session tf index). */
+  private[graft] def domainReweightSampleOf(d: DataFrame): DataFrame =
+    domainReweightSampleFrom(domainReweightOf(d), d)
+
+  /** The mixture materialization over a prepared reweighting trajectory
+    * and its (doc_id, source, text) corpus. */
+  private def domainReweightSampleFrom(rw: DataFrame, d: DataFrame)
+      : DataFrame = {
+    val alphas = rw
       .where(col("round") === DoremiRounds)
       .select(col("source"), col("alpha"))
-    val perDoc = docs(s, dir).select(col("doc_id"), col("source"),
+    val perDoc = d.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast(LongType).as("n_tokens"))
     // partition-less windows are BOUNDED: per-source aggregate rows
     val w = org.apache.spark.sql.expressions.Window.partitionBy()

@@ -62,6 +62,63 @@ object CorpusQueries {
         FROM corpus c LEFT JOIN hits h USING (doc_id)
         ORDER BY doc_id"""
 
+  /** Shared DoReMi CTE chain (Xie et al. 2023) — the per-source surprisal
+    * loss proxy (`tok`→`loss`), the uniform init `a0`, and
+    * [[Corpus.DoremiRounds]] Group-DRO multiplicative-weight rounds
+    * unrolled as MATERIALIZED CTEs (the kmeans/PageRank discipline).
+    * Interpolated VERBATIM by BOTH `corpus_domain_reweight` (the
+    * trajectory dump) and `corpus_reweighted_sample` (the mixture
+    * materialization) so the two oracles can never drift: one definition,
+    * two consumers. Ends on the last `a$${rounds}` CTE with NO trailing
+    * comma — callers append `, extra AS (…)` or the final SELECT
+    * themselves. Every host literal CAST AS DOUBLE; exp() 9-dp-rounded
+    * exactly like the suite's ln(). */
+  private val doremiCtes: String = {
+    val eta = Corpus.DoremiEta
+    val oneMinusC = 1.0 - Corpus.DoremiSmooth
+    val c = Corpus.DoremiSmooth
+    val rounds = (1 to Corpus.DoremiRounds).map { t =>
+      val prev = if (t == 1) "a0" else s"a${t - 1}"
+      s""",
+        m$t AS (SELECT CAST(sum(CAST(round(alpha * loss, 9)
+                                     AS DECIMAL(28,9))) AS DOUBLE) AS lam
+                FROM $prev),
+        e$t AS (SELECT source, loss, alpha,
+                       round(greatest(loss - lam, CAST(0 AS DOUBLE)), 9)
+                         AS excess
+                FROM $prev, m$t),
+        u$t AS (SELECT source, loss, excess,
+                       round(alpha * round(exp(CAST($eta AS DOUBLE) * excess),
+                                           9), 9) AS u
+                FROM e$t),
+        s$t AS (SELECT CAST(sum(CAST(u AS DECIMAL(28,9))) AS DOUBLE) AS s
+                FROM u$t),
+        a$t AS MATERIALIZED (SELECT source, loss, excess,
+                       round(CAST($oneMinusC AS DOUBLE) * round(u / s, 9) +
+                             CAST($c AS DOUBLE) / kk, 9) AS alpha
+                FROM u$t, s$t, k)"""
+    }.mkString
+    s"""tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT token, sum(tf) AS term_freq FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS total_tokens
+                FROM dfr),
+        sc AS (SELECT source, tf,
+                      CAST(round(tf * -ln(CAST(term_freq AS DOUBLE) /
+                                          total_tokens), 9)
+                        AS DECIMAL(28, 9)) AS c
+               FROM tf JOIN dfr USING (token) CROSS JOIN tot),
+        loss AS (SELECT source,
+                        round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS loss
+                 FROM sc GROUP BY source),
+        k AS (SELECT count(*) AS kk FROM loss),
+        a0 AS (SELECT source, loss,
+                      round(CAST(1 AS DOUBLE) / kk, 9) AS alpha
+               FROM loss, k)
+        $rounds"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Overlapping token chunks. chunk_idx is derivable from chunk_start
@@ -231,59 +288,6 @@ object CorpusQueries {
                r.sample_rate, k.n_kept, k.kept_tokens
         FROM rt r JOIN kept k USING (source)
         ORDER BY r.source"""
-      }),
-
-    QueryDef("__DOREMI_PLACEHOLDER__",
-      (s, dir) => Corpus.domainReweight(s, dir),
-      Some {
-        val eta = Corpus.DoremiEta
-        val oneMinusC = 1.0 - Corpus.DoremiSmooth
-        val c = Corpus.DoremiSmooth
-        val rounds = (1 to Corpus.DoremiRounds).map { t =>
-          val prev = if (t == 1) "a0" else s"a${t - 1}"
-          s""",
-        m$t AS (SELECT CAST(sum(CAST(round(alpha * loss, 9)
-                                     AS DECIMAL(28,9))) AS DOUBLE) AS lam
-                FROM $prev),
-        e$t AS (SELECT source, loss, alpha,
-                       round(greatest(loss - lam, CAST(0 AS DOUBLE)), 9)
-                         AS excess
-                FROM $prev, m$t),
-        u$t AS (SELECT source, loss, excess,
-                       round(alpha * round(exp(CAST($eta AS DOUBLE) * excess),
-                                           9), 9) AS u
-                FROM e$t),
-        s$t AS (SELECT CAST(sum(CAST(u AS DECIMAL(28,9))) AS DOUBLE) AS s
-                FROM u$t),
-        a$t AS MATERIALIZED (SELECT source, loss, excess,
-                       round(CAST($oneMinusC AS DOUBLE) * round(u / s, 9) +
-                             CAST($c AS DOUBLE) / kk, 9) AS alpha
-                FROM u$t, s$t, k)"""
-        }.mkString
-        val sel = (1 to Corpus.DoremiRounds).map(t =>
-          s"SELECT $t AS round, source, loss, excess, alpha FROM a$t")
-          .mkString("\n        UNION ALL ")
-        s"""
-        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
-                     FROM documents),
-        tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfr AS (SELECT token, sum(tf) AS term_freq FROM tf GROUP BY 1),
-        tot AS (SELECT CAST(sum(term_freq) AS DOUBLE) AS total_tokens
-                FROM dfr),
-        sc AS (SELECT source, tf,
-                      CAST(round(tf * -ln(CAST(term_freq AS DOUBLE) /
-                                          total_tokens), 9)
-                        AS DECIMAL(28, 9)) AS c
-               FROM tf JOIN dfr USING (token) CROSS JOIN tot),
-        loss AS (SELECT source,
-                        round(CAST(sum(c) AS DOUBLE) / sum(tf), 6) AS loss
-                 FROM sc GROUP BY source),
-        k AS (SELECT count(*) AS kk FROM loss),
-        a0 AS (SELECT source, loss,
-                      round(CAST(1 AS DOUBLE) / kk, 9) AS alpha
-               FROM loss, k)
-        $rounds
-        $sel ORDER BY round, source"""
       }),
 
     // Benchmark-CONTAMINATION REPORT (r15): the per-eval-set overlap

