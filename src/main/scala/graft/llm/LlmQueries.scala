@@ -2574,26 +2574,69 @@ object LlmQueries {
                  AS resized_hash
         FROM r ORDER BY media_id""")),
 
+    // REAL frame decode (r16 — the last multimodal stub closed): the
+    // video quarter (media_id ≡ 2 mod 4) ships as genuine motion-PPM
+    // containers (consecutive binary P6 frames — the ffmpeg image2pipe
+    // PPM stream) and Spark frame-walks them with the shared P6 kernel;
+    // each sampled frame row hashes the DECODED frame's pixel bytes and
+    // carries exact per-channel means, which this oracle re-derives
+    // byte-identically from the (all-ASCII) text slices. Non-video
+    // payloads keep the labeled stub formulas.
     QueryDef("multimodal_frames",
       (s, dir) => Multimodal.frameSamples(s, dir),
-      Some(s"""
-        WITH f AS (SELECT doc_id AS media_id,
-                          CASE WHEN doc_id % 4 = 0
-                               THEN md5('P6' || chr(10) || '${Multimodal.PpmWidth} '
-                                    || (strlen(text) + 47) // 48 || chr(10) || '255' || chr(10)
-                                    || text || repeat('.',
-                                         CAST(((strlen(text) + 47) // 48)*48 - strlen(text) AS INT)))
-                               ELSE md5(text) END AS digest,
-                          CAST(CASE WHEN doc_id % 4 = 0 THEN 1
-                               ELSE 1 + strlen(text) % 30 END AS BIGINT) AS n_frames
-                   FROM documents),
-        g AS (SELECT media_id, digest, n_frames,
-                     greatest(1, n_frames // 4) AS stride FROM f)
-        SELECT media_id, i AS frame_idx,
-               md5(concat(digest, '|', i)) AS frame_hash
-        FROM g CROSS JOIN generate_series(0, 29) t(i)
-        WHERE i < n_frames AND i % stride = 0
-        ORDER BY media_id, frame_idx""")),
+      Some {
+        val fb = Multimodal.MppmFrameBytes // 192
+        val w = Multimodal.PpmWidth // 16
+        val h = Multimodal.MppmFrameRows // 4
+        s"""
+        WITH base AS (SELECT doc_id AS media_id, source, text,
+                             strlen(text) AS len, doc_id % 4 = 2 AS is_vid,
+                             (strlen(text) + ${fb - 1}) // $fb AS nf
+                      FROM documents),
+        vid AS (SELECT media_id, nf,
+                       text || repeat('.', CAST(nf*$fb - len AS INT)) AS padded,
+                       greatest(1, nf // 4) AS stride
+                FROM base WHERE is_vid),
+        vf AS (SELECT media_id, nf, u.i AS frame_idx,
+                      substr(padded, CAST(u.i*$fb + 1 AS INT), $fb) AS pay
+               FROM vid, LATERAL unnest(generate_series(
+                 CAST(0 AS BIGINT), nf - 1, stride)) u(i)),
+        px AS (SELECT media_id, frame_idx, (p - 1) % 3 AS ch,
+                      ascii(substr(pay, CAST(p AS INT), 1)) AS b
+               FROM vf, LATERAL unnest(generate_series(1, $fb)) q(p)),
+        ms AS (SELECT media_id, frame_idx,
+                      round(CAST(sum(b) FILTER (ch = 0) AS DOUBLE)
+                            / count(*) FILTER (ch = 0), 6) AS mean_r,
+                      round(CAST(sum(b) FILTER (ch = 1) AS DOUBLE)
+                            / count(*) FILTER (ch = 1), 6) AS mean_g,
+                      round(CAST(sum(b) FILTER (ch = 2) AS DOUBLE)
+                            / count(*) FILTER (ch = 2), 6) AS mean_b
+               FROM px GROUP BY 1, 2),
+        vrows AS (SELECT v.media_id, 'video/mppm' AS kind,
+                         CAST(v.nf AS BIGINT) AS n_frames,
+                         CAST(v.frame_idx AS BIGINT) AS frame_idx,
+                         CAST($w AS BIGINT) AS width,
+                         CAST($h AS BIGINT) AS height,
+                         md5(v.pay) AS frame_md5,
+                         m.mean_r, m.mean_g, m.mean_b
+                  FROM vf v JOIN ms m USING (media_id, frame_idx)),
+        stub AS (SELECT media_id, source AS kind,
+                        1 + len % 30 AS n_frames, text
+                 FROM base WHERE NOT is_vid),
+        srows AS (SELECT media_id, kind, CAST(n_frames AS BIGINT) AS n_frames,
+                         CAST(u.i AS BIGINT) AS frame_idx,
+                         CAST(NULL AS BIGINT) AS width,
+                         CAST(NULL AS BIGINT) AS height,
+                         md5(md5(text) || '|' || u.i) AS frame_md5,
+                         CAST(NULL AS DOUBLE) AS mean_r,
+                         CAST(NULL AS DOUBLE) AS mean_g,
+                         CAST(NULL AS DOUBLE) AS mean_b
+                  FROM stub, LATERAL unnest(generate_series(
+                    CAST(0 AS BIGINT), n_frames - 1,
+                    greatest(1, n_frames // 4))) u(i))
+        SELECT * FROM (SELECT * FROM vrows UNION ALL SELECT * FROM srows)
+        ORDER BY media_id, frame_idx"""
+      }),
 
     QueryDef("events_hourly",
       (s, dir) => Events.hourly(s, dir),

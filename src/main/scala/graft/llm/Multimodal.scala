@@ -74,58 +74,80 @@ object Multimodal {
     }
   }
 
-  object PpmDecoder {
-    private def isWs(c: Byte): Boolean =
-      c == ' ' || c == '\n' || c == '\t' || c == '\r'
+  /** One parsed P6 frame inside a byte stream: header dims, the pixel
+    * region [pixStart, pixEnd), and per-channel byte sums — the shared
+    * kernel of the still-image decoder and the motion-PPM frame walk. */
+  private[llm] final case class P6Frame(width: Long, height: Long,
+      pixStart: Int, pixEnd: Int, sums: Array[Long])
 
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\n' || c == '\t' || c == '\r'
+
+  /** Parse ONE binary P6 frame at `start`: magic, three
+    * whitespace-separated decimal header fields (width, height, maxval —
+    * 8-bit only), exactly one whitespace separator, then the raw RGB24
+    * pixel region. Returns None unless the full pixel region fits; all
+    * cursor arithmetic in Long (untrusted header values must not
+    * overflow an Int before the bounds check — the WavDecoder lesson). */
+  private[llm] def parseP6(bytes: Array[Byte], start: Int): Option[P6Frame] = {
+    if (start + 2 > bytes.length ||
+      bytes(start) != 'P' || bytes(start + 1) != '6') return None
+    var i = start + 2
+    val vals = new Array[Long](3) // width, height, maxval
+    var v = 0
+    while (v < 3) {
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return None
+      var x = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        x = x * 10 + (bytes(i) - '0'); i += 1
+        if (x > Int.MaxValue) return None // hostile header dims
+      }
+      vals(v) = x; v += 1
+    }
+    // exactly one whitespace byte separates the header from pixel data
+    if (i >= bytes.length || !isWs(bytes(i))) return None
+    i += 1
+    if (vals(2) != 255) return None // only 8-bit channels
+    val nPixBytes = vals(0) * vals(1) * 3
+    if (nPixBytes <= 0 || i.toLong + nPixBytes > bytes.length) return None
+    val sums = new Array[Long](3)
+    var p = 0
+    val n = nPixBytes.toInt
+    while (p < n) {
+      sums(p % 3) += bytes(i + p) & 0xff
+      p += 1
+    }
+    Some(P6Frame(vals(0), vals(1), i, i + n, sums))
+  }
+
+  /** 6-dp channel mean over a frame's per-channel sum (each channel owns
+    * exactly width·height bytes of the RGB24 region). */
+  private def chMean(f: P6Frame, ch: Int): Option[Double] = {
+    val cnt = f.width * f.height
+    Some(BigDecimal(f.sums(ch).toDouble / cnt)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  object PpmDecoder {
     /** REAL binary P6 parser — returns None when the payload is not a
       * well-formed 8-bit P6 PPM (the caller then falls back to the stub,
       * the "other codecs" path). Emits the header dims, n_frames = 1
       * (still image), and exact per-channel byte means over the pixel
       * region, 6-dp rounded as one IEEE division of an integer sum. */
-    def decode(b: MediaBlob): Option[MediaFeatures] = {
-      val bytes = b.blob
-      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-      var i = 2
-      val vals = new Array[Long](3) // width, height, maxval
-      var v = 0
-      while (v < 3) {
-        while (i < bytes.length && isWs(bytes(i))) i += 1
-        if (i >= bytes.length || bytes(i) < '0' || bytes(i) > '9') return None
-        var x = 0L
-        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
-          x = x * 10 + (bytes(i) - '0'); i += 1
-        }
-        vals(v) = x; v += 1
+    def decode(b: MediaBlob): Option[MediaFeatures] =
+      parseP6(b.blob, 0).map { f =>
+        MediaFeatures(
+          media_id = b.media_id,
+          kind = b.kind,
+          n_bytes = b.blob.length.toLong,
+          digest = md5hex(b.blob),
+          width = f.width,
+          height = f.height,
+          n_frames = 1,
+          mean_r = chMean(f, 0), mean_g = chMean(f, 1),
+          mean_b = chMean(f, 2))
       }
-      // exactly one whitespace byte separates the header from pixel data
-      if (i >= bytes.length || !isWs(bytes(i))) return None
-      i += 1
-      if (vals(2) != 255) return None // only 8-bit channels
-      val nPixBytes = vals(0) * vals(1) * 3
-      if (nPixBytes <= 0 || i + nPixBytes > bytes.length) return None
-      val sums = new Array[Long](3)
-      val counts = new Array[Long](3)
-      var p = 0L
-      while (p < nPixBytes) {
-        val ch = (p % 3).toInt
-        sums(ch) += bytes(i + p.toInt) & 0xff
-        counts(ch) += 1
-        p += 1
-      }
-      def mean(ch: Int): Option[Double] =
-        Some(BigDecimal(sums(ch).toDouble / counts(ch))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      Some(MediaFeatures(
-        media_id = b.media_id,
-        kind = b.kind,
-        n_bytes = bytes.length.toLong,
-        digest = md5hex(bytes),
-        width = vals(0),
-        height = vals(1),
-        n_frames = 1,
-        mean_r = mean(0), mean_g = mean(1), mean_b = mean(2)))
-    }
   }
 
   /** Content-sniffing decode: real PPM parse when the magic matches,
@@ -357,22 +379,130 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Frame sampling: explode each media item into evenly-strided frame
-    * rows (stride = max(1, n_frames/4) → ≤5 samples per item). The frame
-    * "content" hash is the ===== STUB ===== stand-in for decoding the
-    * frame; the explode-into-rows shape (one row per sampled frame,
-    * partitioning inherited, no shuffle) is the real 100 TB pipeline
-    * plumbing a video corpus needs. */
+  // ---- video tier (r16) -------------------------------------------------
+
+  /** Frame shape of the constructed motion-PPM containers: each frame is
+    * a genuine P6 image of [[PpmWidth]]×[[MppmFrameRows]] pixels, so the
+    * per-frame pixel payload is 3·16·4 = 192 bytes. */
+  val MppmFrameRows = 4L
+
+  /** Pixel bytes per motion-PPM frame. */
+  val MppmFrameBytes: Long = PpmWidth * MppmFrameRows * 3 // 192
+
+  final case class VideoFrame(
+      media_id: Long,
+      kind: String,
+      n_frames: Long,
+      frame_idx: Long,
+      width: Option[Long],
+      height: Option[Long],
+      frame_md5: String,
+      mean_r: Option[Double],
+      mean_g: Option[Double],
+      mean_b: Option[Double])
+
+  /** REAL motion-PPM parser — the multi-frame container walk: a
+    * motion-PPM / PPM stream (what `ffmpeg -f image2pipe -vcodec ppm`
+    * emits: consecutive binary P6 images back to back) is parsed frame
+    * by frame with the SHARED [[parseP6]] kernel until the stream is
+    * exhausted. Strict: every frame must parse and the stream must be
+    * consumed EXACTLY (a truncated tail frame or trailing garbage fails
+    * the whole container → None, the stub fallback — a half-decoded
+    * video must not masquerade as a decoded one). */
+  object MppmDecoder {
+    def decode(bytes: Array[Byte]): Option[Vector[P6Frame]] = {
+      var frames = Vector.empty[P6Frame]
+      var at = 0
+      while (at < bytes.length) {
+        parseP6(bytes, at) match {
+          case Some(f) => frames :+= f; at = f.pixEnd
+          case None => return None
+        }
+      }
+      if (frames.isEmpty) None else Some(frames)
+    }
+  }
+
+  /** The video face of the media corpus: a third quarter of the items
+    * (media_id ≡ 2 mod 4) ships as GENUINE motion-PPM containers — the
+    * (all-ASCII) text split into consecutive 192-byte pixel payloads,
+    * each wrapped in a real P6 frame header, last frame '.'-padded —
+    * the rest stays opaque (the stub path). Deterministic function of
+    * the text, so the DuckDB twin re-derives every frame's pixel bytes
+    * and channel stats byte-identically; the decoder only ever sees the
+    * bytes (content-sniffed magic, frame-walk, exact consumption). */
+  def videoBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    val isVid = col("doc_id") % 4 === 2
+    val len = length(col("text"))
+    val fb = MppmFrameBytes.toInt
+    val nf = floor((len + lit(fb - 1)) / fb).cast("long")
+    val padded = concat(col("text"),
+      lit(".".repeat(fb)).substr(lit(1),
+        (nf * fb - len).cast(org.apache.spark.sql.types.IntegerType)))
+    // one header per frame, payload sliced from the padded text; the
+    // container is a per-row fold (no explode/regroup round trip)
+    val header = s"P6\n$PpmWidth $MppmFrameRows\n255\n"
+    val containerFold = aggregate(
+      transform(sequence(lit(0L), nf - 1), f =>
+        concat(lit(header),
+          padded.substr((f * fb + 1).cast("int"), lit(fb)))),
+      lit(""), (acc, fr) => concat(acc, fr))
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("media_id"),
+        encode(when(isVid, containerFold).otherwise(col("text")), "UTF-8")
+          .as("blob"),
+        when(isVid, lit("video/mppm")).otherwise(col("source")).as("kind"))
+      .as[MediaBlob]
+  }
+
+  /** The opaque-payload stub frame rows — every codec this container
+    * lacks: fake frame count from the byte stream (the [[DecodeStub]]
+    * formulas), frame "content" hash derived from the payload digest,
+    * channel stats null (an undecoded frame has no pixels). */
+  private def stubFrames(b: MediaBlob): Iterator[VideoFrame] = {
+    val n = b.blob.length.toLong
+    val nFrames = 1 + n % 30
+    val stride = math.max(1L, nFrames / 4)
+    val digest = md5hex(b.blob)
+    Iterator.range(0L, nFrames, stride).map(i =>
+      VideoFrame(b.media_id, b.kind, nFrames, i, None, None,
+        md5hex(s"$digest|$i".getBytes("UTF-8")), None, None, None))
+  }
+
+  /** Frame sampling over the REAL decode (r16 — closes the last frame
+    * stub): motion-PPM containers are frame-walked by [[MppmDecoder]]
+    * and each SAMPLED frame row (evenly strided, stride =
+    * max(1, n_frames/4) → ≤7 samples per item, the standard
+    * frame-sampling budget) carries the md5 OF THE DECODED FRAME'S
+    * PIXEL BYTES plus exact per-channel means — not a stub digest.
+    * Non-video payloads keep the clearly-labeled stub path. The
+    * explode-into-rows shape (one row per sampled frame, partitioning
+    * inherited from the scan, no shuffle, one decoder per partition) is
+    * the real 100 TB pipeline plumbing a video corpus needs. */
   def frameSamples(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    val stride = greatest(lit(1L), floor(col("n_frames") / 4).cast(LongType))
-    features(s, dir)
-      .select(col("media_id"), col("digest"), col("n_frames"), stride.as("stride"))
-      .withColumn("frame_idx",
-        explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))))
-      .select(col("media_id"), col("frame_idx"),
-        md5(concat(col("digest"), lit("|"), col("frame_idx").cast("string")))
-          .as("frame_hash"))
+    import s.implicits._
+    videoBlobs(s, dir)
+      .mapPartitions { rows =>
+        rows.flatMap { b =>
+          MppmDecoder.decode(b.blob) match {
+            case Some(frames) =>
+              val nFrames = frames.size.toLong
+              val stride = math.max(1L, nFrames / 4)
+              Iterator.range(0L, nFrames, stride).map { i =>
+                val f = frames(i.toInt)
+                VideoFrame(b.media_id, "video/mppm", nFrames, i,
+                  Some(f.width), Some(f.height),
+                  md5hex(java.util.Arrays.copyOfRange(
+                    b.blob, f.pixStart, f.pixEnd)),
+                  chMean(f, 0), chMean(f, 1), chMean(f, 2))
+              }
+            case None => stubFrames(b)
+          }
+        }
+      }
+      .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
   }
 }
