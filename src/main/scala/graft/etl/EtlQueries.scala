@@ -128,6 +128,24 @@ object EtlQueries {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN product_dim p ON p.product_id = printf('P%08d', l_partkey)
         ORDER BY order_id, customer_id, product_id, date_id, quantity,
-                 purchase_amount""")))
+                 purchase_amount"""))),
+
+    // SCD TYPE 1 MERGE (r16): the keyed update+insert upsert verb
+    // between S7's SCD0 first-write-wins and the scd2_user_state
+    // reconstruction — a per-user latest-profile dim maintained by a
+    // copy-on-write MERGE in foreachBatch over a 3-micro-batch drain of
+    // the hash-split events log. The (ts, event_id) recency guard makes
+    // the fold batching-invariant and replay-idempotent
+    // (Scd1MergeSpec), so the oracle is the plain global per-user
+    // argmax over the raw events.
+    QueryDef("etl_dim_scd1_merge",
+      (s, dir) => graft.streaming.Scd1MergeStream.userDimMerged(s, dir),
+      Some("""
+        SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+               value AS last_value, event_id AS last_event_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id"""))
   )
 }
