@@ -1255,6 +1255,73 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  // ---- data-constrained epoch allocation -------------------------------
+
+  /** Training budget as a multiple of the unique corpus tokens — the
+    * "train past one epoch" scenario data-constrained scaling studies
+    * (dyadic, so budget·total is exact). */
+  val EpochBudgetX = 2L
+
+  /** Per-source repeat cap. Muennighoff et al. 2023 ("Scaling
+    * Data-Constrained Language Models") measure that repeating data up
+    * to ~4 epochs costs almost nothing vs fresh tokens and value decays
+    * rapidly after — 4 is the published operating point. */
+  val EpochCap = 4.0
+
+  /** TOKEN-BUDGET EPOCH ALLOCATION (r16) — the planning step that turns
+    * a learned mixture into a training recipe when sources are
+    * data-constrained: given the DoReMi target mixture α
+    * ([[domainReweight]], the third consumer of the shared recurrence),
+    * a total token budget B = [[EpochBudgetX]]·Σtokens, and each
+    * source's unique-token supply, allocate per-source epochs
+    * epochs_s = min([[EpochCap]], B·α_s / tokens_s) — the mixture's
+    * demand on the source, value-capped at the published ~4-epoch
+    * repeat limit — and report the capped shortfall a practitioner
+    * reallocates or eats (emitted honestly, not silently refilled: the
+    * iterative water-filling refinement is a planning nicety whose
+    * fixpoint depends on refill order; the single-pass cap + explicit
+    * shortfall is deterministic and auditable).
+    *
+    * 100 TB: one bounded per-source token aggregation (the corpus pass)
+    * + the K-row recurrence tail; everything else is K-row arithmetic. */
+  def epochAllocation(s: SparkSession, dir: String): DataFrame =
+    epochAllocationFrom(domainReweight(s, dir), docs(s, dir))
+
+  /** [[epochAllocation]] over any (doc_id, source, text) relation —
+    * unit-test hook. */
+  private[graft] def epochAllocationOf(d: DataFrame): DataFrame =
+    epochAllocationFrom(domainReweightOf(d), d)
+
+  private def epochAllocationFrom(rw: DataFrame, d: DataFrame): DataFrame = {
+    val alphas = rw
+      .where(col("round") === DoremiRounds)
+      .select(col("source"), col("alpha"))
+    // partition-less window is BOUNDED: per-source aggregate rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val st = d.select(col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+    st.join(broadcast(alphas), "source")
+      .withColumn("target_tokens",
+        round(lit(EpochBudgetX.toDouble) *
+          col("total_tokens").cast(DoubleType) * col("alpha"), 6))
+      .withColumn("epochs_raw",
+        round(col("target_tokens") / col("src_tokens").cast(DoubleType), 6))
+      .withColumn("epochs", least(lit(EpochCap), col("epochs_raw")))
+      .withColumn("capped", col("epochs_raw") > lit(EpochCap))
+      .withColumn("allocated_tokens",
+        round(col("epochs") * col("src_tokens").cast(DoubleType), 6))
+      .withColumn("shortfall_tokens",
+        round(col("target_tokens") - col("allocated_tokens"), 6))
+      .select(col("source"), col("src_tokens"), col("total_tokens"),
+        col("alpha"), col("target_tokens"), col("epochs_raw"),
+        col("epochs"), col("capped"), col("allocated_tokens"),
+        col("shortfall_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---- weighted reservoir sampling ------------------------------------
 
   /** Global sample size for [[weightedReservoir]]. */

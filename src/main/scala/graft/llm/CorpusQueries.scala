@@ -290,6 +290,50 @@ object CorpusQueries {
         ORDER BY r.source"""
       }),
 
+    // TOKEN-BUDGET EPOCH ALLOCATION (r16, Muennighoff et al. 2023): the
+    // planning step that turns the DoReMi mixture into a training
+    // recipe under data constraints — per source, epochs =
+    // min(EpochCap, B·alpha/tokens) with the capped shortfall reported
+    // honestly. Third consumer of the shared doremiCtes chain (one
+    // definition, zero drift).
+    QueryDef("corpus_epoch_allocation",
+      (s, dir) => Corpus.epochAllocation(s, dir),
+      Some {
+        val r = Corpus.DoremiRounds
+        s"""
+        WITH $doremiCtes,
+        pd AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+        st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+               FROM pd GROUP BY source),
+        tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+               FROM st),
+        pl AS (SELECT s.source, s.src_tokens, t.total_tokens, a.alpha,
+                      round(CAST(${Corpus.EpochBudgetX} AS DOUBLE)
+                            * CAST(t.total_tokens AS DOUBLE) * a.alpha, 6)
+                        AS target_tokens
+               FROM st s JOIN a$r a USING (source) CROSS JOIN tt t),
+        ep AS (SELECT *,
+                      round(target_tokens / CAST(src_tokens AS DOUBLE), 6)
+                        AS epochs_raw
+               FROM pl),
+        fin AS (SELECT *,
+                       least(CAST(${Corpus.EpochCap} AS DOUBLE), epochs_raw)
+                         AS epochs,
+                       epochs_raw > CAST(${Corpus.EpochCap} AS DOUBLE)
+                         AS capped
+                FROM ep)
+        SELECT source, src_tokens, total_tokens, alpha, target_tokens,
+               epochs_raw, epochs, capped,
+               round(epochs * CAST(src_tokens AS DOUBLE), 6)
+                 AS allocated_tokens,
+               round(target_tokens -
+                     round(epochs * CAST(src_tokens AS DOUBLE), 6), 6)
+                 AS shortfall_tokens
+        FROM fin ORDER BY source"""
+      }),
+
     // Benchmark-CONTAMINATION REPORT (r15): the per-eval-set overlap
     // rates a release publishes (GPT-3 Appendix C) next to the drop
     // pass. Eval sets = benchmark docs grouped by source; cells =

@@ -155,6 +155,43 @@ class DoremiSpec extends SparkSpec {
     assert(out("srcA").getAs[Long]("n_kept") < 30L)
   }
 
+  test("epoch allocation: budget demand, the 4-epoch cap, honest shortfall") {
+    // srcTiny supplies very few tokens but DoReMi boosts high-loss rare
+    // text, so its demand B·alpha overshoots the 4-epoch cap
+    val corpus = (1L to 40L).map(i => (i, "srcBig", "a a a a a a a a a a")) ++
+      (41L to 42L).map(i => (i, "srcTiny", "q w e"))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val out = Corpus.epochAllocationOf(df).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    val alpha = Corpus.domainReweightOf(df)
+      .where($"round" === Corpus.DoremiRounds).collect()
+      .map(row => row.getAs[String]("source") -> row.getAs[Double]("alpha"))
+      .toMap
+    val tok = Map("srcBig" -> 400L, "srcTiny" -> 6L)
+    val total = 406L
+    for (s <- Seq("srcBig", "srcTiny")) {
+      val o = out(s)
+      assert(o.getAs[Long]("src_tokens") == tok(s))
+      assert(o.getAs[Long]("total_tokens") == total)
+      val target = r(Corpus.EpochBudgetX * total.toDouble * alpha(s), 6)
+      assert(o.getAs[Double]("target_tokens") == target, s"$s target")
+      val raw = r(target / tok(s), 6)
+      assert(o.getAs[Double]("epochs_raw") == raw, s"$s raw")
+      val epochs = math.min(Corpus.EpochCap, raw)
+      assert(o.getAs[Double]("epochs") == epochs, s"$s epochs")
+      assert(o.getAs[Boolean]("capped") == (raw > Corpus.EpochCap))
+      val alloc = r(epochs * tok(s), 6)
+      assert(o.getAs[Double]("allocated_tokens") == alloc)
+      assert(o.getAs[Double]("shortfall_tokens") == r(target - alloc, 6))
+    }
+    // the planted geometry: the tiny high-loss source IS capped and its
+    // shortfall is positive; the big source is not capped
+    assert(out("srcTiny").getAs[Boolean]("capped"))
+    assert(out("srcTiny").getAs[Double]("shortfall_tokens") > 0.0)
+    assert(!out("srcBig").getAs[Boolean]("capped"))
+    assert(out("srcBig").getAs[Double]("epochs") < Corpus.EpochCap)
+  }
+
   test("deterministic across executions") {
     val again = Corpus.domainReweightOf(
         fixture.toDF("doc_id", "source", "text"))
