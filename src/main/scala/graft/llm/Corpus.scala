@@ -1215,8 +1215,20 @@ object Corpus {
     * recurrence; shares are one bounded aggregation over per-doc token
     * counts; rates broadcast; the keep decision is per-row hash
     * arithmetic fused into the scan — the one corpus-scale pass. */
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. The reweighting
+    * TRAJECTORY is the derived artifact its consumers (the resampling
+    * X93b and the epoch allocation X104) ride: persisted once per
+    * (session, dir) like [[Dedup.verifiedPairs]]. Spark's CacheManager
+    * substitutes the persisted relation into the producer entry's own
+    * identical plan too (the evalTiers precedent) — the cold cost stays
+    * surfaced through the producer's first run. */
+  private val rwCache = new graft.SessionMemo[DataFrame]
+
+  private def reweightShared(s: SparkSession, dir: String): DataFrame =
+    rwCache.getOrElseUpdate(s, dir)(domainReweight(s, dir).persist())
+
   def domainReweightSample(s: SparkSession, dir: String): DataFrame =
-    domainReweightSampleFrom(domainReweight(s, dir), docs(s, dir))
+    domainReweightSampleFrom(reweightShared(s, dir), docs(s, dir))
 
   /** [[domainReweightSample]] over any (doc_id, source, text) relation —
     * unit-test hook (runs the reweighting recurrence inline instead of
@@ -1285,7 +1297,7 @@ object Corpus {
     * 100 TB: one bounded per-source token aggregation (the corpus pass)
     * + the K-row recurrence tail; everything else is K-row arithmetic. */
   def epochAllocation(s: SparkSession, dir: String): DataFrame =
-    epochAllocationFrom(domainReweight(s, dir), docs(s, dir))
+    epochAllocationFrom(reweightShared(s, dir), docs(s, dir))
 
   /** [[epochAllocation]] over any (doc_id, source, text) relation —
     * unit-test hook. */
