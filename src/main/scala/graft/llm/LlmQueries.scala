@@ -685,17 +685,21 @@ object LlmQueries {
         FROM d LEFT JOIN amp a USING (media_id)
         ORDER BY d.media_id"""
 
-  private val ivfAdcOracle: String = {
+  /** The IVF-ADC oracle chain over any (vec_id, embedding) relation
+    * `rel` (r16 parametrization — the OPQ∘IVF-ADC composition trains,
+    * lists, and scores in the rotated space while the rerank stays on
+    * the original embeddings). */
+  private def ivfAdcOracleOver(rel: String, pre: String = ""): String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
     val K = Similarity.PqCodewords
     s"""
-        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        WITH ${pre}c AS (SELECT vec_id AS cent_id, embedding AS cv FROM $rel
                    WHERE vec_id >= ${Similarity.CentroidBase}
                      AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
         a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
                       ${cosineSql("e.embedding", "c.cv")} AS sim
-               FROM embeddings e CROSS JOIN c),
+               FROM $rel e CROSS JOIN c),
         a AS (SELECT vec_id, cent_id FROM (
                 SELECT *, row_number() OVER (PARTITION BY vec_id
                           ORDER BY sim DESC, cent_id) AS rn FROM a0)
@@ -705,7 +709,7 @@ object LlmQueries {
                            ORDER BY sim DESC, cent_id) AS rn
                  FROM a0 WHERE vec_id < ${Similarity.QueryCount})
                WHERE rn <= ${Similarity.NProbe}),
-        $pqTrainCtes,
+        ${pqTrainCtesOver(rel)},
         d2 AS (SELECT s.vec_id, s.m, c2.k,
                       round(list_sum(list_transform(generate_series(1, $D),
                         j -> (s.sv[j] - c2.cw[j]) * (s.sv[j] - c2.cw[j]))), 9) AS d2
@@ -720,7 +724,7 @@ object LlmQueries {
                       list_sum(list_transform(generate_series(1, $D),
                         j -> CAST(q.embedding[c3.m * $D + j] AS DOUBLE) * c3.cw[j]))
                         AS lv
-               FROM embeddings q CROSS JOIN $pqCbFinal c3
+               FROM $rel q CROSS JOIN $pqCbFinal c3
                WHERE q.vec_id < ${Similarity.QueryCount}),
         luta AS (SELECT query_id, list(lv ORDER BY m, k) AS lut
                  FROM lt GROUP BY query_id),
@@ -745,6 +749,13 @@ object LlmQueries {
         WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk"""
   }
+
+  private val ivfAdcOracle: String = ivfAdcOracleOver("embeddings")
+
+  /** OPQ ∘ IVF-ADC oracle: the rotation chain in front of the IDENTICAL
+    * IVF+ADC machinery over `ropq`, rerank on the originals. */
+  private val opqIvfAdcOracle: String =
+    ivfAdcOracleOver("ropq", opqRotCtes)
 
   /** Shared by events_funnel, its streamed twin, AND the sql_ surface
     * twin (the text is pure shared ANSI, so sql_events_funnel runs the
@@ -2057,6 +2068,16 @@ object LlmQueries {
       (s, dir) => Similarity.servedTier(s, dir, "opq"),
       Some(opqTopKOracle)),
 
+    // OPQ ∘ IVF-ADC (r16): the FULL Faiss `OPQx,IVFy,PQz` index string —
+    // rotation + eigenvalue allocation in front, IVF lists built and
+    // probed in the rotated space, ADC lookup sums over rotated-space
+    // codes inside the probed lists, exact-cosine rerank on the
+    // originals. One rotated relation feeds index, codebook, and
+    // queries in both engines.
+    QueryDef("similarity_ann_opqivfpq",
+      (s, dir) => Similarity.servedTier(s, dir, "opqivf"),
+      Some(opqIvfAdcOracle)),
+
     // IVF-ADC — the published billion-scale composition (Faiss IVFx,PQy):
     // IVF centroids prune the scan to NProbe inverted lists, PQ ADC
     // lookup sums score the 4-byte codes inside the probed lists, exact
@@ -2092,6 +2113,7 @@ object LlmQueries {
         pqk AS ($pqTopKOracle),
         ipqk AS ($ivfAdcOracle),
         opqk AS ($opqTopKOracle),
+        oivk AS ($opqIvfAdcOracle),
         hits AS (
           SELECT 'ann_lsh' AS method, b.query_id,
                  CAST(count(l.query_id) AS BIGINT) AS n_hits
@@ -2127,6 +2149,12 @@ object LlmQueries {
                  CAST(count(o.query_id) AS BIGINT) AS n_hits
           FROM brute b LEFT JOIN opqk o
             ON b.query_id = o.query_id AND b.neighbor_id = o.neighbor_id
+          GROUP BY b.query_id
+          UNION ALL
+          SELECT 'opqivf' AS method, b.query_id,
+                 CAST(count(ov.query_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN oivk ov
+            ON b.query_id = ov.query_id AND b.neighbor_id = ov.neighbor_id
           GROUP BY b.query_id)
         SELECT method, query_id, n_hits,
                round(n_hits / ${Similarity.TopK}.0, 6) AS recall
@@ -2157,6 +2185,7 @@ object LlmQueries {
         pqk AS ($pqTopKOracle),
         ipqk AS ($ivfAdcOracle),
         opqk AS ($opqTopKOracle),
+        oivk AS ($opqIvfAdcOracle),
         g AS (SELECT query_id, neighbor_id,
                      ${Similarity.TopK} + 1 - rnk AS gain FROM brute),
         rk AS (SELECT 'ann_lsh' AS method, query_id, neighbor_id, rnk FROM lshk
@@ -2166,6 +2195,8 @@ object LlmQueries {
                SELECT 'ivfpq', query_id, neighbor_id, rnk FROM ipqk
                UNION ALL
                SELECT 'opq', query_id, neighbor_id, rnk FROM opqk
+               UNION ALL
+               SELECT 'opqivf', query_id, neighbor_id, rnk FROM oivk
                UNION ALL
                SELECT 'sq', query_id, neighbor_id, rnk FROM sqk
                UNION ALL

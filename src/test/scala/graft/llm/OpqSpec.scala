@@ -90,4 +90,25 @@ class OpqSpec extends SparkSpec {
     info(s"recall@${Similarity.TopK} on sf0.001: opq $rOpq, pq $rPq")
     assert(rOpq >= 0.8, "opq tier fell below the trained-PQ floor")
   }
+
+  test("opq-ivf-adc composition: k rows per query, original-space cosines") {
+    val out = Similarity.opqIvfAdcTopKOf(e)
+    val perQuery = out.groupBy(col("query_id")).count().collect()
+    assert(perQuery.length == Similarity.QueryCount)
+    assert(perQuery.forall(_.getLong(1) == Similarity.TopK.toLong))
+    // the rerank ran on the ORIGINAL vectors: every reported cosine must
+    // equal the exact cosine recomputed from the raw embeddings
+    val raw = e.select(col("vec_id"), col("embedding"))
+    val recomputed = out
+      .join(raw.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(raw.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .where(col("cosine") =!= Similarity.cosine(col("qe"), col("ne")))
+      .count()
+    assert(recomputed == 0L, "a cosine drifted from the original space")
+    // deterministic
+    assert(Similarity.opqIvfAdcTopKOf(e).collect().map(_.toSeq)
+      .sameElements(out.collect().map(_.toSeq)))
+  }
 }
