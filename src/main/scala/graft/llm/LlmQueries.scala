@@ -652,6 +652,66 @@ object LlmQueries {
     * ivfTopKOracle names) composed with the PQ code/LUT CTEs (the
     * pqTopKOracle names), candidates = probed-list members, scored by
     * the ADC lookup sum, exact-cosine rerank. */
+  /** Shared VERBATIM by multimodal_frames AND its streamed twin (the
+    * frame walk is stateless per row, so stream == batch by
+    * construction — the shared text is what certifies it). Re-derives
+    * every motion-PPM frame's 192-byte pixel payload and channel stats
+    * byte-identically from the (all-ASCII) text slices; non-video
+    * payloads mirror the labeled stub formulas. */
+  private lazy val multimodalFramesSql: String = {
+    val fb = Multimodal.MppmFrameBytes // 192
+    val w = Multimodal.PpmWidth // 16
+    val h = Multimodal.MppmFrameRows // 4
+    s"""
+        WITH base AS (SELECT doc_id AS media_id, source, text,
+                             strlen(text) AS len, doc_id % 4 = 2 AS is_vid,
+                             (strlen(text) + ${fb - 1}) // $fb AS nf
+                      FROM documents),
+        vid AS (SELECT media_id, nf,
+                       text || repeat('.', CAST(nf*$fb - len AS INT)) AS padded,
+                       greatest(1, nf // 4) AS stride
+                FROM base WHERE is_vid),
+        vf AS (SELECT media_id, nf, u.i AS frame_idx,
+                      substr(padded, CAST(u.i*$fb + 1 AS INT), $fb) AS pay
+               FROM vid, LATERAL unnest(generate_series(
+                 CAST(0 AS BIGINT), nf - 1, stride)) u(i)),
+        px AS (SELECT media_id, frame_idx, (p - 1) % 3 AS ch,
+                      ascii(substr(pay, CAST(p AS INT), 1)) AS b
+               FROM vf, LATERAL unnest(generate_series(1, $fb)) q(p)),
+        ms AS (SELECT media_id, frame_idx,
+                      round(CAST(sum(b) FILTER (ch = 0) AS DOUBLE)
+                            / count(*) FILTER (ch = 0), 6) AS mean_r,
+                      round(CAST(sum(b) FILTER (ch = 1) AS DOUBLE)
+                            / count(*) FILTER (ch = 1), 6) AS mean_g,
+                      round(CAST(sum(b) FILTER (ch = 2) AS DOUBLE)
+                            / count(*) FILTER (ch = 2), 6) AS mean_b
+               FROM px GROUP BY 1, 2),
+        vrows AS (SELECT v.media_id, 'video/mppm' AS kind,
+                         CAST(v.nf AS BIGINT) AS n_frames,
+                         CAST(v.frame_idx AS BIGINT) AS frame_idx,
+                         CAST($w AS BIGINT) AS width,
+                         CAST($h AS BIGINT) AS height,
+                         md5(v.pay) AS frame_md5,
+                         m.mean_r, m.mean_g, m.mean_b
+                  FROM vf v JOIN ms m USING (media_id, frame_idx)),
+        stub AS (SELECT media_id, source AS kind,
+                        1 + len % 30 AS n_frames, text
+                 FROM base WHERE NOT is_vid),
+        srows AS (SELECT media_id, kind, CAST(n_frames AS BIGINT) AS n_frames,
+                         CAST(u.i AS BIGINT) AS frame_idx,
+                         CAST(NULL AS BIGINT) AS width,
+                         CAST(NULL AS BIGINT) AS height,
+                         md5(md5(text) || '|' || u.i) AS frame_md5,
+                         CAST(NULL AS DOUBLE) AS mean_r,
+                         CAST(NULL AS DOUBLE) AS mean_g,
+                         CAST(NULL AS DOUBLE) AS mean_b
+                  FROM stub, LATERAL unnest(generate_series(
+                    CAST(0 AS BIGINT), n_frames - 1,
+                    greatest(1, n_frames // 4))) u(i))
+        SELECT * FROM (SELECT * FROM vrows UNION ALL SELECT * FROM srows)
+        ORDER BY media_id, frame_idx"""
+  }
+
   /** Shared oracle of multimodal_audio AND its streamed twin (the
     * decode is stateless per row, so stream == batch by construction —
     * the shared text is what certifies it). */
@@ -2635,59 +2695,18 @@ object LlmQueries {
     // payloads keep the labeled stub formulas.
     QueryDef("multimodal_frames",
       (s, dir) => Multimodal.frameSamples(s, dir),
-      Some {
-        val fb = Multimodal.MppmFrameBytes // 192
-        val w = Multimodal.PpmWidth // 16
-        val h = Multimodal.MppmFrameRows // 4
-        s"""
-        WITH base AS (SELECT doc_id AS media_id, source, text,
-                             strlen(text) AS len, doc_id % 4 = 2 AS is_vid,
-                             (strlen(text) + ${fb - 1}) // $fb AS nf
-                      FROM documents),
-        vid AS (SELECT media_id, nf,
-                       text || repeat('.', CAST(nf*$fb - len AS INT)) AS padded,
-                       greatest(1, nf // 4) AS stride
-                FROM base WHERE is_vid),
-        vf AS (SELECT media_id, nf, u.i AS frame_idx,
-                      substr(padded, CAST(u.i*$fb + 1 AS INT), $fb) AS pay
-               FROM vid, LATERAL unnest(generate_series(
-                 CAST(0 AS BIGINT), nf - 1, stride)) u(i)),
-        px AS (SELECT media_id, frame_idx, (p - 1) % 3 AS ch,
-                      ascii(substr(pay, CAST(p AS INT), 1)) AS b
-               FROM vf, LATERAL unnest(generate_series(1, $fb)) q(p)),
-        ms AS (SELECT media_id, frame_idx,
-                      round(CAST(sum(b) FILTER (ch = 0) AS DOUBLE)
-                            / count(*) FILTER (ch = 0), 6) AS mean_r,
-                      round(CAST(sum(b) FILTER (ch = 1) AS DOUBLE)
-                            / count(*) FILTER (ch = 1), 6) AS mean_g,
-                      round(CAST(sum(b) FILTER (ch = 2) AS DOUBLE)
-                            / count(*) FILTER (ch = 2), 6) AS mean_b
-               FROM px GROUP BY 1, 2),
-        vrows AS (SELECT v.media_id, 'video/mppm' AS kind,
-                         CAST(v.nf AS BIGINT) AS n_frames,
-                         CAST(v.frame_idx AS BIGINT) AS frame_idx,
-                         CAST($w AS BIGINT) AS width,
-                         CAST($h AS BIGINT) AS height,
-                         md5(v.pay) AS frame_md5,
-                         m.mean_r, m.mean_g, m.mean_b
-                  FROM vf v JOIN ms m USING (media_id, frame_idx)),
-        stub AS (SELECT media_id, source AS kind,
-                        1 + len % 30 AS n_frames, text
-                 FROM base WHERE NOT is_vid),
-        srows AS (SELECT media_id, kind, CAST(n_frames AS BIGINT) AS n_frames,
-                         CAST(u.i AS BIGINT) AS frame_idx,
-                         CAST(NULL AS BIGINT) AS width,
-                         CAST(NULL AS BIGINT) AS height,
-                         md5(md5(text) || '|' || u.i) AS frame_md5,
-                         CAST(NULL AS DOUBLE) AS mean_r,
-                         CAST(NULL AS DOUBLE) AS mean_g,
-                         CAST(NULL AS DOUBLE) AS mean_b
-                  FROM stub, LATERAL unnest(generate_series(
-                    CAST(0 AS BIGINT), n_frames - 1,
-                    greatest(1, n_frames // 4))) u(i))
-        SELECT * FROM (SELECT * FROM vrows UNION ALL SELECT * FROM srows)
-        ORDER BY media_id, frame_idx"""
-      }),
+      Some(multimodalFramesSql)),
+
+    // STREAMED frame-decode twin (r16): the same content-sniffing
+    // motion-PPM frame walk run as containers arrive on a file stream —
+    // stateless per row, so the drained append output equals the batch
+    // relation under ANY micro-batch split, certified by sharing the
+    // oracle verbatim; FrameStreamSpec pins the cross-batch
+    // MemoryStream case.
+    QueryDef("multimodal_frames_streamed",
+      (s, dir) => graft.streaming.FrameDecodeStream
+        .frameSamplesStreamed(s, dir),
+      Some(multimodalFramesSql)),
 
     QueryDef("events_hourly",
       (s, dir) => Events.hourly(s, dir),

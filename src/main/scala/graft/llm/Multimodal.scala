@@ -431,8 +431,16 @@ object Multimodal {
     * the text, so the DuckDB twin re-derives every frame's pixel bytes
     * and channel stats byte-identically; the decoder only ever sees the
     * bytes (content-sniffed magic, frame-walk, exact consumption). */
-  def videoBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] = {
-    import s.implicits._
+  def videoBlobs(s: SparkSession, dir: String): Dataset[MediaBlob] =
+    videoBlobsOf(s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The (media_id, blob, kind) projection wrapping the video quarter
+    * into motion-PPM containers — per-row column work only, so ONE
+    * definition serves the batch entry and the streamed twin. */
+  private[graft] def videoBlobsOf(
+      df: org.apache.spark.sql.DataFrame): Dataset[MediaBlob] = {
+    import df.sparkSession.implicits._
     val isVid = col("doc_id") % 4 === 2
     val len = length(col("text"))
     val fb = MppmFrameBytes.toInt
@@ -448,9 +456,7 @@ object Multimodal {
         concat(lit(header),
           padded.substr((f * fb + 1).cast("int"), lit(fb)))),
       lit(""), (acc, fr) => concat(acc, fr))
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("media_id"),
+    df.select(col("doc_id").as("media_id"),
         encode(when(isVid, containerFold).otherwise(col("text")), "UTF-8")
           .as("blob"),
         when(isVid, lit("video/mppm")).otherwise(col("source")).as("kind"))
@@ -481,28 +487,33 @@ object Multimodal {
     * explode-into-rows shape (one row per sampled frame, partitioning
     * inherited from the scan, no shuffle, one decoder per partition) is
     * the real 100 TB pipeline plumbing a video corpus needs. */
-  def frameSamples(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    videoBlobs(s, dir)
-      .mapPartitions { rows =>
-        rows.flatMap { b =>
-          MppmDecoder.decode(b.blob) match {
-            case Some(frames) =>
-              val nFrames = frames.size.toLong
-              val stride = math.max(1L, nFrames / 4)
-              Iterator.range(0L, nFrames, stride).map { i =>
-                val f = frames(i.toInt)
-                VideoFrame(b.media_id, "video/mppm", nFrames, i,
-                  Some(f.width), Some(f.height),
-                  md5hex(java.util.Arrays.copyOfRange(
-                    b.blob, f.pixStart, f.pixEnd)),
-                  chMean(f, 0), chMean(f, 1), chMean(f, 2))
-              }
-            case None => stubFrames(b)
-          }
-        }
-      }
+  def frameSamples(s: SparkSession, dir: String): DataFrame =
+    frameRowsOf(videoBlobs(s, dir))
       .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** The streaming-legal decode core: stateless partition-wise frame
+    * walk + sampling — batch- and stream-legal from one definition. */
+  private[graft] def frameRowsOf(
+      blobs: Dataset[MediaBlob]): Dataset[VideoFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { rows =>
+      rows.flatMap { b =>
+        MppmDecoder.decode(b.blob) match {
+          case Some(frames) =>
+            val nFrames = frames.size.toLong
+            val stride = math.max(1L, nFrames / 4)
+            Iterator.range(0L, nFrames, stride).map { i =>
+              val f = frames(i.toInt)
+              VideoFrame(b.media_id, "video/mppm", nFrames, i,
+                Some(f.width), Some(f.height),
+                md5hex(java.util.Arrays.copyOfRange(
+                  b.blob, f.pixStart, f.pixEnd)),
+                chMean(f, 0), chMean(f, 1), chMean(f, 2))
+            }
+          case None => stubFrames(b)
+        }
+      }
+    }
   }
 }
