@@ -111,6 +111,40 @@ object DocsDsv2 {
   def zdocs(s: SparkSession, dir: String): DataFrame =
     s.read.format("graftdocs").load(zpath(s, dir))
 
+  // ---- vector-store face (r16) ------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtV = new graft.SessionMemo[String]
+
+  /** The embeddings corpus materialized through the connector's FLOAT
+    * VECTOR column (gdf TagFloatArray — length-prefixed IEEE-754 BE
+    * floats, bit-exact round-trip): the single-table columnar format
+    * doubles as a vector store, which is how a production ANN
+    * deployment actually holds its corpus — vectors in the same
+    * bucketed, zone-mapped, column-pruned files as the scalar metadata,
+    * so id-keyed joins co-partition and a metadata predicate prunes
+    * before a single float is decoded. */
+  def vecPath(s: SparkSession, dir: String): String =
+    builtV.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-vec/$tag"
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("label"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite")
+        .save(p)
+      p
+    }
+
+  /** The (vec_id, embedding) relation read THROUGH the connector. */
+  def vectors(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(vecPath(s, dir))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+
   /** The graded Z-order predicate box — literal bounds so the V2 filter
     * pushdown sees foldable comparisons on BOTH clustered columns (the
     * data-skipping path GdfZorderSpec pins with planted file counts). */

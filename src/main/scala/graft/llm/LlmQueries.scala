@@ -1142,6 +1142,18 @@ object LlmQueries {
                           AND ${DocsDsv2.ZQueryLenHi}
         ORDER BY doc_id""")),
 
+    // The connector's VECTOR-STORE face (r16): the embeddings corpus
+    // round-tripped through the gdf float-vector column (bit-exact
+    // IEEE-754 round-trip) and searched with the SAME brute top-k
+    // arithmetic and oracle as similarity_topk — the hash match
+    // certifies the vector column end to end: a production ANN corpus
+    // lives in exactly this bucketed, zone-mapped columnar layout next
+    // to its scalar metadata. GdfVectorSpec pins the round-trip bits
+    // and the pruning interplay.
+    QueryDef("dsv2_vector_topk",
+      (s, dir) => Similarity.bruteTopKOf(DocsDsv2.vectors(s, dir)),
+      Some(bruteTopKOracle)),
+
     QueryDef("text_langid",
       (s, dir) => TextAnalysis.langId(s, dir),
       Some {

@@ -562,11 +562,17 @@ private[dsv2] object GdfFormat {
   val TagLong: Byte = 0
   val TagInt: Byte = 1
   val TagString: Byte = 2
+  /** float32 vector column (r16) — the embedding currency of a vector
+    * store: a per-row length array then the concatenated IEEE-754 BE
+    * floats (the string-block shape with 4-byte elements). */
+  val TagFloatArray: Byte = 3
 
   def tagOf(dt: DataType): Byte = dt match {
     case LongType => TagLong
     case IntegerType => TagInt
     case StringType => TagString
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => TagFloatArray
     case other => throw new IllegalArgumentException(
       s"graftdocs does not support $other")
   }
@@ -585,6 +591,14 @@ private[dsv2] object GdfFormat {
           val b = new Array[Byte](lens(r))
           in.readFully(b)
           UTF8String.fromBytes(b)
+        }
+      case TagFloatArray =>
+        val lens = Array.fill(rows)(in.readInt())
+        Array.tabulate[Any](rows) { r =>
+          val fs = new Array[Float](lens(r))
+          var i = 0
+          while (i < fs.length) { fs(i) = in.readFloat(); i += 1 }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(fs)
         }
       case other => throw new IllegalArgumentException(s"bad tag $other")
     }
@@ -674,6 +688,9 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType)
         case LongType => row.getLong(i): Any
         case IntegerType => row.getInt(i): Any
         case StringType => row.getUTF8String(i).getBytes: Any
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+          row.getArray(i).toFloatArray(): Any
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     }
@@ -701,6 +718,9 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType)
             case GdfFormat.TagString =>
               4L * rows.size +
                 rows.map(_(i).asInstanceOf[Array[Byte]].length.toLong).sum
+            case GdfFormat.TagFloatArray =>
+              4L * rows.size +
+                4L * rows.map(_(i).asInstanceOf[Array[Float]].length.toLong).sum
           }
           (f.name, tag, len, i)
         }
@@ -719,6 +739,11 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType)
               rows.foreach(r =>
                 out.writeInt(r(i).asInstanceOf[Array[Byte]].length))
               rows.foreach(r => out.write(r(i).asInstanceOf[Array[Byte]]))
+            case GdfFormat.TagFloatArray =>
+              rows.foreach(r =>
+                out.writeInt(r(i).asInstanceOf[Array[Float]].length))
+              rows.foreach(r =>
+                r(i).asInstanceOf[Array[Float]].foreach(out.writeFloat))
           }
         }
       } finally out.close()
