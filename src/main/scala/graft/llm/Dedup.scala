@@ -187,6 +187,85 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Containment threshold as an exact RATIONAL τ = 4/5 — the prefix
+    * length and the qualifying compare both run in integer arithmetic
+    * (ceil(0.8·n) through doubles rounds the n≡0 (mod 5) boundary the
+    * wrong way: 0.8·5 = 4.000000000000000222 in IEEE, ceil 5 ≠ 4). */
+  val ContainmentNum = 4L
+  val ContainmentDen = 5L
+
+  /** CONTAINMENT near-dup detection (Broder 1997's containment
+    * C(A,B) = |S(A)∩S(B)| / |S(A)|, next to the resemblance the X2–X4
+    * family thresholds): catches the pair RESEMBLANCE structurally
+    * misses — a small document (a quote, an excerpt, a boilerplate
+    * block) living almost entirely INSIDE a bigger one keeps
+    * |A∩B| ≈ |A| while the union is dominated by |B|, so Jaccard stays
+    * far below its threshold. Directional: doc_a is the CONTAINED side;
+    * each qualifying pair reports both metrics plus the
+    * `resemblance_missed` flag (true exactly when the X2 threshold
+    * would have let the pair through).
+    *
+    * Candidate generation is the containment form of the prefix filter
+    * (exact, no false negatives): if C(A,B) ≥ τ then B misses at most
+    * (1−τ)·|A| of A's shingles, so A's first
+    * |A| − ceil(τ·|A|) + 1 shingles in the global rarest-first order
+    * must hit B — only the CONTAINED side prefixes; the containing side
+    * indexes all its shingles (prefixing B would assume B's rare
+    * shingles overlap A's, which containment does not promise).
+    *
+    * 100 TB: shuffle keys are the shingle (candidate join — the
+    * contained-side prefix bounds the A side; common-shingle fan-out on
+    * the B side is the price of the asymmetric guarantee and stays
+    * shingle-keyed, never pair-space) and the doc (verify); both sides
+    * ride the persisted shingle-set cache. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(shingleSets(s, dir), s.sparkContext.defaultParallelism)
+
+  /** [[containment]] over any (doc_id, n, sset) shingle-set relation —
+    * unit-test hook (ContainmentSpec plants an excerpt-inside-article
+    * pair that resemblance misses). */
+  private[llm] def containmentOf(sets: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val totalShingles = sets.agg(sum(col("n"))).head().getLong(0)
+    val dfreqSized =
+      if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
+      else dfreq
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    // required overlap = ceil(τ·n) in EXACT integers: (num·n + den−1) / den
+    val reqOverlap = (lit(ContainmentNum) * col("n") +
+      lit(ContainmentDen - 1)) / lit(ContainmentDen)
+    val prefixA = ex
+      .join(dfreqSized, "sh")
+      .withColumn("rn", row_number().over(byRarity))
+      .where(col("rn") <= col("n") - reqOverlap.cast(LongType) + 1)
+      .select(col("doc_id"), col("sh"))
+      .repartition(width, col("sh"))
+    val full = ex.select(col("doc_id"), col("sh"))
+      .repartition(width, col("sh"))
+    val cand = prefixA.as("a")
+      .join(full.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .repartition(width, col("doc_a"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast(LongType))
+      // qualifying compare in exact integers: inter·den ≥ num·n_a
+      .where(col("inter") * lit(ContainmentDen) >=
+        lit(ContainmentNum) * col("sa.n"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / col("sa.n")).as("containment"),
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+      .withColumn("resemblance_missed", col("jaccard") < lit(JaccardThreshold))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signatures: per doc, 64 universal-hash permutations over the
     * shingle base hash; signature i = min over the doc's shingles. */
   private def minhashSignature(s: SparkSession, dir: String): DataFrame = {

@@ -867,6 +867,32 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // CONTAINMENT near-dup detection (r16, Broder 1997's containment
+    // next to the X2 resemblance): directional |A∩B|/|A| ≥ 4/5 pairs —
+    // the small-doc-inside-big-doc case resemblance structurally
+    // misses, flagged via resemblance_missed. The Spark side prunes
+    // candidates with the containment form of the prefix filter
+    // (contained side only — exact, no false negatives); the oracle
+    // computes ALL directional shared-shingle pairs brute, so the hash
+    // match certifies the pruning's losslessness. The qualifying
+    // compare runs in exact integers (inter·5 ≥ 4·n_a) in both engines.
+    QueryDef("dedup_containment",
+      (s, dir) => Dedup.containment(s, dir),
+      Some(s"""
+        WITH $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / sa.n AS containment,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                 < ${Dedup.JaccardThreshold} AS resemblance_missed
+        FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE inter * ${Dedup.ContainmentDen} >= ${Dedup.ContainmentNum} * sa.n
+        ORDER BY doc_a, doc_b""")),
+
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
       Some {
