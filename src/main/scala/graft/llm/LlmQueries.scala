@@ -1390,6 +1390,58 @@ object LlmQueries {
                md5(string_agg(seg, ' ' ORDER BY pos)) AS retok_md5
         FROM app GROUP BY doc_id ORDER BY doc_id""")),
 
+    // TOKENIZER FERTILITY CARD (r16): tokens-per-word and
+    // chars-per-token per (lang, tokenizer) for BOTH trained tokenizers
+    // — the efficiency table a multilingual tokenizer release publishes.
+    // The oracle composes the full BPE-training chain AND the full
+    // unigram-EM chain as nested-WITH CTE legs (each already certified
+    // standalone) with the same per-lang aggregation, so the hash match
+    // certifies the whole train+apply+aggregate composition.
+    QueryDef("text_tokenizer_fertility",
+      (s, dir) => TextAnalysis.tokenizerFertility(s, dir),
+      Some {
+        val n = TextAnalysis.BpeTrainRounds
+        s"""
+        WITH bpe AS (${bpeTrainRoundsSql(n)}
+          SELECT doc_id, n_tokens_before,
+                 CAST(len(string_split(stream, ' ')) AS BIGINT)
+                   AS n_tokens_after
+          FROM st$n),
+        uni AS (WITH $ulmTrainCtes,
+          tkd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          app AS (SELECT tt.doc_id, coalesce(m.seg, tt.w) AS seg
+                  FROM (SELECT doc_id, i, t[i] AS w
+                        FROM tkd,
+                             LATERAL unnest(generate_series(1, len(t))) u(i)) tt
+                  LEFT JOIN segf m ON m.word = tt.w)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_before,
+                 CAST(sum(len(string_split(seg, ' '))) AS BIGINT)
+                   AS n_tokens_after
+          FROM app GROUP BY doc_id),
+        meta AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+                 FROM documents),
+        legs AS (SELECT 'bpe' AS tokenizer, b.doc_id, b.n_tokens_before,
+                        b.n_tokens_after
+                 FROM bpe b
+                 UNION ALL
+                 SELECT 'unigram', u.doc_id, u.n_tokens_before,
+                        u.n_tokens_after
+                 FROM uni u)
+        SELECT m.lang, l.tokenizer,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(l.n_tokens_before) AS BIGINT) AS n_words,
+               CAST(sum(l.n_tokens_after) AS BIGINT) AS n_pieces,
+               CAST(sum(m.n_chars) AS BIGINT) AS n_chars,
+               round(CAST(sum(l.n_tokens_after) AS DOUBLE) /
+                     CAST(sum(l.n_tokens_before) AS DOUBLE), 6)
+                 AS tokens_per_word,
+               round(CAST(sum(m.n_chars) AS DOUBLE) /
+                     CAST(sum(l.n_tokens_after) AS DOUBLE), 6)
+                 AS chars_per_token
+        FROM legs l JOIN meta m USING (doc_id)
+        GROUP BY 1, 2 ORDER BY lang, tokenizer"""
+      }),
+
     QueryDef("text_vocab",
       (s, dir) => TextAnalysis.vocab(s, dir),
       Some("""

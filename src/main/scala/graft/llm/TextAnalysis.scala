@@ -1596,4 +1596,43 @@ object TextAnalysis {
           x => x.getField("seg")))).as("retok_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** TOKENIZER FERTILITY CARD (r16) — the per-language efficiency
+    * comparison every tokenizer release publishes (tokens per word and
+    * chars per token; cf. the fertility tables in the mBERT/XLM-R and
+    * SentencePiece evaluations): both trained tokenizers (the iterative
+    * BPE merge table, X46, and the unigram-LM vocab, X88) applied to the
+    * whole corpus, aggregated per (lang, tokenizer). The two families
+    * act in opposite directions here — the suite's BPE operates at the
+    * word-MERGE level (tokens_per_word ≤ 1) while the unigram LM SPLITS
+    * words into pieces (≥ 1) — and the card states both honestly; the
+    * comparison is the per-language RATIO structure, which is what a
+    * multilingual-fairness audit reads.
+    *
+    * 100 TB: both apply passes are the certified one-scan kernels
+    * (broadcast rule row / broadcast segmap); the card itself is a
+    * langs×2-row aggregation with map-side combine. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val meta = docs(s, dir).select(col("doc_id"), col("lang"),
+      col("n_chars").cast(LongType).as("n_chars"))
+    def leg(name: String, applied: DataFrame): DataFrame =
+      applied.select(col("doc_id"), col("n_tokens_before"),
+        col("n_tokens_after"))
+        .withColumn("tokenizer", lit(name))
+    leg("bpe", bpeTrainApply(s, dir))
+      .unionByName(leg("unigram", unigramApply(s, dir)))
+      .join(broadcast(meta), "doc_id")
+      .groupBy(col("lang"), col("tokenizer"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_before")).as("n_words"),
+        sum(col("n_tokens_after")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("tokenizer"), col("n_docs"),
+        col("n_words"), col("n_pieces"), col("n_chars"),
+        round(col("n_pieces").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 6).as("tokens_per_word"),
+        round(col("n_chars").cast(DoubleType) /
+          col("n_pieces").cast(DoubleType), 6).as("chars_per_token"))
+      .orderBy(col("lang"), col("tokenizer"))
+  }
 }
