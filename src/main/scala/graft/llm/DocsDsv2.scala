@@ -111,6 +111,65 @@ object DocsDsv2 {
   def zdocs(s: SparkSession, dir: String): DataFrame =
     s.read.format("graftdocs").load(zpath(s, dir))
 
+  // ---- time travel (r16) --------------------------------------------------
+
+  /** Docs dropped by the second snapshot: doc_id ≡ [[TtDropRes]]
+    * (mod [[TtDropMod]]) — the deterministic "deletion release" the
+    * time-travel diff certifies. */
+  val TtDropMod = 10L
+  val TtDropRes = 3L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtT = new graft.SessionMemo[String]
+
+  /** A two-snapshot table history: v1 = the full slim corpus, v2 = v1
+    * with every ≡3 (mod 10) doc dropped (a curation release). Each
+    * overwrite commits a SNAPSHOT (version-suffixed data files +
+    * immutable versioned manifest, older snapshots expired past the
+    * retention window) — the Iceberg/Delta time-travel story on the
+    * connector's own format. The history dir is wiped and rebuilt per
+    * (session, sf) so versions are always exactly {1, 2}. */
+  def ttPath(s: SparkSession, dir: String): String =
+    builtT.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-tt/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      def commit(df: DataFrame): Unit =
+        df.write.format("graftdocs")
+          .option("buckets", Buckets.toString)
+          .mode("overwrite").save(p)
+      commit(base) // snapshot v1
+      commit(base.where(
+        pmod(col("doc_id"), lit(TtDropMod)) =!= TtDropRes)) // snapshot v2
+      p
+    }
+
+  /** TIME-TRAVEL DIFF — both snapshots read through the connector with
+    * pinned `version` options and full-outer joined: per doc, was it
+    * retained by the v2 curation release or removed? The oracle derives
+    * the statuses from the drop rule over the raw table, so the hash
+    * match certifies that v1 still serves the PRE-overwrite bytes after
+    * the v2 commit (snapshot isolation, not just a manifest pointer). */
+  def timeTravelDiff(s: SparkSession, dir: String): DataFrame = {
+    val p = ttPath(s, dir)
+    def snap(v: Int) = s.read.format("graftdocs")
+      .option("version", v.toString).load(p)
+      .select(col("doc_id"))
+    snap(1).join(snap(2).withColumn("in_v2", lit(true)), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("in_v2").isNotNull, lit("retained"))
+          .otherwise(lit("removed")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- vector-store face (r16) ------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

@@ -1168,6 +1168,24 @@ object LlmQueries {
                           AND ${DocsDsv2.ZQueryLenHi}
         ORDER BY doc_id""")),
 
+    // TIME TRAVEL on the connector (r16): overwrites commit SNAPSHOTS
+    // (version-suffixed data files, immutable versioned manifests,
+    // retention-window expiry — the Iceberg verb set in miniature) and
+    // a read can pin `version=N`. The entry full-outer joins snapshot
+    // v1 against the post-curation v2 and labels every doc
+    // retained/removed; the oracle derives the labels from the drop
+    // rule, so the hash match certifies v1 still serves the
+    // PRE-overwrite bytes after the v2 commit. GdfTimeTravelSpec pins
+    // snapshot isolation, the retention expiry, and the loud
+    // expired-version failure.
+    QueryDef("dsv2_time_travel",
+      (s, dir) => DocsDsv2.timeTravelDiff(s, dir),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN doc_id % ${DocsDsv2.TtDropMod} = ${DocsDsv2.TtDropRes}
+                    THEN 'removed' ELSE 'retained' END AS status
+        FROM documents ORDER BY doc_id""")),
+
     // The connector's VECTOR-STORE face (r16): the embeddings corpus
     // round-tripped through the gdf float-vector column (bit-exact
     // IEEE-754 round-trip) and searched with the SAME brute top-k

@@ -95,7 +95,13 @@ class GraftDocsSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GdfManifest.read(pathOf(options)).schema
+    manifestFor(pathOf(options), options).schema
+
+  private def manifestFor(path: String,
+      options: CaseInsensitiveStringMap): GdfManifest.Manifest =
+    Option(options.get("version"))
+      .map(v => GdfManifest.readVersion(path, v.toInt))
+      .getOrElse(GdfManifest.read(path))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -119,6 +125,21 @@ private[dsv2] object GdfManifest {
     * zone maps alone). */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
       layout: String = "hash")
+
+  /** Snapshots retained per table — older manifests (and the data files
+    * only they reference) are expired at commit, the Iceberg
+    * expire-snapshots verb in miniature. */
+  val MaxRetainedVersions = 3
+
+  /** Manifest versions present on disk, ascending. */
+  def versions(path: String): Seq[Int] =
+    Option(new File(path).listFiles()).toSeq.flatten
+      .flatMap(f => "manifest-v(\\d+)\\.json".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .sorted
+
+  def nextVersion(path: String): Int =
+    versions(path).lastOption.getOrElse(0) + 1
 
   def write(path: String, m: Manifest): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -144,11 +165,45 @@ private[dsv2] object GdfManifest {
     require(tmp.renameTo(dst), s"manifest rename failed at $path")
   }
 
+  /** Commit one SNAPSHOT: the manifest lands both as the current pointer
+    * (`manifest.json`) and as the immutable `manifest-v<N>.json`, then
+    * snapshots beyond [[MaxRetainedVersions]] are EXPIRED — their
+    * manifest files removed and any `.gdf` no retained snapshot
+    * references deleted (time travel works exactly as far back as the
+    * retention window, and a read of an expired version fails loudly at
+    * the manifest, never silently serves half a snapshot). */
+  def commitVersion(path: String, m: Manifest, version: Int): Unit = {
+    write(path, m)
+    val vf = new File(path, s"manifest-v$version.json")
+    java.nio.file.Files.copy(new File(path, "manifest.json").toPath,
+      vf.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val keep = versions(path).takeRight(MaxRetainedVersions)
+    versions(path).filterNot(keep.contains).foreach(v =>
+      new File(path, s"manifest-v$v.json").delete())
+    val live = keep.flatMap(v => readVersion(path, v).files.map(_.name))
+      .toSet ++ m.files.map(_.name)
+    Option(new File(path).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.endsWith(".gdf") && !live.contains(f.getName)) f.delete()
+    })
+  }
+
+  /** Read a pinned snapshot. */
+  def readVersion(path: String, version: Int): Manifest = {
+    val f = new File(path, s"manifest-v$version.json")
+    require(f.exists(),
+      s"no snapshot v$version at $path (retained: ${versions(path).mkString(",")})")
+    parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8))
+  }
+
   def read(path: String): Manifest = {
     val f = new File(path, "manifest.json")
     require(f.exists(), s"no graftdocs manifest at $path")
-    val json = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8)
+    parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8))
+  }
+
+  private def parse(json: String): Manifest = {
     // tiny hand-rolled parse of the exact shape written above (no JSON
     // library dependency): schema via Spark's own StructType round-trip
     val schemaJson = {
@@ -201,8 +256,14 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
+  /** `version=<N>` pins the scan to a retained snapshot (time travel —
+    * an expired or unknown version fails loudly at the manifest);
+    * without it the current pointer serves. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GdfScanBuilder(path, GdfManifest.read(path),
+    new GdfScanBuilder(path,
+      Option(options.get("version"))
+        .map(v => GdfManifest.readVersion(path, v.toInt))
+        .getOrElse(GdfManifest.read(path)),
       Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(0))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -638,44 +699,43 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
   override def distributionStrictlyRequired(): Boolean = true
 
   override def toBatch: BatchWrite =
-    new GdfBatchWrite(path, schema, buckets, layout)
+    new GdfBatchWrite(path, schema, buckets, layout,
+      GdfManifest.nextVersion(path))
 }
 
 private[dsv2] case class GdfCommit(stats: Seq[GdfManifest.FileStat])
     extends WriterCommitMessage
 
 private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
-    buckets: Int, layout: String) extends BatchWrite {
+    buckets: Int, layout: String, version: Int) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GdfWriterFactory(path, schema)
+    new GdfWriterFactory(path, schema, version)
 
+  /** Overwrite commits a new SNAPSHOT: version-suffixed data files, the
+    * versioned manifest next to the refreshed current pointer, snapshots
+    * past the retention window expired ([[GdfManifest.commitVersion]]) —
+    * the Iceberg commit shape with time travel. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    // overwrite semantics: the fresh manifest is the table; remove any
-    // orphaned files from a previous layout
-    val live = stats.map(_.name).toSet + "manifest.json"
-    GdfManifest.write(path,
-      GdfManifest.Manifest(schema, buckets, stats, layout))
-    Option(new File(path).listFiles()).foreach(_.foreach { f =>
-      if (!live.contains(f.getName) && f.getName.endsWith(".gdf")) f.delete()
-    })
+    GdfManifest.commitVersion(path,
+      GdfManifest.Manifest(schema, buckets, stats, layout), version)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[dsv2] class GdfWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
+    version: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema)
+    new GdfDataWriter(path, schema, version)
 }
 
 /** Buffers the task's rows per bucket (clustered distribution means one
   * bucket per task in practice; the map shape stays correct regardless)
   * and flushes one columnar file per bucket at commit. */
-private[dsv2] class GdfDataWriter(path: String, schema: StructType)
-    extends DataWriter[InternalRow] {
+private[dsv2] class GdfDataWriter(path: String, schema: StructType,
+    version: Int) extends DataWriter[InternalRow] {
 
   private val bucketIdx = schema.fieldIndex("bucket")
   private val docIdx = schema.fieldIndex("doc_id")
@@ -701,7 +761,7 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType)
   override def commit(): WriterCommitMessage = GdfCommit(
     perBucket.toSeq.sortBy(_._1).map { case (bucket, rows) =>
       new File(path).mkdirs() // first writer on a fresh table creates it
-      val name = s"part-$bucket.gdf"
+      val name = s"part-$bucket-v$version.gdf"
       val out = new DataOutputStream(new BufferedOutputStream(
         new FileOutputStream(new File(path, name))))
       try {
