@@ -240,13 +240,30 @@ object Dedup {
       .join(dfreqSized, "sh")
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <= col("n") - reqOverlap.cast(LongType) + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("n"), col("sh"))
       .repartition(width, col("sh"))
-    val full = ex.select(col("doc_id"), col("sh"))
+    // two further EXACT prunes on the containing side (locally
+    // cost-neutral — sf0.1 min 2.4 s vs the 1.2 s brute oracle, a 1.9x
+    // job-floor-dominated ratio either way — but the right shape where
+    // it matters: at corpus scale hot-shingle df grows with the corpus
+    // and the unpruned B-side fan-out with it): (1) B only needs
+    // shingles that
+    // occur in SOME contained-side prefix — hot shingles sort to the
+    // suffixes and drop out of the B index entirely unless a small doc
+    // prefixes them (semi-join on the prefix vocabulary, lossless by
+    // construction); (2) the size filter — containment at tau needs
+    // |B| >= ceil(tau·|A|) shared elements, so a B smaller than that can
+    // never qualify.
+    val pv = prefixA.select(col("sh")).distinct()
+    val full = ex.select(col("doc_id"), col("n"), col("sh"))
+      .join(pv, Seq("sh"), "left_semi")
       .repartition(width, col("sh"))
+    val reqA = ((lit(ContainmentNum) * col("a.n") +
+      lit(ContainmentDen - 1)) / lit(ContainmentDen)).cast(LongType)
     val cand = prefixA.as("a")
       .join(full.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") >= reqA)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .repartition(width, col("doc_a"))
