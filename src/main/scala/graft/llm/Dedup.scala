@@ -224,7 +224,7 @@ object Dedup {
   /** [[containment]] over any (doc_id, n, sset) shingle-set relation —
     * unit-test hook (ContainmentSpec plants an excerpt-inside-article
     * pair that resemblance misses). */
-  private[llm] def containmentOf(sets: DataFrame, width: Int): DataFrame = {
+  private[graft] def containmentOf(sets: DataFrame, width: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))

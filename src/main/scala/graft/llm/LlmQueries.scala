@@ -844,6 +844,24 @@ object LlmQueries {
                LEFT JOIN tp USING (user_id)
         ORDER BY u.user_id"""
 
+  /** Shared VERBATIM by dedup_containment AND its streamed ingest twin
+    * (one text, zero drift): ALL directional shared-shingle pairs brute,
+    * the exact integer gate, both metrics. */
+  private lazy val containmentOracle: String = s"""
+        WITH $ShinglesCte,
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / sa.n AS containment,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                 < ${Dedup.JaccardThreshold} AS resemblance_missed
+        FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        WHERE inter * ${Dedup.ContainmentDen} >= ${Dedup.ContainmentNum} * sa.n
+        ORDER BY doc_a, doc_b"""
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -878,20 +896,20 @@ object LlmQueries {
     // compare runs in exact integers (inter·5 ≥ 4·n_a) in both engines.
     QueryDef("dedup_containment",
       (s, dir) => Dedup.containment(s, dir),
-      Some(s"""
-        WITH $ShinglesCte,
-        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-               GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               CAST(inter AS DOUBLE) / sa.n AS containment,
-               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
-               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
-                 < ${Dedup.JaccardThreshold} AS resemblance_missed
-        FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        WHERE inter * ${Dedup.ContainmentDen} >= ${Dedup.ContainmentNum} * sa.n
-        ORDER BY doc_a, doc_b""")),
+      Some(containmentOracle)),
+
+    // STREAMED containment screening (r16): "is this arriving doc an
+    // excerpt of something the corpus already holds" — per-row
+    // shingling, a stream-static probe of the committed inverted index,
+    // one keyed fold, the same exact integer gate. Shares the batch
+    // oracle VERBATIM: offline-index == online-screen under any
+    // micro-batch split, and (the batch side prefix-prunes while the
+    // per-arrival probe is brute) the batch pruning's losslessness is
+    // re-certified from a second direction.
+    QueryDef("dedup_containment_streamed",
+      (s, dir) => graft.streaming.ContainmentStream
+        .containmentStreamed(s, dir),
+      Some(containmentOracle)),
 
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLsh(s, dir),
