@@ -43,6 +43,14 @@ object Builds {
       ((s, d) => { Pca.pcaPower(s, d).count(); () }),
     "build_dsv2_docs" ->
       ((s, d) => { DocsDsv2.path(s, d); () }),
+    "build_dsv2_zorder" ->
+      ((s, d) => { DocsDsv2.zpath(s, d); () }),
+    "build_dsv2_vectors" ->
+      ((s, d) => { DocsDsv2.vecPath(s, d); () }),
+    "build_dsv2_snapshots" ->
+      ((s, d) => { DocsDsv2.ttPath(s, d); () }),
+    "build_ngram_truth" ->
+      ((s, d) => { Dedup.ngramTruth(s, d).count(); () }),
     "build_unigram_lm" ->
       // force BOTH tokenizer artifacts (vocab + the word→segmentation
       // map) so the store commit covers everything text_unigram_apply

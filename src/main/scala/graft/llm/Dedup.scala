@@ -393,6 +393,12 @@ object Dedup {
     * 100 TB: both inputs are the near-dup-population-sized pair
     * relations the entries already produce; the eval join is
     * broadcast-trivial. */
+  /** The exhaustive PPJoin truth as a committed cross-session artifact
+    * (surfaced cold as `build_ngram_truth` in [[Builds]]). */
+  private[llm] def ngramTruth(s: SparkSession, dir: String): DataFrame =
+    graft.IndexStore.readOrBuild(s, dir, "ngram_truth",
+      s"v1;t=$JaccardThreshold;n=3")(ngramJaccard(s, dir))
+
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     // r16: the exhaustive PPJoin truth is exactly the kind of expensive
     // derived artifact the IndexStore exists for (the eval-tiers
@@ -401,8 +407,7 @@ object Dedup {
     // oracle re-derives the truth from scratch, so a stale store fails
     // the gate loudly; the banding side stays LIVE so the entry still
     // measures the real LSH pipeline it certifies.
-    val truth = graft.IndexStore.readOrBuild(s, dir, "ngram_truth",
-      s"v1;t=$JaccardThreshold;n=3")(ngramJaccard(s, dir))
+    val truth = ngramTruth(s, dir)
     val found = minhashLsh(s, dir)
       .select(col("doc_a").as("fa"), col("doc_b").as("fb"))
     truth.join(broadcast(found),
