@@ -42,8 +42,11 @@ class GdfStreamSpec extends SparkSpec {
     (spark.read.parquet(s"$out/result"), batches.get())
   }
 
-  private lazy val nFiles = new java.io.File(DocsDsv2.path(spark, sf001))
-    .listFiles().count(_.getName.endsWith(".gdf"))
+  // files of the CURRENT snapshot (one scan partition per file) — a raw
+  // .gdf listing would also count RETAINED older snapshots now that
+  // every overwrite commits a time-travel version (r16)
+  private lazy val nFiles = spark.read.format("graftdocs")
+    .load(DocsDsv2.path(spark, sf001)).rdd.getNumPartitions
 
   test("admission control paces the drain: one file per micro-batch") {
     val (got, batches) = drain(1, "paced")

@@ -59,4 +59,31 @@ object LlmProperties extends Properties("llm") {
       val expected = counts.map(_.toLong).scanLeft(0L)(_ + _).init
       starts.toSeq == expected
     }
+
+  property("containment prefix filter is lossless vs the brute detector") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 3)).suchThat(_.nonEmpty)) { seeds =>
+      // overlapping word ranges: doc i covers [10·s_i, 10·s_i + 12 + i),
+      // so random pairs share runs of shingles, some containment-heavy
+      val docs = seeds.zipWithIndex.map { case (sd, i) =>
+        (i.toLong, (sd * 10 until sd * 10 + 12 + i)
+          .map(w => s"w$w").mkString(" "))
+      }
+      val sets = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          Text.shingles(col("text"), Dedup.ShingleK).as("sset"))
+        .where(size(col("sset")) >= 1)
+        .withColumn("n", size(col("sset")))
+      val got = Dedup.containmentOf(sets, 2)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute: every directional pair whose exact containment qualifies
+      def sh(t: String) =
+        t.split(" ").sliding(Dedup.ShingleK).map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a != b
+        inter = (sh(ta) & sh(tb)).size
+        if inter * Dedup.ContainmentDen >= Dedup.ContainmentNum * sh(ta).size
+      } yield (a, b)).toSet
+      got == want
+    }
 }
