@@ -49,6 +49,8 @@ object Builds {
       ((s, d) => { DocsDsv2.vecPath(s, d); () }),
     "build_dsv2_snapshots" ->
       ((s, d) => { DocsDsv2.ttPath(s, d); () }),
+    "build_kmeans_state" ->
+      ((s, d) => { Similarity.kmeansState(s, d).count(); () }),
     "build_ngram_truth" ->
       ((s, d) => { Dedup.ngramTruth(s, d).count(); () }),
     "build_unigram_lm" ->

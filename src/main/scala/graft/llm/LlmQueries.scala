@@ -862,6 +862,55 @@ object LlmQueries {
         WHERE inter * ${Dedup.ContainmentDen} >= ${Dedup.ContainmentNum} * sa.n
         ORDER BY doc_a, doc_b"""
 
+  /** The FULL unrolled Lloyd chain (init + MaxKmeansIters MATERIALIZED
+    * E/M rounds, change counts per round) — shared VERBATIM by
+    * similarity_ivf_kmeans_converged (reads the summary outro) and
+    * corpus_d4_prune (reads the final a$n/ref$n state): one chain, two
+    * consumers, zero drift. */
+  private lazy val kmeansUnrollCtes: String = {
+    val n = Similarity.MaxKmeansIters
+        val init = s"""
+        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+                   WHERE vec_id >= ${Similarity.CentroidBase}
+                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
+        s0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                      ${cosineSql("e.embedding", "c.cv")} AS sim
+               FROM embeddings e CROSS JOIN c),
+        a0 AS MATERIALIZED (SELECT vec_id, embedding, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn FROM s0)
+               WHERE rn = 1)"""
+        // Every a$i/ref$i is referenced twice (next round's M step + the
+        // change count / final select). DuckDB INLINES un-hinted CTEs per
+        // reference, so an un-hinted unroll doubles in cost per round —
+        // 2^n, ~15 min at n=12 on the sf0.01 gate (measured r11) —
+        // while MATERIALIZED makes it linear (n × one-round cost).
+        val rounds = (1 to n).map { i =>
+          s""",
+        ex$i AS (SELECT a.cent_id, i AS pos,
+                        CAST(round(CAST(a.embedding[i] AS DOUBLE), 9)
+                          AS DECIMAL(28,9)) AS v
+                 FROM a${i - 1} a, LATERAL unnest(generate_series(1, len(a.embedding))) u(i)),
+        comp$i AS (SELECT cent_id, pos,
+                          round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+                   FROM ex$i GROUP BY 1, 2),
+        ref$i AS MATERIALIZED (SELECT cent_id, list(c ORDER BY pos) AS cv,
+                         round(sqrt(CAST(sum(CAST(round(c*c, 12) AS DECIMAL(38,12)))
+                                         AS DOUBLE)), 6) AS centroid_norm
+                  FROM comp$i GROUP BY cent_id),
+        s$i AS (SELECT e.vec_id, e.embedding, r.cent_id,
+                       ${cosineSql("e.embedding", "r.cv")} AS sim
+                FROM embeddings e CROSS JOIN ref$i r),
+        a$i AS MATERIALIZED (SELECT vec_id, embedding, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn FROM s$i)
+                WHERE rn = 1),
+        ch$i AS (SELECT count(*) AS n FROM a$i x JOIN a${i - 1} y USING (vec_id)
+                 WHERE x.cent_id <> y.cent_id)"""
+        }.mkString
+    init + rounds
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("dedup_exact",
@@ -2029,45 +2078,6 @@ object LlmQueries {
       (s, dir) => Similarity.ivfKmeansConverged(s, dir),
       Some {
         val n = Similarity.MaxKmeansIters
-        val init = s"""
-        WITH c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-                   WHERE vec_id >= ${Similarity.CentroidBase}
-                     AND vec_id < ${Similarity.CentroidBase + Similarity.Centroids}),
-        s0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-                      ${cosineSql("e.embedding", "c.cv")} AS sim
-               FROM embeddings e CROSS JOIN c),
-        a0 AS MATERIALIZED (SELECT vec_id, embedding, cent_id FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY sim DESC, cent_id) AS rn FROM s0)
-               WHERE rn = 1)"""
-        // Every a$i/ref$i is referenced twice (next round's M step + the
-        // change count / final select). DuckDB INLINES un-hinted CTEs per
-        // reference, so an un-hinted unroll doubles in cost per round —
-        // 2^n, ~15 min at n=12 on the sf0.01 gate (measured r11) —
-        // while MATERIALIZED makes it linear (n × one-round cost).
-        val rounds = (1 to n).map { i =>
-          s""",
-        ex$i AS (SELECT a.cent_id, i AS pos,
-                        CAST(round(CAST(a.embedding[i] AS DOUBLE), 9)
-                          AS DECIMAL(28,9)) AS v
-                 FROM a${i - 1} a, LATERAL unnest(generate_series(1, len(a.embedding))) u(i)),
-        comp$i AS (SELECT cent_id, pos,
-                          round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
-                   FROM ex$i GROUP BY 1, 2),
-        ref$i AS MATERIALIZED (SELECT cent_id, list(c ORDER BY pos) AS cv,
-                         round(sqrt(CAST(sum(CAST(round(c*c, 12) AS DECIMAL(38,12)))
-                                         AS DOUBLE)), 6) AS centroid_norm
-                  FROM comp$i GROUP BY cent_id),
-        s$i AS (SELECT e.vec_id, e.embedding, r.cent_id,
-                       ${cosineSql("e.embedding", "r.cv")} AS sim
-                FROM embeddings e CROSS JOIN ref$i r),
-        a$i AS MATERIALIZED (SELECT vec_id, embedding, cent_id FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id
-                            ORDER BY sim DESC, cent_id) AS rn FROM s$i)
-                WHERE rn = 1),
-        ch$i AS (SELECT count(*) AS n FROM a$i x JOIN a${i - 1} y USING (vec_id)
-                 WHERE x.cent_id <> y.cent_id)"""
-        }.mkString
         val outro = s""",
         it AS (SELECT ${(1 to n).map(i => s"(SELECT n FROM ch$i) AS n$i").mkString(", ")}),
         conv AS (SELECT CAST(CASE ${(1 to n).map(i => s"WHEN n$i = 0 THEN $i").mkString(" ")}
@@ -2079,7 +2089,36 @@ object LlmQueries {
         FROM ref$n r LEFT JOIN (SELECT cent_id, count(*) AS n_final
                                 FROM a$n GROUP BY 1) f USING (cent_id)
         CROSS JOIN conv ORDER BY r.cent_id"""
-        init + rounds + outro
+        kmeansUnrollCtes + outro
+      }),
+
+    // D4-style PROTOTYPE PRUNING (r16, Tirumala et al. 2023): SemDeDup
+    // (X55) is the published pipeline's first half; this is the second —
+    // drop the most-prototypical quarter of every CONVERGED cluster
+    // (nearest-to-centroid points carry the least marginal information).
+    // The Spark side rides the committed per-vector kmeans state; the
+    // oracle re-derives the ENTIRE unrolled Lloyd chain (shared verbatim
+    // with similarity_ivf_kmeans_converged — one chain, two consumers)
+    // plus the rank/keep tail, so a stale stored state fails loudly. The
+    // keep gate runs in exact integers in both engines.
+    QueryDef("corpus_d4_prune",
+      (s, dir) => Similarity.d4Prune(s, dir),
+      Some {
+        val n = Similarity.MaxKmeansIters
+        s"""$kmeansUnrollCtes,
+        st AS (SELECT a.vec_id, a.cent_id,
+                      ${cosineSql("a.embedding", "r.cv")} AS proto_sim
+               FROM a$n a JOIN ref$n r USING (cent_id)),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY cent_id
+                        ORDER BY proto_sim DESC, vec_id) AS proto_rank,
+                      count(*) OVER (PARTITION BY cent_id) AS cluster_n
+               FROM st)
+        SELECT vec_id, cent_id, proto_sim,
+               CAST(cluster_n AS BIGINT) AS cluster_n,
+               CAST(proto_rank AS BIGINT) AS proto_rank,
+               proto_rank * ${Similarity.D4DropDen} > cluster_n AS kept
+        FROM rk ORDER BY vec_id"""
       }),
 
     // SQL-string twin of similarity_topk that exercises the NATIVE

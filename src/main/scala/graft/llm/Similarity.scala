@@ -583,6 +583,29 @@ object Similarity {
       // oracle unrolls from scratch, so staleness fails the gate loudly
       graft.IndexStore.readOrBuild(s, dir, "ivf_kmeans_fixpoint",
         s"v1;base=$CentroidBase;k=$Centroids;cap=$MaxKmeansIters") {
+        val (a, ref, iters, converged) = kmeansFixpoint(s, dir)
+        val counts = a.groupBy(col("cent_id")).agg(count(lit(1)).as("n_final"))
+        val result = ref.select(col("cent_id"), col("centroid_norm"))
+          .join(counts, Seq("cent_id"), "left")
+          .select(col("cent_id"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"),
+            col("centroid_norm"),
+            lit(iters.toLong).as("n_iters"),
+            lit(converged).as("converged"))
+          .orderBy(col("cent_id"))
+          .persist()
+        result.count() // materialize so the loop relations can be dropped
+        ref.unpersist()
+        result
+      }.orderBy(col("cent_id")).persist()
+    }
+
+  /** The Lloyd loop itself — returns (final assignment, final persisted
+    * centroids with `cv`/`centroid_norm`, iterations, converged); the
+    * summary entry AND the D4 per-vector state are its two consumers
+    * (extracted r16 — one loop definition, two derived artifacts). */
+  private def kmeansFixpoint(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int, Boolean) = {
       // the loop's embedding side reads the PERSISTED index relation
       // (same (vec_id, embedding) values as the parquet), not emb(): the
       // old form re-scanned + re-spread the parquet twice per round
@@ -637,22 +660,79 @@ object Similarity {
         iters += 1
         converged = changes == 0L
       }
-      val counts = a.groupBy(col("cent_id")).agg(count(lit(1)).as("n_final"))
-      val result = ref.select(col("cent_id"), col("centroid_norm"))
-        .join(counts, Seq("cent_id"), "left")
-        .select(col("cent_id"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          col("centroid_norm"),
-          lit(iters.toLong).as("n_iters"),
-          lit(converged).as("converged"))
-        .orderBy(col("cent_id"))
-        .persist()
-      result.count() // materialize so the loop relations can be dropped
-      prevRef.foreach(_.unpersist())
-      result
+      (a, ref, iters, converged)
       }
-      }.orderBy(col("cent_id")).persist()
-    }
+  }
+
+  // ---------------------------------------------------------------------
+  // D4 prototypicality pruning (r16)
+
+  /** Fraction of each cluster DROPPED as most-prototypical, as an exact
+    * rational 1/4 (the keep gate runs in integer arithmetic). */
+  val D4DropNum = 1L
+  val D4DropDen = 4L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val kmeansStateCache = new graft.SessionMemo[DataFrame]
+
+  /** Per-vector CONVERGED cluster state (vec_id, cent_id, proto_sim =
+    * 6-dp cosine to the assigned FINAL centroid) — the second consumer
+    * of [[kmeansFixpoint]], committed cross-session like the summary
+    * (surfaced cold as `build_kmeans_state` in [[Builds]]); the D4
+    * oracle re-derives the whole unrolled Lloyd chain from scratch, so
+    * a stale store fails the gate loudly. */
+  private[llm] def kmeansState(s: SparkSession, dir: String): DataFrame =
+    kmeansStateCache.getOrElseUpdate(s, dir)(
+      graft.IndexStore.readOrBuild(s, dir, "kmeans_state",
+        s"v1;base=$CentroidBase;k=$Centroids;cap=$MaxKmeansIters") {
+        val (a, ref, _, _) = kmeansFixpoint(s, dir)
+        val e = ivfIndex(s, dir).where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"))
+        val st = e.join(a, "vec_id")
+          .join(broadcast(ref.select(col("cent_id"), col("cv"))), "cent_id")
+          .select(col("vec_id"), col("cent_id"),
+            // fold form: cv is a 6-dp DOUBLE centroid (the native
+            // expression is ARRAY<FLOAT>-typed); bit-identical kernels
+            cosineFold(col("embedding"), col("cv")).as("proto_sim"))
+          .localCheckpoint()
+        ref.unpersist()
+        st
+      }.persist())
+
+  /** D4-style PROTOTYPE PRUNING (Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification"):
+    * after semantic dedup (X55 — SemDeDup is the published pipeline's
+    * first half), cluster the corpus and DROP the most PROTOTYPICAL
+    * quarter of every cluster — the points nearest their centroid carry
+    * the least marginal information, and pruning them diversifies the
+    * mixture. This is the second half, composed over the engine's own
+    * VERIFIED Lloyd fixpoint: per vector, the converged assignment, the
+    * cosine to its final centroid, the within-cluster prototypicality
+    * rank (sim desc, vec_id tiebreak), and the keep verdict
+    * rank > n/4 evaluated in exact integers (4·rank > n — drops exactly
+    * floor(n/4) per cluster, so sub-4 clusters lose nothing).
+    *
+    * 100 TB: rides the committed per-vector state (one corpus-row slim
+    * relation); the rank is a cluster-keyed window whose partitions are
+    * cluster-sized — the published recipe runs exactly this shape over
+    * sharded FAISS assignments. */
+  def d4Prune(s: SparkSession, dir: String): DataFrame =
+    d4PruneOf(kmeansState(s, dir))
+
+  /** [[d4Prune]] over any (vec_id, cent_id, proto_sim) state — unit-test
+    * hook (D4Spec pins the rank/keep arithmetic on planted clusters). */
+  private[llm] def d4PruneOf(st: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cent_id"))
+      .orderBy(col("proto_sim").desc, col("vec_id"))
+    val wc = Window.partitionBy(col("cent_id"))
+    st.withColumn("proto_rank", row_number().over(w).cast(LongType))
+      .withColumn("cluster_n", count(lit(1)).over(wc))
+      .withColumn("kept",
+        col("proto_rank") * lit(D4DropDen) > col("cluster_n"))
+      .select(col("vec_id"), col("cent_id"), col("proto_sim"),
+        col("cluster_n"), col("proto_rank"), col("kept"))
+      .orderBy(col("vec_id"))
+  }
 
   val NearDupCosine = 0.4
 
