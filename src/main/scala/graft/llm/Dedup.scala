@@ -233,13 +233,16 @@ object Dedup {
       if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
       else dfreq
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    // required overlap = ceil(τ·n) in EXACT integers: (num·n + den−1) / den
-    val reqOverlap = (lit(ContainmentNum) * col("n") +
-      lit(ContainmentDen - 1)) / lit(ContainmentDen)
+    // required overlap = ceil(τ·n) in EXACT integers: (num·n + den−1) DIV
+    // den — long `div`, not `/` (which is IEEE double division and only
+    // floor-exact while num·n stays well under 2^53), so the prefix
+    // length is integer-exact by construction at any corpus size
+    val reqOverlap = expr(s"($ContainmentNum * n + ${ContainmentDen - 1}) " +
+      s"div $ContainmentDen")
     val prefixA = ex
       .join(dfreqSized, "sh")
       .withColumn("rn", row_number().over(byRarity))
-      .where(col("rn") <= col("n") - reqOverlap.cast(LongType) + 1)
+      .where(col("rn") <= col("n") - reqOverlap + lit(1L))
       .select(col("doc_id"), col("n"), col("sh"))
       .repartition(width, col("sh"))
     // two further EXACT prunes on the containing side (locally
@@ -258,8 +261,8 @@ object Dedup {
     val full = ex.select(col("doc_id"), col("n"), col("sh"))
       .join(pv, Seq("sh"), "left_semi")
       .repartition(width, col("sh"))
-    val reqA = ((lit(ContainmentNum) * col("a.n") +
-      lit(ContainmentDen - 1)) / lit(ContainmentDen)).cast(LongType)
+    val reqA = expr(s"($ContainmentNum * a.n + ${ContainmentDen - 1}) " +
+      s"div $ContainmentDen")
     val cand = prefixA.as("a")
       .join(full.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
@@ -397,7 +400,7 @@ object Dedup {
     * (surfaced cold as `build_ngram_truth` in [[Builds]]). */
   private[llm] def ngramTruth(s: SparkSession, dir: String): DataFrame =
     graft.IndexStore.readOrBuild(s, dir, "ngram_truth",
-      s"v1;t=$JaccardThreshold;n=3")(ngramJaccard(s, dir))
+      s"v1;t=$JaccardThreshold;n=$ShingleK")(ngramJaccard(s, dir))
 
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     // r16: the exhaustive PPJoin truth is exactly the kind of expensive

@@ -89,6 +89,10 @@ object DocsDsv2 {
     * appended — the layout arithmetic, exposed for GdfZorderSpec's
     * planted fixtures. */
   private[llm] def zcelled(base: DataFrame): DataFrame = {
+    // cellShift assumes Buckets is a power of two — a non-power-of-2
+    // count would emit Z-cell ids >= Buckets and desync the manifest
+    require(Integer.bitCount(Buckets) == 1,
+      s"Z-order cell count requires power-of-2 Buckets, got $Buckets")
     val mx = base.agg(max(col("doc_id")).as("mxd"),
       max(col("n_chars")).as("mxc"))
     val scale = 1L << ZBits

@@ -451,8 +451,13 @@ object Multimodal {
     // one header per frame, payload sliced from the padded text; the
     // container is a per-row fold (no explode/regroup round trip)
     val header = s"P6\n$PpmWidth $MppmFrameRows\n255\n"
+    // nf=0 (empty text) must yield an EMPTY frame list — an unguarded
+    // sequence(0, -1) is DESCENDING [0,-1] and would frame garbage where
+    // the oracle's generate_series(0,-1) is empty
+    val frameIdx = when(nf > lit(0L), sequence(lit(0L), nf - 1))
+      .otherwise(lit(Array.empty[Long]))
     val containerFold = aggregate(
-      transform(sequence(lit(0L), nf - 1), f =>
+      transform(frameIdx, f =>
         concat(lit(header),
           padded.substr((f * fb + 1).cast("int"), lit(fb)))),
       lit(""), (acc, fr) => concat(acc, fr))
