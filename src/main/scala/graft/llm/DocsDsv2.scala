@@ -226,6 +226,220 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ---- copy-on-write DELETE (r17) -----------------------------------------
+
+  /** The GDPR deletion request: every doc ≡ [[DelRes]] (mod [[DelMod]]).
+    * With the hash layout's bucket = pmod(doc_id, 8) and 16 ≡ 0 (mod 8),
+    * every requested id lives in bucket [[DelRes]] — the zone-map/
+    * bucket-pin prune bounds the copy-on-write rewrite to that single
+    * bucket's files while the other 7 buckets' bytes stay untouched
+    * (GdfCowSpec pins byte-identity). */
+  val DelMod = 16L
+  val DelRes = 3L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtDel = new graft.SessionMemo[String]
+
+  /** A two-snapshot history: v1 = the slim corpus; v2 = the connector's
+    * `SupportsDelete.deleteWhere` copy-on-write delete of the request
+    * list. The id list is assembled driver-side because that IS the
+    * operation's shape — a right-to-be-forgotten request arrives as an
+    * explicit id list, not a scan; the rewrite itself runs as one Spark
+    * task per touched file ([[org.apache.spark.sql.graft.dsv2.GdfMaintenance]]). */
+  def delPath(s: SparkSession, dir: String): String =
+    builtDel.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-del/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val ids: Array[Any] = s.read.parquet(s"$dir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(DelMod)) === DelRes)
+        .select(col("doc_id")).collect().map(_.getLong(0): Any)
+      deleteTable(p).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", ids))) // snapshot v2
+      p
+    }
+
+  /** The table handle through the PUBLIC connector interface — the
+    * delete verb is exercised via Spark's own
+    * `SupportsDelete.canDeleteWhere/deleteWhere` contract, not a side
+    * door. */
+  private def deleteTable(p: String)
+      : org.apache.spark.sql.connector.catalog.SupportsDelete = {
+    val src = new org.apache.spark.sql.graft.dsv2.GraftDocsSource()
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", p)
+    val schema = src.inferSchema(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    src.getTable(schema, Array.empty, opts)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+  }
+
+  /** GDPR-DELETE-WITH-AUDIT (r17): the post-delete scan excludes every
+    * requested doc while the pre-delete snapshot (version=1) still
+    * serves them — labelled per doc by the same full-outer-join shape
+    * as [[timeTravelDiff]]. The oracle re-derives the labels from the
+    * request rule, so the hash match certifies both the copy-on-write
+    * delete AND the snapshot audit read. */
+  def deleteCow(s: SparkSession, dir: String): DataFrame = {
+    val p = delPath(s, dir)
+    def snap(v: Int) = s.read.format("graftdocs")
+      .option("version", v.toString).load(p)
+      .select(col("doc_id"))
+    snap(1).join(snap(2).withColumn("in_v2", lit(true)), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("in_v2").isNotNull, lit("retained"))
+          .otherwise(lit("deleted")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- copy-on-write MERGE (r17) ------------------------------------------
+
+  /** Matched-update rule: docs ≡ [[MergeRes]] (mod [[MergeMod]]) get
+    * lang reset to [[MergeLang]]; [[MergeInserts]] brand-new docs append
+    * past the corpus max id. Same single-bucket geometry as the delete
+    * (5 mod 16 → bucket 5). */
+  val MergeMod = 16L
+  val MergeRes = 5L
+  val MergeLang = "xx"
+  val MergeInserts = 40L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMerge = new graft.SessionMemo[String]
+
+  def mergePath(s: SparkSession, dir: String): String =
+    builtMerge.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-merge/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      base.withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val updates = base.where(pmod(col("doc_id"), lit(MergeMod)) === MergeRes)
+        .select(col("doc_id"), col("n_chars"), lit(MergeLang).as("lang"))
+      val mx = base.agg(max(col("doc_id")).as("mx"))
+      val inserts = s.range(1, MergeInserts + 1).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select((col("mx") + col("i")).as("doc_id"),
+          (lit(1000L) + col("i")).as("n_chars"),
+          lit("new").as("lang"))
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.mergeInto(
+        s, p, updates.unionByName(inserts)) // snapshot v2
+      p
+    }
+
+  /** Keyed MERGE, copy-on-write: matched docs rewrite in place (only
+    * their bucket's files), unmatched source rows insert as new files,
+    * and the oracle re-derives the merged state from the raw table —
+    * the hash match certifies update, insert, and carry-over rows in
+    * one read. */
+  def mergeCow(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(mergePath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  // ---- schema evolution (r17) ---------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtEvo = new graft.SessionMemo[String]
+
+  /** A widened-schema history: v1 = the EVEN docs under the narrow
+    * (doc_id, n_chars) schema; v2 APPENDS the odd docs carrying the new
+    * `lang` column. The append merges the schema in the manifest
+    * (ACCEPT_ANY_SCHEMA + [[org.apache.spark.sql.graft.dsv2.GdfAppend]]);
+    * v1's data files are NOT rewritten — the current scan null-fills
+    * their missing `lang` block, the add-a-column-without-rewriting
+    * contract every table format ships. */
+  def evoPath(s: SparkSession, dir: String): String =
+    builtEvo.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-evo/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      base.where(pmod(col("doc_id"), lit(2L)) === 0L)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // v1: narrow schema
+      base.where(pmod(col("doc_id"), lit(2L)) === 1L)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("bucket"))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("append").save(p) // v2: widened schema, old files untouched
+      p
+    }
+
+  /** SCHEMA-EVOLUTION read: every doc, with `lang` only where a file
+    * actually carries the column (odd docs); even docs read null from
+    * their v1 files. The oracle derives the same null rule from the raw
+    * rows. GdfEvolveSpec pins that v1's files are byte-untouched and a
+    * `version=1` time travel still reads the NARROW schema. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(evoPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  // ---- streaming sink (r17) -----------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtSink = new graft.SessionMemo[String]
+
+  /** The corpus pushed through the connector's STREAMING SINK: the base
+    * graftdocs table is drained by the micro-batch READ face (3 files
+    * per trigger) and each epoch commits an append snapshot into a new
+    * graftdocs table through the streaming WRITE face — per-epoch bucket
+    * files plus the manifest's epoch ledger (replays are no-ops,
+    * GdfSinkSpec pins it). One connector, both streaming directions. */
+  def sinkPath(s: SparkSession, dir: String): String =
+    builtSink.getOrElseUpdate(s, dir) {
+      val src = path(s, dir)
+      val p = s"$src-sink"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val q = s.readStream.format("graftdocs")
+        .option("maxfilespertrigger", StreamMaxFilesPerTrigger.toString)
+        .load(src)
+        .writeStream.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .option("checkpointLocation", s"$p-checkpoint")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(p)
+      q.awaitTermination()
+      p
+    }
+
+  /** Streamed-write certification: the sink table's stats equal
+    * text_stats' oracle VERBATIM — the epochs landed every row exactly
+    * once through write-path distribution, per-epoch files, and the
+    * manifest ledger. */
+  def sinkStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.statsOf(
+      s.read.format("graftdocs").load(sinkPath(s, dir)))
+
   /** Files per micro-batch for [[statsStreamed]] — 8 bucket files at 3
     * per trigger exercise a genuine multi-batch drain. */
   val StreamMaxFilesPerTrigger = 3

@@ -94,8 +94,15 @@ class GraftDocsSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    manifestFor(pathOf(options), options).schema
+  /** A fresh path (no manifest yet) infers an EMPTY schema — the
+    * write-only bootstrap a first streaming-sink epoch needs; reads
+    * still fail loudly at the scan builder's manifest lookup. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = pathOf(options)
+    if (GdfManifest.versions(p).isEmpty &&
+        !new File(p, "manifest.json").exists()) new StructType()
+    else manifestFor(p, options).schema
+  }
 
   private def manifestFor(path: String,
       options: CaseInsensitiveStringMap): GdfManifest.Manifest =
@@ -122,9 +129,12 @@ private[dsv2] object GdfManifest {
   /** `layout` (r16): "hash" (bucket = pmod(doc_id, buckets) — the
     * EqualTo bucket-pin fast path applies) or "zorder" (bucket = a
     * Z-curve prefix cell over two columns — doc_id EqualTo must rely on
-    * zone maps alone). */
+    * zone maps alone). `epochs` (r17): streaming-sink epoch ids already
+    * committed into this table — the exactly-once replay ledger (a
+    * re-delivered epoch is detected here and its files dropped, the
+    * Delta/Iceberg idempotent-commit shape). */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
-      layout: String = "hash")
+      layout: String = "hash", epochs: Seq[Long] = Seq.empty)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -153,8 +163,9 @@ private[dsv2] object GdfManifest {
         s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats}"""
     }
       .mkString("[", ",", "]")
+    val epochs = m.epochs.mkString("[", ",", "]")
     val json = s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"files":$files}"""
+      s""""layout":${q(m.layout)},"epochs":$epochs,"files":$files}"""
     val dir = new File(path)
     dir.mkdirs()
     val tmp = new File(dir, ".manifest.json.tmp")
@@ -232,6 +243,9 @@ private[dsv2] object GdfManifest {
     }
     val layout = "\"layout\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("hash")
+    val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").map(_.trim.toLong))
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"stats\":\\[([^\\]]*)\\])?\\}").r
@@ -243,18 +257,36 @@ private[dsv2] object GdfManifest {
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, colStats)
     }.toSeq
-    Manifest(schema, buckets, files, layout)
+    Manifest(schema, buckets, files, layout, epochs)
   }
 }
 
 private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graftdocs($path)"
   override def schema(): StructType = tableSchema
+  /** ACCEPT_ANY_SCHEMA (r17) opts out of Spark's append-resolution check
+    * so an append may WIDEN the schema (evolution); the writer still
+    * type-checks every column it stores and [[GdfAppend.mergedSchema]]
+    * rejects a type change. STREAMING_WRITE is the sink face. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  /** Row-level DELETE as COPY-ON-WRITE (r17, the connector's GDPR verb):
+    * only files whose zone maps can hold a matching row are rewritten —
+    * every other file's bytes are untouched and its manifest stats carry
+    * over verbatim — and the result is a new snapshot, so the
+    * pre-delete version still serves an audit read (time travel). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GdfMaintenance.supportedDelete(filters)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GdfMaintenance.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, path, filters)
 
   /** `version=<N>` pins the scan to a retained snapshot (time travel —
     * an expired or unknown version fails loudly at the manifest);
@@ -420,7 +452,11 @@ private[dsv2] class GdfAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-private[dsv2] case class GdfInputPartition(file: String, bucket: Int)
+/** One scan partition = one BUCKET's surviving files (possibly several
+  * after appends/epochs — grouping keeps [[KeyGroupedPartitioning]]
+  * sound: duplicate partition keys would break storage-partitioned
+  * planning). */
+private[dsv2] case class GdfInputPartition(files: Seq[String], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -466,9 +502,12 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    survivingFiles.map(f =>
-      GdfInputPartition(new File(path, f.name).getAbsolutePath, f.bucket)
-        : InputPartition).toArray
+    survivingFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (b, fs) =>
+        GdfInputPartition(
+          fs.map(f => new File(path, f.name).getAbsolutePath), b)
+          : InputPartition
+      }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GdfReaderFactory(required)
@@ -477,7 +516,7 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     * pruning — the storage-partitioned contract; Unknown otherwise (a
     * consumer that projected bucket away cannot be bucket-aligned). */
   override def outputPartitioning(): Partitioning = {
-    val n = survivingFiles.size
+    val n = survivingFiles.map(_.bucket).distinct.size
     if (required.fieldNames.contains("bucket"))
       new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), n)
     else new UnknownPartitioning(n)
@@ -555,8 +594,8 @@ private[dsv2] class GdfMicroBatchStream(path: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     files.slice(start.asInstanceOf[GdfOffset].idx, end.asInstanceOf[GdfOffset].idx)
-      .map(f => GdfInputPartition(new File(path, f.name).getAbsolutePath,
-        f.bucket): InputPartition)
+      .map(f => GdfInputPartition(
+        Seq(new File(path, f.name).getAbsolutePath), f.bucket): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -569,16 +608,20 @@ private[dsv2] class GdfMicroBatchStream(path: String,
 private[dsv2] class GdfReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GdfPartitionReader(p.asInstanceOf[GdfInputPartition].file, required)
+    new GdfPartitionReader(p.asInstanceOf[GdfInputPartition].files, required)
 }
 
-/** Columnar reader: parses the directory, seeks past every non-required
-  * block, decodes only the surviving columns, and serves rows in
-  * readSchema order. */
-private[dsv2] class GdfPartitionReader(file: String, required: StructType)
+/** Columnar reader over a bucket's file list: per file, parses the
+  * directory, seeks past every non-required block, decodes only the
+  * surviving columns, and serves rows in readSchema order. A required
+  * column ABSENT from a file's directory reads as all-null — old files
+  * under an evolved (widened) schema, the add-a-column contract (r17).
+  * Files decode lazily, one at a time — the partition never holds more
+  * than one file's columns. */
+private[dsv2] class GdfPartitionReader(files: Seq[String], required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val (nRows, cols) = {
+  private def decode(file: String): (Int, Array[Array[Any]]) = {
     val in = new DataInputStream(new java.io.BufferedInputStream(
       new FileInputStream(file)))
     try {
@@ -603,23 +646,36 @@ private[dsv2] class GdfPartitionReader(file: String, required: StructType)
           decoded(name) = GdfFormat.readBlock(in, tag, rows)
         }
       }
-      val ordered = required.fieldNames.map { n =>
-        require(decoded.contains(n), s"column $n missing in $file")
-        decoded(n)
-      }
+      val ordered = required.fieldNames.map(n =>
+        decoded.getOrElse(n, new Array[Any](rows))) // absent -> all-null
       (rows, ordered)
     } finally in.close()
   }
 
+  private var fileIdx = 0
+  private var nRows = 0
+  private var cols: Array[Array[Any]] = Array.empty
   private var i = -1
-  override def next(): Boolean = { i += 1; i < nRows }
+
+  override def next(): Boolean = {
+    i += 1
+    while (i >= nRows && fileIdx < files.size) {
+      val (n, c) = decode(files(fileIdx))
+      nRows = n; cols = c; i = 0; fileIdx += 1
+    }
+    i < nRows
+  }
   override def get(): InternalRow =
     new GenericInternalRow(cols.map(c => c(i)).toArray[Any])
   override def close(): Unit = ()
 }
 
 private[dsv2] object GdfFormat {
-  val Magic: Int = 0x47444631 // "GDF1"
+  val Magic: Int = 0x47444632 // "GDF2" — r17: blocks carry a validity
+  // section (1 hasNulls byte, then one validity byte per row when set),
+  // the production nullability a table format needs once schema
+  // evolution and row-level rewrites exist; null values store zero/empty
+  // placeholders so fixed-width decode stays branch-free
   val TagLong: Byte = 0
   val TagInt: Byte = 1
   val TagString: Byte = 2
@@ -639,8 +695,23 @@ private[dsv2] object GdfFormat {
   }
 
   /** Decode one column block into row-indexed values (UTF8String for
-    * strings — the internal-row currency, no extra copy per access). */
-  def readBlock(in: DataInputStream, tag: Byte, rows: Int): Array[Any] =
+    * strings — the internal-row currency, no extra copy per access).
+    * Reads the validity section first; null rows decode their
+    * placeholder value and are overwritten with null. */
+  def readBlock(in: DataInputStream, tag: Byte, rows: Int): Array[Any] = {
+    val hasNulls = in.readByte() == 1
+    val valid = if (hasNulls) {
+      val v = new Array[Byte](rows); in.readFully(v); v
+    } else null
+    val vals = readValues(in, tag, rows)
+    if (valid != null) {
+      var i = 0
+      while (i < rows) { if (valid(i) == 0) vals(i) = null; i += 1 }
+    }
+    vals
+  }
+
+  private def readValues(in: DataInputStream, tag: Byte, rows: Int): Array[Any] =
     tag match {
       case TagLong =>
         Array.tabulate[Any](rows)(_ => in.readLong())
@@ -663,6 +734,120 @@ private[dsv2] object GdfFormat {
         }
       case other => throw new IllegalArgumentException(s"bad tag $other")
     }
+
+  /** Read EVERY column of a `.gdf` file as raw values (the writer's
+    * currency: Long/Int/Array[Byte]/Array[Float]/null), plus the file's
+    * own column names — the copy-on-write rewrite path
+    * ([[GdfMaintenance]]) round-trips files through this. */
+  def readFileRaw(file: String): (Seq[String], Seq[Array[Any]]) = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(file)))
+    try {
+      require(in.readInt() == Magic, s"bad magic in $file")
+      in.readInt() // bucket
+      val rows = in.readInt()
+      val nCols = in.readInt()
+      val dir = (0 until nCols).map { _ =>
+        val nameLen = in.readInt()
+        val nameBytes = new Array[Byte](nameLen)
+        in.readFully(nameBytes)
+        val tag = in.readByte()
+        val blockLen = in.readLong()
+        (new String(nameBytes, StandardCharsets.UTF_8), tag, blockLen)
+      }
+      val cols = dir.map { case (_, tag, _) =>
+        readBlock(in, tag, rows).map {
+          case u: UTF8String => u.getBytes: Any
+          case a: org.apache.spark.sql.catalyst.util.GenericArrayData =>
+            a.toFloatArray(): Any
+          case v => v
+        }
+      }
+      val out = (0 until rows).map(r => cols.map(c => c(r)).toArray)
+      (dir.map(_._1), out)
+    } finally in.close()
+  }
+
+  /** Emit one columnar `.gdf` file (raw-value rows as produced by the
+    * writer or [[readFileRaw]]) and return its manifest stats. The
+    * generic zone map skips nulls and omits a column whose values are
+    * all null — min/max over nothing is no stat, not a MatchError. */
+  def writeFile(dirPath: String, name: String, schema: StructType,
+      bucket: Int, rows: Seq[Array[Any]]): GdfManifest.FileStat = {
+    val docIdx = schema.fieldIndex("doc_id")
+    new File(dirPath).mkdirs()
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirPath, name))))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(bucket)
+      out.writeInt(rows.size)
+      out.writeInt(schema.fields.length)
+      // directory: (name, tag, block length) per column; a block is the
+      // validity section plus values (placeholders where null)
+      val blocks = schema.fields.zipWithIndex.map { case (f, i) =>
+        val tag = tagOf(f.dataType)
+        val hasNulls = rows.exists(_(i) == null)
+        val validityLen = 1L + (if (hasNulls) rows.size.toLong else 0L)
+        val valuesLen: Long = tag match {
+          case TagLong => 8L * rows.size
+          case TagInt => 4L * rows.size
+          case TagString =>
+            4L * rows.size + rows.map(r => r(i) match {
+              case null => 0L
+              case b: Array[Byte] => b.length.toLong
+            }).sum
+          case TagFloatArray =>
+            4L * rows.size + 4L * rows.map(r => r(i) match {
+              case null => 0L
+              case a: Array[Float] => a.length.toLong
+            }).sum
+        }
+        (f.name, tag, validityLen + valuesLen, i, hasNulls)
+      }
+      blocks.foreach { case (name2, tag, len, _, _) =>
+        val nb = name2.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(nb.length); out.write(nb)
+        out.writeByte(tag); out.writeLong(len)
+      }
+      blocks.foreach { case (_, tag, _, i, hasNulls) =>
+        out.writeByte(if (hasNulls) 1 else 0)
+        if (hasNulls) rows.foreach(r =>
+          out.writeByte(if (r(i) == null) 0 else 1))
+        tag match {
+          case TagLong =>
+            rows.foreach(r => out.writeLong(r(i) match {
+              case null => 0L; case l: Long => l }))
+          case TagInt =>
+            rows.foreach(r => out.writeInt(r(i) match {
+              case null => 0; case n: Int => n }))
+          case TagString =>
+            rows.foreach(r => out.writeInt(r(i) match {
+              case null => 0; case b: Array[Byte] => b.length }))
+            rows.foreach(r => r(i) match {
+              case null => (); case b: Array[Byte] => out.write(b) })
+          case TagFloatArray =>
+            rows.foreach(r => out.writeInt(r(i) match {
+              case null => 0; case a: Array[Float] => a.length }))
+            rows.foreach(r => r(i) match {
+              case null => ()
+              case a: Array[Float] => a.foreach(out.writeFloat) })
+        }
+      }
+    } finally out.close()
+    val ids = rows.map(_(docIdx).asInstanceOf[Long])
+    val colStats = schema.fields.zipWithIndex.collect {
+      case (f, i) if i != docIdx && f.name != "bucket" &&
+          (f.dataType == LongType || f.dataType == IntegerType) =>
+        val vs = rows.flatMap(r => r(i) match {
+          case null => None
+          case l: Long => Some(l)
+          case n: Int => Some(n.toLong)
+        })
+        if (vs.isEmpty) None else Some((f.name, vs.min, vs.max))
+    }.flatten.toSeq
+    GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats)
+  }
 }
 
 // --------------------------------------------------------------- write
@@ -671,15 +856,12 @@ private[dsv2] class GdfWriteBuilder(path: String, schema: StructType,
     buckets: Int, layout: String) extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
-  override def build(): Write = {
-    require(truncateRequested,
-      "graftdocs only supports overwrite (truncate) writes")
-    new GdfWrite(path, schema, buckets, layout)
-  }
+  override def build(): Write =
+    new GdfWrite(path, schema, buckets, layout, truncateRequested)
 }
 
 private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
-    layout: String)
+    layout: String, truncate: Boolean)
     extends Write with RequiresDistributionAndOrdering {
 
   require(schema.fieldNames.contains("bucket"),
@@ -688,9 +870,9 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
     "graftdocs write input must carry doc_id")
 
   /** The connector TELLS Spark the layout it needs — clustered by bucket
-    * (each bucket entirely in one task → exactly one file per bucket),
-    * rows sorted by doc_id (tight zone maps). Spark plans the exchange
-    * and sort; the writer just streams. */
+    * (each bucket entirely in one task → exactly one file per bucket per
+    * write), rows sorted by doc_id (tight zone maps). Spark plans the
+    * exchange and sort; the writer just streams. */
   override def requiredDistribution(): Distribution =
     Distributions.clustered(Array(Expressions.column("bucket")))
   override def requiredOrdering(): Array[SortOrder] =
@@ -699,52 +881,152 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
   override def distributionStrictlyRequired(): Boolean = true
 
   override def toBatch: BatchWrite =
-    new GdfBatchWrite(path, schema, buckets, layout,
+    new GdfBatchWrite(path, schema, buckets, layout, truncate,
       GdfManifest.nextVersion(path))
+
+  /** The STREAMING SINK face (r17): each epoch appends its bucket files
+    * and commits one snapshot; the manifest's epoch ledger makes a
+    * replayed epoch a no-op (exactly-once end to end with the
+    * micro-batch read face on the other side). */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GdfStreamingWrite(path, schema, buckets, layout)
 }
 
 private[dsv2] case class GdfCommit(stats: Seq[GdfManifest.FileStat])
     extends WriterCommitMessage
 
+/** Shared commit arithmetic for the batch-append and streaming-epoch
+  * paths: fold the new files into the current manifest under SCHEMA
+  * EVOLUTION rules — the union schema keeps the current columns' order
+  * and appends genuinely new ones; a column present in both must keep
+  * its type. Old files simply lack the new blocks; the reader null-fills
+  * them (the add-a-column-without-rewriting story every table format
+  * ships). */
+private[dsv2] object GdfAppend {
+  def mergedSchema(current: StructType, incoming: StructType): StructType = {
+    current.fields.foreach { f =>
+      incoming.fields.find(_.name == f.name).foreach(g =>
+        require(g.dataType == f.dataType,
+          s"graftdocs schema evolution cannot change ${f.name}: " +
+            s"${f.dataType} -> ${g.dataType}"))
+    }
+    StructType(current.fields ++
+      incoming.fields.filterNot(f => current.fieldNames.contains(f.name)))
+  }
+
+  def appended(path: String, incoming: StructType, buckets: Int,
+      layout: String, stats: Seq[GdfManifest.FileStat],
+      epoch: Option[Long]): GdfManifest.Manifest =
+    if (GdfManifest.versions(path).isEmpty)
+      GdfManifest.Manifest(incoming, buckets, stats, layout,
+        epoch.toSeq)
+    else {
+      val cur = GdfManifest.read(path)
+      require(cur.buckets == buckets || buckets <= 0,
+        s"bucket count mismatch: table has ${cur.buckets}")
+      GdfManifest.Manifest(mergedSchema(cur.schema, incoming), cur.buckets,
+        cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq)
+    }
+}
+
 private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
-    buckets: Int, layout: String, version: Int) extends BatchWrite {
+    buckets: Int, layout: String, truncate: Boolean, version: Int)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GdfWriterFactory(path, schema, version)
+    new GdfWriterFactory(path, schema, s"v$version")
 
-  /** Overwrite commits a new SNAPSHOT: version-suffixed data files, the
+  /** Each commit is a SNAPSHOT: version-suffixed data files, the
     * versioned manifest next to the refreshed current pointer, snapshots
     * past the retention window expired ([[GdfManifest.commitVersion]]) —
-    * the Iceberg commit shape with time travel. */
+    * the Iceberg commit shape with time travel. Overwrite replaces the
+    * file set; append (r17) folds the new files in under the
+    * schema-evolution rules. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    GdfManifest.commitVersion(path,
-      GdfManifest.Manifest(schema, buckets, stats, layout), version)
+    val m =
+      if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout)
+      else GdfAppend.appended(path, schema, buckets, layout, stats, None)
+    GdfManifest.commitVersion(path, m, version)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Streaming sink: per-epoch append commits with an idempotence ledger.
+  * A re-delivered epoch (checkpoint replay after a crash between data
+  * write and offset commit) is detected in the manifest's `epochs` and
+  * its files dropped — the commit is exactly-once even though the write
+  * is at-least-once (GdfSinkSpec pins the replay). */
+private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
+    buckets: Int, layout: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GdfWriterFactory(path, schema, "")
+
+  /** Files already referenced by the current manifest — a replayed
+    * epoch regenerates the SAME deterministic file names (it overwrote
+    * them with identical bytes), so cleanup must never touch the live
+    * set. */
+  private def liveNames: Set[String] =
+    if (GdfManifest.versions(path).isEmpty) Set.empty
+    else GdfManifest.read(path).files.map(_.name).toSet
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
+    val replay = GdfManifest.versions(path).nonEmpty &&
+      GdfManifest.read(path).epochs.contains(epochId)
+    if (replay) {
+      val live = liveNames
+      stats.filterNot(s => live.contains(s.name))
+        .foreach(s => new File(path, s.name).delete())
+    } else {
+      GdfManifest.commitVersion(path,
+        GdfAppend.appended(path, schema, buckets, layout, stats,
+          Some(epochId)),
+        GdfManifest.nextVersion(path))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val live = liveNames
+    messages.filter(_ != null).foreach(
+      _.asInstanceOf[GdfCommit].stats
+        .filterNot(s => live.contains(s.name))
+        .foreach(s => new File(path, s.name).delete()))
+  }
+}
+
 private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
-    version: Int) extends DataWriterFactory {
+    suffix: String) extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, version)
+    new GdfDataWriter(path, schema, suffix)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GdfDataWriter(path, schema, s"e$epochId-p$partitionId")
 }
 
 /** Buffers the task's rows per bucket (clustered distribution means one
   * bucket per task in practice; the map shape stays correct regardless)
-  * and flushes one columnar file per bucket at commit. */
+  * and flushes one columnar file per bucket at commit. Nulls are
+  * accepted for every column except the `doc_id`/`bucket` keys (r17 —
+  * the schema-evolution and copy-on-write paths both produce them). */
 private[dsv2] class GdfDataWriter(path: String, schema: StructType,
-    version: Int) extends DataWriter[InternalRow] {
+    suffix: String) extends DataWriter[InternalRow] {
 
   private val bucketIdx = schema.fieldIndex("bucket")
-  private val docIdx = schema.fieldIndex("doc_id")
   private val perBucket = mutable.Map[Int, mutable.ArrayBuffer[Array[Any]]]()
 
   override def write(row: InternalRow): Unit = {
     val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-      require(!row.isNullAt(i), s"graftdocs is null-free: ${f.name}")
-      f.dataType match {
+      if (row.isNullAt(i)) {
+        require(f.name != "doc_id" && f.name != "bucket",
+          s"graftdocs key column ${f.name} must be non-null")
+        null: Any
+      } else f.dataType match {
         case LongType => row.getLong(i): Any
         case IntegerType => row.getInt(i): Any
         case StringType => row.getUTF8String(i).getBytes: Any
@@ -760,67 +1042,8 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = GdfCommit(
     perBucket.toSeq.sortBy(_._1).map { case (bucket, rows) =>
-      new File(path).mkdirs() // first writer on a fresh table creates it
-      val name = s"part-$bucket-v$version.gdf"
-      val out = new DataOutputStream(new BufferedOutputStream(
-        new FileOutputStream(new File(path, name))))
-      try {
-        out.writeInt(GdfFormat.Magic)
-        out.writeInt(bucket)
-        out.writeInt(rows.size)
-        out.writeInt(schema.fields.length)
-        // directory: (name, tag, block length) per column
-        val blocks = schema.fields.zipWithIndex.map { case (f, i) =>
-          val tag = GdfFormat.tagOf(f.dataType)
-          val len: Long = tag match {
-            case GdfFormat.TagLong => 8L * rows.size
-            case GdfFormat.TagInt => 4L * rows.size
-            case GdfFormat.TagString =>
-              4L * rows.size +
-                rows.map(_(i).asInstanceOf[Array[Byte]].length.toLong).sum
-            case GdfFormat.TagFloatArray =>
-              4L * rows.size +
-                4L * rows.map(_(i).asInstanceOf[Array[Float]].length.toLong).sum
-          }
-          (f.name, tag, len, i)
-        }
-        blocks.foreach { case (name2, tag, len, _) =>
-          val nb = name2.getBytes(StandardCharsets.UTF_8)
-          out.writeInt(nb.length); out.write(nb)
-          out.writeByte(tag); out.writeLong(len)
-        }
-        blocks.foreach { case (_, tag, _, i) =>
-          tag match {
-            case GdfFormat.TagLong =>
-              rows.foreach(r => out.writeLong(r(i).asInstanceOf[Long]))
-            case GdfFormat.TagInt =>
-              rows.foreach(r => out.writeInt(r(i).asInstanceOf[Int]))
-            case GdfFormat.TagString =>
-              rows.foreach(r =>
-                out.writeInt(r(i).asInstanceOf[Array[Byte]].length))
-              rows.foreach(r => out.write(r(i).asInstanceOf[Array[Byte]]))
-            case GdfFormat.TagFloatArray =>
-              rows.foreach(r =>
-                out.writeInt(r(i).asInstanceOf[Array[Float]].length))
-              rows.foreach(r =>
-                r(i).asInstanceOf[Array[Float]].foreach(out.writeFloat))
-          }
-        }
-      } finally out.close()
-      val ids = rows.map(_(docIdx).asInstanceOf[Long])
-      // generic zone map: min/max for every OTHER numeric column — the
-      // stats that make a multi-column (Z-order) layout skippable
-      val colStats = schema.fields.zipWithIndex.collect {
-        case (f, i) if i != docIdx && f.name != "bucket" &&
-            (f.dataType == LongType || f.dataType == IntegerType) =>
-          val vs = rows.map(r => r(i) match {
-            case l: Long => l
-            case n: Int => n.toLong
-          })
-          (f.name, vs.min, vs.max)
-      }.toSeq
-      GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max,
-        colStats)
+      GdfFormat.writeFile(path, s"part-$bucket-$suffix.gdf", schema, bucket,
+        rows.toSeq)
     })
 
   override def abort(): Unit = ()
