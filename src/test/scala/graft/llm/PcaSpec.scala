@@ -63,4 +63,60 @@ class PcaSpec extends SparkSpec {
     assert(ve > 0.0 && ve <= 1.0, s"var_explained $ve out of range")
     assert(out.map(_.getDouble(2)).distinct.length == 1, "eigenvalue not replicated")
   }
+
+  test("deflation recovers the planted top-3 axes in variance order") {
+    // dims 3, 5, 6 carry variance 100, 25, 4; everything else constant
+    val rows = (0 until 40).map { k =>
+      val s3 = if (k % 2 == 0) 10.0f else -10.0f
+      val s5 = if (k % 4 < 2) 5.0f else -5.0f
+      val s6 = if (k % 8 < 4) 2.0f else -2.0f
+      (k.toLong, Array(0.5f, 0f, 0f, s3, 0f, s5, s6, 0.25f).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val out = Pca.pcaTopDOf(e, dims = 8).collect()
+    assert(out.length == 24)
+    val byComp = out.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1))).toMap
+    val wantAxis = Map(1L -> 3, 2L -> 5, 3L -> 6)
+    val wantEig = Map(1L -> 100.0, 2L -> 25.0, 3L -> 4.0)
+    for (k <- 1L to 3L) {
+      val comp = byComp(k).map(_.getDouble(2))
+      assert(math.abs(math.abs(comp(wantAxis(k))) - 1.0) < 1e-3,
+        s"component $k missed axis ${wantAxis(k)}: ${comp.toSeq}")
+      val eig = byComp(k).head.getDouble(3)
+      assert(math.abs(eig - wantEig(k)) < 0.1,
+        s"component $k eigenvalue $eig != ${wantEig(k)}")
+    }
+    // var_explained shares a single denominator: ratios match eigenvalues
+    val ve = (1L to 3L).map(k => byComp(k).head.getDouble(4))
+    assert(math.abs(ve(0) / ve(1) - 4.0) < 0.05, s"ve ratio: $ve")
+  }
+
+  test("corpus top-3 directions are pairwise orthogonal, eigenvalues ordered") {
+    val out = Pca.pcaTopD(spark, sf001).collect()
+    assert(out.length == 3 * Similarity.Dims)
+    val vs = (1L to 3L).map(k =>
+      out.filter(_.getLong(0) == k).sortBy(_.getLong(1))
+        .map(_.getDouble(2)))
+    vs.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"not unit: $n")
+    }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val dot = vs(a).zip(vs(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-3, s"v${a + 1}·v${b + 1} = $dot")
+    }
+    // the corpus spectrum is near-flat (max var_explained ~2.4 %), so 8
+    // truncated power rounds leave convergence error comparable to the
+    // eigen-gaps — small ordering inversions between adjacent components
+    // are expected and honest (the planted fixture pins STRICT ordering
+    // where a real gap exists); pin that no component is grossly out of
+    // place and all are positive
+    val eigs = (1L to 3L).map(k =>
+      out.filter(_.getLong(0) == k).head.getDouble(3))
+    assert(eigs.forall(_ > 0.0), s"non-positive eigenvalue: $eigs")
+    for (i <- 0 until 2)
+      assert(eigs(i) >= eigs(i + 1) * 0.9,
+        s"eigenvalue inversion beyond convergence tolerance: $eigs")
+  }
 }
