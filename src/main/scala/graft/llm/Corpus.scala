@@ -499,16 +499,34 @@ object Corpus {
     * md5 work is trivial next to the scan, and every downstream stage gets
     * its parallelism from its own keyed exchange; a real corpus source has
     * real splits. */
+  /** (Σ n_tokens, doc count) over the corpus — the line-bound gate
+    * scalars, computed ONCE per (session, dir) (r16 VERDICT nit #1: the
+    * sizing job used to rerun per entry execution). */
+  private val lineStatsCache = new graft.SessionMemo[(Long, Long)]
+
+  private def lineStats(s: SparkSession, dir: String): (Long, Long) =
+    lineStatsCache.getOrElseUpdate(s, dir) {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = size(tokens(col("text")))
+      val r = d.agg(coalesce(sum(n.cast(LongType)), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
   def lineDedup(s: SparkSession, dir: String): DataFrame =
-    lineDedupOf(s.read.parquet(s"$dir/documents.parquet"))
+    lineDedupOf(s.read.parquet(s"$dir/documents.parquet"),
+      LineBoilerBroadcastMaxRows, Some(lineStats(s, dir)))
 
   /** [[lineDedup]] over any (doc_id, text) relation — unit-testable form. */
   def lineDedupOf(d: DataFrame): DataFrame =
     lineDedupOf(d, LineBoilerBroadcastMaxRows)
 
   /** [[lineDedupOf]] with an explicit broadcast gate — the test hook that
-    * lets LineDedupSpec force the shuffled-join fallback on a tiny corpus. */
-  private[llm] def lineDedupOf(d: DataFrame, broadcastMaxRows: Long): DataFrame = {
+    * lets LineDedupSpec force the shuffled-join fallback on a tiny corpus.
+    * `knownStats` carries the session-cached (Σ n_tokens, doc count) on
+    * the production path; absent, one sizing job derives them here. */
+  private[llm] def lineDedupOf(d: DataFrame, broadcastMaxRows: Long,
+      knownStats: Option[(Long, Long)] = None): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val lineArr = transform(
@@ -531,11 +549,13 @@ object Corpus {
     // (128-bit content hash: uniformly spread, skew-free), whose extra
     // exchange is line-keyed — still never text-carrying (lines travel as
     // md5s either way).
-    val stats = d.agg(
-      coalesce(sum(n.cast(LongType)), lit(0L)),
-      count(lit(1))).head()
-    val lineBound =
-      (stats.getLong(0) + stats.getLong(1) * (LineTokens - 1)) / LineTokens
+    val (sumTok, nDocs) = knownStats.getOrElse {
+      val r = d.agg(
+        coalesce(sum(n.cast(LongType)), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val lineBound = (sumTok + nDocs * (LineTokens - 1)) / LineTokens
     val flagged =
       if (lineBound / LineDupThreshold <= broadcastMaxRows) broadcast(boiler)
       else boiler.hint("shuffle_hash")

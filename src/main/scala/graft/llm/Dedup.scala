@@ -134,10 +134,9 @@ object Dedup {
     // the doc's full ordered set) rides along for the positional filter
     // below.
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val totalShingles =
-      sets.agg(sum(col("n"))).head().getLong(0) // one job over the cache
     val dfreqSized =
-      if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
+      if (totalShingles(s, dir) <= NgramDfBroadcastMaxShingles)
+        broadcast(dfreq)
       else dfreq
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = ex
@@ -219,18 +218,23 @@ object Dedup {
     * shingle-keyed, never pair-space) and the doc (verify); both sides
     * ride the persisted shingle-set cache. */
   def containment(s: SparkSession, dir: String): DataFrame =
-    containmentOf(shingleSets(s, dir), s.sparkContext.defaultParallelism)
+    containmentOf(shingleSets(s, dir), s.sparkContext.defaultParallelism,
+      Some(totalShingles(s, dir)))
 
   /** [[containment]] over any (doc_id, n, sset) shingle-set relation —
     * unit-test hook (ContainmentSpec plants an excerpt-inside-article
-    * pair that resemblance misses). */
-  private[graft] def containmentOf(sets: DataFrame, width: Int): DataFrame = {
+    * pair that resemblance misses). `knownTotal` is the session-cached
+    * Σn scalar on the production path (r16 VERDICT nit #1 — the sizing
+    * job used to rerun per entry execution); absent, it's derived here. */
+  private[graft] def containmentOf(sets: DataFrame, width: Int,
+      knownTotal: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val totalShingles = sets.agg(sum(col("n"))).head().getLong(0)
+    val total = knownTotal.getOrElse(
+      sets.agg(sum(col("n"))).head().getLong(0))
     val dfreqSized =
-      if (totalShingles <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
+      if (total <= NgramDfBroadcastMaxShingles) broadcast(dfreq)
       else dfreq
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     // required overlap = ceil(τ·n) in EXACT integers: (num·n + den−1) DIV
@@ -333,6 +337,16 @@ object Dedup {
         // serializes all of them for the session's lifetime.
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .persist())
+
+  /** Σn over the persisted shingle sets — the broadcast-gate scalar for
+    * the PPJoin and containment paths, computed ONCE per (session, dir)
+    * (r16 VERDICT nit #1: the one-row sizing job used to rerun on every
+    * entry execution; the bound is a static property of the corpus). */
+  private val shingleTotalCache = new graft.SessionMemo[java.lang.Long]
+
+  private[llm] def totalShingles(s: SparkSession, dir: String): Long =
+    shingleTotalCache.getOrElseUpdate(s, dir)(
+      Long.box(shingleSets(s, dir).agg(sum(col("n"))).head().getLong(0)))
 
   /** (doc_id, band, bkey) banding relation from any (doc_id, sset)
     * shingle-set relation — purely per-row (signature fold + band-key
