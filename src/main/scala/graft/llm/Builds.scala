@@ -41,6 +41,16 @@ object Builds {
       ((s, d) => { PageRank.pagerank(s, d).count(); () }),
     "build_pca_power" ->
       ((s, d) => { Pca.pcaPower(s, d).count(); () }),
+    "build_pca_topd" ->
+      ((s, d) => { Pca.pcaTopD(s, d).count(); () }),
+    "build_dsv2_delete" ->
+      ((s, d) => { DocsDsv2.delPath(s, d); () }),
+    "build_dsv2_merge" ->
+      ((s, d) => { DocsDsv2.mergePath(s, d); () }),
+    "build_dsv2_evolution" ->
+      ((s, d) => { DocsDsv2.evoPath(s, d); () }),
+    "build_dsv2_sink" ->
+      ((s, d) => { DocsDsv2.sinkPath(s, d); () }),
     "build_dsv2_docs" ->
       ((s, d) => { DocsDsv2.path(s, d); () }),
     "build_dsv2_zorder" ->

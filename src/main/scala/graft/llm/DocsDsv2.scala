@@ -416,9 +416,15 @@ object DocsDsv2 {
     builtSink.getOrElseUpdate(s, dir) {
       val src = path(s, dir)
       val p = s"$src-sink"
-      val pPath = new org.apache.hadoop.fs.Path(p)
-      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(pPath, true)
+      // wipe table AND checkpoint together: this builder's contract is a
+      // fresh full drain per (session, sf) — a stale checkpoint would
+      // report every source file consumed and the stream would commit
+      // nothing into the freshly wiped table
+      Seq(p, s"$p-checkpoint").foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dp, true)
+      }
       val q = s.readStream.format("graftdocs")
         .option("maxfilespertrigger", StreamMaxFilesPerTrigger.toString)
         .load(src)
