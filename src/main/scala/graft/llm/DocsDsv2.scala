@@ -355,6 +355,63 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ---- SQL catalog face (r17) ---------------------------------------------
+
+  /** SQL delete cutoff: docs with doc_id ≥ max·[[SqlDelNum]]/[[SqlDelDen]]
+    * (long division) are deleted through `spark.sql("DELETE FROM …")`. */
+  val SqlDelNum = 3L
+  val SqlDelDen = 5L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtCat = new graft.SessionMemo[String]
+
+  /** The graftdocs CATALOG face exercised end to end: a
+    * [[org.apache.spark.sql.graft.dsv2.GraftCatalog]] registered under a
+    * per-corpus name, a table under its root, and a RANGE DELETE issued
+    * as PLAIN SQL — Spark's own DeleteFromTable resolution translates
+    * the predicate to source filters and calls the connector's
+    * `SupportsDelete` copy-on-write verb (X113); the pre-delete snapshot
+    * stays addressable as `VERSION AS OF 1`, also pure SQL. Returns the
+    * catalog-qualified table name. */
+  def sqlCatalogTable(s: SparkSession, dir: String): String =
+    builtCat.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graft_$tag"
+      val rootDir = s"/root/repo/target/graft-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      base.write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(s"$rootDir/docs") // snapshot v1
+      val mx = base.agg(max(col("doc_id"))).head().getLong(0)
+      val cutoff = mx * SqlDelNum / SqlDelDen
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id >= $cutoff") // v2, CoW
+      s"$cat.docs"
+    }
+
+  /** GDPR delete + audit, PURE SQL: the post-delete table full-outer
+    * against its own `VERSION AS OF 1` snapshot — catalog resolution,
+    * DELETE translation, CoW rewrite, and SQL time travel certified by
+    * one rule-derived oracle. */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = sqlCatalogTable(s, dir)
+    s.sql(s"""
+      SELECT v1.doc_id,
+             CASE WHEN cur.doc_id IS NULL THEN 'deleted'
+                  ELSE 'retained' END AS status
+      FROM (SELECT doc_id FROM $t VERSION AS OF 1) v1
+      LEFT JOIN (SELECT doc_id FROM $t) cur USING (doc_id)
+      ORDER BY doc_id""")
+  }
+
   // ---- schema evolution (r17) ---------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

@@ -1395,6 +1395,25 @@ object LlmQueries {
         FROM generate_series(1, ${DocsDsv2.MergeInserts}) AS t(i)
         ORDER BY doc_id""")),
 
+    // The connector's SQL CATALOG face (r17): a GraftCatalog registered
+    // per corpus, the delete issued as PLAIN SQL (`DELETE FROM
+    // graft_x.docs WHERE doc_id >= cutoff`) — Spark's DeleteFromTable
+    // resolution translates the predicate and drives the X113 CoW verb —
+    // and the audit read as SQL time travel (`VERSION AS OF 1`). One
+    // rule-derived oracle certifies catalog resolution, predicate
+    // translation, the rewrite, and snapshot isolation end to end.
+    // GraftCatalogSpec pins CTAS/INSERT/SHOW TABLES/RENAME/DROP and the
+    // loud unsupported-predicate failure.
+    QueryDef("dsv2_sql_delete",
+      (s, dir) => DocsDsv2.sqlDelete(s, dir),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN doc_id >= (SELECT max(doc_id) * ${DocsDsv2.SqlDelNum}
+                                           // ${DocsDsv2.SqlDelDen}
+                                    FROM documents)
+                    THEN 'deleted' ELSE 'retained' END AS status
+        FROM documents ORDER BY doc_id""")),
+
     // SCHEMA EVOLUTION on the connector (r17): v1 holds the even docs
     // under the narrow (doc_id, n_chars) schema; an APPEND lands the odd
     // docs with the new lang column and widens the manifest schema —

@@ -1,0 +1,113 @@
+package org.apache.spark.sql.graft.dsv2
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The CATALOG face of the graftdocs connector (r17): a
+  * [[TableCatalog]] mapping `graft.<table>` identifiers to graftdocs
+  * table directories under a configured root — the surface that turns
+  * the path-based connector into a SQL-addressable table format
+  * (Iceberg's `spark.sql.catalog.<name>` shape):
+  *
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/graft")
+  *   spark.sql("DELETE FROM graft.docs WHERE doc_id >= 3000")   // CoW X113
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 1")       // audit read
+  *   spark.sql("INSERT INTO graft.docs SELECT ...")              // append/evolve
+  *
+  * `DELETE FROM` resolves through Spark's own DeleteFromTable →
+  * `SupportsDelete` path (predicate translated to source Filters,
+  * gated by `canDeleteWhere` — an untranslatable or unsupported
+  * predicate fails loudly, never silently full-rewrites); `VERSION AS
+  * OF` resolves through [[loadTable(ident, version)]] to a
+  * snapshot-pinned table. Namespaces: the root is one flat namespace
+  * (empty or `default`), the minimum SQL addressing needs.
+  *
+  * 100 TB: the catalog is pure metadata — every data-path property
+  * (zone-map pruning, bucket-grouped partitions, CoW maintenance,
+  * snapshot retention) is the table's own, unchanged under SQL
+  * addressing. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"spark.sql.catalog.$name.root must point at the table root")
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): File = {
+    // flat namespace: empty, "default", or the catalog's own name (a
+    // RENAME TO target keeps the catalog prefix as its namespace)
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("default")) ||
+      ident.namespace.sameElements(Array(catalogName)),
+      s"graft catalog is a flat namespace, got ${ident.namespace.mkString(".")}")
+    new File(root, ident.name)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Option(new File(root).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && new File(d, "manifest.json").exists())
+      .map(d => Identifier.of(namespace, d.getName))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!new File(dir, "manifest.json").exists())
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    new GraftDocsTable(dir.getAbsolutePath,
+      GdfManifest.read(dir.getAbsolutePath).schema)
+  }
+
+  /** SQL time travel: `VERSION AS OF <n>` pins the snapshot — the scan
+    * serves that version's files AND schema. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident).getAbsolutePath
+    val m = GdfManifest.readVersion(dir, version.toInt) // fails loudly if expired
+    new GraftDocsTable(dir, m.schema, Some(version.toInt))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (new File(dir, "manifest.json").exists())
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    dir.mkdirs() // the first write commits the v1 manifest
+    new GraftDocsTable(dir.getAbsolutePath, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: evolve the schema by APPENDING with the widened schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val existed = new File(dir, "manifest.json").exists()
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (existed) rm(dir)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent); val to = dirOf(newIdent)
+    require(new File(from, "manifest.json").exists(), s"no table $oldIdent")
+    require(!to.exists(), s"$newIdent already exists")
+    require(from.renameTo(to), s"rename $oldIdent -> $newIdent failed")
+  }
+}

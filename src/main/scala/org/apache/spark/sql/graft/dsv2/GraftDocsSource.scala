@@ -261,7 +261,11 @@ private[dsv2] object GdfManifest {
   }
 }
 
-private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
+/** `pinnedVersion` (r17): set by the catalog's `VERSION AS OF` load —
+  * the scan serves that snapshot's files and schema regardless of
+  * read options. */
+private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -293,8 +297,8 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType)
     * without it the current pointer serves. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GdfScanBuilder(path,
-      Option(options.get("version"))
-        .map(v => GdfManifest.readVersion(path, v.toInt))
+      Option(options.get("version")).map(_.toInt).orElse(pinnedVersion)
+        .map(v => GdfManifest.readVersion(path, v))
         .getOrElse(GdfManifest.read(path)),
       Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(0))
 

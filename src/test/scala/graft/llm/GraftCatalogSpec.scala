@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the graftdocs CATALOG face (r17,
+  * [[org.apache.spark.sql.graft.dsv2.GraftCatalog]]): SQL-addressed
+  * CTAS, INSERT INTO (append), SHOW TABLES, RENAME, DROP, DELETE FROM
+  * (predicate translation into the X113 CoW verb, loud failure on an
+  * untranslatable predicate), and `VERSION AS OF` time travel. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-catalog-spec-${System.nanoTime()}"
+  private val cat = "graftspec"
+
+  private lazy val registered: Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private def sql(q: String) = { registered; spark.sql(q) }
+
+  private def plantView(): Unit =
+    (0L until 20L).map(i => (i, 10L * i, s"t$i")).toDF("doc_id", "val", "tag")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .createOrReplaceTempView("src_rows")
+
+  test("CTAS creates a graftdocs table the catalog serves back") {
+    plantView()
+    sql(s"CREATE TABLE $cat.ctas AS SELECT * FROM src_rows")
+    val got = sql(s"SELECT doc_id, val, tag FROM $cat.ctas ORDER BY doc_id")
+      .collect()
+    assert(got.length == 20 && got(5).getLong(1) == 50L)
+    assert(sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("ctas"))
+  }
+
+  test("INSERT INTO appends a snapshot; VERSION AS OF serves the old one") {
+    plantView()
+    sql(s"CREATE TABLE $cat.ins AS SELECT * FROM src_rows")
+    sql(s"INSERT INTO $cat.ins " +
+      "SELECT 100L AS doc_id, 1L AS val, 'new' AS tag, 0 AS bucket")
+    assert(sql(s"SELECT count(*) FROM $cat.ins").collect()(0).getLong(0) == 21L)
+    assert(sql(s"SELECT count(*) FROM $cat.ins VERSION AS OF 1")
+      .collect()(0).getLong(0) == 20L)
+  }
+
+  test("DELETE FROM translates into the CoW verb; audit via time travel") {
+    plantView()
+    sql(s"CREATE TABLE $cat.del AS SELECT * FROM src_rows")
+    sql(s"DELETE FROM $cat.del WHERE doc_id >= 15")
+    val left = sql(s"SELECT doc_id FROM $cat.del ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    assert(left.sameElements(0L until 15L))
+    assert(sql(s"SELECT count(*) FROM $cat.del VERSION AS OF 1")
+      .collect()(0).getLong(0) == 20L)
+    // an unsupported predicate must fail loudly, never full-rewrite
+    assertThrows[Exception](sql(s"DELETE FROM $cat.del WHERE tag = 't3'"))
+    assert(sql(s"SELECT count(*) FROM $cat.del").collect()(0).getLong(0) == 15L)
+  }
+
+  test("RENAME and DROP are catalog verbs") {
+    plantView()
+    sql(s"CREATE TABLE $cat.a AS SELECT * FROM src_rows")
+    sql(s"ALTER TABLE $cat.a RENAME TO $cat.b")
+    assert(sql(s"SELECT count(*) FROM $cat.b").collect()(0).getLong(0) == 20L)
+    assertThrows[Exception](sql(s"SELECT count(*) FROM $cat.a").collect())
+    sql(s"DROP TABLE $cat.b")
+    assert(!sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("b"))
+  }
+
+  test("an expired or unknown version fails loudly through SQL") {
+    plantView()
+    sql(s"CREATE TABLE $cat.tt AS SELECT * FROM src_rows")
+    val e = intercept[Exception](
+      sql(s"SELECT count(*) FROM $cat.tt VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("snapshot")),
+      s"wrong failure: $e")
+  }
+}
