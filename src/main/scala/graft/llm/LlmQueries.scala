@@ -447,12 +447,11 @@ object LlmQueries {
         ORDER BY query_id, rnk"""
   }
 
-  /** The r17 kNN-graph oracle: within-cell candidate pairs over the
+  /** The r17 kNN-graph CTE chain (within-cell candidate pairs over the
     * SHARED [[annBucketCtes]], both-endpoint fan-out, per-source top-k
-    * window, symmetrizing rollup — the Spark build's plan, relationally
-    * verbatim. */
-  private lazy val knnGraphOracle: String = s"""
-        WITH $annBucketCtes,
+    * window), shared by the graph entry and the mutual-kNN clustering
+    * so the two oracles cannot drift. */
+  private lazy val knnGraphCtes: String = s"""$annBucketCtes,
         cand AS (SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst,
                         ${cosineSql("a.embedding", "b2.embedding")} AS cosine
                  FROM bb a JOIN bb b2
@@ -463,11 +462,36 @@ object LlmQueries {
         knn AS (SELECT src, dst, cosine FROM (
                   SELECT *, row_number() OVER (PARTITION BY src
                             ORDER BY cosine DESC, dst) AS rnk FROM dirg)
-                WHERE rnk <= ${Similarity.KnnGraphK}),
+                WHERE rnk <= ${Similarity.KnnGraphK})"""
+
+  private lazy val knnGraphOracle: String = s"""
+        WITH $knnGraphCtes,
         sym AS (SELECT src, dst, cosine FROM knn
                 UNION ALL SELECT dst, src, cosine FROM knn)
         SELECT src, dst, max(cosine) AS cosine, count(*) = 2 AS mutual
         FROM sym GROUP BY src, dst ORDER BY src, dst"""
+
+  /** Mutual-kNN clustering: both-direction picks → undirected edges →
+    * recursive min-label reachability (the dedup_embedding_clusters
+    * closure discipline). */
+  private lazy val knnClustersOracle: String = s"""
+        WITH RECURSIVE $knnGraphCtes,
+        mut AS (SELECT a.src, a.dst FROM knn a
+                JOIN knn b3 ON a.src = b3.dst AND a.dst = b3.src
+                WHERE a.src < a.dst),
+        e AS (SELECT src, dst FROM mut
+              UNION ALL SELECT dst, src FROM mut),
+        reach(vec_id, r) AS (
+          SELECT DISTINCT src, src FROM e
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.vec_id),
+        lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+        cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
+               GROUP BY cluster_id)
+        SELECT l.cluster_id, l.vec_id, cs.cluster_size,
+               l.vec_id = l.cluster_id AS keep
+        FROM lab l JOIN cs USING (cluster_id)
+        ORDER BY cluster_id, vec_id"""
 
   /** The IVF nearest-centroid assignment CTEs (deterministic centroid
     * set → (sim desc, cent_id) argmax), shared by similarity_ivf_topk
@@ -2441,6 +2465,17 @@ object LlmQueries {
     QueryDef("similarity_knn_graph",
       (s, dir) => Similarity.knnGraph(s, dir),
       Some(knnGraphOracle)),
+
+    // MUTUAL-kNN CLUSTERING (r17): connected components over the kNN
+    // graph's mutual edges — density-robust grouping (a mutual edge
+    // needs BOTH endpoints to rank each other top-k, so hubs don't
+    // chain unrelated regions the way threshold graphs do). Composes
+    // X117's persisted mutual-pair graph with the X25 min-label closure;
+    // the oracle shares the graph CTE chain verbatim and closes it with
+    // the recursive reachability CTE.
+    QueryDef("similarity_knn_clusters",
+      (s, dir) => Similarity.knnClusters(s, dir),
+      Some(knnClustersOracle)),
 
     QueryDef("similarity_ivf_topk",
       (s, dir) => Similarity.servedTier(s, dir, "ivf"),

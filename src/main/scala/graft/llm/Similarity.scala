@@ -270,6 +270,31 @@ object Similarity {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** The MUTUAL edges of [[knnGraph]] as a persisted pair graph — the
+    * [[embPairs]] discipline: the graph entry keeps re-running its full
+    * pipeline; downstream clustering consumes the persisted pairs. */
+  private val knnPairsCache = new graft.SessionMemo[DataFrame]
+
+  private def knnMutualPairs(s: SparkSession, dir: String): DataFrame =
+    knnPairsCache.getOrElseUpdate(s, dir)(
+      knnGraph(s, dir)
+        .where(col("mutual") && col("src") < col("dst"))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+        .persist())
+
+  /** MUTUAL-kNN CLUSTERING (r17): connected components over the mutual
+    * edges of the kNN graph — the density-robust clustering primitive
+    * (a mutual edge needs BOTH endpoints to rank each other top-k, so
+    * hubs don't chain unrelated regions the way threshold graphs or
+    * one-sided kNN edges do; the standard mutual-kNN graph trick).
+    * Composes [[knnGraphOf]] with [[Dedup.clustersOf]]'s O(diameter)
+    * min-label propagation — pair generation and graph closure stay
+    * independent stages at any scale. */
+  def knnClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clustersOf(knnMutualPairs(s, dir))
+      .select(col("cluster_id"), col("doc_id").as("vec_id"),
+        col("cluster_size"), col("keep"))
+
   val CentroidBase = 100 // centroid ids: [CentroidBase, CentroidBase+Centroids)
   val Centroids = 16
 

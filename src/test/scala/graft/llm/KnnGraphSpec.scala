@@ -93,5 +93,32 @@ class KnnGraphSpec extends SparkSpec {
     deg.foreach { case (n, dg) =>
       assert(dg >= Similarity.KnnGraphK, s"node $n degree $dg too low")
     }
+    // mutual-kNN clustering over the same planted graph recovers the
+    // two clusters exactly (X120's composition on the fixture)
+    val pairs = g.filter(r => r.getBoolean(3) && r.getLong(0) < r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.clustersOf(pairs.toSeq.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // nodes 5 and 11 are everyone's DROPPED 5th peer under the (cosine
+    // desc, dst) tie-break (all within-cluster cosines are near-equal,
+    // lower ids win), so nobody reciprocates their picks — mutual-kNN
+    // correctly leaves such boundary nodes unclustered
+    assert(comp.size == 10 && !comp.contains(5L) && !comp.contains(11L),
+      s"unexpected membership: $comp")
+    assert((0L until 5L).map(comp).toSet.size == 1, "cluster A split")
+    assert((6L until 11L).map(comp).toSet.size == 1, "cluster B split")
+    assert(comp(0L) != comp(6L), "clusters merged")
+  }
+
+  test("the graded clustering is consistent with the graph's mutual edges") {
+    val clusters = Similarity.knnClusters(spark, sf001).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    edges.filter(_._4).foreach { case (s, d, _, _) =>
+      assert(clusters(s) == clusters(d),
+        s"mutual edge ($s,$d) crosses clusters")
+    }
+    // every clustered vector appears in at least one mutual edge
+    val mutualNodes = edges.filter(_._4).flatMap(e => Seq(e._1, e._2)).toSet
+    assert(clusters.keySet == mutualNodes)
   }
 }
