@@ -51,6 +51,12 @@ object Builds {
       ((s, d) => { DocsDsv2.evoPath(s, d); () }),
     "build_dsv2_sink" ->
       ((s, d) => { DocsDsv2.sinkPath(s, d); () }),
+    "build_dsv2_compact" ->
+      ((s, d) => { DocsDsv2.compactPath(s, d); () }),
+    "build_sql_catalog" ->
+      ((s, d) => { DocsDsv2.sqlCatalogTable(s, d); () }),
+    "build_knn_pairs" ->
+      ((s, d) => { Similarity.knnMutualPairs(s, d).count(); () }),
     "build_dsv2_docs" ->
       ((s, d) => { DocsDsv2.path(s, d); () }),
     "build_dsv2_zorder" ->

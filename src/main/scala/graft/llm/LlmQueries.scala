@@ -412,18 +412,48 @@ object LlmQueries {
   /** The multi-table SRP bucket CTEs (per-table bucket list literal,
     * unpivoted — the twin of Spark's posexplode over annBucket(t)),
     * shared by similarity_ann_lsh and the r17 kNN-graph build so the
-    * two oracles cannot drift. */
+    * two oracles cannot drift. The plane literals live in a one-row
+    * MATERIALIZED CTE (r17): inlined inside the lambdas, DuckDB
+    * re-CONSTRUCTED each 64-element list literal per element evaluation
+    * — hoisting them cut the bucket pass ~30× with bit-identical
+    * arithmetic (same ±1 values, same fold order). */
   private lazy val annBucketCtes: String = {
+    val planeCols = (for (t <- 0 until Similarity.AnnTables;
+                          p <- 0 until Similarity.AnnPlanes) yield
+      s"${Similarity.annPlaneSql(t, p)} AS pl_${t}_$p").mkString(", ")
     val bktList = (0 until Similarity.AnnTables).map { t =>
       (0 until Similarity.AnnPlanes).map { p =>
         val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
-          s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.annPlaneSql(t, p)})[i]))"
+          s"i -> CAST(embedding[i] AS DOUBLE) * pl_${t}_$p[i]))"
         s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
     }.mkString("[", ", ", "]")
-    s"""b AS (SELECT vec_id, embedding, $bktList AS bkts FROM embeddings),
+    s"""pl AS MATERIALIZED (SELECT $planeCols),
+        b AS (SELECT vec_id, embedding, $bktList AS bkts FROM embeddings, pl),
         bb AS (SELECT vec_id, embedding, t, bkts[t + 1] AS bkt
                FROM b CROSS JOIN generate_series(0, ${Similarity.AnnTables - 1}) tt(t))"""
+  }
+
+  /** The 8-plane near-dup bucket/probe/candidate CTEs (hoisted plane
+    * literals — the [[annBucketCtes]] fix), shared by
+    * dedup_embedding_cosine and dedup_embedding_clusters. */
+  private lazy val nearDupBucketCtes: String = {
+    val planeCols = (0 until Similarity.Planes)
+      .map(p => s"${Similarity.planeSql(p)} AS npl_$p").mkString(", ")
+    val bktExpr = (0 until Similarity.Planes).map { p =>
+      val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * npl_$p[i]))"
+      s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""npl AS MATERIALIZED (SELECT $planeCols),
+        b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings, npl),
+        pr AS (SELECT vec_id, embedding,
+                      CASE WHEN i = -1 THEN bkt ELSE xor(bkt, 1 << i) END AS probe
+               FROM b CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
+                                 b2.vec_id AS vec_b, b2.embedding AS eb
+                 FROM pr a JOIN b b2
+                   ON a.probe = b2.bkt AND a.vec_id < b2.vec_id)"""
   }
 
   private val annLshOracle: String = {
@@ -452,11 +482,20 @@ object LlmQueries {
     * window), shared by the graph entry and the mutual-kNN clustering
     * so the two oracles cannot drift. */
   private lazy val knnGraphCtes: String = s"""$annBucketCtes,
-        cand AS (SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst,
-                        ${cosineSql("a.embedding", "b2.embedding")} AS cosine
-                 FROM bb a JOIN bb b2
-                   ON a.t = b2.t AND a.bkt = b2.bkt
-                      AND a.vec_id < b2.vec_id),
+        cells AS MATERIALIZED (SELECT vec_id, t, bkt FROM bb),
+        cand0 AS (SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+                  FROM cells a JOIN cells b2
+                    ON a.t = b2.t AND a.bkt = b2.bkt
+                       AND a.vec_id < b2.vec_id),
+        vn AS MATERIALIZED (SELECT vec_id, embedding,
+                      sqrt(${dotSql("embedding", "embedding")}) AS nrm
+               FROM embeddings),
+        cand AS (SELECT src, dst,
+                        round(${dotSql("ea.embedding", "eb.embedding")}
+                              / (ea.nrm * eb.nrm), 6) AS cosine
+                 FROM cand0
+                 JOIN vn ea ON ea.vec_id = cand0.src
+                 JOIN vn eb ON eb.vec_id = cand0.dst),
         dirg AS (SELECT src, dst, cosine FROM cand
                  UNION ALL SELECT dst, src, cosine FROM cand),
         knn AS (SELECT src, dst, cosine FROM (
@@ -471,27 +510,48 @@ object LlmQueries {
         SELECT src, dst, max(cosine) AS cosine, count(*) = 2 AS mutual
         FROM sym GROUP BY src, dst ORDER BY src, dst"""
 
+  /** Min-label propagation rounds unrolled for the mutual-kNN closure.
+    * The recursive-reachability closure the OTHER cluster oracles use is
+    * quadratic in component size (it enumerates every (node, reachable
+    * root) pair) — fine for near-dup components, hopeless against the
+    * one ~2000-node component mutual-kNN forms on this near-uniform
+    * corpus at sf0.1. Fixed-round propagation is linear per round
+    * (labels ⋈ edges) and is EXACTLY the runtime's fold; the round count
+    * must cover the component eccentricity from its min node — measured
+    * ~12 at sf0.1, capped with the same raise-the-cap contract as the
+    * kmeans/BPE unrolls (TESTDATA.md): an under-run mismatches the gate
+    * LOUDLY, never silently. */
+  val KnnClusterRounds = 48
+
   /** Mutual-kNN clustering: both-direction picks → undirected edges →
-    * recursive min-label reachability (the dedup_embedding_clusters
-    * closure discipline). */
-  private lazy val knnClustersOracle: String = s"""
-        WITH RECURSIVE $knnGraphCtes,
+    * [[KnnClusterRounds]] unrolled min-label propagation rounds. */
+  private lazy val knnClustersOracle: String = {
+    val rounds = (1 to KnnClusterRounds).map { k =>
+      s""",
+        lb$k AS MATERIALIZED (
+          SELECT v.vec_id, least(v.l, coalesce(min(p.l), v.l)) AS l
+          FROM lb${k - 1} v
+          LEFT JOIN e ON e.dst = v.vec_id
+          LEFT JOIN lb${k - 1} p ON p.vec_id = e.src
+          GROUP BY v.vec_id, v.l)"""
+    }.mkString
+    s"""
+        WITH $knnGraphCtes,
         mut AS (SELECT a.src, a.dst FROM knn a
                 JOIN knn b3 ON a.src = b3.dst AND a.dst = b3.src
                 WHERE a.src < a.dst),
-        e AS (SELECT src, dst FROM mut
+        e AS MATERIALIZED (SELECT src, dst FROM mut
               UNION ALL SELECT dst, src FROM mut),
-        reach(vec_id, r) AS (
-          SELECT DISTINCT src, src FROM e
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.vec_id),
-        lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id),
+        lb0 AS MATERIALIZED (
+          SELECT DISTINCT src AS vec_id, src AS l FROM e)$rounds,
+        lab AS (SELECT vec_id, l AS cluster_id FROM lb$KnnClusterRounds),
         cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab
                GROUP BY cluster_id)
         SELECT l.cluster_id, l.vec_id, cs.cluster_size,
                l.vec_id = l.cluster_id AS keep
         FROM lab l JOIN cs USING (cluster_id)
         ORDER BY cluster_id, vec_id"""
+  }
 
   /** The IVF nearest-centroid assignment CTEs (deterministic centroid
     * set → (sim desc, cent_id) argmax), shared by similarity_ivf_topk
@@ -2815,20 +2875,8 @@ object LlmQueries {
     QueryDef("dedup_embedding_cosine",
       (s, dir) => Similarity.embeddingNearDups(s, dir),
       Some {
-        val bktExpr = (0 until Similarity.Planes).map { p =>
-          val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
-            s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
-          s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
         s"""
-        WITH b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
-        pr AS (SELECT vec_id, embedding,
-                      CASE WHEN i = -1 THEN bkt ELSE xor(bkt, 1 << i) END AS probe
-               FROM b CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
-        cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
-                                 b2.vec_id AS vec_b, b2.embedding AS eb
-                 FROM pr a JOIN b b2
-                   ON a.probe = b2.bkt AND a.vec_id < b2.vec_id)
+        WITH $nearDupBucketCtes
         SELECT vec_a, vec_b, ${cosineSql("ea", "eb")} AS cosine
         FROM cand
         WHERE ${cosineSql("ea", "eb")} >= ${Similarity.NearDupCosine}
@@ -2844,20 +2892,8 @@ object LlmQueries {
     QueryDef("dedup_embedding_clusters",
       (s, dir) => Similarity.embeddingClusters(s, dir),
       Some {
-        val bktExpr = (0 until Similarity.Planes).map { p =>
-          val dotP = s"list_sum(list_transform(generate_series(1, ${Similarity.Dims}), " +
-            s"i -> CAST(embedding[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
-          s"(CASE WHEN $dotP >= 0 THEN ${1 << p} ELSE 0 END)"
-        }.mkString(" + ")
         s"""
-        WITH RECURSIVE b AS (SELECT vec_id, embedding, $bktExpr AS bkt FROM embeddings),
-        pr AS (SELECT vec_id, embedding,
-                      CASE WHEN i = -1 THEN bkt ELSE xor(bkt, 1 << i) END AS probe
-               FROM b CROSS JOIN generate_series(-1, ${Similarity.Planes - 1}) g(i)),
-        cand AS (SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS ea,
-                                 b2.vec_id AS vec_b, b2.embedding AS eb
-                 FROM pr a JOIN b b2
-                   ON a.probe = b2.bkt AND a.vec_id < b2.vec_id),
+        WITH RECURSIVE $nearDupBucketCtes,
         pairs AS (SELECT vec_a, vec_b FROM cand
                   WHERE ${cosineSql("ea", "eb")} >= ${Similarity.NearDupCosine}),
         e AS (SELECT vec_a AS src, vec_b AS dst FROM pairs

@@ -275,7 +275,7 @@ object Similarity {
     * pipeline; downstream clustering consumes the persisted pairs. */
   private val knnPairsCache = new graft.SessionMemo[DataFrame]
 
-  private def knnMutualPairs(s: SparkSession, dir: String): DataFrame =
+  private[llm] def knnMutualPairs(s: SparkSession, dir: String): DataFrame =
     knnPairsCache.getOrElseUpdate(s, dir)(
       knnGraph(s, dir)
         .where(col("mutual") && col("src") < col("dst"))
