@@ -244,6 +244,10 @@ object Similarity {
       posexplode(array((0 until tables)
         .map(t => annBucketOf(col("embedding"), signs, t)): _*))
         .as(Seq("tbl", "bkt")))
+    // checkpointed: both the directed fan-out and the symmetrizing
+    // union consume this subtree twice each — without the cut, the
+    // LSH join + cosine pass executes up to 4x in one plan (r17
+    // explain audit); the checkpoint rows are slim (src, dst, cosine)
     val cand = e.as("a")
       .join(e.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -251,6 +255,7 @@ object Similarity {
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
       .distinct() // a pair may share several cells — score it once
+      .localCheckpoint()
     // each undirected candidate feeds both endpoints' top-k races
     val directed = cand.unionByName(cand.select(col("dst").as("src"),
       col("src").as("dst"), col("cosine")))
@@ -259,6 +264,7 @@ object Similarity {
     val knn = directed.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= KnnGraphK)
       .select(col("src"), col("dst"), col("cosine"))
+      .localCheckpoint()
     // symmetrize: an edge exists if EITHER endpoint chose it; mutual
     // marks both-sided picks (each directed edge appears at most once,
     // so the rollup count is exactly 1 or 2)
