@@ -129,6 +129,52 @@ class GdfCowSpec extends SparkSpec {
       .select(col("val")).collect()(0).getLong(0) == 20L)
   }
 
+  test("delete under the zorder layout prunes by zone maps alone") {
+    // range-partitioned cells: file b holds ids 10b..10b+9 with TIGHT
+    // doc_id zone maps; layout=zorder disables the pmod bucket pin, so
+    // file pruning must come from the id ranges
+    val p = freshDir()
+    (0L until 40L).map(i => (i, 10L * i, s"t$i")).toDF("doc_id", "val", "tag")
+      .withColumn("bucket", (col("doc_id") / 10L).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .option("layout", "zorder")
+      .mode("overwrite").save(p)
+    val before = liveDigests(p)
+    assert(before.size == 4)
+    deletable(p).deleteWhere(Array[Filter](
+      In("doc_id", Array(21L, 25L, 28L))))
+    val after = liveDigests(p)
+    assert(after.filterNot(_._1.startsWith("part-2-")) ==
+      before.filterNot(_._1.startsWith("part-2-")),
+      "only the id-range-matched cell may rewrite")
+    assert(!after.keySet.exists(n =>
+      n.startsWith("part-2-") && before.contains(n)))
+    assert(readT(p).count() == 37L)
+  }
+
+  test("delete on an evolved table normalizes the rewritten file's schema") {
+    val p = freshDir()
+    // v1: narrow (doc_id, val); append: wide (+tag) for other ids
+    (0L until 8L).map(i => (i, 10L * i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(2L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "2")
+      .mode("overwrite").save(p)
+    (8L until 16L).map(i => (i, 10L * i, s"t$i")).toDF("doc_id", "val", "tag")
+      .withColumn("bucket", pmod(col("doc_id"), lit(2L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "2")
+      .mode("append").save(p)
+    // id 2 lives in an OLD narrow file; the rewrite lands at the CURRENT
+    // wide schema with tag null-filled — and loses no other row
+    deletable(p).deleteWhere(Array[Filter](EqualTo("doc_id", 2L)))
+    val rows = readT(p).select(col("doc_id"), col("val"), col("tag"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(rows.size == 15 && !rows.contains(2L))
+    assert(rows(0L) == ((0L, None)) && rows(4L) == ((40L, None)),
+      "old-file survivors must read tag=null after the rewrite")
+    assert(rows(9L) == ((90L, Some("t9"))))
+  }
+
   test("merge with no matches is pure insert; no data file rewrites") {
     val p = freshDir(); plant(p)
     val before = liveDigests(p)
