@@ -1479,6 +1479,23 @@ object LlmQueries {
         FROM generate_series(1, ${DocsDsv2.MergeInserts}) AS t(i)
         ORDER BY doc_id""")),
 
+    // Per-file BLOOM-FILTER point lookup (r17): under the hash layout
+    // every file's n_chars zone map spans nearly the full range, so an
+    // EqualTo can prune NOTHING from [min,max] — the per-file bloom in
+    // the manifest (built at write, probed at planning) is what makes a
+    // point lookup file-skippable, the parquet-bloom/Iceberg-bloom
+    // feature. Correctness rides the full-scan oracle (bloom pruning is
+    // a superset guarantee + residual re-evaluation); GdfBloomSpec pins
+    // the planted skip counts and the no-false-negative sweep.
+    QueryDef("dsv2_bloom_lookup",
+      (s, dir) => DocsDsv2.docs(s, dir)
+        .where(col("n_chars") === DocsDsv2.ZQueryLenLo)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars = ${DocsDsv2.ZQueryLenLo} ORDER BY doc_id""")),
+
     // COMPACTION — the OPTIMIZE verb (r17): three append slices fragment
     // every bucket into 3 files (the shape per-epoch sink commits
     // produce), then GdfMaintenance.compact rewrites each fragmented

