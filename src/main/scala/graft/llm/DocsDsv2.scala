@@ -355,6 +355,62 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ---- large-source keyed-shuffle MERGE (r18) -------------------------------
+
+  /** The fact-scale merge: updates hit the ODD docs (every odd hash
+    * bucket at once — no single-bucket geometry to hide behind),
+    * [[MergeLInserts]] new docs append past the corpus max, and the
+    * source is deliberately larger than the [[MergeLGate]] the entry
+    * passes, so [[org.apache.spark.sql.graft.dsv2.GdfMaintenance]]
+    * routes to the SHUFFLED regime — the source never materializes on
+    * the driver (GdfMergeShuffleSpec pins that with task-result sizes). */
+  val MergeLMod = 2L
+  val MergeLRes = 1L
+  val MergeLLang = "lg"
+  val MergeLInserts = 30L
+  val MergeLGate = 16L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMergeL = new graft.SessionMemo[String]
+
+  def mergeLargePath(s: SparkSession, dir: String): String =
+    builtMergeL.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-mergel/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      base.withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val updates = base.where(pmod(col("doc_id"), lit(MergeLMod)) === MergeLRes)
+        .select(col("doc_id"), col("n_chars"), lit(MergeLLang).as("lang"))
+      val mx = base.agg(max(col("doc_id")).as("mx"))
+      val inserts = s.range(1, MergeLInserts + 1).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select((col("mx") + col("i")).as("doc_id"),
+          (lit(2000L) + col("i")).as("n_chars"),
+          lit("ins").as("lang"))
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.mergeInto(
+        s, p, updates.unionByName(inserts), "doc_id",
+        maxBroadcastRows = MergeLGate) // exceeds the gate -> shuffled
+      p
+    }
+
+  /** Large-source MERGE certification read — the oracle re-derives the
+    * merged state (update rule over every odd bucket + generated
+    * inserts) from the raw table, so the hash match certifies the
+    * shuffle-regime upsert end to end. */
+  def mergeCowLarge(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(mergeLargePath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---- compaction (r17) ----------------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

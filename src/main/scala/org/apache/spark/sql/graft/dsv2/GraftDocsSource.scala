@@ -115,8 +115,22 @@ class GraftDocsSource extends TableProvider with DataSourceRegister {
     new GraftDocsTable(properties.get("path"), schema)
 }
 
-/** Manifest bookkeeping: `<path>/manifest.json` holds the table schema
-  * and per-file stats; written atomically (temp + rename) at commit. */
+/** A CAS commit lost its race: another committer claimed the snapshot
+  * version first. [[GdfManifest.commitRetry]] catches this, re-reads the
+  * table state, re-applies the caller's delta, and tries the next
+  * version — the optimistic-concurrency loop every published table
+  * format (Iceberg's commit loop, Delta's OCC) serializes writers with. */
+private[dsv2] class GdfCommitConflict(msg: String)
+    extends RuntimeException(msg)
+
+/** Manifest bookkeeping: `<path>/manifest-v<N>.json` are the immutable
+  * snapshots (highest retained = current state), `<path>/manifest.json`
+  * is a convenience pointer refreshed after every commit. Commits are
+  * COMPARE-AND-SWAP (r18): the snapshot file for version N is claimed
+  * with an atomic no-replace rename, so exactly one of two racing
+  * committers wins N and the loser retries at N+1 with the winner's
+  * state folded in — concurrent committers serialize instead of
+  * silently dropping a snapshot. */
 private[dsv2] object GdfManifest {
   /** Per-file stats. `colStats` (r16) is the GENERIC zone map — min/max
     * for every other numeric column of the file, the per-column
@@ -128,10 +142,23 @@ private[dsv2] object GdfManifest {
     * probe value but which cannot actually hold it — the
     * parquet-bloom-filter / Iceberg-bloom feature, and the only pruning
     * a hash-spread column's wide zone maps can offer an EqualTo. */
+  /** `dv`/`dvRows` (r18) is the MERGE-ON-READ delete vector: the name of
+    * a slim `.dvf` position file holding `dvRows` deleted row positions
+    * of this (immutable) data file — the Iceberg-v2 position-delete /
+    * Delta deletion-vector shape. A point delete commits the vector
+    * instead of rewriting the data file; every read applies it as a
+    * scan-time position skip; compaction reconciles and drops it.
+    * `rows`/min/max stay the PHYSICAL file stats (still sound for
+    * pruning — a superset — but no longer exact, so aggregate pushdown
+    * refuses any file carrying a dv). */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
       colStats: Seq[(String, Long, Long)] = Seq.empty,
-      colBlooms: Seq[(String, Array[Long])] = Seq.empty)
+      colBlooms: Seq[(String, Array[Long])] = Seq.empty,
+      dv: Option[String] = None, dvRows: Long = 0L) {
+    /** Rows a scan actually serves from this file. */
+    def liveRows: Long = rows - dvRows
+  }
   /** `layout` (r16): "hash" (bucket = pmod(doc_id, buckets) — the
     * EqualTo bucket-pin fast path applies) or "zorder" (bucket = a
     * Z-curve prefix cell over two columns — doc_id EqualTo must rely on
@@ -206,7 +233,7 @@ private[dsv2] object GdfManifest {
   def nextVersion(path: String): Int =
     versions(path).lastOption.getOrElse(0) + 1
 
-  def write(path: String, m: Manifest): Unit = {
+  private def render(m: Manifest): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val files = m.files.map { f =>
       val stats =
@@ -219,43 +246,121 @@ private[dsv2] object GdfManifest {
         else f.colBlooms.map { case (c, bits) =>
           s"""{"col":${q(c)},"bits":"${GdfBloom.toHex(bits)}"}"""
         }.mkString(""","blooms":[""", ",", "]")
+      val dv = f.dv.map(d =>
+        s""","dv":${q(d)},"dvRows":${f.dvRows}""").getOrElse("")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
-        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats$blooms}"""
+        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats$blooms$dv}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
-    val json = s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
+    s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
       s""""layout":${q(m.layout)},"epochs":$epochs,"files":$files}"""
-    val dir = new File(path)
-    dir.mkdirs()
-    val tmp = new File(dir, ".manifest.json.tmp")
-    val out = new FileOutputStream(tmp)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val dst = new File(dir, "manifest.json")
-    if (dst.exists()) dst.delete()
-    require(tmp.renameTo(dst), s"manifest rename failed at $path")
   }
 
-  /** Commit one SNAPSHOT: the manifest lands both as the current pointer
-    * (`manifest.json`) and as the immutable `manifest-v<N>.json`, then
-    * snapshots beyond [[MaxRetainedVersions]] are EXPIRED — their
-    * manifest files removed and any `.gdf` no retained snapshot
-    * references deleted (time travel works exactly as far back as the
-    * retention window, and a read of an expired version fails loudly at
-    * the manifest, never silently serves half a snapshot). */
+  private def writeTmp(dir: File, json: String): File = {
+    dir.mkdirs()
+    val tmp = File.createTempFile(".manifest", ".tmp", dir)
+    val out = new FileOutputStream(tmp)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    tmp
+  }
+
+  /** Refresh the `manifest.json` convenience pointer to the HIGHEST
+    * retained snapshot (monotonic — a racing loser can never roll the
+    * pointer back, because the pointer is always re-derived from the
+    * version files, which only the CAS claim creates). */
+  private def refreshPointer(path: String): Unit = synchronized {
+    versions(path).lastOption.foreach { v =>
+      val tmp = writeTmp(new File(path), new String(
+        java.nio.file.Files.readAllBytes(
+          new File(path, s"manifest-v$v.json").toPath),
+        StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath,
+        new File(path, "manifest.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Commit one SNAPSHOT at `version` — COMPARE-AND-SWAP (r18): the
+    * immutable `manifest-v<N>.json` is claimed by an atomic NO-REPLACE
+    * rename; if another committer already claimed N (it read the same
+    * parent N-1), the rename fails and this commit throws
+    * [[GdfCommitConflict]] WITHOUT mutating any table state — the caller
+    * ([[commitRetry]]) re-reads and retries at N+1. After a successful
+    * claim the convenience pointer refreshes and snapshots beyond
+    * [[MaxRetainedVersions]] are EXPIRED — their manifest files removed
+    * and any data/delete file no retained snapshot references deleted
+    * (time travel works exactly as far back as the retention window, and
+    * a read of an expired version fails loudly at the manifest, never
+    * silently serves half a snapshot). */
   def commitVersion(path: String, m: Manifest, version: Int): Unit = {
-    write(path, m)
-    val vf = new File(path, s"manifest-v$version.json")
-    java.nio.file.Files.copy(new File(path, "manifest.json").toPath,
-      vf.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val keep = versions(path).takeRight(MaxRetainedVersions)
-    versions(path).filterNot(keep.contains).foreach(v =>
-      new File(path, s"manifest-v$v.json").delete())
-    val live = keep.flatMap(v => readVersion(path, v).files.map(_.name))
-      .toSet ++ m.files.map(_.name)
-    Option(new File(path).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.endsWith(".gdf") && !live.contains(f.getName)) f.delete()
-    })
+    val dir = new File(path)
+    val tmp = writeTmp(dir, render(m))
+    val vf = new File(dir, s"manifest-v$version.json")
+    // the CAS primitive: hard-link creation is ATOMIC no-replace on
+    // POSIX — exactly one of two racers gets the version file (a plain
+    // rename would silently overwrite; move-no-replace is check-then-
+    // rename, a TOCTOU hole under contention)
+    try java.nio.file.Files.createLink(vf.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new GdfCommitConflict(
+          s"snapshot v$version at $path was claimed by a concurrent commit")
+    }
+    finally tmp.delete()
+    // belt-and-braces: claiming an EXPIRED version number (possible only
+    // if >MaxRetainedVersions commits landed between our read and claim)
+    // must not resurrect history — detect and surrender the claim
+    if (versions(path).last != version) {
+      vf.delete()
+      throw new GdfCommitConflict(
+        s"snapshot v$version at $path is older than the retained window")
+    }
+    refreshPointer(path)
+    // EXPIRY: only files referenced by an expiring snapshot and by NO
+    // retained one may be deleted — never a blanket unreferenced sweep,
+    // which would destroy a RACING writer's in-flight data files written
+    // ahead of its commit (a failed write's true orphans are left for a
+    // separate orphan-GC verb, the Iceberg split of responsibilities)
+    def refs(vm: Manifest): Set[String] =
+      (vm.files.map(_.name) ++ vm.files.flatMap(_.dv)).toSet
+    val all = versions(path)
+    val keep = all.takeRight(MaxRetainedVersions)
+    val expired = all.filterNot(keep.contains)
+    val dead = expired.flatMap(v => refs(readVersion(path, v))).toSet --
+      keep.flatMap(v => refs(readVersion(path, v))) -- refs(m)
+    expired.foreach(v => new File(path, s"manifest-v$v.json").delete())
+    dead.foreach(n => new File(path, n).delete())
+  }
+
+  /** The OPTIMISTIC COMMIT LOOP (r18): read the current table state,
+    * apply the caller's delta, CAS-claim the next version; on
+    * [[GdfCommitConflict]] re-read (now including the winner's commit)
+    * and re-apply — the loser's delta lands on top instead of silently
+    * overwriting the winner (the Iceberg/Delta OCC shape). `update`
+    * receives the CURRENT manifest (None for an empty table) and returns
+    * the manifest to commit, or None to skip committing entirely (the
+    * streaming sink's replayed-epoch no-op re-checks its ledger HERE, so
+    * a replay racing a genuine commit still no-ops). Returns the
+    * committed version, or -1 when update returned None. */
+  def commitRetry(path: String)(update: Option[Manifest] => Option[Manifest]): Int = {
+    var attempts = 0
+    while (true) {
+      val cur = if (versions(path).isEmpty) None else Some(read(path))
+      val v = nextVersion(path)
+      update(cur) match {
+        case None => return -1
+        case Some(m) =>
+          try { commitVersion(path, m, v); return v }
+          catch {
+            case _: GdfCommitConflict =>
+              attempts += 1
+              require(attempts < 100,
+                s"commit at $path still conflicting after $attempts attempts")
+          }
+      }
+    }
+    -1 // unreachable
   }
 
   /** Read a pinned snapshot. */
@@ -267,12 +372,17 @@ private[dsv2] object GdfManifest {
       StandardCharsets.UTF_8))
   }
 
-  def read(path: String): Manifest = {
-    val f = new File(path, "manifest.json")
-    require(f.exists(), s"no graftdocs manifest at $path")
-    parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
-      StandardCharsets.UTF_8))
-  }
+  /** Current state = the HIGHEST retained snapshot. The `manifest.json`
+    * pointer is only a fallback (pre-CAS tables / external tools): under
+    * racing committers the version files are the source of truth — a
+    * stale pointer can never serve an older snapshot as current. */
+  def read(path: String): Manifest =
+    versions(path).lastOption.map(v => readVersion(path, v)).getOrElse {
+      val f = new File(path, "manifest.json")
+      require(f.exists(), s"no graftdocs manifest at $path")
+      parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8))
+    }
 
   private def parse(json: String): Manifest = {
     // tiny hand-rolled parse of the exact shape written above (no JSON
@@ -309,7 +419,8 @@ private[dsv2] object GdfManifest {
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"stats\":\\[([^\\]]*)\\])?" +
-      "(?:,\"blooms\":\\[([^\\]]*)\\])?\\}").r
+      "(?:,\"blooms\":\\[([^\\]]*)\\])?" +
+      "(?:,\"dv\":\"([^\"]+)\",\"dvRows\":(\\d+))?\\}").r
     val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
     val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
@@ -320,7 +431,8 @@ private[dsv2] object GdfManifest {
         bloomRe.findAllMatchIn(s).map(bm =>
           (bm.group(1), GdfBloom.fromHex(bm.group(2)))).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong, colStats, colBlooms)
+        m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
+        Option(m.group(8)), Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs)
   }
@@ -434,7 +546,11 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
       case m: Max => isCol(m.column, "doc_id")
       case _ => false
     }
-    byBucket.filter(_ => ok && pushed.isEmpty)
+    // a file carrying a delete vector (r18) makes the manifest stats
+    // PHYSICAL, not exact — the metadata-only answer would overcount, so
+    // the pushdown refuses and Spark keeps the real aggregation
+    byBucket.filter(_ => ok && pushed.isEmpty &&
+        manifest.files.forall(_.dv.isEmpty))
       .map(b => (b, agg.aggregateExpressions.toSeq))
   }
 
@@ -521,11 +637,21 @@ private[dsv2] class GdfAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** One data file plus its optional delete vector (r18) — the unit a
+  * reader consumes: physical rows minus the vector's positions. */
+private[dsv2] case class GdfFileSlice(path: String, dv: Option[String])
+
+private[dsv2] object GdfFileSlice {
+  def of(dir: String, f: GdfManifest.FileStat): GdfFileSlice =
+    GdfFileSlice(new File(dir, f.name).getAbsolutePath,
+      f.dv.map(d => new File(dir, d).getAbsolutePath))
+}
+
 /** One scan partition = one BUCKET's surviving files (possibly several
   * after appends/epochs — grouping keeps [[KeyGroupedPartitioning]]
   * sound: duplicate partition keys would break storage-partitioned
   * planning). */
-private[dsv2] case class GdfInputPartition(files: Seq[String], bucket: Int)
+private[dsv2] case class GdfInputPartition(files: Seq[GdfFileSlice], bucket: Int)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -579,8 +705,7 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
   override def planInputPartitions(): Array[InputPartition] =
     survivingFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (b, fs) =>
-        GdfInputPartition(
-          fs.map(f => new File(path, f.name).getAbsolutePath), b)
+        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f)), b)
           : InputPartition
       }.toArray
 
@@ -670,7 +795,7 @@ private[dsv2] class GdfMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     files.slice(start.asInstanceOf[GdfOffset].idx, end.asInstanceOf[GdfOffset].idx)
       .map(f => GdfInputPartition(
-        Seq(new File(path, f.name).getAbsolutePath), f.bucket): InputPartition)
+        Seq(GdfFileSlice.of(path, f)), f.bucket): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -691,9 +816,11 @@ private[dsv2] class GdfReaderFactory(required: StructType)
   * surviving columns, and serves rows in readSchema order. A required
   * column ABSENT from a file's directory reads as all-null — old files
   * under an evolved (widened) schema, the add-a-column contract (r17).
-  * Files decode lazily, one at a time — the partition never holds more
-  * than one file's columns. */
-private[dsv2] class GdfPartitionReader(files: Seq[String], required: StructType)
+  * A file's DELETE VECTOR (r18) is applied as a position skip — the
+  * merge-on-read contract: physical bytes untouched, deleted rows never
+  * served. Files decode lazily, one at a time — the partition never
+  * holds more than one file's columns. */
+private[dsv2] class GdfPartitionReader(files: Seq[GdfFileSlice], required: StructType)
     extends PartitionReader[InternalRow] {
 
   private def decode(file: String): (Int, Array[Array[Any]]) = {
@@ -730,13 +857,20 @@ private[dsv2] class GdfPartitionReader(files: Seq[String], required: StructType)
   private var fileIdx = 0
   private var nRows = 0
   private var cols: Array[Array[Any]] = Array.empty
+  private var deleted: java.util.BitSet = new java.util.BitSet()
   private var i = -1
 
   override def next(): Boolean = {
     i += 1
+    while (i < nRows && deleted.get(i)) i += 1 // merge-on-read skip
     while (i >= nRows && fileIdx < files.size) {
-      val (n, c) = decode(files(fileIdx))
+      val slice = files(fileIdx)
+      val (n, c) = decode(slice.path)
       nRows = n; cols = c; i = 0; fileIdx += 1
+      deleted = new java.util.BitSet(n)
+      slice.dv.foreach(d =>
+        GdfFormat.readDeleteVector(d).foreach(deleted.set))
+      while (i < nRows && deleted.get(i)) i += 1
     }
     i < nRows
   }
@@ -810,10 +944,40 @@ private[dsv2] object GdfFormat {
       case other => throw new IllegalArgumentException(s"bad tag $other")
     }
 
+  /** DELETE-VECTOR file (r18, merge-on-read): magic, position count,
+    * then the deleted row POSITIONS of one immutable data file as
+    * sorted 4-byte ints — the Iceberg-v2 position-delete / Delta
+    * deletion-vector shape in miniature. A point delete commits one of
+    * these instead of rewriting the data file; every reader applies it
+    * as a scan-time position skip; compaction reconciles and drops it. */
+  val DvMagic: Int = 0x47444656 // "GDFV"
+
+  def writeDeleteVector(dirPath: String, name: String,
+      positions: Seq[Int]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirPath, name))))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(positions.size)
+      positions.sorted.foreach(out.writeInt)
+    } finally out.close()
+  }
+
+  def readDeleteVector(file: String): Array[Int] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(file)))
+    try {
+      require(in.readInt() == DvMagic, s"bad delete-vector magic in $file")
+      Array.fill(in.readInt())(in.readInt())
+    } finally in.close()
+  }
+
   /** Read EVERY column of a `.gdf` file as raw values (the writer's
     * currency: Long/Int/Array[Byte]/Array[Float]/null), plus the file's
     * own column names — the copy-on-write rewrite path
-    * ([[GdfMaintenance]]) round-trips files through this. */
+    * ([[GdfMaintenance]]) round-trips files through this. Positions are
+    * PHYSICAL: no delete vector is applied here (the MoR delete unions
+    * new matches with the existing vector against physical rows). */
   def readFileRaw(file: String): (Seq[String], Seq[Array[Any]]) = {
     val in = new DataInputStream(new java.io.BufferedInputStream(
       new FileInputStream(file)))
@@ -997,18 +1161,17 @@ private[dsv2] object GdfAppend {
       incoming.fields.filterNot(f => current.fieldNames.contains(f.name)))
   }
 
-  def appended(path: String, incoming: StructType, buckets: Int,
-      layout: String, stats: Seq[GdfManifest.FileStat],
+  def appended(current: Option[GdfManifest.Manifest], incoming: StructType,
+      buckets: Int, layout: String, stats: Seq[GdfManifest.FileStat],
       epoch: Option[Long]): GdfManifest.Manifest =
-    if (GdfManifest.versions(path).isEmpty)
-      GdfManifest.Manifest(incoming, buckets, stats, layout,
-        epoch.toSeq)
-    else {
-      val cur = GdfManifest.read(path)
-      require(cur.buckets == buckets || buckets <= 0,
-        s"bucket count mismatch: table has ${cur.buckets}")
-      GdfManifest.Manifest(mergedSchema(cur.schema, incoming), cur.buckets,
-        cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq)
+    current match {
+      case None =>
+        GdfManifest.Manifest(incoming, buckets, stats, layout, epoch.toSeq)
+      case Some(cur) =>
+        require(cur.buckets == buckets || buckets <= 0,
+          s"bucket count mismatch: table has ${cur.buckets}")
+        GdfManifest.Manifest(mergedSchema(cur.schema, incoming), cur.buckets,
+          cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq)
     }
 }
 
@@ -1016,21 +1179,31 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     buckets: Int, layout: String, truncate: Boolean, version: Int)
     extends BatchWrite {
 
+  /** The version tag plus a per-write random token keep data-file names
+    * unique across RACING writers (two appends that both read parent
+    * version N would otherwise both emit `part-<b>-vN+1.gdf` and corrupt
+    * each other's bytes before the CAS even sees the conflict). */
+  private val suffix =
+    s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GdfWriterFactory(path, schema, s"v$version")
+    new GdfWriterFactory(path, schema, suffix)
 
   /** Each commit is a SNAPSHOT: version-suffixed data files, the
     * versioned manifest next to the refreshed current pointer, snapshots
     * past the retention window expired ([[GdfManifest.commitVersion]]) —
     * the Iceberg commit shape with time travel. Overwrite replaces the
     * file set; append (r17) folds the new files in under the
-    * schema-evolution rules. */
+    * schema-evolution rules. Commits through the OPTIMISTIC LOOP (r18):
+    * a racing committer's snapshot is folded in on retry, never
+    * overwritten. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    val m =
-      if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout)
-      else GdfAppend.appended(path, schema, buckets, layout, stats, None)
-    GdfManifest.commitVersion(path, m, version)
+    GdfManifest.commitRetry(path) { cur =>
+      Some(
+        if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout)
+        else GdfAppend.appended(cur, schema, buckets, layout, stats, None))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -1057,19 +1230,20 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
     if (GdfManifest.versions(path).isEmpty) Set.empty
     else GdfManifest.read(path).files.map(_.name).toSet
 
+  /** The replay check runs INSIDE the optimistic loop (r18): even a
+    * replayed epoch racing a genuine commit re-reads the ledger on every
+    * attempt, so exactly-once survives concurrency. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    val replay = GdfManifest.versions(path).nonEmpty &&
-      GdfManifest.read(path).epochs.contains(epochId)
-    if (replay) {
+    val committed = GdfManifest.commitRetry(path) { cur =>
+      if (cur.exists(_.epochs.contains(epochId))) None // replayed epoch
+      else Some(GdfAppend.appended(cur, schema, buckets, layout, stats,
+        Some(epochId)))
+    }
+    if (committed < 0) { // replay: drop the regenerated orphan files
       val live = liveNames
       stats.filterNot(s => live.contains(s.name))
         .foreach(s => new File(path, s.name).delete())
-    } else {
-      GdfManifest.commitVersion(path,
-        GdfAppend.appended(path, schema, buckets, layout, stats,
-          Some(epochId)),
-        GdfManifest.nextVersion(path))
     }
   }
 

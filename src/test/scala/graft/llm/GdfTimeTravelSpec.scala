@@ -50,10 +50,11 @@ class GdfTimeTravelSpec extends SparkSpec {
       .filter(_.startsWith("manifest-v")).sorted.toSeq
     assert(manifests == Seq("manifest-v3.json", "manifest-v4.json",
       "manifest-v5.json"))
-    // v1/v2 data files are gone; v3..v5's remain
+    // v1/v2 data files are gone; v3..v5's remain (names carry the
+    // version tag plus the r18 per-write uniqueness token)
     val gdfs = dir.listFiles().map(_.getName).filter(_.endsWith(".gdf"))
-    assert(gdfs.forall(n => n.contains("-v3.") || n.contains("-v4.") ||
-      n.contains("-v5.")), s"orphans survive: ${gdfs.mkString(",")}")
+    assert(gdfs.forall(n => n.contains("-v3-") || n.contains("-v4-") ||
+      n.contains("-v5-")), s"orphans survive: ${gdfs.mkString(",")}")
     // retained snapshots all read, each its own payload generation
     for (v <- 3 to 5)
       assert(readV(p, v).select(col("v")).collect()
