@@ -303,6 +303,66 @@ object DocsDsv2 {
       .orderBy(col("doc_id"))
   }
 
+  // ---- merge-on-read DELETE (r18) -------------------------------------------
+
+  /** The MoR deletion request: every doc ≡ [[MorRes]] (mod [[MorMod]]) —
+    * bucket 7 under the hash layout, the same single-bucket geometry as
+    * the CoW delete but the commit writes a SLIM POSITION VECTOR instead
+    * of rewriting the bucket's files (GdfMorSpec pins every data file
+    * byte-identical at the delete commit). */
+  val MorMod = 16L
+  val MorRes = 7L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMor = new graft.SessionMemo[String]
+
+  /** A two-snapshot history: v1 = the slim corpus; v2 = the MERGE-ON-READ
+    * delete of the request list via
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor]] —
+    * data files untouched, one `.dvf` position file committed, readers
+    * apply it as a scan-time skip. */
+  def morPath(s: SparkSession, dir: String): String =
+    builtMor.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-mor/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val ids: Array[Any] = s.read.parquet(s"$dir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(MorMod)) === MorRes)
+        .select(col("doc_id")).collect().map(_.getLong(0): Any)
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(
+        s, p, Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("doc_id", ids))) // snapshot v2
+      p
+    }
+
+  /** MERGE-ON-READ delete certification — the same full-outer-join shape
+    * and label rule as the CoW delete (the read view MUST be identical:
+    * a delete vector changes the write cost, not one output bit), so the
+    * rule-derived oracle certifies the position-skip read path AND the
+    * snapshot audit in one hash. */
+  def deleteMor(s: SparkSession, dir: String): DataFrame = {
+    val p = morPath(s, dir)
+    def snap(v: Int) = s.read.format("graftdocs")
+      .option("version", v.toString).load(p)
+      .select(col("doc_id"))
+    snap(1).join(snap(2).withColumn("in_v2", lit(true)), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("in_v2").isNotNull, lit("retained"))
+          .otherwise(lit("deleted")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- copy-on-write MERGE (r17) ------------------------------------------
 
   /** Matched-update rule: docs ≡ [[MergeRes]] (mod [[MergeMod]]) get
