@@ -570,6 +570,89 @@ object DocsDsv2 {
       ORDER BY doc_id""")
   }
 
+  // ---- SQL row-level operations (r18) ---------------------------------------
+
+  /** UPDATE rule: docs ≡ [[SqlUpdRes]] (mod [[SqlUpdMod]]) get lang reset
+    * to [[SqlUpdLang]] via PURE SQL `UPDATE` — resolved through
+    * `SupportsRowLevelOperations` into a group-based copy-on-write
+    * rewrite, with the runtime group filter pruning the rewrite to the
+    * matched keys' bucket files (GdfRowLevelSpec pins byte-identity of
+    * the rest). */
+  val SqlUpdMod = 16L
+  val SqlUpdRes = 11L
+  val SqlUpdLang = "up"
+
+  /** MERGE rules: matched docs ≡ [[SqlMrgRes]] (mod [[SqlMrgMod]]) get
+    * lang [[SqlMrgLang]]; [[SqlMrgInserts]] new docs insert past the
+    * corpus max — one `MERGE INTO` statement, one snapshot. */
+  val SqlMrgMod = 16L
+  val SqlMrgRes = 13L
+  val SqlMrgLang = "mg"
+  val SqlMrgInserts = 20L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtRl = new graft.SessionMemo[String]
+
+  /** One catalog + two tables (docs_u, docs_m), mutated by pure SQL:
+    * UPDATE on docs_u, MERGE INTO on docs_m. Returns the catalog name. */
+  def rlCatalog(s: SparkSession, dir: String): String =
+    builtRl.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftrl_$tag"
+      val rootDir = s"/root/repo/target/graft-rl-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      Seq("docs_u", "docs_m").foreach(t =>
+        base.write.format("graftdocs")
+          .option("buckets", Buckets.toString)
+          .mode("overwrite").save(s"$rootDir/$t")) // v1 each
+      // pure-SQL UPDATE -> group-based CoW (v2 of docs_u)
+      s.sql(s"""UPDATE $cat.docs_u SET lang = '$SqlUpdLang'
+                WHERE doc_id % $SqlUpdMod = $SqlUpdRes""")
+      // pure-SQL MERGE INTO -> group-based CoW (v2 of docs_m)
+      val mx = base.agg(max(col("doc_id")).as("mx"))
+      base.where(pmod(col("doc_id"), lit(SqlMrgMod)) === SqlMrgRes)
+        .select(col("doc_id"), col("n_chars"), lit(SqlMrgLang).as("lang"))
+        .unionByName(s.range(1, SqlMrgInserts + 1).toDF("i")
+          .crossJoin(broadcast(mx))
+          .select((col("mx") + col("i")).as("doc_id"),
+            (lit(3000L) + col("i")).as("n_chars"),
+            lit("mi").as("lang")))
+        .createOrReplaceTempView("graft_rl_merge_source")
+      s.sql(s"""
+        MERGE INTO $cat.docs_m t
+        USING graft_rl_merge_source s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, lang = s.lang
+        WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang, bucket)
+          VALUES (s.doc_id, s.n_chars, s.lang,
+                  CAST(pmod(s.doc_id, $Buckets) AS INT))""")
+      cat
+    }
+
+  /** Post-UPDATE certification read (rule-derived oracle). */
+  def sqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val cat = rlCatalog(s, dir)
+    s.sql(s"""SELECT doc_id, n_chars, lang FROM $cat.docs_u
+              ORDER BY doc_id""")
+  }
+
+  /** Post-MERGE certification read (rule-derived oracle: update rule +
+    * generated inserts over the raw table). */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val cat = rlCatalog(s, dir)
+    s.sql(s"""SELECT doc_id, n_chars, lang FROM $cat.docs_m
+              ORDER BY doc_id""")
+  }
+
   // ---- schema evolution (r17) ---------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

@@ -67,8 +67,13 @@ class GraftCatalog extends TableCatalog {
     if (!new File(dir, "manifest.json").exists())
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace :+ ident.name).toSeq)
-    new GraftDocsTable(dir.getAbsolutePath,
-      GdfManifest.read(dir.getAbsolutePath).schema)
+    // acceptAnySchema=false: a catalog table must keep schema resolution
+    // so UPDATE/MERGE assignments align (r18); path-face appends handle
+    // evolution. defaultBuckets = the table's OWN count — SQL writes
+    // must agree with the stored hash layout.
+    val m = GdfManifest.read(dir.getAbsolutePath)
+    new GraftDocsTable(dir.getAbsolutePath, m.schema,
+      acceptAnySchema = false, defaultBuckets = m.buckets)
   }
 
   /** SQL time travel: `VERSION AS OF <n>` pins the snapshot — the scan
@@ -76,7 +81,8 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident).getAbsolutePath
     val m = GdfManifest.readVersion(dir, version.toInt) // fails loudly if expired
-    new GraftDocsTable(dir, m.schema, Some(version.toInt))
+    new GraftDocsTable(dir, m.schema, Some(version.toInt),
+      acceptAnySchema = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -86,7 +92,13 @@ class GraftCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
     dir.mkdirs() // the first write commits the v1 manifest
-    new GraftDocsTable(dir.getAbsolutePath, schema)
+    // CREATE TABLE ... OPTIONS('buckets' '4'): the options land in the
+    // properties map (plain and/or "option."-prefixed, by Spark version)
+    val buckets = Option(properties.get("buckets"))
+      .orElse(Option(properties.get("option.buckets")))
+      .map(_.toInt).getOrElse(8)
+    new GraftDocsTable(dir.getAbsolutePath, schema,
+      acceptAnySchema = false, defaultBuckets = buckets)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

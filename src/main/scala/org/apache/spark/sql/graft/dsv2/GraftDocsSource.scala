@@ -441,21 +441,47 @@ private[dsv2] object GdfManifest {
 /** `pinnedVersion` (r17): set by the catalog's `VERSION AS OF` load —
   * the scan serves that snapshot's files and schema regardless of
   * read options. */
+/** `acceptAnySchema`: the PATH-BASED provider face advertises
+  * ACCEPT_ANY_SCHEMA so an append may WIDEN the schema (evolution, r17);
+  * catalog-loaded tables must NOT (r18) — that capability makes the
+  * analyzer skip UPDATE/MERGE assignment alignment entirely
+  * (`skipSchemaResolution`), which would leave row-level SQL
+  * unresolvable. Catalog-face evolution is the path API's job. */
+/** `defaultBuckets`: the bucket count a write uses when the `buckets`
+  * option is absent — a catalog-loaded table passes ITS OWN count (from
+  * the manifest or CREATE TABLE properties) so SQL writes can never
+  * silently disagree with the stored hash layout. */
 private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None, acceptAnySchema: Boolean = true,
+    defaultBuckets: Int = 8)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE (r18): the
+    * group-based copy-on-write surface ([[GdfRowLevelBuilder]]).
+    * Translatable simple DELETEs still take the [[deleteWhere]]
+    * metadata fast path via OptimizeMetadataOnlyDeleteFromTable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GdfRowLevelBuilder(path, info)
 
   override def name(): String = s"graftdocs($path)"
   override def schema(): StructType = tableSchema
   /** ACCEPT_ANY_SCHEMA (r17) opts out of Spark's append-resolution check
     * so an append may WIDEN the schema (evolution); the writer still
     * type-checks every column it stores and [[GdfAppend.mergedSchema]]
-    * rejects a type change. STREAMING_WRITE is the sink face. */
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    * rejects a type change. STREAMING_WRITE is the sink face. Catalog
+    * tables drop ACCEPT_ANY_SCHEMA (see class doc). */
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.STREAMING_WRITE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   /** Row-level DELETE as COPY-ON-WRITE (r17, the connector's GDPR verb):
     * only files whose zone maps can hold a matching row are rewritten —
@@ -481,7 +507,8 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
-      Option(info.options.get("buckets")).map(_.toInt).getOrElse(8),
+      Option(info.options.get("buckets")).map(_.toInt)
+        .getOrElse(defaultBuckets),
       Option(info.options.get("layout")).getOrElse("hash"))
 }
 
@@ -1300,7 +1327,8 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     s"v$version-${java.util.UUID.randomUUID().toString.take(8)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GdfWriterFactory(path, schema, suffix)
+    new GdfWriterFactory(path, schema, suffix,
+      if (layout == "hash") buckets else 0)
 
   /** Each commit is a SNAPSHOT: version-suffixed data files, the
     * versioned manifest next to the refreshed current pointer, snapshots
@@ -1333,7 +1361,8 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GdfWriterFactory(path, schema, "")
+    new GdfWriterFactory(path, schema, "",
+      if (layout == "hash") buckets else 0)
 
   /** Files already referenced by the current manifest — a replayed
     * epoch regenerates the SAME deterministic file names (it overwrote
@@ -1370,28 +1399,46 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
 }
 
 private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
-    suffix: String) extends DataWriterFactory
+    suffix: String, hashBuckets: Int = 0) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, suffix)
+    new GdfDataWriter(path, schema, suffix, hashBuckets)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, s"e$epochId-p$partitionId")
+    new GdfDataWriter(path, schema, s"e$epochId-p$partitionId", hashBuckets)
 }
 
 /** Buffers the task's rows per bucket (clustered distribution means one
   * bucket per task in practice; the map shape stays correct regardless)
   * and flushes one columnar file per bucket at commit. Nulls are
   * accepted for every column except the `doc_id`/`bucket` keys (r17 —
-  * the schema-evolution and copy-on-write paths both produce them). */
+  * the schema-evolution and copy-on-write paths both produce them).
+  *
+  * Two r18 hardenings:
+  *  - incoming rows may carry ONE extra leading column beyond the write
+  *    schema: Spark's group-based `ReplaceData` hands the writer its raw
+  *    query row, whose head is the internal `__row_operation` marker
+  *    (only delta writers get a projected row) — the writer detects the
+  *    arity and shifts its reads;
+  *  - under the hash layout the writer VALIDATES bucket =
+  *    pmod(doc_id, buckets) per row and fails loudly on a mismatch —
+  *    a wrong bucket value would silently break the EqualTo bucket-pin
+  *    pruning superset guarantee at read time (wrong results, the worst
+  *    failure class). */
 private[dsv2] class GdfDataWriter(path: String, schema: StructType,
-    suffix: String) extends DataWriter[InternalRow] {
+    suffix: String, hashBuckets: Int = 0) extends DataWriter[InternalRow] {
 
   private val bucketIdx = schema.fieldIndex("bucket")
+  private val docIdx = schema.fieldIndex("doc_id")
   private val perBucket = mutable.Map[Int, mutable.ArrayBuffer[Array[Any]]]()
 
   override def write(row: InternalRow): Unit = {
-    val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+    val shift = row.numFields - schema.fields.length
+    require(shift == 0 || shift == 1,
+      s"graftdocs writer got a ${row.numFields}-field row for a " +
+        s"${schema.fields.length}-column schema")
+    val vals = schema.fields.zipWithIndex.map { case (f, i0) =>
+      val i = i0 + shift
       if (row.isNullAt(i)) {
         require(f.name != "doc_id" && f.name != "bucket",
           s"graftdocs key column ${f.name} must be non-null")
@@ -1406,7 +1453,16 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType,
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
     }
-    perBucket.getOrElseUpdate(row.getInt(bucketIdx), mutable.ArrayBuffer())
+    val bucket = row.getInt(bucketIdx + shift)
+    if (hashBuckets > 0) {
+      val want = java.lang.Math.floorMod(
+        vals(docIdx).asInstanceOf[Long], hashBuckets.toLong).toInt
+      require(bucket == want,
+        s"hash-layout bucket mismatch: doc_id ${vals(docIdx)} carries " +
+          s"bucket $bucket but pmod(doc_id, $hashBuckets) = $want — " +
+          "write with the table's bucket count ('buckets' option)")
+    }
+    perBucket.getOrElseUpdate(bucket, mutable.ArrayBuffer())
       .append(vals)
   }
 

@@ -31,43 +31,41 @@ class GdfCompactSpec extends SparkSpec {
 
   test("compaction collapses fragmented buckets, preserves content exactly") {
     val p = freshDir()
-    // 3 slices over 4 buckets -> 3 files per bucket; bucket 9 (ids ≡ 1
-    // mod 4 only in slice 1? no — keep one SINGLE-file bucket by giving
-    // ids 100..103 (bucket 0..3) only in slice 0 for a 5th bucket: use a
-    // dedicated single-slice bucket value 7 via explicit bucket column
-    def df(rows: Seq[(Long, Long)], b: Option[Int] = None) =
+    // three append slices under the HASH invariant (bucket = pmod(id, 8),
+    // writer-validated since r18): slices A and B fragment buckets 0..5
+    // into two files each; slice C holds ids 7 and 15 — both bucket 7 —
+    // so bucket 7 stays a SINGLE file across the history
+    def df(rows: Seq[(Long, Long)]) =
       rows.toDF("doc_id", "val")
-        .withColumn("bucket", b.map(lit(_)).getOrElse(
-          pmod(col("doc_id"), lit(4L)).cast("int")).cast("int"))
-    df((0L until 12L).map(i => (i, 10L * i)))
+        .withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int"))
+    df((0L until 6L).map(i => (i, 10L * i)))
       .write.format("graftdocs").option("buckets", "8")
       .mode("overwrite").save(p)
-    df((12L until 24L).map(i => (i, 10L * i)))
+    df((8L until 14L).map(i => (i, 10L * i)))
       .write.format("graftdocs").option("buckets", "8")
       .mode("append").save(p)
-    // the single-file bucket: one append into bucket 7 only
-    df(Seq((100L, 1L), (101L, 2L)), Some(7))
+    df(Seq((7L, 70L), (15L, 150L)))
       .write.format("graftdocs").option("buckets", "8")
       .mode("append").save(p)
     val before = liveFiles(p)
-    assert(before.size == 9, s"expected 4*2+1 files, got ${before.keySet}")
+    assert(before.size == 13, s"expected 6*2+1 files, got ${before.keySet}")
     val pre = spark.read.format("graftdocs").load(p)
       .select(col("doc_id"), col("val")).orderBy(col("doc_id")).collect()
 
     GdfMaintenance.compact(spark, p)
     val after = liveFiles(p)
-    assert(after.size == 5, s"expected 5 files post-compaction: ${after.keySet}")
+    assert(after.size == 7, s"expected 7 files post-compaction: ${after.keySet}")
     // the single-file bucket is byte-identical and keeps its name
     val singles = before.filter(_._1.startsWith("part-7-"))
-    assert(singles.forall { case (n, d) => after.get(n).contains(d) },
-      "single-file bucket must not rewrite")
+    assert(singles.nonEmpty && singles.forall { case (n, d) =>
+      after.get(n).contains(d) }, "single-file bucket must not rewrite")
     // content unchanged
     val post = spark.read.format("graftdocs").load(p)
       .select(col("doc_id"), col("val")).orderBy(col("doc_id")).collect()
     assert(pre.sameElements(post), "compaction changed content")
     // the pre-compaction layout still serves through time travel
     val v3 = spark.read.format("graftdocs").option("version", "3").load(p)
-    assert(v3.count() == 26L)
+    assert(v3.count() == 14L)
   }
 
   test("compacting an already-compact table is a layout no-op commit") {

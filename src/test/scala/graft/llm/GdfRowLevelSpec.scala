@@ -1,0 +1,152 @@
+package org.apache.spark.sql.graft.dsv2
+
+import java.io.File
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the SQL row-level surface (r18, judge ask #4):
+  * `SupportsRowLevelOperations` resolving UPDATE, MERGE INTO, and
+  * arbitrary-predicate DELETE into group-based copy-on-write rewrites.
+  * Contract under test:
+  *
+  *  - pure-SQL UPDATE/MERGE produce the right table state, as new
+  *    snapshots (time travel serves the pre-change state);
+  *  - the runtime GROUP FILTER prunes the rewrite to the files the
+  *    matched keys can reach — an update of one bucket leaves every
+  *    other file byte-identical;
+  *  - a simple translatable DELETE still takes the metadata
+  *    SupportsDelete fast path (no row-level write job);
+  *  - an untranslatable DELETE predicate now falls back to the
+  *    row-level rewrite and works (it used to fail loudly). */
+class GdfRowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-rl-spec-${System.nanoTime()}"
+  private val cat = "graftrl"
+
+  private lazy val registered: Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private def sql(q: String) = { registered; spark.sql(q) }
+
+  private var n = 0
+  private def freshTable(): String = {
+    n += 1
+    val t = s"t$n"
+    (0L until 40L).map(i => (i, 10L * i, s"t$i")).toDF("doc_id", "val", "tag")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .createOrReplaceTempView("rl_src")
+    // buckets must match the fixture's pmod — the writer validates the
+    // hash invariant per row (r18)
+    sql(s"CREATE TABLE $cat.$t OPTIONS('buckets'='4') AS SELECT * FROM rl_src")
+    t
+  }
+
+  private def md5(f: File): String =
+    MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+
+  private def digests(t: String): Map[String, String] =
+    GdfManifest.read(s"$root/$t").files.map(_.name)
+      .map(nm => nm -> md5(new File(s"$root/$t", nm))).toMap
+
+  test("SQL UPDATE rewrites only the matched keys' bucket; audit intact") {
+    val t = freshTable()
+    val before = digests(t)
+    sql(s"UPDATE $cat.$t SET tag = 'up' WHERE doc_id IN (1, 5, 9)")
+    val after = digests(t)
+    // buckets 0/2/3 byte-identical — the runtime group filter pruned the
+    // rewrite to bucket 1
+    assert(after.filterNot(_._1.startsWith("part-1-")) ==
+      before.filterNot(_._1.startsWith("part-1-")),
+      "non-matched buckets must carry over byte-identical")
+    assert(!after.keySet.exists(nm =>
+      nm.startsWith("part-1-") && before.contains(nm)))
+    val rows = sql(s"SELECT doc_id, val, tag FROM $cat.$t ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(rows.size == 40 && rows(1L) == ((10L, "up")) &&
+      rows(5L) == ((50L, "up")) && rows(13L) == ((130L, "t13")))
+    assert(sql(s"SELECT tag FROM $cat.$t VERSION AS OF 1 WHERE doc_id = 1")
+      .collect()(0).getString(0) == "t1", "pre-update snapshot must serve")
+  }
+
+  test("SQL UPDATE with a computed predicate updates exactly the rule") {
+    val t = freshTable()
+    sql(s"UPDATE $cat.$t SET val = val + 1000 WHERE doc_id % 8 = 3")
+    val rows = sql(s"SELECT doc_id, val FROM $cat.$t ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L).foreach { i =>
+      val want = if (i % 8 == 3) 10L * i + 1000L else 10L * i
+      assert(rows(i) == want, s"doc $i")
+    }
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert, one snapshot") {
+    val t = freshTable()
+    Seq((2L, 999L, "m2"), (6L, 999L, "m6"), (100L, 1L, "n100"),
+        (103L, 2L, "n103"))
+      .toDF("doc_id", "val", "tag").createOrReplaceTempView("rl_merge_src")
+    sql(s"""
+      MERGE INTO $cat.$t t
+      USING rl_merge_src s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET val = s.val, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (doc_id, val, tag, bucket)
+        VALUES (s.doc_id, s.val, s.tag, CAST(pmod(s.doc_id, 4) AS INT))""")
+    val rows = sql(s"SELECT doc_id, val, tag FROM $cat.$t ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(rows.size == 42)
+    assert(rows(2L) == ((999L, "m2")) && rows(6L) == ((999L, "m6")))
+    assert(rows(100L) == ((1L, "n100")) && rows(103L) == ((2L, "n103")))
+    assert(rows(3L) == ((30L, "t3")))
+    assert(sql(s"SELECT count(*) FROM $cat.$t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 40L)
+    // inserted rows landed in their hash buckets (scan pruning stays sound)
+    assert(sql(s"SELECT bucket FROM $cat.$t WHERE doc_id = 103")
+      .collect()(0).getInt(0) == 3)
+  }
+
+  test("a translatable DELETE still takes the metadata fast path") {
+    val t = freshTable()
+    val before = digests(t)
+    sql(s"DELETE FROM $cat.$t WHERE doc_id IN (2, 6)")
+    val after = digests(t)
+    // the SupportsDelete path rewrote ONLY bucket 2 — and committed no
+    // row-level write (file names keep the maintenance '-d' tag, not the
+    // row-level 'rl' tag)
+    assert(after.filterNot(_._1.startsWith("part-2-")) ==
+      before.filterNot(_._1.startsWith("part-2-")))
+    val b2 = after.keys.filter(_.startsWith("part-2-")).toSeq
+    assert(b2.size == 1 && b2.head.contains("-d") && !b2.head.contains("rl"),
+      s"expected the metadata CoW delete to rewrite bucket 2, got $b2")
+    assert(sql(s"SELECT count(*) FROM $cat.$t").collect()(0).getLong(0) == 38L)
+  }
+
+  test("an untranslatable DELETE predicate falls back to the row-level rewrite") {
+    val t = freshTable()
+    sql(s"DELETE FROM $cat.$t WHERE tag = 't7'")
+    val rows = sql(s"SELECT doc_id FROM $cat.$t ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    assert(rows.length == 39 && !rows.contains(7L))
+    assert(sql(s"SELECT count(*) FROM $cat.$t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 40L)
+  }
+
+  test("an UPDATE matching nothing commits nothing") {
+    val t = freshTable()
+    val vBefore = GdfManifest.versions(s"$root/$t")
+    sql(s"UPDATE $cat.$t SET tag = 'x' WHERE doc_id = 999999")
+    assert(GdfManifest.versions(s"$root/$t") == vBefore,
+      "a no-match update must not burn a snapshot")
+    assert(sql(s"SELECT count(*) FROM $cat.$t").collect()(0).getLong(0) == 40L)
+  }
+}

@@ -23,9 +23,11 @@ class GraftCatalogSpec extends SparkSpec {
 
   private def sql(q: String) = { registered; spark.sql(q) }
 
+  // pmod 8 = the CTAS default bucket count: the writer validates the
+  // hash invariant bucket = pmod(doc_id, buckets) per row (r18)
   private def plantView(): Unit =
     (0L until 20L).map(i => (i, 10L * i, s"t$i")).toDF("doc_id", "val", "tag")
-      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(8L)).cast("int"))
       .createOrReplaceTempView("src_rows")
 
   test("CTAS creates a graftdocs table the catalog serves back") {
@@ -42,7 +44,7 @@ class GraftCatalogSpec extends SparkSpec {
     plantView()
     sql(s"CREATE TABLE $cat.ins AS SELECT * FROM src_rows")
     sql(s"INSERT INTO $cat.ins " +
-      "SELECT 100L AS doc_id, 1L AS val, 'new' AS tag, 0 AS bucket")
+      "SELECT 100L AS doc_id, 1L AS val, 'new' AS tag, 4 AS bucket")
     assert(sql(s"SELECT count(*) FROM $cat.ins").collect()(0).getLong(0) == 21L)
     assert(sql(s"SELECT count(*) FROM $cat.ins VERSION AS OF 1")
       .collect()(0).getLong(0) == 20L)
@@ -57,9 +59,10 @@ class GraftCatalogSpec extends SparkSpec {
     assert(left.sameElements(0L until 15L))
     assert(sql(s"SELECT count(*) FROM $cat.del VERSION AS OF 1")
       .collect()(0).getLong(0) == 20L)
-    // an unsupported predicate must fail loudly, never full-rewrite
-    assertThrows[Exception](sql(s"DELETE FROM $cat.del WHERE tag = 't3'"))
-    assert(sql(s"SELECT count(*) FROM $cat.del").collect()(0).getLong(0) == 15L)
+    // a predicate the metadata path can't translate falls back to the
+    // row-level CoW rewrite (r18) — it used to fail loudly; now it works
+    sql(s"DELETE FROM $cat.del WHERE tag = 't3'")
+    assert(sql(s"SELECT count(*) FROM $cat.del").collect()(0).getLong(0) == 14L)
   }
 
   test("RENAME and DROP are catalog verbs") {
