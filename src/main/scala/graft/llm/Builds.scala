@@ -57,6 +57,10 @@ object Builds {
       ((s, d) => { DocsDsv2.sqlCatalogTable(s, d); () }),
     "build_knn_pairs" ->
       ((s, d) => { Similarity.knnMutualPairs(s, d).count(); () }),
+    "build_knn_graph" ->
+      ((s, d) => { Similarity.knnGraph(s, d).count(); () }),
+    "build_knn_clusters" ->
+      ((s, d) => { Similarity.knnClusters(s, d).count(); () }),
     "build_dsv2_docs" ->
       ((s, d) => { DocsDsv2.path(s, d); () }),
     "build_dsv2_zorder" ->
