@@ -471,6 +471,100 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ---- change data feed (r18) -----------------------------------------------
+
+  /** CDF history rules: v2 MoR-deletes docs ≡ [[ChgDelRes]] (mod 16 →
+    * bucket 1, committed as a delete vector), v3 merge-updates docs ≡
+    * [[ChgUpdRes]] (mod 16 → bucket 2, copy-on-write rewrite) to lang
+    * [[ChgLang]] and inserts [[ChgInserts]] new docs past the corpus max.
+    * `changes(1, 3)` must net exactly: the deletes, one pre+post image
+    * pair per update, the inserts — and NOTHING for the co-located rows
+    * the delete vector and the rewrite merely carried along. */
+  val ChgDelMod = 16L
+  val ChgDelRes = 9L
+  val ChgUpdMod = 16L
+  val ChgUpdRes = 10L
+  val ChgLang = "cd"
+  val ChgInserts = 25L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtChg = new graft.SessionMemo[String]
+
+  /** A three-snapshot history exercising BOTH write regimes the feed
+    * must see through: a merge-on-read delete (dv-changed files) and a
+    * copy-on-write merge (removed + added files). */
+  def changesPath(s: SparkSession, dir: String): String =
+    builtChg.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-chg/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      base.withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val delIds: Array[Any] = base
+        .where(pmod(col("doc_id"), lit(ChgDelMod)) === ChgDelRes)
+        .select(col("doc_id")).collect().map(_.getLong(0): Any)
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(
+        s, p, Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("doc_id", delIds))) // snapshot v2
+      val mx = base.agg(max(col("doc_id")).as("mx"))
+      val updates = base
+        .where(pmod(col("doc_id"), lit(ChgUpdMod)) === ChgUpdRes)
+        .select(col("doc_id"), col("n_chars"), lit(ChgLang).as("lang"))
+      val inserts = s.range(1, ChgInserts + 1).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select((col("mx") + col("i")).as("doc_id"),
+          (lit(4000L) + col("i")).as("n_chars"),
+          lit("cf").as("lang"))
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.mergeInto(
+        s, p, updates.unionByName(inserts)) // snapshot v3
+      p
+    }
+
+  /** CHANGE-DATA-FEED certification: the net row-level changes v1 → v3
+    * via [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.changes]] —
+    * manifest-diffed file subsets, never a snapshot scan (GdfChangesSpec
+    * pins the read footprint). The oracle re-derives the full change set
+    * (deletes, pre+post update images, inserts) from the raw table, so
+    * the hash match certifies the feed nets out every carried-over row
+    * while losing none of the real changes. */
+  def changesFeed(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    org.apache.spark.sql.graft.dsv2.GdfMaintenance.changes(s, p, 1, 3)
+      .orderBy(col("doc_id"), col("_change_type"))
+  }
+
+  // ---- runtime V2 file pruning (r18) ------------------------------------------
+
+  /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod
+    * [[RtpMod]]) — a selective dim that broadcast-joins against the
+    * connector scan, so the optimizer's dynamic pruning feeds the scan
+    * the matched keys and zone-map/Bloom/bucket-pin pruning drops whole
+    * files at RUNTIME (GdfRuntimeFilterSpec pins the partition shrink). */
+  val RtpMod = 97L
+  val RtpRes = 5L
+
+  /** Star-shaped probe: connector fact side ⋈ selective dim on doc_id.
+    * Correctness rides the rule-derived oracle (runtime pruning is a
+    * superset guarantee — the join re-checks every row); the file-skip
+    * effectiveness is pinned in the spec. */
+  def runtimePruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+    val keys = s.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(RtpMod)) === RtpRes)
+      .select(col("doc_id"))
+    d.join(keys, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- compaction (r17) ----------------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

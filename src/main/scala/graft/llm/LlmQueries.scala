@@ -1600,6 +1600,50 @@ object LlmQueries {
         FROM generate_series(1, ${DocsDsv2.SqlMrgInserts}) AS t(i)
         ORDER BY doc_id""")),
 
+    // CHANGE DATA FEED (r18): the net row-level changes between two
+    // snapshots — the Iceberg changelog / Delta CDF verb. The history
+    // exercises BOTH write regimes the feed must see through (a
+    // merge-on-read delete commits only a delete vector; a copy-on-write
+    // merge removes/adds data files), and the feed reads ONLY the
+    // manifest-diffed file subsets via the scan's `files` option, never
+    // a snapshot scan (GdfChangesSpec pins the footprint). The oracle
+    // re-derives deletes, pre+post update images, and inserts from the
+    // raw table; co-located rows the vector or rewrite merely carried
+    // along must net out to nothing.
+    QueryDef("dsv2_changes",
+      (s, dir) => DocsDsv2.changesFeed(s, dir),
+      Some(s"""
+        SELECT * FROM (
+          SELECT doc_id, n_chars, lang, 'delete' AS "_change_type"
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes}
+          UNION ALL
+          SELECT doc_id, n_chars, lang, 'update_preimage'
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT doc_id, n_chars, '${DocsDsv2.ChgLang}', 'update_postimage'
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i,
+                 4000 + i, 'cf', 'insert'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
+        ) ORDER BY doc_id, "_change_type" """)),
+
+    // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
+    // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join
+    // against a selective dim plants a dynamic-pruning subquery and the
+    // scan drops whole files AT RUNTIME from the dim's actual keys
+    // (zone map + Bloom + hash-bucket pin) — the DPP story a 100 TB
+    // fact⋈dim lives on, on the connector's own format. Correctness
+    // rides the rule-derived oracle (pruning is a superset guarantee;
+    // the join re-checks rows); GdfRuntimeFilterSpec pins the runtime
+    // partition shrink and the reported-statistics auto-broadcast.
+    QueryDef("dsv2_runtime_prune",
+      (s, dir) => DocsDsv2.runtimePruneJoin(s, dir),
+      Some(s"""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE doc_id % ${DocsDsv2.RtpMod} = ${DocsDsv2.RtpRes}
+        ORDER BY doc_id""")),
+
     // SCHEMA EVOLUTION on the connector (r17): v1 holds the even docs
     // under the narrow (doc_id, n_chars) schema; an APPEND lands the odd
     // docs with the new lang column and widens the manifest schema —

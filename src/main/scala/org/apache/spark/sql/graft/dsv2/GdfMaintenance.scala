@@ -501,4 +501,100 @@ object GdfMaintenance {
     commitReplacing(path, results.flatMap(_._2).toSet,
       results.toSeq.flatMap(_._1))
   }
+
+  /** CHANGE DATA FEED (r18): the net row-level changes between two
+    * retained snapshots — the Iceberg changelog-scan / Delta CDF verb.
+    * Output = the table columns (minus the layout `bucket`) plus
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage}.
+    *
+    * Shape: diff the two MANIFESTS first — files only in the old
+    * snapshot (removed/rewritten), files only in the new one
+    * (added/rewrites' outputs), and files in both whose DELETE VECTOR
+    * changed (merge-on-read deletes) — then read ONLY those files of
+    * each side through the scan's `files` subset option and full-outer
+    * join on the key. A row in a file that carried over verbatim can
+    * never have changed, so the feed costs O(changed files), never a
+    * snapshot scan; a rewritten file's co-located unchanged rows join
+    * equal and net out (the rewrite is physical, not logical — Iceberg's
+    * net_changes semantics).
+    *
+    * 100 TB: both sides are key-pruned scans of the touched buckets
+    * only, the join is doc_id-keyed (one exchange bounded by changed-
+    * file volume), and the feed is a pure function of two immutable
+    * snapshots — replayable, and composable downstream (a CDC consumer
+    * can re-derive any window while both snapshots stay retained). */
+  def changes(spark: SparkSession, path: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"changes requires fromV < toV, got $fromV..$toV")
+    val oldM = GdfManifest.readVersion(path, fromV)
+    val newM = GdfManifest.readVersion(path, toV)
+    val oldByName = oldM.files.map(f => f.name -> f).toMap
+    val newByName = newM.files.map(f => f.name -> f).toMap
+    val removed = oldM.files.filterNot(f => newByName.contains(f.name))
+    val added = newM.files.filterNot(f => oldByName.contains(f.name))
+    val dvChanged = newM.files.filter(f =>
+      oldByName.get(f.name).exists(o => o.dv != f.dv))
+    val cols = newM.schema.fieldNames.filterNot(_ == "bucket").toSeq
+    val oldCols = oldM.schema.fieldNames.toSet
+    def side(v: Int, names: Seq[String]): DataFrame = {
+      val base = spark.read.format("graftdocs")
+        .option("version", v.toString)
+        .option("files", names.mkString(","))
+        .load(path)
+      // an old side predating schema evolution null-fills the new columns
+      cols.foldLeft(base) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(newM.schema(c).dataType))
+      }.select(cols.map(col): _*)
+    }
+    val pre = side(fromV, (removed ++ dvChanged.map(f => oldByName(f.name)))
+      .map(_.name))
+    val post = side(toV, (added ++ dvChanged).map(_.name))
+    val o = pre.select(cols.map(c => col(c).as(s"o_$c")): _*)
+    val n = post.select(cols.map(c => col(c).as(s"n_$c")): _*)
+    val valCols = cols.filterNot(_ == "doc_id")
+    def img(p: String, tag: String) =
+      struct(cols.map(c => col(s"$p$c").as(c)) :+
+        lit(tag).as("_change_type"): _*)
+    // struct comparison treats per-field nulls as equal — exactly the
+    // "did the row change" semantics a feed needs
+    val changeRows =
+      when(col("o_doc_id").isNull, array(img("n_", "insert")))
+        .when(col("n_doc_id").isNull, array(img("o_", "delete")))
+        .when(struct(valCols.map(c => col(s"o_$c")): _*) =!=
+          struct(valCols.map(c => col(s"n_$c")): _*),
+          array(img("o_", "update_preimage"), img("n_", "update_postimage")))
+        .otherwise(array(img("n_", "noop"))) // carried-over row: nets out
+    o.join(n, col("o_doc_id") === col("n_doc_id"), "full_outer")
+      .select(explode(changeRows).as("c"))
+      .where(col("c._change_type") =!= "noop")
+      .select(col("c.*"))
+  }
+
+  /** ORPHAN-FILE GC (r18) — the other half of the expiry split
+    * [[GdfManifest.commitVersion]] documents: snapshot expiry only ever
+    * deletes files an EXPIRED snapshot referenced, so data/delete files
+    * written by a FAILED or aborted commit (referenced by no snapshot at
+    * all) accumulate until this verb sweeps them. Deletes every
+    * `.gdf`/`.dvf` under the table dir that no RETAINED snapshot
+    * references and whose mtime is older than `olderThanMs` — the age
+    * guard is what keeps a RACING writer's in-flight files (written
+    * ahead of its commit) safe, the published Iceberg
+    * remove_orphan_files discipline. Returns the removed names. */
+  def removeOrphans(path: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val live: Set[String] = GdfManifest.versions(path).flatMap { v =>
+      val m = GdfManifest.readVersion(path, v)
+      m.files.map(_.name) ++ m.files.flatMap(_.dv)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    Option(new File(path).listFiles()).toSeq.flatten
+      .filter(f =>
+        (f.getName.endsWith(".gdf") || f.getName.endsWith(".dvf")) &&
+          !live.contains(f.getName) && f.lastModified() < cutoff)
+      .map { f => f.delete(); f.getName }
+      .sorted
+  }
 }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft.dsv2
 
 import java.util
 
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortOrder}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsRuntimeV2Filtering}
@@ -84,41 +84,13 @@ private[dsv2] class GdfCowScan(path: String, manifest: GdfManifest.Manifest,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("doc_id"))
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    def longsOf(children: Array[org.apache.spark.sql.connector.expressions.Expression])
-        : Seq[Long] =
-      children.collect { case l: Literal[_] => l.value match {
-        case v: java.lang.Long => v.longValue()
-        case v: java.lang.Integer => v.longValue()
-      }}.toSeq
-    val keys = predicates.flatMap { p =>
-      val onDocId = p.children().headOption.exists {
-        case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
-        case _ => false
-      }
-      if (!onDocId) None
-      else p.name() match {
-        case "IN" => Some(longsOf(p.children().drop(1)))
-        case "=" => Some(longsOf(p.children().drop(1)))
-        case _ => None
-      }
-    }
-    if (keys.nonEmpty) runtimeKeys = Some(keys.flatten.toSet)
-  }
+  override def filter(predicates: Array[Predicate]): Unit =
+    GdfKeyPrune.keysOf(predicates).foreach(k => runtimeKeys = Some(k))
 
   private def surviving: Seq[GdfManifest.FileStat] = runtimeKeys match {
     case None => manifest.files
     case Some(keys) =>
-      val hashPin = manifest.layout == "hash" && manifest.buckets > 0
-      manifest.files.filter { f =>
-        keys.exists { k =>
-          f.minDocId <= k && k <= f.maxDocId &&
-            f.colBlooms.collectFirst { case ("doc_id", bits) => bits }
-              .forall(GdfManifest.GdfBloom.mightContain(_, k)) &&
-            (!hashPin || f.bucket ==
-              java.lang.Math.floorMod(k, manifest.buckets.toLong))
-        }
-      }
+      manifest.files.filter(f => GdfKeyPrune.mayHoldAny(f, manifest, keys))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -503,7 +503,9 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
       Option(options.get("version")).map(_.toInt).orElse(pinnedVersion)
         .map(v => GdfManifest.readVersion(path, v))
         .getOrElse(GdfManifest.read(path)),
-      Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(0))
+      Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(0),
+      Option(options.get("files")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
@@ -514,8 +516,15 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
 
 // ---------------------------------------------------------------- read
 
+/** `fileSubset` (r18): the `files` read option — restrict the scan to a
+  * named subset of the snapshot's files. The INCREMENTAL-READ primitive:
+  * [[GdfMaintenance.changes]] diffs two manifests and reads only the
+  * added/removed/dv-changed files of each side, so a change-data-feed
+  * query costs O(changed files), never a snapshot scan. An empty subset
+  * is a valid empty scan; aggregate pushdown refuses under a subset (the
+  * manifest stats describe the whole snapshot). */
 private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
-    maxFilesPerTrigger: Int = 0)
+    maxFilesPerTrigger: Int = 0, fileSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -576,7 +585,7 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
     // a file carrying a delete vector (r18) makes the manifest stats
     // PHYSICAL, not exact — the metadata-only answer would overcount, so
     // the pushdown refuses and Spark keeps the real aggregation
-    byBucket.filter(_ => ok && pushed.isEmpty &&
+    byBucket.filter(_ => ok && pushed.isEmpty && fileSubset.isEmpty &&
         manifest.files.forall(_.dv.isEmpty))
       .map(b => (b, agg.aggregateExpressions.toSeq))
   }
@@ -596,7 +605,8 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
 
   override def build(): Scan = pushedAgg match {
     case Some((byBucket, funcs)) => new GdfAggScan(path, manifest, byBucket, funcs)
-    case None => new GdfScan(path, manifest, required, pushed, maxFilesPerTrigger)
+    case None => new GdfScan(path, manifest, required, pushed, maxFilesPerTrigger,
+      fileSubset)
   }
 }
 
@@ -683,15 +693,76 @@ private[dsv2] case class GdfInputPartition(files: Seq[GdfFileSlice], bucket: Int
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
+/** Shared runtime-key pruning arithmetic: may any of `keys` live in file
+  * `f` under manifest `m`? min/max zone map, per-file Bloom, and — hash
+  * layout — the pmod bucket pin. Used by the CoW group scan's runtime
+  * filter (r18 SQL row-level ops) and the main batch scan's runtime V2
+  * filter (r18, the DPP-style join file pruning). */
+private[dsv2] object GdfKeyPrune {
+  def mayHoldAny(f: GdfManifest.FileStat, m: GdfManifest.Manifest,
+      keys: Set[Long]): Boolean = {
+    val hashPin = m.layout == "hash" && m.buckets > 0
+    keys.exists { k =>
+      (!hashPin || f.bucket == java.lang.Math.floorMod(k, m.buckets.toLong)) &&
+        f.minDocId <= k && k <= f.maxDocId &&
+        f.colBlooms.collectFirst { case ("doc_id", bits) => bits }
+          .forall(GdfManifest.GdfBloom.mightContain(_, k))
+    }
+  }
+
+  /** Matching doc_id keys out of the runtime predicates Spark pushes
+    * (IN / = on doc_id); None when no usable predicate arrived. */
+  def keysOf(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Set[Long]] = {
+    def longsOf(children: Array[org.apache.spark.sql.connector.expressions.Expression])
+        : Seq[Long] =
+      children.collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case v: java.lang.Long => v.longValue()
+            case v: java.lang.Integer => v.longValue()
+          }
+      }.toSeq
+    val keys = predicates.flatMap { p =>
+      val onDocId = p.children().headOption.exists {
+        case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
+        case _ => false
+      }
+      if (!onDocId) None
+      else p.name() match {
+        case "IN" | "=" => Some(longsOf(p.children().drop(1)))
+        case _ => None
+      }
+    }
+    if (keys.nonEmpty) Some(keys.flatten.toSet) else None
+  }
+}
+
 private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
-    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Int = 0)
-    extends Scan with Batch with SupportsReportPartitioning {
+    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Int = 0,
+    fileSubset: Option[Set[String]] = None)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
 
+  /** Join keys delivered at runtime by a dynamic-pruning subquery (r18):
+    * the V2 runtime-filtering face of the scan. None until (or unless)
+    * the filter runs — a conservative full file set. */
+  @volatile private var runtimeKeys: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("doc_id"))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GdfKeyPrune.keysOf(predicates).foreach(k => runtimeKeys = Some(k))
+
   /** File pruning against the manifest zone map: every pushed doc_id
     * bound narrows the surviving file set; EqualTo also pins the single
-    * hash bucket. */
+    * hash bucket. The `files` option (r18) restricts to a named subset
+    * first (the incremental-read primitive); runtime join keys (r18)
+    * prune last. */
   private def survivingFiles: Seq[GdfManifest.FileStat] = {
     val zordered = manifest.layout != "hash"
     def longOf(v: Any): Long = v match {
@@ -699,7 +770,11 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
       case i: Int => i.toLong
       case other => other.toString.toLong
     }
-    manifest.files.filter { f =>
+    val subset = fileSubset match {
+      case None => manifest.files
+      case Some(names) => manifest.files.filter(f => names.contains(f.name))
+    }
+    val statics = subset.filter { f =>
       // [min,max] for any zone-mapped column of this file (None -> the
       // filter cannot prune, keep the file — superset guarantee)
       def range(c: String): Option[(Long, Long)] =
@@ -726,6 +801,38 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
         case LessThanOrEqual(c, v) => range(c).forall(_._1 <= longOf(v))
         case _ => true
       }
+    }
+    runtimeKeys match {
+      case None => statics
+      case Some(keys) =>
+        statics.filter(f => GdfKeyPrune.mayHoldAny(f, manifest, keys))
+    }
+  }
+
+  /** Reported statistics (r18): post-pruning LIVE row count (physical
+    * rows minus delete-vector rows) and on-disk bytes of the surviving
+    * files, scaled by the surviving column fraction (the format is
+    * columnar — a pruned column's block is never read). This is what
+    * lets Catalyst auto-broadcast a small graftdocs side and lets AQE
+    * size the plan without a hint — the published v2 connector stats
+    * contract (Iceberg/parquet report the same shape). */
+  override def estimateStatistics(): Statistics = {
+    val files = survivingFiles
+    val rows = files.map(_.liveRows).sum
+    val colFraction =
+      if (manifest.schema.fields.isEmpty) 1.0
+      else math.max(1, required.fields.length).toDouble /
+        manifest.schema.fields.length
+    val bytes = files.map { f =>
+      val len = new File(path, f.name).length()
+      val liveFraction =
+        if (f.rows <= 0) 1.0 else f.liveRows.toDouble / f.rows
+      (len * liveFraction * colFraction).toLong
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
     }
   }
 

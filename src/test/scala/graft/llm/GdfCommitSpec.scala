@@ -117,6 +117,26 @@ class GdfCommitSpec extends SparkSpec {
     assert(v == -1 && GdfManifest.versions(p) == before)
   }
 
+  test("orphan GC removes aged unreferenced files, never live or recent ones") {
+    val p = freshDir()
+    val f0 = plantFile(p, "part-0-live.gdf", 0L, 0)
+    GdfManifest.commitRetry(p)(_ =>
+      Some(GdfManifest.Manifest(schema, 2, Seq(f0)))) // v1
+    // a failed commit's leftovers: data + delete files no snapshot refs
+    val aged = plantFile(p, "part-0-orphan.gdf", 9L, 0)
+    GdfFormat.writeDeleteVector(p, "part-0-orphan-dv.dvf", Seq(0))
+    Seq("part-0-orphan.gdf", "part-0-orphan-dv.dvf").foreach(n =>
+      new File(p, n).setLastModified(System.currentTimeMillis() - 100000L))
+    val recent = plantFile(p, "part-1-inflight.gdf", 5L, 1) // racing writer
+    val removed = GdfMaintenance.removeOrphans(p, olderThanMs = 50000L)
+    assert(removed == Seq("part-0-orphan-dv.dvf", "part-0-orphan.gdf"),
+      s"exactly the aged orphans go, got $removed")
+    assert(new File(p, f0.name).exists(), "live file must survive")
+    assert(new File(p, recent.name).exists(),
+      "a recent (possibly in-flight) file must survive the age guard")
+    assert(!new File(p, aged.name).exists())
+  }
+
   test("racing batch appends through the public write path both land") {
     import spark.implicits._
     val p = freshDir()
