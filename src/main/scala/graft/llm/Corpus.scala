@@ -1438,6 +1438,29 @@ object Corpus {
       .orderBy(col("shard"), col("skey"), col("doc_id"))
   }
 
+  /** Deterministic SOURCE-INTERLEAVED training order (r18): round-robin
+    * across sources — position k of the epoch serves each source's k-th
+    * document in turn, the standard interleaving that keeps a
+    * multi-source mixture locally balanced (no long single-source runs,
+    * which bias gradient noise early in training). `epoch_pos` is the
+    * doc's rank WITHIN its source; the global order is (epoch_pos,
+    * source, doc_id) and, as with [[shuffleShards]], the ordered dump
+    * itself is the contract — no global ordinal column, whose window
+    * would serialize the corpus through one reducer.
+    *
+    * 100 TB: the per-source rank window keys by source (few, large
+    * partitions — the two-pass partition-offset zipWithIndex is the
+    * very-wide-source escape hatch); the final sort is one range
+    * exchange, exactly the layout the epoch writer needs. */
+  def interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("epoch_pos", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        .cast(LongType))
+      .orderBy(col("epoch_pos"), col("source"), col("doc_id"))
+  }
+
   /** Per-mille split widths for [[leakageSafeSplit]]: 900/50/50. */
   val SplitTrainPerMille = 900L
   val SplitValPerMille = 50L

@@ -679,6 +679,20 @@ object CorpusQueries {
               FROM documents)
         ORDER BY shard, skey, doc_id""")),
 
+    // Deterministic SOURCE-INTERLEAVED training order (r18): round-robin
+    // across sources — epoch_pos is the doc's rank within its source,
+    // the global training order is (epoch_pos, source, doc_id), and (the
+    // shuffle-shards discipline) the ordered dump IS the contract: no
+    // global ordinal window.
+    QueryDef("corpus_interleave",
+      (s, dir) => Corpus.interleave(s, dir),
+      Some("""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS epoch_pos
+        FROM documents
+        ORDER BY epoch_pos, source, doc_id""")),
+
     // Hybrid RRF: the lexical leg is the bm25 CTE chain verbatim; the
     // semantic leg ranks exact cosine against the query vector. CAST the
     // 1.0 to DOUBLE — a bare 1.0/(k+r) divides as DECIMAL in DuckDB and

@@ -1113,6 +1113,28 @@ object LlmQueries {
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // EDIT-DISTANCE near-dup pairs (r18): the character-level tier under
+    // the set-based family — prefix-blocked candidates (the record-
+    // linkage blocking discipline; the rule is mirrored verbatim in the
+    // oracle) with an EXACT length-difference prune (Levenshtein ≥
+    // |len_a − len_b|, so no qualifying pair is lost) and the codegen'd
+    // levenshtein gate. Candidates come from a prefix-keyed self-join —
+    // never the pair space; the hash match certifies Spark's and
+    // DuckDB's distance arithmetic agree pair-for-pair.
+    QueryDef("dedup_edit_distance",
+      (s, dir) => Dedup.editDistance(s, dir),
+      Some(s"""
+        WITH d AS (SELECT doc_id, text,
+                          substr(text, 1, ${Dedup.EditPrefixChars}) AS pfx,
+                          length(text) AS len
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.text, b.text) AS edit_dist
+        FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE abs(a.len - b.len) <= ${Dedup.EditMaxDist}
+          AND levenshtein(a.text, b.text) <= ${Dedup.EditMaxDist}
+        ORDER BY doc_a, doc_b""")),
+
     // CONTAINMENT near-dup detection (r16, Broder 1997's containment
     // next to the X2 resemblance): directional |A∩B|/|A| ≥ 4/5 pairs —
     // the small-doc-inside-big-doc case resemblance structurally
