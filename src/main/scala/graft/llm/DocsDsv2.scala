@@ -664,6 +664,66 @@ object DocsDsv2 {
       ORDER BY doc_id""")
   }
 
+  // ---- metadata tables (r18) -------------------------------------------------
+
+  /** MoR delete rule for the metadata-table history: docs ≡ [[MetaDelRes]]
+    * (mod 16) — bucket 6 carries a delete vector, so `$files` must show
+    * live_rows < n_rows and has_dv exactly there, and `$snapshots` must
+    * show the live-row drop from v1 to v2. */
+  val MetaDelMod = 16L
+  val MetaDelRes = 6L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMeta = new graft.SessionMemo[String]
+
+  /** A catalog with one two-snapshot table (v1 = the slim corpus,
+    * v2 = a merge-on-read delete), whose bookkeeping the metadata
+    * tables expose. Returns the catalog name. */
+  def metaCatalog(s: SparkSession, dir: String): String =
+    builtMeta.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftmeta_$tag"
+      val rootDir = s"/root/repo/target/graft-meta-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      base.write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(s"$rootDir/docs") // snapshot v1
+      val ids: Array[Any] = base
+        .where(pmod(col("doc_id"), lit(MetaDelMod)) === MetaDelRes)
+        .select(col("doc_id")).collect().map(_.getLong(0): Any)
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(
+        s, s"$rootDir/docs", Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("doc_id", ids))) // snapshot v2
+      cat
+    }
+
+  /** `$files` certification read: per-file physical vs live rows, zone
+    * map, and dv flag (file_name projected away — write suffixes carry a
+    * per-write random token for racing-writer safety, so names are not
+    * oracle-derivable). */
+  def metaFiles(s: SparkSession, dir: String): DataFrame = {
+    val cat = metaCatalog(s, dir)
+    s.sql(s"""SELECT bucket, n_rows, live_rows, min_doc_id, max_doc_id, has_dv
+              FROM $cat.`docs$$files` ORDER BY bucket""")
+  }
+
+  /** `$snapshots` certification read: the retained history with live-row
+    * counts. */
+  def metaSnapshots(s: SparkSession, dir: String): DataFrame = {
+    val cat = metaCatalog(s, dir)
+    s.sql(s"""SELECT version, n_files, n_rows, layout, buckets
+              FROM $cat.`docs$$snapshots` ORDER BY version""")
+  }
+
   // ---- SQL row-level operations (r18) ---------------------------------------
 
   /** UPDATE rule: docs ≡ [[SqlUpdRes]] (mod [[SqlUpdMod]]) get lang reset

@@ -1666,6 +1666,43 @@ object LlmQueries {
         WHERE doc_id % ${DocsDsv2.RtpMod} = ${DocsDsv2.RtpRes}
         ORDER BY doc_id""")),
 
+    // METADATA TABLES (r18): the manifest's bookkeeping as SQL relations
+    // — Iceberg's `table$files` / `table$snapshots` introspection shape,
+    // served as a driver-local LocalScan (metadata queries open zero
+    // data files). The history plants a merge-on-read delete, so the
+    // oracle can re-derive per-bucket physical vs LIVE rows, the zone
+    // map, the dv flag, and the snapshot history's live-row drop from
+    // the raw table. GdfMetaSpec pins the virtual addressing (no
+    // listing, no writes, loud unknown-$kind failure).
+    QueryDef("dsv2_meta_files",
+      (s, dir) => DocsDsv2.metaFiles(s, dir),
+      Some(s"""
+        SELECT CAST(doc_id % ${DocsDsv2.Buckets} AS INT) AS bucket,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
+                                      <> ${DocsDsv2.MetaDelRes}) AS live_rows,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id,
+               count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
+                                      = ${DocsDsv2.MetaDelRes}) > 0 AS has_dv
+        FROM documents GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef("dsv2_meta_snapshots",
+      (s, dir) => DocsDsv2.metaSnapshots(s, dir),
+      Some(s"""
+        SELECT CAST(1 AS INT) AS version,
+               CAST(${DocsDsv2.Buckets} AS BIGINT) AS n_files,
+               count(*) AS n_rows, 'hash' AS layout,
+               CAST(${DocsDsv2.Buckets} AS INT) AS buckets
+        FROM documents
+        UNION ALL
+        SELECT CAST(2 AS INT), CAST(${DocsDsv2.Buckets} AS BIGINT),
+               count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
+                                      <> ${DocsDsv2.MetaDelRes}),
+               'hash', CAST(${DocsDsv2.Buckets} AS INT)
+        FROM documents
+        ORDER BY version""")),
+
     // SCHEMA EVOLUTION on the connector (r17): v1 holds the even docs
     // under the narrow (doc_id, n_chars) schema; an APPEND lands the odd
     // docs with the new lang column and widens the manifest schema —

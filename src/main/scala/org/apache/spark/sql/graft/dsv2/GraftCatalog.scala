@@ -63,6 +63,20 @@ class GraftCatalog extends TableCatalog {
       .toArray
 
   override def loadTable(ident: Identifier): Table = {
+    // METADATA TABLES (r18): `<table>$files` / `<table>$snapshots`
+    // resolve to driver-local introspection relations (GdfMetaTable) —
+    // the Iceberg metadata-table addressing shape
+    if (ident.name.contains("$")) {
+      val Array(base, kind) = ident.name.split("\\$", 2)
+      require(GdfMetaTable.Kinds.contains(kind),
+        s"unknown graft metadata table $$$kind " +
+          s"(have: ${GdfMetaTable.Kinds.mkString(", ")})")
+      val baseDir = dirOf(Identifier.of(ident.namespace, base))
+      if (!new File(baseDir, "manifest.json").exists())
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          (ident.namespace :+ base).toSeq)
+      return new GdfMetaTable(baseDir.getAbsolutePath, kind)
+    }
     val dir = dirOf(ident)
     if (!new File(dir, "manifest.json").exists())
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -87,6 +101,8 @@ class GraftCatalog extends TableCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(!ident.name.contains("$"),
+      s"'$$' is reserved for metadata tables: ${ident.name}")
     val dir = dirOf(ident)
     if (new File(dir, "manifest.json").exists())
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(

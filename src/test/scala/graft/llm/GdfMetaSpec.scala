@@ -1,0 +1,85 @@
+package org.apache.spark.sql.graft.dsv2
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter, In}
+
+import graft.SparkSpec
+
+/** Pins the METADATA TABLES (r18): `<table>$files` / `<table>$snapshots`
+  * through the graft catalog. Contract under test:
+  *
+  *  - `$files` mirrors the manifest exactly (bucket, physical vs live
+  *    rows, zone map, dv flag); `$snapshots` mirrors the retained
+  *    history;
+  *  - metadata queries are DRIVER-LOCAL: they open zero data files
+  *    (every `.gdf` truncated, the SELECTs still answer);
+  *  - the `$` namespace is virtual — unknown kinds fail loudly, CTAS
+  *    into a `$` name is rejected, SHOW TABLES lists only real tables.
+  */
+class GdfMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-meta-spec-${System.nanoTime()}"
+  private val cat = "graftmetaspec"
+
+  private lazy val table: String = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (0L until 40L).map(i => (i, 10L * i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(s"$root/t") // v1
+    GdfMaintenance.deleteWhereMor(spark, s"$root/t",
+      Array[Filter](In("doc_id", Array[Any](2L, 6L)))) // v2: dv on bucket 2
+    "t"
+  }
+
+  test("$files mirrors the manifest: rows, live rows, zone map, dv flag") {
+    val got = spark.sql(
+      s"""SELECT bucket, n_rows, live_rows, min_doc_id, max_doc_id, has_dv
+          FROM $cat.`$table$$files` ORDER BY bucket""")
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val want = (0 until 4).map { b =>
+      val dead = if (b == 2) 2L else 0L
+      (b, 10L, 10L - dead, b.toLong, 36L + b, b == 2)
+    }
+    assert(got == want, s"files mismatch:\n${got.mkString("\n")}")
+  }
+
+  test("$snapshots mirrors the retained history with live counts") {
+    table
+    val got = spark.sql(
+      s"""SELECT version, n_files, n_rows, layout, buckets
+          FROM $cat.`$table$$snapshots` ORDER BY version""")
+      .as[(Int, Long, Long, String, Int)].collect().toSeq
+    assert(got == Seq((1, 4L, 40L, "hash", 4), (2, 4L, 38L, "hash", 4)))
+  }
+
+  test("metadata queries open zero data files") {
+    table
+    GdfManifest.read(s"$root/t").files.foreach(f =>
+      new java.io.FileOutputStream(new File(s"$root/t", f.name)).close())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table$$files`")
+      .head().getLong(0) == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$table$$snapshots`")
+      .head().getLong(0) == 2L)
+  }
+
+  test("the $ namespace is virtual") {
+    table
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.`$table$$bogus`").collect())
+    assert(e.getMessage.contains("bogus"),
+      s"unknown metadata kind must fail loudly, got: ${e.getMessage}")
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.`x$$files` AS SELECT 1 AS a").collect())
+    assert(e2.getMessage.contains("reserved"),
+      s"CTAS into a $$ name must be rejected, got: ${e2.getMessage}")
+    val listed = spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(listed == Set(table), s"only real tables are listed, got $listed")
+  }
+}
