@@ -2028,6 +2028,34 @@ object LlmQueries {
         GROUP BY token, term_freq
         ORDER BY exact_count DESC, token""")),
 
+    // KMV / bottom-k DISTINCT sketch per source (r18): the mergeable
+    // distinct-count estimator next to CMS (frequency) and Bloom
+    // (membership), built relationally on the deterministic hash64 so
+    // the oracle recomputes the sketch EXACTLY — estimate, k-th minimum,
+    // and the exact count it approximates, per row. The small-group
+    // branch (fewer than k hashes -> exact) is part of the contract.
+    QueryDef("text_kmv_distinct",
+      (s, dir) => TextAnalysis.kmvDistinct(s, dir),
+      Some(s"""
+        WITH tok AS (SELECT DISTINCT source,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+        h AS (SELECT source, ${hash64Sql("concat('kmv|', tok)")} AS h
+              FROM tok),
+        r AS (SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM h),
+        b AS (SELECT source, max(h) AS kth_hash, count(*) AS k_actual
+              FROM r WHERE rn <= ${TextAnalysis.KmvK} GROUP BY source),
+        ex AS (SELECT source, count(*) AS n_distinct_exact FROM tok
+               GROUP BY source)
+        SELECT ex.source, ex.n_distinct_exact, b.kth_hash,
+               CASE WHEN b.k_actual < ${TextAnalysis.KmvK} THEN b.k_actual
+                    ELSE CAST(floor(${(TextAnalysis.KmvK - 1).toDouble} *
+                           power(2, 60) / CAST(b.kth_hash AS DOUBLE))
+                         AS BIGINT) END AS kmv_estimate
+        FROM ex JOIN b USING (source) ORDER BY ex.source""")),
+
     QueryDef("text_tfidf_topk",
       (s, dir) => TextAnalysis.tfidfTopK(s, dir),
       Some("""

@@ -887,6 +887,64 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("token"))
   }
 
+  /** KMV bottom-k size: 32 hashes per group — enough for a
+    * ~1/√(k−2) ≈ 18 % relative-error distinct estimate, small enough
+    * that the per-group state is a cache line's worth of longs. */
+  val KmvK = 32
+
+  /** KMV / bottom-k DISTINCT-COUNT sketch per source (Bar-Yossef et al.
+    * 2002; the "K minimum values" estimator) — the mergeable distinct
+    * sketch next to CMS (frequency) and Bloom (membership), built
+    * RELATIONALLY so the oracle recomputes it exactly: hash every
+    * distinct (source, token) with the deterministic [[Text.hash64]]
+    * (uniform in [0, 2^60)), keep each source's [[KmvK]] smallest
+    * hashes, and estimate distinct ≈ (k−1) · 2^60 / h_k from the k-th
+    * minimum. A group with fewer than k hashes IS its exact count (the
+    * published small-cardinality rule). Unlike an opaque HLL object the
+    * estimate is bit-deterministic — same corpus, same estimate, any
+    * cluster width — so the gate certifies the sketch arithmetic
+    * itself, not just an error bound (which rides along as the exact
+    * count next to it).
+    *
+    * 100 TB: one exchange on (source, token) for the distinct, then the
+    * bottom-k runs as a TWO-LEVEL tournament — per (source, h mod 64)
+    * sub-shard first, union of sub-winners (≤ 64·k rows per source)
+    * second — so no single reducer ever sorts a whole source's token
+    * set (the global bottom-k is a subset of the sub-shard bottom-ks:
+    * exact by pigeonhole). Merging two corpora's sketches is a union +
+    * re-take — the mergeability that makes KMV the distributed-count
+    * currency. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame =
+    kmvDistinctOf(docs(s, dir))
+
+  /** [[kmvDistinct]] over any (source, text) relation. */
+  private[llm] def kmvDistinctOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = d
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val hashed = tok.select(col("source"),
+      hash64(concat(lit("kmv|"), col("tok"))).as("h"))
+    val sub = Window.partitionBy(col("source"),
+      pmod(col("h"), lit(64L))).orderBy(col("h"))
+    val top = Window.partitionBy(col("source")).orderBy(col("h"))
+    val bottom = hashed
+      .withColumn("rn", row_number().over(sub)).where(col("rn") <= KmvK)
+      .drop("rn")
+      .withColumn("rn", row_number().over(top)).where(col("rn") <= KmvK)
+    val exact = tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_exact"))
+    bottom.groupBy(col("source"))
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_actual"))
+      .join(exact, "source")
+      .select(col("source"), col("n_distinct_exact"), col("kth_hash"),
+        when(col("k_actual") < KmvK, col("k_actual"))
+          .otherwise(floor(lit((KmvK - 1).toDouble * math.pow(2.0, 60)) /
+            col("kth_hash").cast(DoubleType)).cast(LongType))
+          .as("kmv_estimate"))
+      .orderBy(col("source"))
+  }
+
   /** The weak-label "reference quality" source set for
     * [[nbQualityClassifier]] — the published quality-filter setup labels a
     * trusted slice (Wikipedia/books in GPT-3/CCNet; a source subset here)
