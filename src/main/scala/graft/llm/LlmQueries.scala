@@ -1416,6 +1416,27 @@ object LlmQueries {
                max(doc_id) AS max_doc
         FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // GENERALIZED metadata-only MIN/MAX (r18): aggregate pushdown now
+    // serves min/max for ANY column every file zone-maps (the writer's
+    // per-file colStats are exact, so their fold is the exact answer —
+    // the Iceberg answer-from-manifests optimization), not just doc_id.
+    // GraftDocsSourceSpec proves zero data files open by truncating
+    // them; a column absent from any file's stats refuses and falls
+    // back to the real aggregation.
+    QueryDef("dsv2_stats_agg",
+      (s, dir) => DocsDsv2.docs(s, dir)
+        .groupBy(col("bucket"))
+        .agg(min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("min_chars"), col("max_chars"))
+        .orderBy(col("bucket")),
+      Some(s"""
+        SELECT CAST(doc_id % ${DocsDsv2.Buckets} AS BIGINT) AS bucket,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY 1 ORDER BY bucket""")),
+
     // The connector's Z-ORDER clustered layout (r16): the corpus written
     // with layout=zorder (file = Z-curve prefix cell over
     // (doc_id, n_chars), so every file's zone map is tight on BOTH

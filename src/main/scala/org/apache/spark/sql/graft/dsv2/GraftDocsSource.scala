@@ -575,11 +575,25 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
       case Seq(g) if isCol(g, "bucket") => Some(true)
       case _ => None
     }
+    // MIN/MAX serve from the manifest for doc_id (dedicated stats) and —
+    // r18 — for ANY column every file zone-maps: the writer's colStats
+    // min/max are exact per file, so their fold is the exact answer (the
+    // Iceberg answer-from-manifests optimization). A column missing from
+    // even one file's stats (all-null there, or predating evolution)
+    // refuses — the stats fold could not see that file's rows.
+    def statCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames.head
+        c == "doc_id" || (manifest.files.nonEmpty &&
+          manifest.files.forall(_.colStats.exists(_._1 == c)))
+      case _ => false
+    }
     val ok = agg.aggregateExpressions.forall {
       case _: CountStar => true
       case c: Count => !c.isDistinct && isCol(c.column, "doc_id")
-      case m: Min => isCol(m.column, "doc_id")
-      case m: Max => isCol(m.column, "doc_id")
+      case m: Min => statCol(m.column)
+      case m: Max => statCol(m.column)
       case _ => false
     }
     // a file carrying a delete vector (r18) makes the manifest stats
@@ -618,23 +632,47 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
 private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
     byBucket: Boolean, funcs: Seq[AggregateFunc]) extends Scan with Batch {
 
+  private def colNameOf(f: AggregateFunc): String = f match {
+    case m: Min => m.column.asInstanceOf[NamedReference].fieldNames.head
+    case m: Max => m.column.asInstanceOf[NamedReference].fieldNames.head
+    case other => throw new IllegalStateException(s"no column in $other")
+  }
+
   override def readSchema(): StructType = {
     val groupFields =
       if (byBucket) Seq(org.apache.spark.sql.types.StructField("bucket", IntegerType))
       else Seq.empty
-    val aggFields = funcs.zipWithIndex.map { case (_, i) =>
-      // CountStar/Count -> LongType; Min/Max(doc_id) -> doc_id's LongType
-      org.apache.spark.sql.types.StructField(s"agg_$i", LongType)
+    val aggFields = funcs.zipWithIndex.map { case (f, i) =>
+      // CountStar/Count -> LongType; Min/Max(c) -> c's own type (the
+      // colStats fold stores longs; int columns narrow back at emit)
+      val dt = f match {
+        case _: CountStar | _: Count => LongType
+        case _ => manifest.schema(colNameOf(f)).dataType
+      }
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt)
     }
     StructType(groupFields ++ aggFields)
   }
 
   private def rows: Seq[Array[Any]] = {
+    // exact per-file [min,max] for any stats column (doc_id's dedicated
+    // fields or the generic zone map — translateAgg guarantees presence)
+    def range(f: GdfManifest.FileStat, c: String): (Long, Long) =
+      if (c == "doc_id") (f.minDocId, f.maxDocId)
+      else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }.get
+    def emit(c: String, v: Long): Any = manifest.schema(c).dataType match {
+      case IntegerType => v.toInt: Any
+      case _ => v: Any
+    }
     def rowFor(files: Seq[GdfManifest.FileStat], key: Option[Int]): Array[Any] = {
       val aggs: Seq[Any] = funcs.map {
         case _: CountStar | _: Count => files.map(_.rows).sum: Any
-        case _: Min => if (files.isEmpty) null else files.map(_.minDocId).min: Any
-        case _: Max => if (files.isEmpty) null else files.map(_.maxDocId).max: Any
+        case m: Min =>
+          val c = colNameOf(m)
+          if (files.isEmpty) null else emit(c, files.map(range(_, c)._1).min)
+        case m: Max =>
+          val c = colNameOf(m)
+          if (files.isEmpty) null else emit(c, files.map(range(_, c)._2).max)
         case other => throw new IllegalStateException(s"unpushable $other")
       }
       (key.map(k => k: Any).toSeq ++ aggs).toArray

@@ -169,4 +169,39 @@ class GraftDocsSourceSpec extends SparkSpec {
       .agg(sum(col("n_chars")).as("s"))
     assert(hasAgg(summed), "sum must not be pushed")
   }
+
+  test("aggregate pushdown generalizes to any zone-mapped column (r18)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gdf-agg-col").toFile
+    try {
+      (0L until 40L).map(i => (i, (i * 7 % 100).toInt, s"t$i"))
+        .toDF("doc_id", "score", "tag")
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "4")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      // destroy the data: only the manifest's colStats can answer
+      dir.listFiles().filter(_.getName.endsWith(".gdf"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, Array.emptyByteArray))
+      val t = spark.read.format("graftdocs").load(dir.getAbsolutePath)
+      val agg = t.groupBy(col("bucket"))
+        .agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+        .orderBy(col("bucket"))
+      assert(!hasAgg(agg),
+        s"zone-mapped min/max was not pushed:\n${agg.queryExecution.optimizedPlan}")
+      // the int column keeps its own type through the metadata answer
+      assert(agg.schema("mn").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val got = agg.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      val want = (0L until 40L).map(i => (i, (i * 7 % 100).toInt))
+        .groupBy(_._1 % 4).toSeq.sortBy(_._1)
+        .map { case (b, rs) =>
+          (b.toInt, rs.map(_._2).min, rs.map(_._2).max) }
+      assert(got.toSeq == want, "manifest-served column min/max diverged")
+      // a column with no zone map (string) refuses -> real aggregation
+      assert(hasAgg(t.agg(min(col("tag")))),
+        "a stats-less column must keep the real aggregation")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
