@@ -780,7 +780,8 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Int = 0,
     fileSubset: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
 
@@ -892,6 +893,26 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     if (required.fieldNames.contains("bucket"))
       new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), n)
     else new UnknownPartitioning(n)
+  }
+
+  /** Reported per-partition ORDERING (r18): every `.gdf` file is
+    * doc_id-sorted by the write contract, so a partition holding ONE
+    * file is sorted — true for every bucket after a compaction (X121
+    * restores exactly this property) or a single overwrite. Spark's
+    * `V2ScanPartitioningAndOrdering` attaches the ordering to the scan
+    * relation and a downstream per-partition sort on doc_id is ELIDED
+    * (SortExec never plans). A fragmented bucket is a concatenation of
+    * sorted runs — NOT sorted — so any multi-file partition reports no
+    * ordering; the delete-vector skip preserves position order.
+    * Requires doc_id to survive pruning (an ordering on a projected-away
+    * column cannot resolve). */
+  override def outputOrdering(): Array[SortOrder] = {
+    val groups = survivingFiles.groupBy(_.bucket)
+    if (groups.nonEmpty && groups.values.forall(_.size == 1) &&
+        required.fieldNames.contains("doc_id"))
+      Array(Expressions.sort(Expressions.column("doc_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
   }
 
   override def toBatch: Batch = this
