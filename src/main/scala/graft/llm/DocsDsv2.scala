@@ -541,6 +541,16 @@ object DocsDsv2 {
       .orderBy(col("doc_id"), col("_change_type"))
   }
 
+  /** PER-COMMIT CHANGELOG certification over the same history: the
+    * commit-granular feed (each transition's changes tagged with its
+    * `_commit_version` — the deletes land at v2, the merge at v3),
+    * vs [[changesFeed]]'s net window. */
+  def changesLogFeed(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    org.apache.spark.sql.graft.dsv2.GdfMaintenance.changesLog(s, p)
+      .orderBy(col("_commit_version"), col("doc_id"), col("_change_type"))
+  }
+
   // ---- runtime V2 file pruning (r18) ------------------------------------------
 
   /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod
@@ -606,6 +616,46 @@ object DocsDsv2 {
   def compactStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.statsOf(
       s.read.format("graftdocs").load(compactPath(s, dir)))
+
+  // ---- SQL stored procedures (r18) -------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtProc = new graft.SessionMemo[String]
+
+  /** A fragmented catalog table compacted by PURE SQL:
+    * `CALL <cat>.compact('docs')` through Spark 4's ProcedureCatalog
+    * resolution — the Iceberg `CALL catalog.system.rewrite_data_files`
+    * shape on the engine's own verbs. Returns the table path. */
+  def procTablePath(s: SparkSession, dir: String): String =
+    builtProc.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftproc_$tag"
+      val rootDir = s"/root/repo/target/graft-proc-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      (0L until 3L).foreach { slice =>
+        base.where(pmod(col("doc_id"), lit(3L)) === slice)
+          .write.format("graftdocs")
+          .option("buckets", Buckets.toString)
+          .mode(if (slice == 0L) "overwrite" else "append")
+          .save(s"$rootDir/docs")
+      }
+      s.sql(s"CALL $cat.compact('docs')").collect() // the SQL OPTIMIZE
+      s"$rootDir/docs"
+    }
+
+  /** Post-CALL certification read — text_stats' oracle VERBATIM (the
+    * procedure changes layout, not one output bit). */
+  def sqlCompactStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.statsOf(
+      s.read.format("graftdocs").load(procTablePath(s, dir)))
 
   // ---- SQL catalog face (r17) ---------------------------------------------
 

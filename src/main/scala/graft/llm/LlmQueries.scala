@@ -1593,6 +1593,17 @@ object LlmQueries {
       (s, dir) => DocsDsv2.compactStats(s, dir),
       Some(textStatsOracle)),
 
+    // SQL STORED PROCEDURES (r18): the maintenance verbs as plain
+    // `CALL` through Spark 4's ProcedureCatalog — here the OPTIMIZE verb
+    // (`CALL cat.compact('docs')`) over a 3-way-fragmented table, its
+    // summary row consumed as a result set. Shares text_stats' oracle
+    // VERBATIM: the procedure changes layout, not one output bit.
+    // GdfProcedureSpec pins the file collapse, the remove_orphans sweep
+    // (+ returned names), and the loud unknown-procedure failure.
+    QueryDef("dsv2_sql_compact",
+      (s, dir) => DocsDsv2.sqlCompactStats(s, dir),
+      Some(textStatsOracle)),
+
     // The connector's SQL CATALOG face (r17): a GraftCatalog registered
     // per corpus, the delete issued as PLAIN SQL (`DELETE FROM
     // graft_x.docs WHERE doc_id >= cutoff`) — Spark's DeleteFromTable
@@ -1670,6 +1681,32 @@ object LlmQueries {
                  4000 + i, 'cf', 'insert'
           FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
         ) ORDER BY doc_id, "_change_type" """)),
+
+    // PER-COMMIT CHANGELOG (r18): the same feed at COMMIT granularity —
+    // each snapshot transition's changes tagged with _commit_version
+    // (the Iceberg changelog-scan semantics; a net window collapses a
+    // key's journey, the changelog preserves each commit's step). Over
+    // the same 3-snapshot history: the MoR deletes land at v2, the
+    // merge's updates and inserts at v3.
+    QueryDef("dsv2_changes_log",
+      (s, dir) => DocsDsv2.changesLogFeed(s, dir),
+      Some(s"""
+        SELECT * FROM (
+          SELECT doc_id, n_chars, lang, 'delete' AS "_change_type",
+                 CAST(2 AS INT) AS "_commit_version"
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes}
+          UNION ALL
+          SELECT doc_id, n_chars, lang, 'update_preimage', CAST(3 AS INT)
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT doc_id, n_chars, '${DocsDsv2.ChgLang}', 'update_postimage',
+                 CAST(3 AS INT)
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i,
+                 4000 + i, 'cf', 'insert', CAST(3 AS INT)
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
+        ) ORDER BY "_commit_version", doc_id, "_change_type" """)),
 
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join

@@ -573,6 +573,23 @@ object GdfMaintenance {
       .select(col("c.*"))
   }
 
+  /** PER-COMMIT CHANGELOG (r18): [[changes]] emitted at COMMIT
+    * granularity over the whole retained history — one `_commit_version`
+    * per snapshot transition, the Iceberg changelog-scan semantics (a
+    * net window collapses a key's journey; the changelog preserves each
+    * commit's step, which is what an audit or a downstream incremental
+    * materialization replays). Each window is the manifest-diffed
+    * O(changed files) read; the union is their concatenation. */
+  def changesLog(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = GdfManifest.versions(path)
+    require(vs.size >= 2,
+      s"changelog needs at least two retained snapshots at $path, got $vs")
+    vs.sliding(2).map { case Seq(a, b) =>
+      changes(spark, path, a, b).withColumn("_commit_version", lit(b))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ORPHAN-FILE GC (r18) — the other half of the expiry split
     * [[GdfManifest.commitVersion]] documents: snapshot expiry only ever
     * deletes files an EXPIRED snapshot referenced, so data/delete files

@@ -32,7 +32,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (zone-map pruning, bucket-grouped partitions, CoW maintenance,
   * snapshot retention) is the table's own, unchanged under SQL
   * addressing. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -131,6 +132,16 @@ class GraftCatalog extends TableCatalog {
     if (existed) rm(dir)
     existed
   }
+
+  /** SQL STORED PROCEDURES (r18): the maintenance verbs as
+    * `CALL <cat>.compact('<table>')` / `CALL <cat>.remove_orphans(...)`
+    * — see [[GdfProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GdfProcedures.load(root, ident.name)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GdfProcedures.Names.map(Identifier.of(namespace, _)).toArray
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = dirOf(oldIdent); val to = dirOf(newIdent)

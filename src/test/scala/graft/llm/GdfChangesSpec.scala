@@ -75,6 +75,23 @@ class GdfChangesSpec extends SparkSpec {
       (100L, "insert"), (101L, "insert")))
   }
 
+  test("the per-commit changelog tags each transition's changes") {
+    val p = history()
+    val got = GdfMaintenance.changesLog(spark, p)
+      .select(col("doc_id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set(
+      (7L, "delete", 2), (11L, "delete", 2),
+      (2L, "update_preimage", 3), (2L, "update_postimage", 3),
+      (100L, "insert", 3), (101L, "insert", 3)))
+    val e = intercept[IllegalArgumentException] {
+      val single = s"/tmp/graft-chg-single-${System.nanoTime()}"
+      plant(single)
+      GdfMaintenance.changesLog(spark, single)
+    }
+    assert(e.getMessage.contains("two retained snapshots"))
+  }
+
   test("files option restricts the scan; empty subset is a valid empty scan") {
     val p = freshDir()
     plant(p)

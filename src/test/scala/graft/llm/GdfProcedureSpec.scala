@@ -1,0 +1,72 @@
+package org.apache.spark.sql.graft.dsv2
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the SQL STORED PROCEDURES (r18): Spark 4's ProcedureCatalog
+  * surface driving the existing maintenance verbs via plain `CALL`,
+  * with their summaries as result sets. */
+class GdfProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = s"/tmp/graft-proc-spec-${System.nanoTime()}"
+  private val cat = "graftprocspec"
+
+  private lazy val registered: Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private var n = 0
+  private def fragmentedTable(): String = {
+    registered; n += 1
+    val t = s"t$n"
+    val base = (0L until 40L).map(i => (i, 10L * i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+    Seq(col("doc_id") < 20L, col("doc_id") >= 20L).zipWithIndex.foreach {
+      case (slice, i) =>
+        base.where(slice).write.format("graftdocs").option("buckets", "4")
+          .mode(if (i == 0) "overwrite" else "append").save(s"$root/$t")
+    }
+    t
+  }
+
+  test("CALL compact runs OPTIMIZE and reports the file collapse") {
+    val t = fragmentedTable()
+    val got = spark.sql(s"CALL $cat.compact('$t')")
+      .as[(Long, Long)].head()
+    assert(got == ((8L, 4L)), s"8 fragmented files -> 4, got $got")
+    assert(GdfManifest.read(s"$root/$t").files.size == 4)
+    assert(spark.read.format("graftdocs").load(s"$root/$t").count() == 40L)
+  }
+
+  test("CALL remove_orphans sweeps aged unreferenced files, returns names") {
+    val t = fragmentedTable()
+    val dir = s"$root/$t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    GdfFormat.writeFile(dir, "part-0-orphan.gdf", schema, 0,
+      Seq(Array[Any](99L, 0)))
+    new File(dir, "part-0-orphan.gdf")
+      .setLastModified(System.currentTimeMillis() - 100000L)
+    val got = spark.sql(s"CALL $cat.remove_orphans('$t', 50000)")
+      .as[String].collect().toSeq
+    assert(got == Seq("part-0-orphan.gdf"), s"got $got")
+    assert(!new File(dir, "part-0-orphan.gdf").exists())
+    assert(spark.read.format("graftdocs").load(dir).count() == 40L)
+  }
+
+  test("an unknown procedure fails loudly") {
+    registered
+    val e = intercept[Exception](spark.sql(s"CALL $cat.vacuum('x')").collect())
+    assert(e.getMessage.contains("vacuum"),
+      s"unknown procedure must fail loudly, got: ${e.getMessage}")
+  }
+}
