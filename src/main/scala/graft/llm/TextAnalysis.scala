@@ -917,26 +917,36 @@ object TextAnalysis {
   def kmvDistinct(s: SparkSession, dir: String): DataFrame =
     kmvDistinctOf(docs(s, dir))
 
-  /** [[kmvDistinct]] over any (source, text) relation. */
+  /** [[kmvDistinct]] over any (source, text) relation. ONE pass over the
+    * distinct relation: the first-level tournament window also carries
+    * its sub-shard's row count (an unordered count over the same window
+    * partition — no extra exchange), so the exact distinct total folds
+    * out of the kept rows (each shard's rn==1 survivor carries it) and
+    * the corpus is never distinct'd twice. */
   private[llm] def kmvDistinctOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = d
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .distinct()
     val hashed = tok.select(col("source"),
-      hash64(concat(lit("kmv|"), col("tok"))).as("h"))
-    val sub = Window.partitionBy(col("source"),
-      pmod(col("h"), lit(64L))).orderBy(col("h"))
+      hash64(concat(lit("kmv|"), col("tok"))).as("h"),
+      pmod(hash64(concat(lit("kmv|"), col("tok"))), lit(64L)).as("shard"))
+    val subPart = Window.partitionBy(col("source"), col("shard"))
+    val sub = subPart.orderBy(col("h"))
     val top = Window.partitionBy(col("source")).orderBy(col("h"))
     val bottom = hashed
-      .withColumn("rn", row_number().over(sub)).where(col("rn") <= KmvK)
-      .drop("rn")
-      .withColumn("rn", row_number().over(top)).where(col("rn") <= KmvK)
-    val exact = tok.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_distinct_exact"))
+      .withColumn("shard_n", count(lit(1)).over(subPart))
+      .withColumn("srn", row_number().over(sub)).where(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(top))
     bottom.groupBy(col("source"))
-      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_actual"))
-      .join(exact, "source")
+      .agg(
+        // every shard keeps its srn==1 survivor, so summing those rows'
+        // shard counts is the EXACT per-source distinct total
+        sum(when(col("srn") === 1, col("shard_n")).otherwise(lit(0L)))
+          .as("n_distinct_exact"),
+        max(when(col("rn") <= KmvK, col("h"))).as("kth_hash"),
+        sum(when(col("rn") <= KmvK, lit(1L)).otherwise(lit(0L)))
+          .as("k_actual"))
       .select(col("source"), col("n_distinct_exact"), col("kth_hash"),
         when(col("k_actual") < KmvK, col("k_actual"))
           .otherwise(floor(lit((KmvK - 1).toDouble * math.pow(2.0, 60)) /
