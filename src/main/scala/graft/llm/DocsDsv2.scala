@@ -753,6 +753,9 @@ object DocsDsv2 {
       org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(
         s, s"$rootDir/docs", Array[org.apache.spark.sql.sources.Filter](
           org.apache.spark.sql.sources.In("doc_id", ids))) // snapshot v2
+      // pin the pre-delete snapshot under a NAMED TAG, pure SQL (r18) —
+      // v3: tag creation is itself a metadata commit
+      s.sql(s"CALL $cat.create_tag('docs', 'raw', 1)").collect()
       cat
     }
 
@@ -764,6 +767,21 @@ object DocsDsv2 {
     val cat = metaCatalog(s, dir)
     s.sql(s"""SELECT bucket, n_rows, live_rows, min_doc_id, max_doc_id, has_dv
               FROM $cat.`docs$$files` ORDER BY bucket""")
+  }
+
+  /** TAG time travel certification (r18): the audit read addressed by
+    * NAME — `VERSION AS OF 'raw'` resolves the tag pinned at v1 (the
+    * pre-delete state) and labels every doc against the current
+    * snapshot, the dsv2_delete_mor shape through named-ref resolution. */
+  def tagTravel(s: SparkSession, dir: String): DataFrame = {
+    val cat = metaCatalog(s, dir)
+    s.sql(s"""
+      SELECT v1.doc_id,
+             CASE WHEN cur.doc_id IS NULL THEN 'deleted'
+                  ELSE 'retained' END AS status
+      FROM (SELECT doc_id FROM $cat.docs VERSION AS OF 'raw') v1
+      LEFT JOIN (SELECT doc_id FROM $cat.docs) cur USING (doc_id)
+      ORDER BY doc_id""")
   }
 
   /** `$snapshots` certification read: the retained history with live-row

@@ -1759,7 +1759,27 @@ object LlmQueries {
                                       <> ${DocsDsv2.MetaDelRes}),
                'hash', CAST(${DocsDsv2.Buckets} AS INT)
         FROM documents
+        UNION ALL
+        -- v3 = the tag-creation commit: metadata only, same file set
+        SELECT CAST(3 AS INT), CAST(${DocsDsv2.Buckets} AS BIGINT),
+               count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
+                                      <> ${DocsDsv2.MetaDelRes}),
+               'hash', CAST(${DocsDsv2.Buckets} AS INT)
+        FROM documents
         ORDER BY version""")),
+
+    // NAMED TAG time travel (r18): `CALL create_tag('docs','raw',1)`
+    // pins the pre-delete snapshot (a tagged version SURVIVES retention
+    // expiry — GdfTagSpec pins that) and `VERSION AS OF 'raw'` resolves
+    // the name — the Iceberg ref story, pure SQL end to end. The oracle
+    // re-derives the audit labels from the delete rule.
+    QueryDef("dsv2_tag_travel",
+      (s, dir) => DocsDsv2.tagTravel(s, dir),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN doc_id % ${DocsDsv2.MetaDelMod} = ${DocsDsv2.MetaDelRes}
+                    THEN 'deleted' ELSE 'retained' END AS status
+        FROM documents ORDER BY doc_id""")),
 
     // SCHEMA EVOLUTION on the connector (r17): v1 holds the even docs
     // under the narrow (doc_id, n_chars) schema; an APPEND lands the odd

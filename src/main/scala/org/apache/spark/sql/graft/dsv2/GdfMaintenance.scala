@@ -573,6 +573,57 @@ object GdfMaintenance {
       .select(col("c.*"))
   }
 
+  /** Create a named TAG pinning a retained snapshot (r18) — the Iceberg
+    * ref shape: `VERSION AS OF '<tag>'` resolves through it, and the
+    * pinned snapshot (plus the files it needs) SURVIVES retention
+    * expiry. Tag creation is itself a (metadata-only) commit through the
+    * optimistic loop, so racing taggers serialize like any writers. */
+  def createTag(path: String, tag: String, version: Int): Unit = {
+    require(tag.nonEmpty && !tag.forall(_.isDigit),
+      s"tag '$tag' must be non-numeric (numeric strings address versions)")
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      require(GdfManifest.versions(path).contains(version),
+        s"no retained snapshot v$version at $path to tag")
+      require(!cur.refs.exists(_._1 == tag),
+        s"tag '$tag' already exists at $path")
+      Some(cur.copy(refs = cur.refs :+ (tag -> version)))
+    }
+  }
+
+  /** Drop a tag; the previously pinned snapshot becomes expirable at the
+    * next commit (never reaped retroactively here — expiry runs at
+    * commit time, and this IS a commit, so the next one sweeps it). */
+  def dropTag(path: String, tag: String): Unit =
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      require(cur.refs.exists(_._1 == tag), s"no tag '$tag' at $path")
+      Some(cur.copy(refs = cur.refs.filterNot(_._1 == tag)))
+    }
+
+  /** Resolve a version STRING: a numeric string is a version number; a
+    * name resolves through the current refs (loud failure on neither). */
+  def resolveVersion(path: String, version: String): Int =
+    if (version.forall(_.isDigit)) version.toInt
+    else GdfManifest.read(path).refs.collectFirst {
+      case (t, v) if t == version => v
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no tag '$version' at $path (have: " +
+        s"${GdfManifest.read(path).refs.map(_._1).mkString(", ")})"))
+
+  /** Resolve `TIMESTAMP AS OF` micros: the LATEST retained snapshot
+    * committed at or before the instant (the published as-of rule). */
+  def resolveTimestamp(path: String, micros: Long): Int = {
+    val at = GdfManifest.versions(path)
+      .map(v => v -> GdfManifest.readVersion(path, v).ts)
+      .filter(_._2 * 1000L <= micros)
+    require(at.nonEmpty,
+      s"no snapshot at or before timestamp $micros at $path")
+    at.maxBy(_._2)._1
+  }
+
   /** PER-COMMIT CHANGELOG (r18): [[changes]] emitted at COMMIT
     * granularity over the whole retained history — one `_commit_version`
     * per snapshot transition, the Iceberg changelog-scan semantics (a

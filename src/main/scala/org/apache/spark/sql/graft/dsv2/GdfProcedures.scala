@@ -23,11 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `$files`/`$snapshots` tables. */
 private[dsv2] object GdfProcedures {
 
-  val Names: Seq[String] = Seq("compact", "remove_orphans")
+  val Names: Seq[String] =
+    Seq("compact", "remove_orphans", "create_tag", "drop_tag")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
     case "remove_orphans" => new RemoveOrphansProc(root)
+    case "create_tag" => new CreateTagProc(root)
+    case "drop_tag" => new DropTagProc(root)
     case other => throw new UnsupportedOperationException(
       s"unknown graft procedure $other (have: ${Names.mkString(", ")})")
   }
@@ -68,6 +71,54 @@ private[dsv2] object GdfProcedures {
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.create_tag('<table>', '<tag>', <version>)` → pin a
+    * retained snapshot under a name (X140); `VERSION AS OF '<tag>'`
+    * resolves through it and the snapshot survives retention expiry. */
+  private class CreateTagProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "pin a retained snapshot under a named tag (survives expiry)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("version", org.apache.spark.sql.types.IntegerType)
+          .build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val tag = input.getUTF8String(1).toString
+      val v = input.getInt(2)
+      GdfMaintenance.createTag(p, tag, v)
+      resultScan(
+        StructType(Seq(StructField("tag", StringType),
+          StructField("pinned_version", org.apache.spark.sql.types.IntegerType))),
+        Array(InternalRow(UTF8String.fromString(tag), v)))
+    }
+  }
+
+  /** `CALL <cat>.drop_tag('<table>', '<tag>')` → unpin; the snapshot
+    * becomes expirable at the next commit. */
+  private class DropTagProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String = "drop a named tag"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val tag = input.getUTF8String(1).toString
+      GdfMaintenance.dropTag(p, tag)
+      resultScan(
+        StructType(Seq(StructField("dropped", StringType))),
+        Array(InternalRow(UTF8String.fromString(tag))))
     }
   }
 

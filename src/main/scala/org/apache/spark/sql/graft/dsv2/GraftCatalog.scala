@@ -92,12 +92,24 @@ class GraftCatalog extends TableCatalog
   }
 
   /** SQL time travel: `VERSION AS OF <n>` pins the snapshot — the scan
-    * serves that version's files AND schema. */
+    * serves that version's files AND schema; `VERSION AS OF '<tag>'`
+    * (r18) resolves a named ref the same way (a tagged snapshot is
+    * pinned past retention, so the read cannot race expiry). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident).getAbsolutePath
-    val m = GdfManifest.readVersion(dir, version.toInt) // fails loudly if expired
-    new GraftDocsTable(dir, m.schema, Some(version.toInt),
-      acceptAnySchema = false)
+    val v = GdfMaintenance.resolveVersion(dir, version)
+    val m = GdfManifest.readVersion(dir, v) // fails loudly if expired
+    new GraftDocsTable(dir, m.schema, Some(v), acceptAnySchema = false)
+  }
+
+  /** SQL `TIMESTAMP AS OF` (r18): micros resolve to the LATEST snapshot
+    * committed at or before the instant — commit timestamps are stamped
+    * monotonically, so the answer is a total-order lookup. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident).getAbsolutePath
+    val v = GdfMaintenance.resolveTimestamp(dir, timestamp)
+    val m = GdfManifest.readVersion(dir, v)
+    new GraftDocsTable(dir, m.schema, Some(v), acceptAnySchema = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -166,8 +166,15 @@ private[dsv2] object GdfManifest {
     * committed into this table — the exactly-once replay ledger (a
     * re-delivered epoch is detected here and its files dropped, the
     * Delta/Iceberg idempotent-commit shape). */
+  /** `ts` (r18): commit wall-clock millis, stamped MONOTONICALLY at
+    * [[commitVersion]] (max(now, parent ts + 1)) so `TIMESTAMP AS OF`
+    * resolution is a total order even under clock skew between quick
+    * commits. `refs` (r18): named TAGS — (name, version) pins; a tagged
+    * snapshot SURVIVES retention expiry (the Iceberg tag/branch-ref
+    * shape), and refs carry forward through every commit path. */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
-      layout: String = "hash", epochs: Seq[Long] = Seq.empty)
+      layout: String = "hash", epochs: Seq[Long] = Seq.empty,
+      ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -253,8 +260,11 @@ private[dsv2] object GdfManifest {
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
+    val refs = m.refs.map { case (n, v) => s"""{"tag":${q(n)},"v":$v}""" }
+      .mkString("[", ",", "]")
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"epochs":$epochs,"files":$files}"""
+      s""""layout":${q(m.layout)},"ts":${m.ts},"refs":$refs,""" +
+      s""""epochs":$epochs,"files":$files}"""
   }
 
   private def writeTmp(dir: File, json: String): File = {
@@ -295,7 +305,13 @@ private[dsv2] object GdfManifest {
     * silently serves half a snapshot). */
   def commitVersion(path: String, m: Manifest, version: Int): Unit = {
     val dir = new File(path)
-    val tmp = writeTmp(dir, render(m))
+    // monotonic commit timestamp (r18): TIMESTAMP AS OF resolution needs
+    // a total order even when two commits land within one clock tick
+    val parentTs = versions(path).lastOption
+      .map(v => readVersion(path, v).ts).getOrElse(0L)
+    val stamped = m.copy(
+      ts = math.max(System.currentTimeMillis(), parentTs + 1))
+    val tmp = writeTmp(dir, render(stamped))
     val vf = new File(dir, s"manifest-v$version.json")
     // the CAS primitive: hard-link creation is ATOMIC no-replace on
     // POSIX — exactly one of two racers gets the version file (a plain
@@ -322,13 +338,17 @@ private[dsv2] object GdfManifest {
     // which would destroy a RACING writer's in-flight data files written
     // ahead of its commit (a failed write's true orphans are left for a
     // separate orphan-GC verb, the Iceberg split of responsibilities)
-    def refs(vm: Manifest): Set[String] =
+    def fileRefs(vm: Manifest): Set[String] =
       (vm.files.map(_.name) ++ vm.files.flatMap(_.dv)).toSet
     val all = versions(path)
-    val keep = all.takeRight(MaxRetainedVersions)
+    // TAGGED versions are PINNED (r18): a named ref keeps its snapshot
+    // (and the files it needs) past the retention window — expiry never
+    // breaks a tag
+    val pinned = stamped.refs.map(_._2).toSet
+    val keep = (all.takeRight(MaxRetainedVersions).toSet ++ pinned).toSeq
     val expired = all.filterNot(keep.contains)
-    val dead = expired.flatMap(v => refs(readVersion(path, v))).toSet --
-      keep.flatMap(v => refs(readVersion(path, v))) -- refs(m)
+    val dead = expired.flatMap(v => fileRefs(readVersion(path, v))).toSet --
+      keep.flatMap(v => fileRefs(readVersion(path, v))) -- fileRefs(stamped)
     expired.foreach(v => new File(path, s"manifest-v$v.json").delete())
     dead.foreach(n => new File(path, n).delete())
   }
@@ -413,6 +433,12 @@ private[dsv2] object GdfManifest {
     }
     val layout = "\"layout\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("hash")
+    val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
+    val refs = "\"refs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(s => "\\{\"tag\":\"([^\"]+)\",\"v\":(\\d+)\\}".r
+        .findAllMatchIn(s).map(m => (m.group(1), m.group(2).toInt)))
     val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").map(_.trim.toLong))
@@ -434,7 +460,7 @@ private[dsv2] object GdfManifest {
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
         Option(m.group(8)), Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toSeq
-    Manifest(schema, buckets, files, layout, epochs)
+    Manifest(schema, buckets, files, layout, epochs, ts, refs)
   }
 }
 
@@ -1477,7 +1503,8 @@ private[dsv2] object GdfAppend {
         require(cur.buckets == buckets || buckets <= 0,
           s"bucket count mismatch: table has ${cur.buckets}")
         GdfManifest.Manifest(mergedSchema(cur.schema, incoming), cur.buckets,
-          cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq)
+          cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq,
+          refs = cur.refs)
     }
 }
 
@@ -1508,7 +1535,8 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
     GdfManifest.commitRetry(path) { cur =>
       Some(
-        if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout)
+        if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout,
+          refs = cur.map(_.refs).getOrElse(Seq.empty)) // tags survive overwrite
         else GdfAppend.appended(cur, schema, buckets, layout, stats, None))
     }
   }
