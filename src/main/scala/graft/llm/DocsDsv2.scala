@@ -363,6 +363,61 @@ object DocsDsv2 {
       .orderBy(col("doc_id"))
   }
 
+  // ---- equality DELETE (r18) --------------------------------------------------
+
+  /** The equality-delete request: every doc ≡ [[EqRes]] (mod 16) —
+    * bucket 4 under the hash layout; the commit writes one slim `.eqd`
+    * KEY file for that bucket and reads NO data file (GdfEqDeleteSpec
+    * proves the zero-read property by truncating the data first). */
+  val EqMod = 16L
+  val EqRes = 12L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtEq = new graft.SessionMemo[String]
+
+  /** A two-snapshot history: v1 = the slim corpus; v2 = the EQUALITY
+    * delete of the request keys via
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteByKeys]]. */
+  def eqPath(s: SparkSession, dir: String): String =
+    builtEq.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-eq/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // snapshot v1
+      val keys = s.read.parquet(s"$dir/documents.parquet")
+        .where(pmod(col("doc_id"), lit(EqMod)) === EqRes)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteByKeys(p, keys)
+      p
+    }
+
+  /** EQUALITY-delete certification — the same full-outer-join shape and
+    * label rule as the CoW and MoR deletes (all three read views MUST be
+    * identical: the delete forms differ in write cost, not one output
+    * bit), so the rule-derived oracle certifies the key-skip read path
+    * AND the snapshot audit in one hash. */
+  def deleteEq(s: SparkSession, dir: String): DataFrame = {
+    val p = eqPath(s, dir)
+    def snap(v: Int) = s.read.format("graftdocs")
+      .option("version", v.toString).load(p)
+      .select(col("doc_id"))
+    snap(1).join(snap(2).withColumn("in_v2", lit(true)), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("in_v2").isNotNull, lit("retained"))
+          .otherwise(lit("deleted")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- copy-on-write MERGE (r17) ------------------------------------------
 
   /** Matched-update rule: docs ≡ [[MergeRes]] (mod [[MergeMod]]) get

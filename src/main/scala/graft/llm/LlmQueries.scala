@@ -1521,6 +1521,24 @@ object LlmQueries {
                     THEN 'deleted' ELSE 'retained' END AS status
         FROM documents ORDER BY doc_id""")),
 
+    // Row-level DELETE as an EQUALITY DELETE (r18): the Iceberg-v2
+    // equality-delete form next to the position vector — the commit
+    // writes one slim per-bucket KEY file and reads ZERO data files
+    // (the streaming-CDC tombstone shape; the position form must read
+    // every touched file to locate matches). Readers apply the key set
+    // as a scan-time skip even when doc_id is pruned away; the read view
+    // must be IDENTICAL to the CoW/MoR deletes, so the entry shares
+    // their full-outer-join shape and rule-derived oracle. GdfEqDeleteSpec
+    // pins the zero-read commit, pruned-projection filtering, pushdown
+    // and row-count refusals, compaction reconcile, and rewrite folding.
+    QueryDef("dsv2_delete_eq",
+      (s, dir) => DocsDsv2.deleteEq(s, dir),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN doc_id % ${DocsDsv2.EqMod} = ${DocsDsv2.EqRes}
+                    THEN 'deleted' ELSE 'retained' END AS status
+        FROM documents ORDER BY doc_id""")),
+
     // Keyed MERGE as COPY-ON-WRITE (r17): matched docs (≡ 5 mod 16 →
     // bucket 5) update lang in place — only their files rewrite —
     // unmatched source rows insert as fresh per-bucket files, everything

@@ -119,14 +119,23 @@ object GdfMaintenance {
     * every rewrite path — CoW delete, merge, compaction — composes with
     * prior merge-on-read deletes: the rewritten file has no vector. */
   private def alignedRows(path: String, schema: StructType,
-      f: GdfManifest.FileStat): Seq[Array[Any]] = {
+      f: GdfManifest.FileStat,
+      eqDeletes: Seq[(Int, String)] = Seq.empty): Seq[Array[Any]] = {
     val (names, raw) = GdfFormat.readFileRaw(
       new File(path, f.name).getAbsolutePath)
     val dead = new java.util.BitSet()
     f.dv.foreach(d => GdfFormat.readDeleteVector(
       new File(path, d).getAbsolutePath).foreach(dead.set))
+    // EQUALITY-DELETE keys scoped to this file's bucket (r18) drop here
+    // too, so every rewrite path physically reconciles them
+    val eqKeys: Set[Long] = eqDeletes.collect {
+      case (b, n) if b == f.bucket =>
+        GdfFormat.readEqDelete(new File(path, n).getAbsolutePath).toSeq
+    }.flatten.toSet
+    val keyIdx = names.indexOf("doc_id")
     val idx = schema.fieldNames.map(n => n -> names.indexOf(n)).toMap
-    raw.zipWithIndex.collect { case (r, pos) if !dead.get(pos) =>
+    raw.zipWithIndex.collect { case (r, pos) if !dead.get(pos) &&
+        (eqKeys.isEmpty || !eqKeys.contains(longOf(r(keyIdx)))) =>
       schema.fieldNames.map(n => idx(n) match {
         case -1 => null: Any
         case i => r(i)
@@ -138,10 +147,11 @@ object GdfMaintenance {
     * transform returns. Returns the new FileStat, or None when every row
     * was dropped. */
   private def rewriteFile(path: String, schema: StructType,
-      f: GdfManifest.FileStat, newName: String)(
+      f: GdfManifest.FileStat, newName: String,
+      eqDeletes: Seq[(Int, String)] = Seq.empty)(
       transform: Array[Any] => Option[Array[Any]])
       : (Option[GdfManifest.FileStat], Seq[Array[Any]]) = {
-    val aligned = alignedRows(path, schema, f)
+    val aligned = alignedRows(path, schema, f, eqDeletes)
     val kept = aligned.flatMap(r => transform(r))
     if (kept.isEmpty) (None, aligned)
     else (Some(GdfFormat.writeFile(path, newName, schema, f.bucket, kept)),
@@ -164,21 +174,24 @@ object GdfMaintenance {
     val keyIdx = schema.fieldIndex("doc_id")
     val byBucket = m.files.groupBy(_.bucket).toSeq.sortBy(_._1)
     // a bucket rewrites when fragmented OR when any file carries a
-    // delete vector (r18) — compaction is where merge-on-read deletes
-    // physically reconcile and the vectors drop
-    val (multi, single) = byBucket.partition { case (_, fs) =>
-      fs.size > 1 || fs.exists(_.dv.isDefined) }
+    // delete vector OR when an equality-delete file is scoped to it
+    // (r18) — compaction is where BOTH delete kinds physically
+    // reconcile and their slim files drop
+    val eqBuckets = m.eqDeletes.map(_._1).toSet
+    val (multi, single) = byBucket.partition { case (b, fs) =>
+      fs.size > 1 || fs.exists(_.dv.isDefined) || eqBuckets.contains(b) }
     val compacted: Seq[GdfManifest.FileStat] =
       if (multi.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(multi, multi.size)
         .map { case (b, fs) =>
-          val rows = fs.flatMap(f => alignedRows(path, schema, f))
+          val rows = fs.flatMap(f => alignedRows(path, schema, f, m.eqDeletes))
             .sortBy(r => longOf(r(keyIdx)))
           GdfFormat.writeFile(path, s"part-$b-c$version.gdf", schema, b, rows)
         }
         .collect().toSeq
-    commitReplacing(path, multi.flatMap(_._2.map(_.name)).toSet, compacted)
+    commitReplacing(path, multi.flatMap(_._2.map(_.name)).toSet, compacted,
+      dropEqBuckets = multi.map(_._1).toSet)
   }
 
   /** Commit a copy-on-write result through the OPTIMISTIC LOOP (r18):
@@ -188,7 +201,8 @@ object GdfMaintenance {
     * write-write conflict and fails loudly — the Iceberg
     * validate-and-retry discipline. */
   private def commitReplacing(path: String, replaced: Set[String],
-      added: Seq[GdfManifest.FileStat]): Unit =
+      added: Seq[GdfManifest.FileStat],
+      dropEqBuckets: Set[Int] = Set.empty): Unit =
     GdfManifest.commitRetry(path) { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
@@ -198,7 +212,9 @@ object GdfMaintenance {
         s"concurrent write-write conflict at $path: ${gone.mkString(", ")} " +
           "was rewritten by another committer")
       Some(cur.copy(files =
-        cur.files.filterNot(f => replaced.contains(f.name)) ++ added))
+        cur.files.filterNot(f => replaced.contains(f.name)) ++ added,
+        eqDeletes =
+          cur.eqDeletes.filterNot(e => dropEqBuckets.contains(e._1))))
     }
 
   /** Row-level DELETE, MERGE-ON-READ (r18, judge ask #2): instead of
@@ -263,6 +279,47 @@ object GdfMaintenance {
         changes.flatMap(_._2))
   }
 
+  /** Row-level DELETE by KEY LIST, EQUALITY-DELETE form (r18) — the
+    * Iceberg-v2 equality delete, the other slim-delete shape next to the
+    * position vector: commit one `.eqd` key file PER TOUCHED BUCKET and
+    * NOTHING else. Where the position form must READ every touched file
+    * to locate matches, this commits with ZERO data-file reads — the
+    * streaming-CDC delete (a tombstone stream appends key files as it
+    * arrives; GdfEqDeleteSpec proves the zero-read property by
+    * truncating every data file first). Every reader of a bucket applies
+    * its key set as a scan-time skip (even when doc_id is pruned away —
+    * the key column decodes for the filter and drops); aggregate
+    * pushdown and reported row counts refuse (live counts are unknowable
+    * without a read); every rewrite path reconciles the keys; compaction
+    * drops the files.
+    *
+    * 100 TB: delete cost is O(keys) — not O(matched rows), not O(touched
+    * bytes); read-side cost is a per-bucket hash probe absorbed at the
+    * next compaction. Keys that match nothing are legal (the CDC
+    * contract: a tombstone may precede or miss its row). */
+  def deleteByKeys(path: String, keys: Seq[Long]): Unit = {
+    require(keys.nonEmpty, "deleteByKeys needs at least one key")
+    val m = GdfManifest.read(path)
+    require(m.layout == "hash" && m.buckets > 0,
+      "equality deletes require the hash layout (keys scope to buckets)")
+    val version = GdfManifest.nextVersion(path)
+    val byBucket = keys.distinct.groupBy(k =>
+      java.lang.Math.floorMod(k, m.buckets.toLong).toInt)
+    // a random token keeps racing key-deletes from colliding on a file
+    // name before the CAS sees the conflict (the batch-writer discipline)
+    val token = java.util.UUID.randomUUID().toString.take(6)
+    val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
+      val name = s"eq-$b-v$version-$token.eqd"
+      GdfFormat.writeEqDelete(path, name, ks)
+      (b, name)
+    }
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      Some(cur.copy(eqDeletes = cur.eqDeletes ++ entries))
+    }
+  }
+
   /** Row-level DELETE, copy-on-write. Files the conjunction cannot reach
     * keep their stats (and bytes) verbatim; the rest rewrite in one
     * Spark task each; the result commits as a new snapshot. */
@@ -280,7 +337,8 @@ object GdfMaintenance {
         .parallelize(touched, touched.size)
         .map { f =>
           val base = f.name.stripSuffix(".gdf")
-          rewriteFile(path, schema, f, s"$base-d$version.gdf")(r => {
+          rewriteFile(path, schema, f, s"$base-d$version.gdf",
+            m.eqDeletes)(r => {
             val get = (c: String) => r(schema.fieldIndex(c))
             if (rowMatches(filters, get)) None else Some(r)
           })._1
@@ -389,7 +447,7 @@ object GdfMaintenance {
             val matched = scala.collection.mutable.Set[Long]()
             val base = f.name.stripSuffix(".gdf")
             val (stat, _) = rewriteFile(path, schema, f,
-              s"$base-m$version.gdf") { r =>
+              s"$base-m$version.gdf", m.eqDeletes) { r =>
               val k = longOf(r(keyIdx))
               srcB.value.get(k) match {
                 case Some(upd) => matched += k; Some(upd)
@@ -450,6 +508,7 @@ object GdfMaintenance {
     val version = GdfManifest.nextVersion(path)
     val filesByBucket: Map[Int, Seq[GdfManifest.FileStat]] =
       m.files.groupBy(_.bucket)
+    val eqDels = m.eqDeletes // slim capture for the per-bucket tasks
     val align = alignSourceRow(schema, srcCols, keyIdx, buckets) _
 
     val srcByBucket = source
@@ -480,7 +539,8 @@ object GdfMaintenance {
           val matched = scala.collection.mutable.Set[Long]()
           val rewritten = touched.flatMap { f =>
             val base = f.name.stripSuffix(".gdf")
-            rewriteFile(path, schema, f, s"$base-m$version.gdf") { r =>
+            rewriteFile(path, schema, f, s"$base-m$version.gdf",
+              eqDels) { r =>
               val k = longOf(r(keyIdx))
               srcMap.get(k) match {
                 case Some(upd) => matched += k; Some(upd)
@@ -534,8 +594,14 @@ object GdfMaintenance {
     val newByName = newM.files.map(f => f.name -> f).toMap
     val removed = oldM.files.filterNot(f => newByName.contains(f.name))
     val added = newM.files.filterNot(f => oldByName.contains(f.name))
+    // a carried-over file's rows can still change logically when its dv
+    // grew OR when its bucket's EQUALITY-DELETE set changed (r18)
+    val eqChanged: Set[Int] =
+      ((newM.eqDeletes.toSet diff oldM.eqDeletes.toSet) ++
+        (oldM.eqDeletes.toSet diff newM.eqDeletes.toSet)).map(_._1)
     val dvChanged = newM.files.filter(f =>
-      oldByName.get(f.name).exists(o => o.dv != f.dv))
+      oldByName.get(f.name).exists(o =>
+        o.dv != f.dv || eqChanged.contains(f.bucket)))
     val cols = newM.schema.fieldNames.filterNot(_ == "bucket").toSeq
     val oldCols = oldM.schema.fieldNames.toSet
     def side(v: Int, names: Seq[String]): DataFrame = {
@@ -660,7 +726,8 @@ object GdfMaintenance {
     val cutoff = System.currentTimeMillis() - olderThanMs
     Option(new File(path).listFiles()).toSeq.flatten
       .filter(f =>
-        (f.getName.endsWith(".gdf") || f.getName.endsWith(".dvf")) &&
+        (f.getName.endsWith(".gdf") || f.getName.endsWith(".dvf") ||
+          f.getName.endsWith(".eqd")) &&
           !live.contains(f.getName) && f.lastModified() < cutoff)
       .map { f => f.delete(); f.getName }
       .sorted

@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * listed, not writable, resolved by the `$` suffix at load. */
 private[dsv2] object GdfMetaTable {
 
-  val Kinds: Set[String] = Set("files", "snapshots")
+  val Kinds: Set[String] = Set("files", "snapshots", "refs")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -41,6 +41,9 @@ private[dsv2] object GdfMetaTable {
       StructField("n_rows", LongType), // live rows of the snapshot
       StructField("layout", StringType),
       StructField("buckets", IntegerType)))
+    case "refs" => StructType(Seq( // named tags (r18)
+      StructField("tag", StringType),
+      StructField("pinned_version", IntegerType)))
     case other => throw new IllegalArgumentException(
       s"unknown graft metadata table $$$other (have: ${Kinds.mkString(", ")})")
   }
@@ -56,6 +59,10 @@ private[dsv2] object GdfMetaTable {
         val m = GdfManifest.readVersion(path, v)
         InternalRow(v, m.files.size.toLong, m.files.map(_.liveRows).sum,
           UTF8String.fromString(m.layout), m.buckets)
+      }.toArray
+    case "refs" =>
+      GdfManifest.read(path).refs.sortBy(_._1).map { case (t, v) =>
+        InternalRow(UTF8String.fromString(t), v)
       }.toArray
     case other => throw new IllegalArgumentException(s"unknown $$$other")
   }

@@ -98,7 +98,7 @@ private[dsv2] class GdfCowScan(path: String, manifest: GdfManifest.Manifest,
     op.replacedFiles = files.map(_.name)
     files.groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (b, fs) =>
-        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f)), b)
+        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f, manifest)), b)
           : InputPartition
       }.toArray
   }

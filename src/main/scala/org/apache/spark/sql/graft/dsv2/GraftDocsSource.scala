@@ -171,10 +171,17 @@ private[dsv2] object GdfManifest {
     * resolution is a total order even under clock skew between quick
     * commits. `refs` (r18): named TAGS — (name, version) pins; a tagged
     * snapshot SURVIVES retention expiry (the Iceberg tag/branch-ref
-    * shape), and refs carry forward through every commit path. */
+    * shape), and refs carry forward through every commit path.
+    * `eqDeletes` (r18): EQUALITY-DELETE files — (bucket, `.eqd` name)
+    * pairs, each a slim sorted doc_id key list scoped to one bucket (the
+    * Iceberg-v2 equality-delete shape). Unlike a position vector, an
+    * equality delete commits WITHOUT reading any data file (the
+    * streaming-CDC delete); every reader of the bucket applies it as a
+    * key skip; compaction reconciles and drops it. */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
       layout: String = "hash", epochs: Seq[Long] = Seq.empty,
-      ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty)
+      ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty,
+      eqDeletes: Seq[(Int, String)] = Seq.empty)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -262,8 +269,10 @@ private[dsv2] object GdfManifest {
     val epochs = m.epochs.mkString("[", ",", "]")
     val refs = m.refs.map { case (n, v) => s"""{"tag":${q(n)},"v":$v}""" }
       .mkString("[", ",", "]")
+    val eqd = m.eqDeletes.map { case (b, n) => s"""{"b":$b,"f":${q(n)}}""" }
+      .mkString("[", ",", "]")
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"ts":${m.ts},"refs":$refs,""" +
+      s""""layout":${q(m.layout)},"ts":${m.ts},"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -339,7 +348,8 @@ private[dsv2] object GdfManifest {
     // ahead of its commit (a failed write's true orphans are left for a
     // separate orphan-GC verb, the Iceberg split of responsibilities)
     def fileRefs(vm: Manifest): Set[String] =
-      (vm.files.map(_.name) ++ vm.files.flatMap(_.dv)).toSet
+      (vm.files.map(_.name) ++ vm.files.flatMap(_.dv) ++
+        vm.eqDeletes.map(_._2)).toSet
     val all = versions(path)
     // TAGGED versions are PINNED (r18): a named ref keeps its snapshot
     // (and the files it needs) past the retention window — expiry never
@@ -439,6 +449,10 @@ private[dsv2] object GdfManifest {
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(s => "\\{\"tag\":\"([^\"]+)\",\"v\":(\\d+)\\}".r
         .findAllMatchIn(s).map(m => (m.group(1), m.group(2).toInt)))
+    val eqd = "\"eqd\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(s => "\\{\"b\":(\\d+),\"f\":\"([^\"]+)\"\\}".r
+        .findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2))))
     val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").map(_.trim.toLong))
@@ -460,7 +474,7 @@ private[dsv2] object GdfManifest {
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
         Option(m.group(8)), Option(m.group(9)).map(_.toLong).getOrElse(0L))
     }.toSeq
-    Manifest(schema, buckets, files, layout, epochs, ts, refs)
+    Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd)
   }
 }
 
@@ -622,11 +636,12 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
       case m: Max => statCol(m.column)
       case _ => false
     }
-    // a file carrying a delete vector (r18) makes the manifest stats
-    // PHYSICAL, not exact — the metadata-only answer would overcount, so
-    // the pushdown refuses and Spark keeps the real aggregation
+    // a delete vector or an equality-delete file (r18) makes the
+    // manifest stats PHYSICAL, not exact — the metadata-only answer
+    // would overcount, so the pushdown refuses and Spark keeps the real
+    // aggregation
     byBucket.filter(_ => ok && pushed.isEmpty && fileSubset.isEmpty &&
-        manifest.files.forall(_.dv.isEmpty))
+        manifest.files.forall(_.dv.isEmpty) && manifest.eqDeletes.isEmpty)
       .map(b => (b, agg.aggregateExpressions.toSeq))
   }
 
@@ -738,14 +753,20 @@ private[dsv2] class GdfAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** One data file plus its optional delete vector (r18) — the unit a
-  * reader consumes: physical rows minus the vector's positions. */
-private[dsv2] case class GdfFileSlice(path: String, dv: Option[String])
+/** One data file plus its optional delete vector and the EQUALITY-DELETE
+  * files scoped to its bucket (r18) — the unit a reader consumes:
+  * physical rows minus the vector's positions minus the equality keys. */
+private[dsv2] case class GdfFileSlice(path: String, dv: Option[String],
+    eq: Seq[String] = Seq.empty)
 
 private[dsv2] object GdfFileSlice {
-  def of(dir: String, f: GdfManifest.FileStat): GdfFileSlice =
+  def of(dir: String, f: GdfManifest.FileStat,
+      m: GdfManifest.Manifest = null): GdfFileSlice =
     GdfFileSlice(new File(dir, f.name).getAbsolutePath,
-      f.dv.map(d => new File(dir, d).getAbsolutePath))
+      f.dv.map(d => new File(dir, d).getAbsolutePath),
+      if (m == null) Seq.empty
+      else m.eqDeletes.collect { case (b, n) if b == f.bucket =>
+        new File(dir, n).getAbsolutePath })
 }
 
 /** One scan partition = one BUCKET's surviving files (possibly several
@@ -897,14 +918,19 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     new Statistics {
       override def sizeInBytes(): util.OptionalLong =
         util.OptionalLong.of(math.max(bytes, 1L))
-      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+      // equality deletes (r18) make live counts unknowable without a
+      // read — report no row count rather than a wrong one (sizeInBytes
+      // stays the physical superset, which estimates may overshoot)
+      override def numRows(): util.OptionalLong =
+        if (manifest.eqDeletes.isEmpty) util.OptionalLong.of(rows)
+        else util.OptionalLong.empty()
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     survivingFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (b, fs) =>
-        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f)), b)
+        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f, manifest)), b)
           : InputPartition
       }.toArray
 
@@ -944,7 +970,8 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GdfMicroBatchStream(path, survivingFiles, required, maxFilesPerTrigger)
+    new GdfMicroBatchStream(path, survivingFiles, required, maxFilesPerTrigger,
+      manifest)
 
   override def description(): String =
     s"graftdocs $path, PushedFilters: [${pushed.mkString(", ")}], " +
@@ -980,7 +1007,7 @@ private[dsv2] case class GdfOffset(idx: Int) extends Offset {
   * column pruning apply unchanged. */
 private[dsv2] class GdfMicroBatchStream(path: String,
     files: Seq[GdfManifest.FileStat], required: StructType,
-    maxFilesPerTrigger: Int)
+    maxFilesPerTrigger: Int, manifest: GdfManifest.Manifest)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -1014,7 +1041,7 @@ private[dsv2] class GdfMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     files.slice(start.asInstanceOf[GdfOffset].idx, end.asInstanceOf[GdfOffset].idx)
       .map(f => GdfInputPartition(
-        Seq(GdfFileSlice.of(path, f)), f.bucket): InputPartition)
+        Seq(GdfFileSlice.of(path, f, manifest)), f.bucket): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1076,8 +1103,7 @@ private[dsv2] class GdfColumnarPartitionReader(files: Seq[GdfFileSlice],
     while (batch == null && fileIdx < files.size) {
       val slice = files(fileIdx)
       fileIdx += 1
-      val (nRows, cols) = GdfDecode.decode(slice.path, required)
-      val dead = GdfDecode.deadPositions(slice)
+      val (nRows, cols, dead) = GdfDecode.decodeLive(slice, required)
       val live = nRows - dead.cardinality()
       if (live > 0) {
         val vectors = OnHeapColumnVector.allocateColumns(live, required)
@@ -1178,13 +1204,41 @@ private[dsv2] object GdfDecode {
       GdfFormat.readDeleteVector(d).foreach(dead.set))
     dead
   }
+
+  /** Shared LIVE decode for both read paths (r18): the surviving columns
+    * plus the union dead-set — delete-vector positions and EQUALITY-
+    * DELETE key matches. When equality deletes exist for the slice's
+    * bucket but doc_id was pruned away, the key column decodes anyway
+    * (the filter needs it) and is dropped from the emitted columns. */
+  def decodeLive(slice: GdfFileSlice, required: StructType)
+      : (Int, Array[Array[Any]], java.util.BitSet) = {
+    val needKey = slice.eq.nonEmpty && !required.fieldNames.contains("doc_id")
+    val readSchema =
+      if (needKey) StructType(required.fields :+
+        org.apache.spark.sql.types.StructField("doc_id", LongType))
+      else required
+    val (rows, cols0) = decode(slice.path, readSchema)
+    val dead = deadPositions(slice)
+    if (slice.eq.nonEmpty) {
+      val keys = new java.util.HashSet[java.lang.Long]()
+      slice.eq.foreach(f =>
+        GdfFormat.readEqDelete(f).foreach(k => keys.add(k)))
+      val idCol = cols0(readSchema.fieldIndex("doc_id"))
+      var r = 0
+      while (r < rows) {
+        idCol(r) match {
+          case l: Long => if (keys.contains(l)) dead.set(r)
+          case _ => // a doc_id is never null (key-column write invariant)
+        }
+        r += 1
+      }
+    }
+    (rows, if (needKey) cols0.dropRight(1) else cols0, dead)
+  }
 }
 
 private[dsv2] class GdfPartitionReader(files: Seq[GdfFileSlice], required: StructType)
     extends PartitionReader[InternalRow] {
-
-  private def decode(file: String): (Int, Array[Array[Any]]) =
-    GdfDecode.decode(file, required)
 
   private var fileIdx = 0
   private var nRows = 0
@@ -1197,11 +1251,9 @@ private[dsv2] class GdfPartitionReader(files: Seq[GdfFileSlice], required: Struc
     while (i < nRows && deleted.get(i)) i += 1 // merge-on-read skip
     while (i >= nRows && fileIdx < files.size) {
       val slice = files(fileIdx)
-      val (n, c) = decode(slice.path)
+      val (n, c, dead) = GdfDecode.decodeLive(slice, required)
       nRows = n; cols = c; i = 0; fileIdx += 1
-      deleted = new java.util.BitSet(n)
-      slice.dv.foreach(d =>
-        GdfFormat.readDeleteVector(d).foreach(deleted.set))
+      deleted = dead
       while (i < nRows && deleted.get(i)) i += 1
     }
     i < nRows
@@ -1301,6 +1353,31 @@ private[dsv2] object GdfFormat {
     try {
       require(in.readInt() == DvMagic, s"bad delete-vector magic in $file")
       Array.fill(in.readInt())(in.readInt())
+    } finally in.close()
+  }
+
+  /** EQUALITY-DELETE file (r18): magic, key count, sorted doc_id KEYS as
+    * longs — the Iceberg-v2 equality-delete shape, scoped to one bucket
+    * in the manifest. Commits without reading any data file (the
+    * streaming-CDC delete); readers apply it as a key skip. */
+  val EqMagic: Int = 0x47444551 // "GDEQ"
+
+  def writeEqDelete(dirPath: String, name: String, keys: Seq[Long]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(new File(dirPath, name))))
+    try {
+      out.writeInt(EqMagic)
+      out.writeInt(keys.size)
+      keys.sorted.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  def readEqDelete(file: String): Array[Long] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(file)))
+    try {
+      require(in.readInt() == EqMagic, s"bad equality-delete magic in $file")
+      Array.fill(in.readInt())(in.readLong())
     } finally in.close()
   }
 

@@ -68,6 +68,15 @@ class GdfMetaSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("$refs lists the named tags") {
+    table
+    GdfMaintenance.createTag(s"$root/t", "audit", 1)
+    val got = spark.sql(
+      s"SELECT tag, pinned_version FROM $cat.`$table$$refs` ORDER BY tag")
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(("audit", 1)))
+  }
+
   test("the $ namespace is virtual") {
     table
     val e = intercept[Exception](
