@@ -606,6 +606,43 @@ object DocsDsv2 {
       .orderBy(col("_commit_version"), col("doc_id"), col("_change_type"))
   }
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val streamedCdc = new graft.SessionMemo[Unit]
+
+  /** The CDC feed consumed as a STREAM (r18): `readStream
+    * .format("graftdocs-cdc")` over the same three-snapshot history,
+    * replayed from version 1 and drained AvailableNow — each micro-batch
+    * is one-or-more per-commit windows, so the appended union equals the
+    * batch changelog bit-for-bit and the entry shares
+    * `dsv2_changes_log`'s oracle VERBATIM (stream-batch equivalence by
+    * hash match). */
+  def changesStreamed(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    val out = s"$p-cdc-stream"
+    synchronized {
+      if (!streamedCdc.contains(s, dir)) {
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(outPath, true)
+        val q = s.readStream.format("graftdocs-cdc")
+          .option("startingversion", "1")
+          .load(p)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$out/result")
+          }
+          .start()
+        q.awaitTermination()
+        streamedCdc.put(s, dir, ())
+      }
+    }
+    s.read.parquet(s"$out/result")
+      .orderBy(col("_commit_version"), col("doc_id"), col("_change_type"))
+  }
+
   // ---- runtime V2 file pruning (r18) ------------------------------------------
 
   /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod

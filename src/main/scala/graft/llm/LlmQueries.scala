@@ -1726,6 +1726,32 @@ object LlmQueries {
           FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
         ) ORDER BY "_commit_version", doc_id, "_change_type" """)),
 
+    // STREAMING CDC consumption (r18): the feed as a readStream
+    // (`graftdocs-cdc` — offsets are snapshot versions, each micro-batch
+    // the per-commit manifest-diffed windows; the Delta readChangeFeed
+    // shape). Replayed from version 1 and drained AvailableNow, the
+    // appended union equals the batch changelog bit-for-bit — SHARES
+    // dsv2_changes_log's oracle VERBATIM (stream-batch equivalence).
+    QueryDef("dsv2_changes_streamed",
+      (s, dir) => DocsDsv2.changesStreamed(s, dir),
+      Some(s"""
+        SELECT * FROM (
+          SELECT doc_id, n_chars, lang, 'delete' AS "_change_type",
+                 CAST(2 AS INT) AS "_commit_version"
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes}
+          UNION ALL
+          SELECT doc_id, n_chars, lang, 'update_preimage', CAST(3 AS INT)
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT doc_id, n_chars, '${DocsDsv2.ChgLang}', 'update_postimage',
+                 CAST(3 AS INT)
+          FROM documents WHERE doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i,
+                 4000 + i, 'cf', 'insert', CAST(3 AS INT)
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
+        ) ORDER BY "_commit_version", doc_id, "_change_type" """)),
+
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join
     // against a selective dim plants a dynamic-pruning subquery and the
