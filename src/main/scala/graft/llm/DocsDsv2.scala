@@ -749,6 +749,40 @@ object DocsDsv2 {
     TextAnalysis.statsOf(
       s.read.format("graftdocs").load(procTablePath(s, dir)))
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtRebucket = new graft.SessionMemo[String]
+
+  /** Partition evolution by PURE SQL: the 8-bucket corpus rebucketed to
+    * 16 via `CALL <cat>.rebucket('docs', 16)` — the old layout stays
+    * time-travelable (GdfRebucketSpec pins that plus the new layout's
+    * pruning). Returns the table path. */
+  def rebucketPath(s: SparkSession, dir: String): String =
+    builtRebucket.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftrb_$tag"
+      val rootDir = s"/root/repo/target/graft-rb-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .mode("overwrite").save(s"$rootDir/docs") // v1: 8 buckets
+      s.sql(s"CALL $cat.rebucket('docs', 16)").collect() // v2: 16
+      s"$rootDir/docs"
+    }
+
+  /** Post-rebucket certification read — text_stats' oracle VERBATIM
+    * (partition evolution changes layout, not one output bit). */
+  def rebucketStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.statsOf(
+      s.read.format("graftdocs").load(rebucketPath(s, dir)))
+
   // ---- SQL catalog face (r17) ---------------------------------------------
 
   /** SQL delete cutoff: docs with doc_id ≥ max·[[SqlDelNum]]/[[SqlDelDen]]

@@ -1622,6 +1622,16 @@ object LlmQueries {
       (s, dir) => DocsDsv2.sqlCompactStats(s, dir),
       Some(textStatsOracle)),
 
+    // PARTITION EVOLUTION (r18): `CALL cat.rebucket('docs', 16)` —
+    // rewrite the table at a new hash bucket count as one snapshot
+    // commit (the Iceberg replace-partition-spec story for a hash
+    // layout). Reads through the connector so prior delete vectors /
+    // equality deletes reconcile on the way; the 8-bucket layout stays
+    // time-travelable. Shares text_stats' oracle VERBATIM.
+    QueryDef("dsv2_rebucket",
+      (s, dir) => DocsDsv2.rebucketStats(s, dir),
+      Some(textStatsOracle)),
+
     // The connector's SQL CATALOG face (r17): a GraftCatalog registered
     // per corpus, the delete issued as PLAIN SQL (`DELETE FROM
     // graft_x.docs WHERE doc_id >= cutoff`) — Spark's DeleteFromTable

@@ -639,6 +639,28 @@ object GdfMaintenance {
       .select(col("c.*"))
   }
 
+  /** REBUCKET — hash-layout partition evolution (r18): rewrite the
+    * table at a NEW bucket count as one snapshot commit (the Iceberg
+    * replace-partition-spec story in the one-spec world of a hash
+    * layout). Reads through the connector — so delete vectors and
+    * equality deletes reconcile on the way — re-keys bucket =
+    * pmod(doc_id, n), and overwrites in place: new version-suffixed
+    * files, the old layout stays time-travelable until retention
+    * expires it, tags carry through. One keyed exchange (the write's
+    * required clustering), the cost every repartitioning pays. */
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    val m = GdfManifest.read(path)
+    require(m.layout == "hash", "rebucket requires the hash layout")
+    spark.read.format("graftdocs").load(path)
+      .withColumn("bucket",
+        pmod(col("doc_id"), lit(newBuckets.toLong)).cast(IntegerType))
+      .write.format("graftdocs")
+      .option("buckets", newBuckets.toString)
+      .mode("overwrite").save(path)
+  }
+
   /** Create a named TAG pinning a retained snapshot (r18) — the Iceberg
     * ref shape: `VERSION AS OF '<tag>'` resolves through it, and the
     * pinned snapshot (plus the files it needs) SURVIVES retention

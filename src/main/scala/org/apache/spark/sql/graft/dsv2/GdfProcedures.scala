@@ -24,13 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
 private[dsv2] object GdfProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "remove_orphans", "create_tag", "drop_tag")
+    Seq("compact", "remove_orphans", "create_tag", "drop_tag", "rebucket")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
     case "remove_orphans" => new RemoveOrphansProc(root)
     case "create_tag" => new CreateTagProc(root)
     case "drop_tag" => new DropTagProc(root)
+    case "rebucket" => new RebucketProc(root)
     case other => throw new UnsupportedOperationException(
       s"unknown graft procedure $other (have: ${Names.mkString(", ")})")
   }
@@ -71,6 +72,32 @@ private[dsv2] object GdfProcedures {
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.rebucket('<table>', <buckets>)` → hash-layout partition
+    * evolution (X143); returns one (buckets_before, buckets_after) row. */
+  private class RebucketProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rebucket"
+    override def description(): String =
+      "rewrite the table at a new hash bucket count (partition evolution)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("buckets",
+          org.apache.spark.sql.types.IntegerType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val before = GdfManifest.read(p).buckets
+      val n = input.getInt(1)
+      GdfMaintenance.rebucket(SparkSession.active, p, n)
+      resultScan(
+        StructType(Seq(
+          StructField("buckets_before", org.apache.spark.sql.types.IntegerType),
+          StructField("buckets_after", org.apache.spark.sql.types.IntegerType))),
+        Array(InternalRow(before, n)))
     }
   }
 
