@@ -52,18 +52,27 @@ class GraftDocsCdc extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
-    val metaDir = new java.io.File(metadataPath)
-    val startFile = new java.io.File(metaDir, "graft-cdc-start")
+    // metadataPath arrives as a URI string (e.g. file:/..., hdfs://...);
+    // resolve it through the Hadoop FileSystem so the marker lands inside
+    // the checkpoint on ANY scheme — a raw java.io.File would treat the
+    // scheme as a relative directory under the JVM's cwd.
+    val metaDir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = metaDir.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    val startFile = new org.apache.hadoop.fs.Path(metaDir, "graft-cdc-start")
     val start =
-      if (startFile.exists())
-        new String(java.nio.file.Files.readAllBytes(startFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      else {
+      if (fs.exists(startFile)) {
+        val in = fs.open(startFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else {
         val v = parameters.get("startingversion").map(_.toInt)
           .getOrElse(GdfManifest.versions(path).last)
-        metaDir.mkdirs()
-        java.nio.file.Files.write(startFile.toPath,
+        fs.mkdirs(metaDir)
+        val out = fs.create(startFile, false)
+        try out.write(
           v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         v
       }
     new GdfChangesStreamSource(sqlContext.sparkSession, path, start)
