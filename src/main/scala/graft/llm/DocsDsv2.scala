@@ -643,6 +643,41 @@ object DocsDsv2 {
       .orderBy(col("_commit_version"), col("doc_id"), col("_change_type"))
   }
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMv = new graft.SessionMemo[String]
+
+  /** INCREMENTAL MATERIALIZED VIEW over the change history (r18): the
+    * `lang → (count, sum(n_chars))` aggregate built at snapshot v1, then
+    * brought to v3 by DELTA-APPLYING the change feed — the refresh reads
+    * only the manifest-diffed changed files plus the |groups|-row state,
+    * never the base snapshot (the near-real-time-warehouse maintenance
+    * loop of `hybrid_join.py:119-354`, replayed at table-format
+    * granularity). The modes are asserted here (initial → incremental →
+    * noop) and the oracle recomputes the aggregate from the FINAL table
+    * state — a hash match certifies the delta algebra (±row signs,
+    * update pre/post pairing, group merge) end to end. GdfMvSpec pins
+    * zero-count group drop, the expired-watermark full fallback, and
+    * rollback refusal. */
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    val mv = builtMv.getOrElseUpdate(s, dir) {
+      val out = s"$p-mv"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      val mvm = org.apache.spark.sql.graft.dsv2.GdfMaterializedView
+      val m1 = mvm.refresh(s, p, out, "lang", "n_chars", Some(1))
+      require(m1 == "initial", s"expected initial refresh, got $m1")
+      val m2 = mvm.refresh(s, p, out, "lang", "n_chars")
+      require(m2 == "incremental", s"expected incremental refresh, got $m2")
+      val m3 = mvm.refresh(s, p, out, "lang", "n_chars")
+      require(m3 == "noop", s"expected noop refresh, got $m3")
+      out
+    }
+    org.apache.spark.sql.graft.dsv2.GdfMaterializedView.read(s, mv)
+      .orderBy(col("lang"))
+  }
+
   // ---- runtime V2 file pruning (r18) ------------------------------------------
 
   /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod

@@ -1762,6 +1762,31 @@ object LlmQueries {
           FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
         ) ORDER BY "_commit_version", doc_id, "_change_type" """)),
 
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (r18): a stored
+    // lang-grouped aggregate kept current by delta-applying the change
+    // feed — COUNT/SUM fold over ±row deltas, so the refresh reads
+    // O(changed files) + O(|groups|), never the base snapshot (the
+    // self-maintainable-view algebra; the reference's near-real-time-DW
+    // loop at table-format granularity). Built at v1, incrementally
+    // refreshed to v3, then a no-op; the oracle recomputes the aggregate
+    // from the FINAL table state, so the hash match certifies the delta
+    // algebra (±signs, update pre/post pairing, zero-group drop) exactly.
+    QueryDef("dsv2_mv_incremental",
+      (s, dir) => DocsDsv2.mvIncremental(s, dir),
+      Some(s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM final_state GROUP BY lang ORDER BY lang""")),
+
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join
     // against a selective dim plants a dynamic-pruning subquery and the

@@ -1,0 +1,109 @@
+package org.apache.spark.sql.graft.dsv2
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (r18): the refresh
+  * mode ladder (initial → incremental → noop), delta-vs-recompute
+  * equality after mixed delete/update/insert commits, NULL-group
+  * algebra, zero-count group drop, the expired-watermark full
+  * fallback, and rollback refusal. */
+class GdfMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = s"/tmp/graft-mv-spec-${System.nanoTime()}"
+
+  /** 40 rows: grp = doc_id % 3 (NULL when doc_id % 5 == 0), val = 10·id. */
+  private def seed(p: String): Unit =
+    (0L until 40L).map(i =>
+        (i, if (i % 5 == 0) None else Some(i % 3), 10L * i))
+      .toDF("doc_id", "grp", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(p)
+
+  private def recompute(p: String): Set[(Option[Long], Long, Long)] =
+    spark.read.format("graftdocs").load(p)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2))).toSet
+
+  private def state(mv: String): Set[(Option[Long], Long, Long)] =
+    GdfMaterializedView.read(spark, mv).collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+
+  test("initial → incremental → noop; delta equals recompute incl. NULL group") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p) // v1
+    assert(GdfMaterializedView.refresh(spark, p, mv, "grp", "val") == "initial")
+    assert(state(mv) == recompute(p))
+
+    // v2: MoR delete a spread of rows (hits every group incl. NULL)
+    GdfMaintenance.deleteWhereMor(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id",
+          Array[Any](0L, 7L, 8L, 9L, 21L))))
+    // v3: merge — update vals of two rows, insert a NEW group 7 + more NULLs
+    GdfMaintenance.mergeInto(spark, p,
+      Seq((1L, Some(1L), 99999L), (2L, Some(2L), 1L),
+        (100L, Some(7L), 5L), (101L, None, 6L))
+        .toDF("doc_id", "grp", "val"))
+
+    assert(GdfMaterializedView.refresh(spark, p, mv, "grp", "val")
+      == "incremental")
+    assert(state(mv) == recompute(p),
+      "incrementally maintained state must equal a full recompute")
+    assert(GdfMaterializedView.refresh(spark, p, mv, "grp", "val") == "noop")
+  }
+
+  test("a group whose count reaches zero is dropped from the view") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p)
+    GdfMaterializedView.refresh(spark, p, mv, "grp", "val")
+    // grp == 2 ⇔ doc_id % 3 == 2 and doc_id % 5 != 0: delete them all
+    val ids = (0L until 40L)
+      .filter(i => i % 3 == 2 && i % 5 != 0).map(i => i: Any).toArray
+    GdfMaintenance.deleteWhereMor(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", ids)))
+    assert(GdfMaterializedView.refresh(spark, p, mv, "grp", "val")
+      == "incremental")
+    val s = state(mv)
+    assert(!s.exists(_._1.contains(2L)), s"group 2 must be dropped: $s")
+    assert(s == recompute(p))
+  }
+
+  test("expired watermark falls back to a full recompute, still exact") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p) // v1
+    GdfMaterializedView.refresh(spark, p, mv, "grp", "val")
+    // four more snapshots: retention (3) expires v1, the watermark
+    (1 to 4).foreach { k =>
+      GdfMaintenance.mergeInto(spark, p,
+        Seq((200L + k, Some(k.toLong), 1000L + k)).toDF("doc_id", "grp", "val"))
+    }
+    assert(!GdfManifest.versions(p).contains(1), "v1 must be expired")
+    assert(GdfMaterializedView.refresh(spark, p, mv, "grp", "val") == "full")
+    assert(state(mv) == recompute(p))
+  }
+
+  test("refresh never rolls back; unknown view read is loud") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p) // v1
+    GdfMaintenance.mergeInto(spark, p,
+      Seq((300L, Some(1L), 1L)).toDF("doc_id", "grp", "val")) // v2
+    GdfMaterializedView.refresh(spark, p, mv, "grp", "val") // at v2
+    val e = intercept[IllegalArgumentException] {
+      GdfMaterializedView.refresh(spark, p, mv, "grp", "val", Some(1))
+    }
+    assert(e.getMessage.contains("never rolls back"))
+    val e2 = intercept[IllegalStateException] {
+      GdfMaterializedView.read(spark, s"$p-no-such-mv")
+    }
+    assert(e2.getMessage.contains("refresh it first"))
+  }
+}
