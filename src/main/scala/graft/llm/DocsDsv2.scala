@@ -643,6 +643,60 @@ object DocsDsv2 {
       .orderBy(col("_commit_version"), col("doc_id"), col("_change_type"))
   }
 
+  /** WAP split: rows with doc_id ≡ [[WapRes]] (mod [[WapMod]]) arrive
+    * through the staged commit; the rest are the base table. */
+  val WapMod = 4L
+  val WapRes = 1L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtWap = new graft.SessionMemo[String]
+
+  /** WRITE-AUDIT-PUBLISH cycle (r18): base table at v1; the held-out
+    * quarter of the corpus lands as a STAGE-ONLY append (invisible to
+    * the main read path — asserted here), is audited by explicit
+    * version, then cherry-picked onto main by
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.publish]]. The
+    * oracle is the WHOLE documents table: a hash match certifies that
+    * the published view reassembles base + staged rows exactly (the
+    * Iceberg stage-only-commit / cherrypick_snapshot story end to end).
+    * GdfWapSpec pins invisibility, moved-head cherry-pick, feed
+    * skipping, stage expiry, and the loud failure modes. */
+  def wapPath(s: SparkSession, dir: String): String =
+    builtWap.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-wap/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      val held = pmod(col("doc_id"), lit(WapMod)) === WapRes
+      docs.where(!held).write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p) // v1
+      val baseCount = s.read.format("graftdocs").load(p).count()
+      docs.where(held).write.format("graftdocs")
+        .option("buckets", Buckets.toString)
+        .option("staged", "true").mode("append").save(p) // v2 staged
+      val stagedV = org.apache.spark.sql.graft.dsv2.GdfMaintenance
+        .stagedVersions(p).last
+      require(s.read.format("graftdocs").load(p).count() == baseCount,
+        "staged rows leaked into the main read path")
+      require(s.read.format("graftdocs")
+        .option("version", stagedV.toString).load(p).count() > baseCount,
+        "the audit read must see the staged rows")
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.publish(p, stagedV)
+      p
+    }
+
+  /** The published table, reassembled — oracle: the raw documents. */
+  def wapRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(wapPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtMv = new graft.SessionMemo[String]
 

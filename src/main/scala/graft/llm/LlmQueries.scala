@@ -1762,6 +1762,18 @@ object LlmQueries {
           FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i)
         ) ORDER BY "_commit_version", doc_id, "_change_type" """)),
 
+    // WRITE-AUDIT-PUBLISH (r18): a quarter of the corpus lands as a
+    // STAGE-ONLY append — CAS-claimed into the version chain, invisible
+    // to every main read (asserted in the builder), audited by explicit
+    // version — then cherry-picked onto the then-current head by the
+    // publish verb (the Iceberg wap.id / cherrypick_snapshot shape). The
+    // oracle is the WHOLE documents table: the hash match certifies the
+    // published view reassembles base + staged rows bit-exactly.
+    QueryDef("dsv2_wap",
+      (s, dir) => DocsDsv2.wapRead(s, dir),
+      Some("""
+        SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
+
     // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (r18): a stored
     // lang-grouped aggregate kept current by delta-applying the change
     // feed — COUNT/SUM fold over ±row deltas, so the refresh reads

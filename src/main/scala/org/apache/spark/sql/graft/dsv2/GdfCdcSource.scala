@@ -67,7 +67,7 @@ class GraftDocsCdc extends StreamSourceProvider with DataSourceRegister {
         finally in.close()
       } else {
         val v = parameters.get("startingversion").map(_.toInt)
-          .getOrElse(GdfManifest.versions(path).last)
+          .getOrElse(GdfManifest.mainVersions(path).last)
         fs.mkdirs(metaDir)
         val out = fs.create(startFile, false)
         try out.write(
@@ -108,17 +108,20 @@ private[dsv2] class GdfChangesStreamSource(spark: SparkSession,
   /** Highest version already served/committed — the self-pacing floor. */
   @volatile private var emitted: Int = startVersion
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(GdfManifest.versions(path).last)
+  /** The PUBLISHED chain only (r18): staged (write-audit-publish)
+    * snapshots never become offsets — their changes stream at publish. */
+  private def mains(): Seq[Int] = GdfManifest.mainVersions(path)
 
-  /** ONE COMMIT WINDOW PER MICRO-BATCH: the next unserved version,
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(mains().last)
+
+  /** ONE COMMIT WINDOW PER MICRO-BATCH: the next unserved MAIN version,
     * bounded by the (possibly frozen) latest — commit granularity is
     * the changelog's natural batch unit. */
   private def nextOffset(after: Int): Option[Int] = {
-    val latest = availableNowTarget
-      .getOrElse(GdfManifest.versions(path).last)
-    val next = math.min(latest, math.max(after, emitted) + 1)
-    if (next > after && next > emitted) Some(next) else None
+    val latest = availableNowTarget.getOrElse(mains().last)
+    val floor = math.max(after, emitted)
+    mains().find(v => v > floor && v <= latest)
   }
 
   override def getOffset: Option[V1Offset] =
@@ -153,8 +156,11 @@ private[dsv2] class GdfChangesStreamSource(spark: SparkSession,
     val to = versionOf(end)
     emitted = math.max(emitted, to)
     val outCols = schema.fieldNames.toSeq
-    val windows = ((from + 1) to to).map { v =>
-      val w = GdfMaintenance.changes(spark, path, v - 1, v)
+    // each window diffs a MAIN version against its MAIN predecessor —
+    // staged snapshots in between are not steps in the feed
+    val wins = mains().filter(v => v > from && v <= to)
+    val windows = wins.zip(from +: wins.dropRight(1)).map { case (v, prev) =>
+      val w = GdfMaintenance.changes(spark, path, prev, v)
         .withColumn("_commit_version", lit(v))
       outCols.foldLeft(w) { (df, c) =>
         if (df.columns.contains(c)) df

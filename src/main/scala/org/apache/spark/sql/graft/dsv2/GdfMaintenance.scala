@@ -120,17 +120,18 @@ object GdfMaintenance {
     * prior merge-on-read deletes: the rewritten file has no vector. */
   private def alignedRows(path: String, schema: StructType,
       f: GdfManifest.FileStat,
-      eqDeletes: Seq[(Int, String)] = Seq.empty): Seq[Array[Any]] = {
+      eqDeletes: Seq[GdfManifest.EqDelete] = Seq.empty): Seq[Array[Any]] = {
     val (names, raw) = GdfFormat.readFileRaw(
       new File(path, f.name).getAbsolutePath)
     val dead = new java.util.BitSet()
     f.dv.foreach(d => GdfFormat.readDeleteVector(
       new File(path, d).getAbsolutePath).foreach(dead.set))
     // EQUALITY-DELETE keys scoped to this file's bucket (r18) drop here
-    // too, so every rewrite path physically reconciles them
+    // too, so every rewrite path physically reconciles them — under the
+    // SEQUENCE RULE: a delete reaches only strictly older files
     val eqKeys: Set[Long] = eqDeletes.collect {
-      case (b, n) if b == f.bucket =>
-        GdfFormat.readEqDelete(new File(path, n).getAbsolutePath).toSeq
+      case e if e.bucket == f.bucket && f.seq < e.seq =>
+        GdfFormat.readEqDelete(new File(path, e.file).getAbsolutePath).toSeq
     }.flatten.toSet
     val keyIdx = names.indexOf("doc_id")
     val idx = schema.fieldNames.map(n => n -> names.indexOf(n)).toMap
@@ -148,7 +149,7 @@ object GdfMaintenance {
     * was dropped. */
   private def rewriteFile(path: String, schema: StructType,
       f: GdfManifest.FileStat, newName: String,
-      eqDeletes: Seq[(Int, String)] = Seq.empty)(
+      eqDeletes: Seq[GdfManifest.EqDelete] = Seq.empty)(
       transform: Array[Any] => Option[Array[Any]])
       : (Option[GdfManifest.FileStat], Seq[Array[Any]]) = {
     val aligned = alignedRows(path, schema, f, eqDeletes)
@@ -177,7 +178,7 @@ object GdfMaintenance {
     // delete vector OR when an equality-delete file is scoped to it
     // (r18) — compaction is where BOTH delete kinds physically
     // reconcile and their slim files drop
-    val eqBuckets = m.eqDeletes.map(_._1).toSet
+    val eqBuckets = m.eqDeletes.map(_.bucket).toSet
     val (multi, single) = byBucket.partition { case (b, fs) =>
       fs.size > 1 || fs.exists(_.dv.isDefined) || eqBuckets.contains(b) }
     val compacted: Seq[GdfManifest.FileStat] =
@@ -214,7 +215,7 @@ object GdfMaintenance {
       Some(cur.copy(files =
         cur.files.filterNot(f => replaced.contains(f.name)) ++ added,
         eqDeletes =
-          cur.eqDeletes.filterNot(e => dropEqBuckets.contains(e._1))))
+          cur.eqDeletes.filterNot(e => dropEqBuckets.contains(e.bucket))))
     }
 
   /** Row-level DELETE, MERGE-ON-READ (r18, judge ask #2): instead of
@@ -311,7 +312,7 @@ object GdfMaintenance {
     val entries = byBucket.toSeq.sortBy(_._1).map { case (b, ks) =>
       val name = s"eq-$b-v$version-$token.eqd"
       GdfFormat.writeEqDelete(path, name, ks)
-      (b, name)
+      GdfManifest.EqDelete(b, name) // seq stamped at commit
     }
     GdfManifest.commitRetry(path) { curOpt =>
       val cur = curOpt.getOrElse(
@@ -590,6 +591,9 @@ object GdfMaintenance {
     require(fromV < toV, s"changes requires fromV < toV, got $fromV..$toV")
     val oldM = GdfManifest.readVersion(path, fromV)
     val newM = GdfManifest.readVersion(path, toV)
+    require(!oldM.staged && !newM.staged,
+      s"the change feed addresses PUBLISHED snapshots only; " +
+        s"v$fromV/v$toV at $path includes a staged one")
     val oldByName = oldM.files.map(f => f.name -> f).toMap
     val newByName = newM.files.map(f => f.name -> f).toMap
     val removed = oldM.files.filterNot(f => newByName.contains(f.name))
@@ -598,7 +602,7 @@ object GdfMaintenance {
     // grew OR when its bucket's EQUALITY-DELETE set changed (r18)
     val eqChanged: Set[Int] =
       ((newM.eqDeletes.toSet diff oldM.eqDeletes.toSet) ++
-        (oldM.eqDeletes.toSet diff newM.eqDeletes.toSet)).map(_._1)
+        (oldM.eqDeletes.toSet diff newM.eqDeletes.toSet)).map(_.bucket)
     val dvChanged = newM.files.filter(f =>
       oldByName.get(f.name).exists(o =>
         o.dv != f.dv || eqChanged.contains(f.bucket)))
@@ -661,6 +665,40 @@ object GdfMaintenance {
       .mode("overwrite").save(path)
   }
 
+  /** PUBLISH a staged snapshot (r18) — the write-audit-publish verb:
+    * cherry-pick the staged append's `stagedAdds` data files onto the
+    * CURRENT main head as a new commit (Iceberg's
+    * `cherrypick_snapshot(wap_id)`). The staged write recorded exactly
+    * which files it introduced, so publish works even when other
+    * commits landed since staging — an append commutes with any
+    * intervening snapshot; that is why staging is restricted to
+    * appends. Publishing twice, publishing a non-staged snapshot, or
+    * publishing an expired stage all fail loudly. Returns the published
+    * version. */
+  /** Retained snapshot versions that are unpublished stages — the
+    * public face callers audit/publish through. */
+  def stagedVersions(path: String): Seq[Int] =
+    GdfManifest.versions(path)
+      .filter(v => GdfManifest.readVersion(path, v).staged)
+
+  def publish(path: String, stagedVersion: Int): Int =
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      val s = GdfManifest.readVersion(path, stagedVersion) // loud if expired
+      require(s.staged,
+        s"v$stagedVersion at $path is not a staged snapshot")
+      val addNames = s.stagedAdds.toSet
+      val adds = s.files.filter(f => addNames.contains(f.name))
+      require(adds.map(_.name).toSet == addNames,
+        s"staged snapshot v$stagedVersion lost track of its adds")
+      require(!cur.files.exists(f => addNames.contains(f.name)),
+        s"staged snapshot v$stagedVersion was already published")
+      // the staged write may have widened the schema (evolution rules)
+      Some(cur.copy(schema = GdfAppend.mergedSchema(cur.schema, s.schema),
+        files = cur.files ++ adds))
+    }
+
   /** Create a named TAG pinning a retained snapshot (r18) — the Iceberg
     * ref shape: `VERSION AS OF '<tag>'` resolves through it, and the
     * pinned snapshot (plus the files it needs) SURVIVES retention
@@ -721,7 +759,10 @@ object GdfMaintenance {
     * O(changed files) read; the union is their concatenation. */
   def changesLog(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val vs = GdfManifest.versions(path)
+    // MAIN versions only (r18): a staged (write-audit-publish) snapshot
+    // never enters the feed — its changes surface at publish, as part
+    // of the publishing commit's window
+    val vs = GdfManifest.mainVersions(path)
     require(vs.size >= 2,
       s"changelog needs at least two retained snapshots at $path, got $vs")
     vs.sliding(2).map { case Seq(a, b) =>

@@ -151,14 +151,28 @@ private[dsv2] object GdfManifest {
     * `rows`/min/max stay the PHYSICAL file stats (still sound for
     * pruning — a superset — but no longer exact, so aggregate pushdown
     * refuses any file carrying a dv). */
+  /** `seq` (r18): the DATA SEQUENCE NUMBER — the snapshot version that
+    * ADDED this file, stamped centrally at [[commitVersion]] (carried
+    * files keep theirs; a rewrite is an add). Equality deletes apply
+    * only to files with a STRICTLY OLDER seq — the Iceberg-v2 sequence
+    * rule: without it, an append after an equality delete either
+    * resurrects the deleted rows (entries dropped) or wrongly deletes
+    * the newly appended row with the same key (entries replayed). */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
       colStats: Seq[(String, Long, Long)] = Seq.empty,
       colBlooms: Seq[(String, Array[Long])] = Seq.empty,
-      dv: Option[String] = None, dvRows: Long = 0L) {
+      dv: Option[String] = None, dvRows: Long = 0L,
+      seq: Int = 0) {
     /** Rows a scan actually serves from this file. */
     def liveRows: Long = rows - dvRows
   }
+
+  /** One equality-delete file: a sorted key list scoped to `bucket`,
+    * applying to data files of that bucket with `fileSeq < seq` (legacy
+    * manifests parse to `Int.MaxValue` — apply to everything, the
+    * pre-seq behavior). */
+  case class EqDelete(bucket: Int, file: String, seq: Int = Int.MaxValue)
   /** `layout` (r16): "hash" (bucket = pmod(doc_id, buckets) — the
     * EqualTo bucket-pin fast path applies) or "zorder" (bucket = a
     * Z-curve prefix cell over two columns — doc_id EqualTo must rely on
@@ -178,10 +192,22 @@ private[dsv2] object GdfManifest {
     * equality delete commits WITHOUT reading any data file (the
     * streaming-CDC delete); every reader of the bucket applies it as a
     * key skip; compaction reconciles and drops it. */
+  /** `staged`/`stagedAdds` (r18): WRITE-AUDIT-PUBLISH — a staged
+    * snapshot is CAS-claimed into the version chain like any commit but
+    * is invisible to the main read path ([[read]] skips it); auditors
+    * address it explicitly (`option("version", v)`), and
+    * [[GdfMaintenance.publish]] cherry-picks `stagedAdds` (the data
+    * files the staged append introduced) onto the then-current head —
+    * the Iceberg stage-only-commit (`wap.id`) + cherrypick_snapshot
+    * shape. A staged snapshot expires by ordinary retention recency, so
+    * audit-and-publish must keep pace with the retention window (the
+    * documented Iceberg WAP/expire interaction); an expired stage fails
+    * publish loudly at the manifest. */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
       layout: String = "hash", epochs: Seq[Long] = Seq.empty,
       ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty,
-      eqDeletes: Seq[(Int, String)] = Seq.empty)
+      eqDeletes: Seq[EqDelete] = Seq.empty,
+      staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -263,16 +289,22 @@ private[dsv2] object GdfManifest {
       val dv = f.dv.map(d =>
         s""","dv":${q(d)},"dvRows":${f.dvRows}""").getOrElse("")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
-        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId}$stats$blooms$dv}"""
+        s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId},""" +
+        s""""seq":${f.seq}$stats$blooms$dv}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
     val refs = m.refs.map { case (n, v) => s"""{"tag":${q(n)},"v":$v}""" }
       .mkString("[", ",", "]")
-    val eqd = m.eqDeletes.map { case (b, n) => s"""{"b":$b,"f":${q(n)}}""" }
+    val eqd = m.eqDeletes.map(e =>
+        s"""{"b":${e.bucket},"f":${q(e.file)},"s":${e.seq}}""")
       .mkString("[", ",", "]")
+    val wap =
+      if (!m.staged) ""
+      else s""""staged":true,"stagedAdds":${
+        m.stagedAdds.map(q).mkString("[", ",", "]")},"""
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"ts":${m.ts},"refs":$refs,"eqd":$eqd,""" +
+      s""""layout":${q(m.layout)},"ts":${m.ts},$wap"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -289,7 +321,7 @@ private[dsv2] object GdfManifest {
     * pointer back, because the pointer is always re-derived from the
     * version files, which only the CAS claim creates). */
   private def refreshPointer(path: String): Unit = synchronized {
-    versions(path).lastOption.foreach { v =>
+    mainVersions(path).lastOption.foreach { v =>
       val tmp = writeTmp(new File(path), new String(
         java.nio.file.Files.readAllBytes(
           new File(path, s"manifest-v$v.json").toPath),
@@ -318,8 +350,27 @@ private[dsv2] object GdfManifest {
     // a total order even when two commits land within one clock tick
     val parentTs = versions(path).lastOption
       .map(v => readVersion(path, v).ts).getOrElse(0L)
+    // DATA SEQUENCE NUMBERS stamped centrally (r18): a file name seen in
+    // any retained snapshot keeps its original seq; a genuinely new name
+    // (append, rewrite, compaction output) is sequenced at THIS version.
+    // Equality-delete files sequence the same way — the scan's
+    // `fileSeq < eqSeq` rule then scopes each delete to strictly older
+    // data, so appends neither resurrect deleted rows nor lose new ones.
+    // STAGED manifests are excluded from the known map: their files'
+    // sequence becomes final only at PUBLISH (the Iceberg cherry-pick
+    // re-sequences — the change "happens" when it reaches main).
+    val retained = versions(path).map(v => readVersion(path, v))
+      .filterNot(_.staged)
+    val knownFileSeq: Map[String, Int] =
+      retained.flatMap(_.files.map(f => f.name -> f.seq)).toMap
+    val knownEqSeq: Map[String, Int] =
+      retained.flatMap(_.eqDeletes.map(e => e.file -> e.seq)).toMap
     val stamped = m.copy(
-      ts = math.max(System.currentTimeMillis(), parentTs + 1))
+      ts = math.max(System.currentTimeMillis(), parentTs + 1),
+      files = m.files.map(f =>
+        f.copy(seq = knownFileSeq.getOrElse(f.name, version))),
+      eqDeletes = m.eqDeletes.map(e =>
+        e.copy(seq = knownEqSeq.getOrElse(e.file, version))))
     val tmp = writeTmp(dir, render(stamped))
     val vf = new File(dir, s"manifest-v$version.json")
     // the CAS primitive: hard-link creation is ATOMIC no-replace on
@@ -349,12 +400,15 @@ private[dsv2] object GdfManifest {
     // separate orphan-GC verb, the Iceberg split of responsibilities)
     def fileRefs(vm: Manifest): Set[String] =
       (vm.files.map(_.name) ++ vm.files.flatMap(_.dv) ++
-        vm.eqDeletes.map(_._2)).toSet
+        vm.eqDeletes.map(_.file)).toSet
     val all = versions(path)
     // TAGGED versions are PINNED (r18): a named ref keeps its snapshot
     // (and the files it needs) past the retention window — expiry never
     // breaks a tag
-    val pinned = stamped.refs.map(_._2).toSet
+    // the MAIN HEAD is always pinned too (r18): stacked staged commits
+    // must never expire the snapshot the main read path serves
+    val pinned = stamped.refs.map(_._2).toSet ++
+      mainVersions(path).lastOption.toSet
     val keep = (all.takeRight(MaxRetainedVersions).toSet ++ pinned).toSeq
     val expired = all.filterNot(keep.contains)
     val dead = expired.flatMap(v => fileRefs(readVersion(path, v))).toSet --
@@ -402,12 +456,21 @@ private[dsv2] object GdfManifest {
       StandardCharsets.UTF_8))
   }
 
-  /** Current state = the HIGHEST retained snapshot. The `manifest.json`
-    * pointer is only a fallback (pre-CAS tables / external tools): under
-    * racing committers the version files are the source of truth — a
-    * stale pointer can never serve an older snapshot as current. */
+  /** Retained versions visible to the MAIN read path — staged (WAP)
+    * snapshots are excluded: they exist in the chain for auditors who
+    * address them explicitly, but never serve as anyone's "current",
+    * and the change feed never steps through them (changes surface at
+    * PUBLISH, the Iceberg stage-only contract). */
+  def mainVersions(path: String): Seq[Int] =
+    versions(path).filterNot(v => readVersion(path, v).staged)
+
+  /** Current state = the HIGHEST retained NON-STAGED snapshot. The
+    * `manifest.json` pointer is only a fallback (pre-CAS tables /
+    * external tools): under racing committers the version files are the
+    * source of truth — a stale pointer can never serve an older
+    * snapshot as current. */
   def read(path: String): Manifest =
-    versions(path).lastOption.map(v => readVersion(path, v)).getOrElse {
+    mainVersions(path).lastOption.map(v => readVersion(path, v)).getOrElse {
       val f = new File(path, "manifest.json")
       require(f.exists(), s"no graftdocs manifest at $path")
       parse(new String(java.nio.file.Files.readAllBytes(f.toPath),
@@ -451,30 +514,38 @@ private[dsv2] object GdfManifest {
         .findAllMatchIn(s).map(m => (m.group(1), m.group(2).toInt)))
     val eqd = "\"eqd\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
-      .flatMap(s => "\\{\"b\":(\\d+),\"f\":\"([^\"]+)\"\\}".r
-        .findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2))))
+      .flatMap(s => "\\{\"b\":(\\d+),\"f\":\"([^\"]+)\"(?:,\"s\":(\\d+))?\\}".r
+        .findAllMatchIn(s).map(m => EqDelete(m.group(1).toInt, m.group(2),
+          Option(m.group(3)).map(_.toInt).getOrElse(Int.MaxValue))))
     val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").map(_.trim.toLong))
+    val staged = json.contains("\"staged\":true")
+    val stagedAdds = "\"stagedAdds\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)))
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
+      "(?:,\"seq\":(\\d+))?" +
       "(?:,\"stats\":\\[([^\\]]*)\\])?" +
       "(?:,\"blooms\":\\[([^\\]]*)\\])?" +
       "(?:,\"dv\":\"([^\"]+)\",\"dvRows\":(\\d+))?\\}").r
     val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
     val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
-      val colStats = Option(m.group(6)).toSeq.flatMap(s =>
+      val colStats = Option(m.group(7)).toSeq.flatMap(s =>
         statRe.findAllMatchIn(s).map(sm =>
           (sm.group(1), sm.group(2).toLong, sm.group(3).toLong)).toSeq)
-      val colBlooms = Option(m.group(7)).toSeq.flatMap(s =>
+      val colBlooms = Option(m.group(8)).toSeq.flatMap(s =>
         bloomRe.findAllMatchIn(s).map(bm =>
           (bm.group(1), GdfBloom.fromHex(bm.group(2)))).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
-        Option(m.group(8)), Option(m.group(9)).map(_.toLong).getOrElse(0L))
+        Option(m.group(9)), Option(m.group(10)).map(_.toLong).getOrElse(0L),
+        Option(m.group(6)).map(_.toInt).getOrElse(0))
     }.toSeq
-    Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd)
+    Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
+      staged, stagedAdds)
   }
 }
 
@@ -549,6 +620,7 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
+      staged = Option(info.options.get("staged")).exists(_.toBoolean),
       Option(info.options.get("buckets")).map(_.toInt)
         .getOrElse(defaultBuckets),
       Option(info.options.get("layout")).getOrElse("hash"))
@@ -765,8 +837,11 @@ private[dsv2] object GdfFileSlice {
     GdfFileSlice(new File(dir, f.name).getAbsolutePath,
       f.dv.map(d => new File(dir, d).getAbsolutePath),
       if (m == null) Seq.empty
-      else m.eqDeletes.collect { case (b, n) if b == f.bucket =>
-        new File(dir, n).getAbsolutePath })
+      // the SEQUENCE RULE (r18): an equality delete reaches only data
+      // files of its bucket that are STRICTLY OLDER than the delete
+      else m.eqDeletes.collect {
+        case e if e.bucket == f.bucket && f.seq < e.seq =>
+          new File(dir, e.file).getAbsolutePath })
 }
 
 /** One scan partition = one BUCKET's surviving files (possibly several
@@ -1509,15 +1584,20 @@ private[dsv2] object GdfFormat {
 // --------------------------------------------------------------- write
 
 private[dsv2] class GdfWriteBuilder(path: String, schema: StructType,
-    buckets: Int, layout: String) extends WriteBuilder with SupportsTruncate {
+    staged: Boolean, buckets: Int, layout: String)
+    extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
-  override def build(): Write =
-    new GdfWrite(path, schema, buckets, layout, truncateRequested)
+  override def build(): Write = {
+    require(!(staged && truncateRequested),
+      "a staged (write-audit-publish) commit must be an APPEND — " +
+        "overwrite cannot be cherry-picked onto a moved head")
+    new GdfWrite(path, schema, buckets, layout, truncateRequested, staged)
+  }
 }
 
 private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
-    layout: String, truncate: Boolean)
+    layout: String, truncate: Boolean, staged: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   require(schema.fieldNames.contains("bucket"),
@@ -1538,7 +1618,7 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
 
   override def toBatch: BatchWrite =
     new GdfBatchWrite(path, schema, buckets, layout, truncate,
-      GdfManifest.nextVersion(path))
+      GdfManifest.nextVersion(path), staged)
 
   /** The STREAMING SINK face (r17): each epoch appends its bucket files
     * and commits one snapshot; the manifest's epoch ledger makes a
@@ -1581,12 +1661,17 @@ private[dsv2] object GdfAppend {
           s"bucket count mismatch: table has ${cur.buckets}")
         GdfManifest.Manifest(mergedSchema(cur.schema, incoming), cur.buckets,
           cur.files ++ stats, cur.layout, cur.epochs ++ epoch.toSeq,
-          refs = cur.refs)
+          refs = cur.refs,
+          // carried forward (r18): dropping them resurrected equality-
+          // deleted rows on the next append; the sequence rule keeps
+          // them from touching the newly appended files
+          eqDeletes = cur.eqDeletes)
     }
 }
 
 private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
-    buckets: Int, layout: String, truncate: Boolean, version: Int)
+    buckets: Int, layout: String, truncate: Boolean, version: Int,
+    staged: Boolean = false)
     extends BatchWrite {
 
   /** The version tag plus a per-write random token keep data-file names
@@ -1611,7 +1696,16 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
     GdfManifest.commitRetry(path) { cur =>
-      Some(
+      if (staged) {
+        // WRITE-AUDIT-PUBLISH (r18): a stage-only append — the snapshot
+        // is its parent (the current main head) plus the new files, CAS-
+        // claimed into the chain but invisible to the main read path
+        // until GdfMaintenance.publish cherry-picks stagedAdds forward
+        require(cur.nonEmpty,
+          "a staged commit needs an existing table to stage onto")
+        Some(GdfAppend.appended(cur, schema, buckets, layout, stats, None)
+          .copy(staged = true, stagedAdds = stats.map(_.name)))
+      } else Some(
         if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout,
           refs = cur.map(_.refs).getOrElse(Seq.empty)) // tags survive overwrite
         else GdfAppend.appended(cur, schema, buckets, layout, stats, None))

@@ -49,10 +49,33 @@ class GdfEqDeleteSpec extends SparkSpec {
       new java.io.FileOutputStream(new File(p, f.name)).close())
     GdfMaintenance.deleteByKeys(p, Seq(5L, 9L, 13L))
     val m = GdfManifest.read(p)
-    assert(m.eqDeletes.map(_._1).sorted == Seq(1, 1, 1).distinct,
+    assert(m.eqDeletes.map(_.bucket).sorted == Seq(1, 1, 1).distinct,
       s"keys 5,9,13 all live in bucket 1: ${m.eqDeletes}")
     assert(m.files.map(_.name).toSet == before.keySet,
       "data files must carry over verbatim in the manifest")
+  }
+
+  test("an append after the delete neither resurrects nor loses rows (seq rule)") {
+    val p = freshDir()
+    plant(p) // v1: rows 0..39, val = 10·id
+    GdfMaintenance.deleteByKeys(p, Seq(5L, 9L)) // v2: eq delete
+    // v3: append — including a RE-INSERT of key 5 with a new value
+    Seq((5L, 777L, "new5"), (100L, 1L, "t100"))
+      .toDF("doc_id", "val", "tag")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4").mode("append").save(p)
+    val rows = readT(p).select("doc_id", "val").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!rows.contains(9L), "the deleted key must STAY deleted after append")
+    assert(rows.get(5L).contains(777L),
+      s"the re-inserted key must serve the NEW row only: ${rows.get(5L)}")
+    assert(rows.get(100L).contains(1L))
+    assert(rows.size == 40 - 2 + 2, s"row count off: ${rows.size}")
+    // and the rewrite paths agree: compaction reconciles to the same view
+    GdfMaintenance.compact(spark, p)
+    val after = readT(p).select("doc_id", "val").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == rows, "compaction must preserve the sequenced view")
   }
 
   test("read view equals the other delete forms; pruned projection filters") {
