@@ -697,6 +697,56 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Default-values split: rows with doc_id ≡ [[DefRes]] (mod
+    * [[DefMod]]) arrive AFTER the column exists, carrying real values;
+    * the rest predate it and serve the declared default. */
+  val DefMod = 5L
+  val DefRes = 2L
+  val DefVal = 7L
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtDef = new graft.SessionMemo[String]
+
+  /** DEFAULT COLUMN VALUES (r18): base table at v1; `ADD COLUMN quality
+    * DEFAULT 7` as a METADATA-ONLY commit (Iceberg-v3 initial-default);
+    * then the held-out rows append WITH real quality values. Old files
+    * serve the default at read time without any rewrite; the oracle
+    * re-derives the whole table with a CASE over the split — the hash
+    * match certifies the default serves exactly where (and only where)
+    * the column predates the data. GdfDefaultSpec pins the metadata-only
+    * commit, rewrite materialization, feed defaults, time travel to the
+    * narrow schema, and the loud failure modes. */
+  def defPath(s: SparkSession, dir: String): String =
+    builtDef.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-def/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      val held = pmod(col("doc_id"), lit(DefMod)) === DefRes
+      docs.where(!held).write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p) // v1
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.addColumn(
+        p, "quality", org.apache.spark.sql.types.LongType,
+        Some(DefVal.toString)) // v2: metadata-only
+      docs.where(held)
+        .withColumn("quality", pmod(col("n_chars"), lit(5L)))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("append").save(p) // v3
+      p
+    }
+
+  /** The evolved table: pre-column rows serve the default. */
+  def defRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(defPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtMv = new graft.SessionMemo[String]
 

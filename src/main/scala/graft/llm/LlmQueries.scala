@@ -1774,6 +1774,21 @@ object LlmQueries {
       Some("""
         SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
 
+    // DEFAULT COLUMN VALUES (r18): ADD COLUMN ... DEFAULT as a
+    // metadata-only commit (the Iceberg-v3 initial-default shape) — old
+    // files serve the declared default in every read path with zero
+    // rewrites; rows appended after the evolution carry real values.
+    // The oracle re-derives the table with a CASE over the arrival
+    // split, so the hash match certifies the default lands exactly
+    // where the column predates the data.
+    QueryDef("dsv2_default_values",
+      (s, dir) => DocsDsv2.defRead(s, dir),
+      Some(s"""
+        SELECT doc_id, n_chars, lang,
+               CASE WHEN doc_id % ${DocsDsv2.DefMod} = ${DocsDsv2.DefRes}
+                    THEN n_chars % 5 ELSE ${DocsDsv2.DefVal} END AS quality
+        FROM documents ORDER BY doc_id""")),
+
     // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (r18): a stored
     // lang-grouped aggregate kept current by delta-applying the change
     // feed — COUNT/SUM fold over ±row deltas, so the refresh reads

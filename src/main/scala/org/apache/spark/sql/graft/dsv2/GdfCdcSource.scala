@@ -164,7 +164,10 @@ private[dsv2] class GdfChangesStreamSource(spark: SparkSession,
         .withColumn("_commit_version", lit(v))
       outCols.foldLeft(w) { (df, c) =>
         if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(schema(c).dataType))
+        else df.withColumn(c,
+          if (c == "_change_type" || c == "_commit_version")
+            lit(null).cast(schema(c).dataType)
+          else GdfManifest.defaultColumn(schema(c)))
       }.select(outCols.map(col): _*)
     }
     val batch =

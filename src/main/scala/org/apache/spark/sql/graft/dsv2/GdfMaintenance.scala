@@ -137,8 +137,10 @@ object GdfMaintenance {
     val idx = schema.fieldNames.map(n => n -> names.indexOf(n)).toMap
     raw.zipWithIndex.collect { case (r, pos) if !dead.get(pos) &&
         (eqKeys.isEmpty || !eqKeys.contains(longOf(r(keyIdx)))) =>
-      schema.fieldNames.map(n => idx(n) match {
-        case -1 => null: Any
+      schema.fields.map(fld => idx(fld.name) match {
+        // a column absent from the file MATERIALIZES its default on
+        // rewrite (Iceberg initial-default semantics), else null-fills
+        case -1 => GdfManifest.defaultRaw(fld).getOrElse(null): Any
         case i => r(i)
       })
     }
@@ -613,10 +615,11 @@ object GdfMaintenance {
         .option("version", v.toString)
         .option("files", names.mkString(","))
         .load(path)
-      // an old side predating schema evolution null-fills the new columns
+      // an old side predating schema evolution fills the new columns
+      // with their DEFAULT when one is declared (r18), else null
       cols.foldLeft(base) { (df, c) =>
         if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(newM.schema(c).dataType))
+        else df.withColumn(c, GdfManifest.defaultColumn(newM.schema(c)))
       }.select(cols.map(col): _*)
     }
     val pre = side(fromV, (removed ++ dvChanged.map(f => oldByName(f.name)))
@@ -675,6 +678,37 @@ object GdfMaintenance {
     * appends. Publishing twice, publishing a non-staged snapshot, or
     * publishing an expired stage all fail loudly. Returns the published
     * version. */
+  /** ADD COLUMN with an optional DEFAULT (r18) — a METADATA-ONLY commit
+    * (zero data files touched, the Iceberg-v3 `initial-default` / SQL
+    * `ADD COLUMN ... DEFAULT` shape): the new field lands in the
+    * manifest schema with its default recorded in field metadata. Files
+    * predating the column serve the default in every read path; every
+    * rewrite materializes it; later writes may fill real values. With
+    * no default the column null-fills — exactly the r17 evolution
+    * behavior the append path already has. */
+  def addColumn(path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): Unit =
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      require(!cur.schema.fieldNames.contains(name),
+        s"column '$name' already exists at $path")
+      require(dataType == LongType || dataType == IntegerType ||
+          dataType == StringType,
+        s"addColumn supports long/int/string, got $dataType")
+      val md = default.map(d =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(GdfManifest.DefaultKey, d).build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      // fail fast on an unparseable default, not at first read
+      val field = org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true, md)
+      GdfManifest.defaultInternal(field)
+      Some(cur.copy(schema =
+        org.apache.spark.sql.types.StructType(cur.schema.fields :+ field)))
+    }
+
   /** Retained snapshot versions that are unpublished stages — the
     * public face callers audit/publish through. */
   def stagedVersions(path: String): Seq[Int] =

@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -166,6 +166,45 @@ private[dsv2] object GdfManifest {
       seq: Int = 0) {
     /** Rows a scan actually serves from this file. */
     def liveRows: Long = rows - dvRows
+  }
+
+  /** DEFAULT COLUMN VALUES (r18) — the Iceberg-v3 `initial-default` /
+    * SQL `ADD COLUMN ... DEFAULT` shape: a column added by
+    * [[GdfMaintenance.addColumn]] records its default in the schema
+    * field's metadata (persisted free through `StructType.json` in the
+    * manifest). Files predating the column serve the DEFAULT instead of
+    * null — in both read paths, in every rewrite (which materializes
+    * it), and on the old side of the change feed. */
+  val DefaultKey = "graft.default"
+
+  /** The default in DECODE currency (what [[GdfDecode]] serves):
+    * Long / Int / UTF8String. */
+  def defaultInternal(f: StructField): Option[Any] =
+    if (!f.metadata.contains(DefaultKey)) None
+    else Some(f.dataType match {
+      case LongType => f.metadata.getString(DefaultKey).toLong: Any
+      case IntegerType => f.metadata.getString(DefaultKey).toInt: Any
+      case StringType => UTF8String.fromString(f.metadata.getString(DefaultKey))
+      case other => throw new IllegalArgumentException(
+        s"no default support for $other columns")
+    })
+
+  /** The default in RAW WRITE currency (what rewrites persist):
+    * Long / Int / Array[Byte]. */
+  def defaultRaw(f: StructField): Option[Any] =
+    defaultInternal(f).map {
+      case u: UTF8String => u.getBytes: Any
+      case v => v
+    }
+
+  /** The default as a Catalyst Column for DataFrame-level fills (the
+    * change feed's old side): `lit(default)` cast to the field type,
+    * or a typed null when no default is declared. */
+  def defaultColumn(f: StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (f.metadata.contains(DefaultKey))
+      lit(f.metadata.getString(DefaultKey)).cast(f.dataType)
+    else lit(null).cast(f.dataType)
   }
 
   /** One equality-delete file: a sorted key list scoped to `bucket`,
@@ -1266,8 +1305,12 @@ private[dsv2] object GdfDecode {
           decoded(name) = GdfFormat.readBlock(in, tag, rows)
         }
       }
-      val ordered = required.fieldNames.map(n =>
-        decoded.getOrElse(n, new Array[Any](rows))) // absent -> all-null
+      val ordered = required.fields.map(f =>
+        decoded.getOrElse(f.name, // absent -> the column DEFAULT, else null
+          GdfManifest.defaultInternal(f) match {
+            case Some(d) => Array.fill[Any](rows)(d)
+            case None => new Array[Any](rows)
+          }))
       (rows, ordered)
     } finally in.close()
   }
