@@ -748,6 +748,56 @@ object DocsDsv2 {
       .orderBy(col("doc_id"))
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtCon = new graft.SessionMemo[String]
+
+  /** CHECK CONSTRAINTS end to end (r18): the corpus table carries
+    * `n_chars >= 0` and `lang IS NOT NULL`; half the corpus loads, the
+    * constraints land (validating the existing rows), the other half
+    * appends UNDER enforcement, and a deliberately violating batch is
+    * REFUSED (asserted here — the snapshot version must not move). The
+    * oracle is the whole documents table: the hash match certifies that
+    * enforcement admitted every legal row and the refused batch leaked
+    * nothing. GdfConstraintSpec pins the verb-level semantics. */
+  def conPath(s: SparkSession, dir: String): String =
+    builtCon.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-con/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      val held = pmod(col("doc_id"), lit(2L)) === 1L
+      docs.where(!held).write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p) // v1
+      val gmx = org.apache.spark.sql.graft.dsv2.GdfMaintenance
+      gmx.addConstraint(s, p, "chars_nonneg", "n_chars >= 0") // v2
+      gmx.addConstraint(s, p, "lang_known", "lang IS NOT NULL") // v3
+      docs.where(held).write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("append").save(p) // v4
+      val before = gmx.currentVersion(p)
+      val thrown = try {
+        docs.limit(3).withColumn("n_chars", lit(-1L))
+          .write.format("graftdocs")
+          .option("buckets", Buckets.toString).mode("append").save(p)
+        false
+      } catch { case _: Throwable => true }
+      require(thrown, "the violating batch must be refused")
+      require(gmx.currentVersion(p) == before,
+        "a refused write must not move the snapshot version")
+      p
+    }
+
+  /** The constrained table, reassembled — oracle: the raw documents. */
+  def conRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(conPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtMv = new graft.SessionMemo[String]
 
   /** INCREMENTAL MATERIALIZED VIEW over the change history (r18): the

@@ -1774,6 +1774,19 @@ object LlmQueries {
       Some("""
         SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
 
+    // CHECK CONSTRAINTS (r18): the Delta ALTER TABLE ADD CONSTRAINT
+    // shape — (name, predicate) pairs in the manifest, validated
+    // against existing rows at add, enforced per row on every write
+    // path (batch append, overwrite, streaming epoch, merge source)
+    // with SQL three-valued semantics. The history appends half the
+    // corpus UNDER enforcement and REFUSES a violating batch (builder-
+    // asserted: the snapshot version must not move); the whole-table
+    // oracle certifies every legal row landed and nothing leaked.
+    QueryDef("dsv2_constraints",
+      (s, dir) => DocsDsv2.conRead(s, dir),
+      Some("""
+        SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
+
     // DEFAULT COLUMN VALUES (r18): ADD COLUMN ... DEFAULT as a
     // metadata-only commit (the Iceberg-v3 initial-default shape) — old
     // files serve the declared default in every read path with zero

@@ -396,6 +396,16 @@ object GdfMaintenance {
     require(source.columns.sorted.sameElements(srcCols.sorted),
       s"merge source must carry ${srcCols.mkString(",")}, " +
         s"got ${source.columns.mkString(",")}")
+    // CHECK constraints (r18) gate the merge source too — updates and
+    // inserts alike; one pass, violations surface before any rewrite
+    m.constraints.foreach { case (n, sql) =>
+      import org.apache.spark.sql.functions._
+      val bad = source
+        .where(!coalesce(expr(sql).cast("boolean"), lit(true)))
+        .limit(1).count()
+      if (bad > 0) throw new GdfConstraintViolation(
+        s"CHECK constraint '$n' ($sql) violated by a merge-source row")
+    }
     srcCols
   }
 
@@ -708,6 +718,49 @@ object GdfMaintenance {
       Some(cur.copy(schema =
         org.apache.spark.sql.types.StructType(cur.schema.fields :+ field)))
     }
+
+  /** ADD a named CHECK CONSTRAINT (r18) — the Delta `ALTER TABLE ADD
+    * CONSTRAINT` shape: existing rows are VALIDATED first (a violation
+    * anywhere fails the add loudly, nothing commits), then the (name,
+    * predicate) pair lands in the manifest as a metadata-only commit.
+    * From then on every write-path row evaluates the predicate with
+    * SQL-standard three-valued semantics (only FALSE violates; UNKNOWN
+    * passes) — batch appends, overwrites, streaming epochs, and merge
+    * sources alike. Validation and commit are two steps under OCC; a
+    * racing append between them is caught by ITS OWN enforcement (it
+    * re-reads constraints at write planning), so no unchecked row can
+    * land. */
+  def addConstraint(spark: SparkSession, path: String,
+      name: String, sql: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val existing = spark.read.format("graftdocs").load(path)
+      .where(!coalesce(expr(sql).cast("boolean"), lit(true)))
+      .limit(1).count()
+    require(existing == 0,
+      s"cannot add constraint '$name' ($sql) at $path: existing rows violate it")
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      require(!cur.constraints.exists(_._1 == name),
+        s"constraint '$name' already exists at $path")
+      Some(cur.copy(constraints = cur.constraints :+ (name -> sql)))
+    }
+  }
+
+  /** Drop a named constraint; subsequent writes stop enforcing it. */
+  def dropConstraint(path: String, name: String): Unit =
+    GdfManifest.commitRetry(path) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      require(cur.constraints.exists(_._1 == name),
+        s"no constraint '$name' at $path")
+      Some(cur.copy(constraints = cur.constraints.filterNot(_._1 == name)))
+    }
+
+  /** The current MAIN snapshot version — the public face of the
+    * version chain (staged snapshots excluded). */
+  def currentVersion(path: String): Int =
+    GdfManifest.mainVersions(path).last
 
   /** Retained snapshot versions that are unpublished stages — the
     * public face callers audit/publish through. */

@@ -242,11 +242,18 @@ private[dsv2] object GdfManifest {
     * audit-and-publish must keep pace with the retention window (the
     * documented Iceberg WAP/expire interaction); an expired stage fails
     * publish loudly at the manifest. */
+  /** `constraints` (r18): named CHECK constraints — (name, SQL
+    * predicate) pairs enforced on every row the write path admits (the
+    * Delta `ALTER TABLE ADD CONSTRAINT` shape). SQL-standard CHECK
+    * semantics: only a FALSE evaluation violates; UNKNOWN (null)
+    * passes. They survive overwrite like refs (table property, not
+    * data). */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
       layout: String = "hash", epochs: Seq[Long] = Seq.empty,
       ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty,
       eqDeletes: Seq[EqDelete] = Seq.empty,
-      staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty)
+      staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -342,8 +349,13 @@ private[dsv2] object GdfManifest {
       if (!m.staged) ""
       else s""""staged":true,"stagedAdds":${
         m.stagedAdds.map(q).mkString("[", ",", "]")},"""
+    val cons =
+      if (m.constraints.isEmpty) ""
+      else m.constraints.map { case (n, p) => s"""{"n":${q(n)},"p":${q(p)}}""" }
+        .mkString(""""constraints":[""", ",", "],")
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"ts":${m.ts},$wap"refs":$refs,"eqd":$eqd,""" +
+      s""""layout":${q(m.layout)},"ts":${m.ts},$wap$cons""" +
+      s""""refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -560,6 +572,10 @@ private[dsv2] object GdfManifest {
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(_.split(",").map(_.trim.toLong))
     val staged = json.contains("\"staged\":true")
+    val constraints = "\"constraints\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(s => "\\{\"n\":\"([^\"]+)\",\"p\":\"([^\"]+)\"\\}".r
+        .findAllMatchIn(s).map(m => (m.group(1), m.group(2))))
     val stagedAdds = "\"stagedAdds\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)))
@@ -584,7 +600,7 @@ private[dsv2] object GdfManifest {
         Option(m.group(6)).map(_.toInt).getOrElse(0))
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
-      staged, stagedAdds)
+      staged, stagedAdds, constraints)
   }
 }
 
@@ -659,6 +675,10 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
+      // CHECK constraints bind against the WRITE schema on the driver
+      GdfConstraints.bind(info.schema(),
+        if (GdfManifest.versions(path).isEmpty) Seq.empty
+        else GdfManifest.read(path).constraints),
       staged = Option(info.options.get("staged")).exists(_.toBoolean),
       Option(info.options.get("buckets")).map(_.toInt)
         .getOrElse(defaultBuckets),
@@ -1627,6 +1647,7 @@ private[dsv2] object GdfFormat {
 // --------------------------------------------------------------- write
 
 private[dsv2] class GdfWriteBuilder(path: String, schema: StructType,
+    constraints: Seq[GdfBoundConstraint],
     staged: Boolean, buckets: Int, layout: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateRequested = false
@@ -1635,12 +1656,14 @@ private[dsv2] class GdfWriteBuilder(path: String, schema: StructType,
     require(!(staged && truncateRequested),
       "a staged (write-audit-publish) commit must be an APPEND — " +
         "overwrite cannot be cherry-picked onto a moved head")
-    new GdfWrite(path, schema, buckets, layout, truncateRequested, staged)
+    new GdfWrite(path, schema, buckets, layout, truncateRequested, staged,
+      constraints)
   }
 }
 
 private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
-    layout: String, truncate: Boolean, staged: Boolean = false)
+    layout: String, truncate: Boolean, staged: Boolean = false,
+    constraints: Seq[GdfBoundConstraint] = Seq.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   require(schema.fieldNames.contains("bucket"),
@@ -1661,18 +1684,69 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
 
   override def toBatch: BatchWrite =
     new GdfBatchWrite(path, schema, buckets, layout, truncate,
-      GdfManifest.nextVersion(path), staged)
+      GdfManifest.nextVersion(path), staged, constraints)
 
   /** The STREAMING SINK face (r17): each epoch appends its bucket files
     * and commits one snapshot; the manifest's epoch ledger makes a
     * replayed epoch a no-op (exactly-once end to end with the
     * micro-batch read face on the other side). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GdfStreamingWrite(path, schema, buckets, layout)
+    new GdfStreamingWrite(path, schema, buckets, layout, constraints)
 }
 
 private[dsv2] case class GdfCommit(stats: Seq[GdfManifest.FileStat])
     extends WriterCommitMessage
+
+/** A row the write path refused — the Delta CHECK-constraint failure. */
+class GdfConstraintViolation(msg: String) extends RuntimeException(msg)
+
+/** One CHECK constraint analyzed and BOUND on the driver (type coercion
+  * runs through the real analyzer, so `n_chars > 3` coerces its literal
+  * against a long column exactly as SQL would); `bound0`/`bound1` carry
+  * the two possible writer row shapes (with/without the leading
+  * metadata field). Catalyst Expressions are serializable — executors
+  * eval them interpreted, three-valued: only FALSE violates. */
+private[dsv2] case class GdfBoundConstraint(name: String, sql: String,
+    bound0: org.apache.spark.sql.catalyst.expressions.Expression,
+    bound1: org.apache.spark.sql.catalyst.expressions.Expression) {
+  def bound(shift: Int): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (shift == 0) bound0 else bound1
+}
+
+private[dsv2] object GdfConstraints {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+
+  /** Parse + analyze + bind every table constraint against the WRITE
+    * schema (driver side — the analyzer needs the session). A
+    * constraint naming a column the write does not carry fails LOUDLY
+    * here: silently skipping it would admit unchecked rows. */
+  def bind(schema: StructType, constraints: Seq[(String, String)])
+      : Seq[GdfBoundConstraint] = {
+    if (constraints.isEmpty) return Seq.empty
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    constraints.map { case (n, sql) =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.execute(
+        LFilter(parsed, LocalRelation(attrs)))
+      val cond = analyzed.collectFirst { case f: LFilter => f.condition }
+        .getOrElse(throw new IllegalStateException(
+          s"constraint '$n' analysis lost its filter"))
+      require(cond.resolved,
+        s"constraint '$n' ($sql) does not resolve against columns " +
+          schema.fieldNames.mkString(", "))
+      def boundWith(shift: Int) = cond.transformUp {
+        case a: AttributeReference =>
+          val idx = attrs.indexWhere(_.exprId == a.exprId)
+          require(idx >= 0, s"constraint '$n' references a foreign column")
+          BoundReference(idx + shift, a.dataType, a.nullable)
+      }
+      GdfBoundConstraint(n, sql, boundWith(0), boundWith(1))
+    }
+  }
+}
 
 /** Shared commit arithmetic for the batch-append and streaming-epoch
   * paths: fold the new files into the current manifest under SCHEMA
@@ -1708,13 +1782,15 @@ private[dsv2] object GdfAppend {
           // carried forward (r18): dropping them resurrected equality-
           // deleted rows on the next append; the sequence rule keeps
           // them from touching the newly appended files
-          eqDeletes = cur.eqDeletes)
+          eqDeletes = cur.eqDeletes,
+          constraints = cur.constraints)
     }
 }
 
 private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     buckets: Int, layout: String, truncate: Boolean, version: Int,
-    staged: Boolean = false)
+    staged: Boolean = false,
+    constraints: Seq[GdfBoundConstraint] = Seq.empty)
     extends BatchWrite {
 
   /** The version tag plus a per-write random token keep data-file names
@@ -1726,7 +1802,7 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GdfWriterFactory(path, schema, suffix,
-      if (layout == "hash") buckets else 0)
+      if (layout == "hash") buckets else 0, constraints)
 
   /** Each commit is a SNAPSHOT: version-suffixed data files, the
     * versioned manifest next to the refreshed current pointer, snapshots
@@ -1750,7 +1826,8 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
           .copy(staged = true, stagedAdds = stats.map(_.name)))
       } else Some(
         if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout,
-          refs = cur.map(_.refs).getOrElse(Seq.empty)) // tags survive overwrite
+          refs = cur.map(_.refs).getOrElse(Seq.empty), // tags survive overwrite
+          constraints = cur.map(_.constraints).getOrElse(Seq.empty))
         else GdfAppend.appended(cur, schema, buckets, layout, stats, None))
     }
   }
@@ -1764,13 +1841,14 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
   * its files dropped — the commit is exactly-once even though the write
   * is at-least-once (GdfSinkSpec pins the replay). */
 private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
-    buckets: Int, layout: String)
+    buckets: Int, layout: String,
+    constraints: Seq[GdfBoundConstraint] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GdfWriterFactory(path, schema, "",
-      if (layout == "hash") buckets else 0)
+      if (layout == "hash") buckets else 0, constraints)
 
   /** Files already referenced by the current manifest — a replayed
     * epoch regenerates the SAME deterministic file names (it overwrote
@@ -1807,13 +1885,15 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
 }
 
 private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
-    suffix: String, hashBuckets: Int = 0) extends DataWriterFactory
+    suffix: String, hashBuckets: Int = 0,
+    constraints: Seq[GdfBoundConstraint] = Seq.empty) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, suffix, hashBuckets)
+    new GdfDataWriter(path, schema, suffix, hashBuckets, constraints)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, s"e$epochId-p$partitionId", hashBuckets)
+    new GdfDataWriter(path, schema, s"e$epochId-p$partitionId", hashBuckets,
+      constraints)
 }
 
 /** Buffers the task's rows per bucket (clustered distribution means one
@@ -1834,7 +1914,9 @@ private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
   *    pruning superset guarantee at read time (wrong results, the worst
   *    failure class). */
 private[dsv2] class GdfDataWriter(path: String, schema: StructType,
-    suffix: String, hashBuckets: Int = 0) extends DataWriter[InternalRow] {
+    suffix: String, hashBuckets: Int = 0,
+    constraints: Seq[GdfBoundConstraint] = Seq.empty)
+    extends DataWriter[InternalRow] {
 
   private val bucketIdx = schema.fieldIndex("bucket")
   private val docIdx = schema.fieldIndex("doc_id")
@@ -1845,6 +1927,18 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType,
     require(shift == 0 || shift == 1,
       s"graftdocs writer got a ${row.numFields}-field row for a " +
         s"${schema.fields.length}-column schema")
+    // CHECK constraints (r18): three-valued SQL semantics — only a
+    // FALSE evaluation refuses the row (UNKNOWN passes); interpreted
+    // eval of the driver-bound expression, no session needed here
+    var ci = 0
+    while (ci < constraints.length) {
+      val c = constraints(ci)
+      if (c.bound(shift).eval(row) == false)
+        throw new GdfConstraintViolation(
+          s"CHECK constraint '${c.name}' (${c.sql}) violated at $path " +
+            s"by doc_id ${row.getLong(docIdx + shift)}")
+      ci += 1
+    }
     val vals = schema.fields.zipWithIndex.map { case (f, i0) =>
       val i = i0 + shift
       if (row.isNullAt(i)) {
