@@ -747,6 +747,24 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** NDV STATISTICS from metadata only (r18): per-column distinct-count
+    * estimates folded from the per-file KMV sketches the writer commits
+    * with every file — zero data reads (GdfNdvSpec proves it by
+    * truncating the data files). The oracle recomputes the identical
+    * bottom-k fold (same md5-prefix hash, same floor((k-1)·2^60 / kth)
+    * arithmetic) from the raw table, so the hash match certifies the
+    * sketch write, the manifest round-trip, AND the merge fold. */
+  def ndvStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = path(s, dir)
+    val gmx = org.apache.spark.sql.graft.dsv2.GdfMaintenance
+    Seq("doc_id", "lang", "n_chars", "text").map { c =>
+      val (kth, est) = gmx.ndvEstimate(p, c)
+      (c, kth, est)
+    }.toDF("column_name", "kth_hash", "ndv_estimate")
+      .orderBy(col("column_name"))
+  }
+
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtCon = new graft.SessionMemo[String]
 

@@ -1774,6 +1774,40 @@ object LlmQueries {
       Some("""
         SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
 
+    // NDV STATISTICS from metadata only (r18): the Iceberg-Puffin shape
+    // — per-file KMV bottom-k sketches committed by the writer, merged
+    // by union+re-take at query time; the table-level distinct-count
+    // estimate opens ZERO data files (spec-proved by truncation). The
+    // oracle recomputes the identical deterministic fold from the raw
+    // table: same md5-prefix-60-bit hash, same hash-level dedup, same
+    // floor((k-1)·2^60/kth) estimator — bit-exact, not approximate-ish.
+    QueryDef("dsv2_ndv_stats",
+      (s, dir) => DocsDsv2.ndvStats(s, dir),
+      Some(s"""
+        WITH vals AS (
+          SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v
+          FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'text', text FROM documents),
+        d AS (SELECT DISTINCT column_name, v FROM vals WHERE v IS NOT NULL),
+        h AS (SELECT DISTINCT column_name,
+                     CAST(concat('0x', substr(md5(concat('ndv|', v)), 1, 15))
+                          AS BIGINT) AS h
+              FROM d),
+        r AS (SELECT column_name, h,
+                     row_number() OVER (PARTITION BY column_name ORDER BY h)
+                       AS rn
+              FROM h),
+        b AS (SELECT column_name, max(h) AS kth_hash, count(*) AS k_actual
+              FROM r WHERE rn <= 32 GROUP BY 1)
+        SELECT column_name, kth_hash,
+               CASE WHEN k_actual < 32 THEN k_actual
+                    ELSE CAST(floor(31.0 * power(2, 60)
+                           / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+               END AS ndv_estimate
+        FROM b ORDER BY column_name""")),
+
     // CHECK CONSTRAINTS (r18): the Delta ALTER TABLE ADD CONSTRAINT
     // shape — (name, predicate) pairs in the manifest, validated
     // against existing rows at add, enforced per row on every write

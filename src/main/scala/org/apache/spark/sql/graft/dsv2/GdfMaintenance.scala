@@ -757,6 +757,31 @@ object GdfMaintenance {
       Some(cur.copy(constraints = cur.constraints.filterNot(_._1 == name)))
     }
 
+  /** NDV ESTIMATE from METADATA ONLY (r18) — the Iceberg-Puffin
+    * statistics story: every data file carries per-column KMV bottom-k
+    * sketches; bottom-k sets merge by union + re-take, so the
+    * table-level distinct-count estimate folds from the manifest
+    * without opening a single data file (GdfNdvSpec proves it by
+    * truncating them first). Returns (kth_hash, estimate); below k
+    * distinct values the estimate IS the exact count (the sketch
+    * degenerates to the value set). Deterministic md5-prefix hashing —
+    * a SQL oracle recomputes the estimate bit-exactly. */
+  def ndvEstimate(path: String, column: String): (Long, Long) = {
+    val m = GdfManifest.read(path)
+    val perFile = m.files.map(f => f.colKmv.find(_._1 == column))
+    require(perFile.nonEmpty && perFile.forall(_.isDefined),
+      s"no NDV sketch for '$column' in every file at $path " +
+        "(sketches cover long/int/string columns written since r18)")
+    val k = GdfManifest.NdvK
+    val merged = perFile.flatMap(_.get._2).distinct.sorted.take(k)
+    if (merged.size < k) (merged.lastOption.getOrElse(0L), merged.size.toLong)
+    else {
+      val kth = merged(k - 1)
+      (kth, math.floor(
+        (k - 1).toDouble * math.pow(2, 60) / kth.toDouble).toLong)
+    }
+  }
+
   /** The current MAIN snapshot version — the public face of the
     * version chain (staged snapshots excluded). */
   def currentVersion(path: String): Int =

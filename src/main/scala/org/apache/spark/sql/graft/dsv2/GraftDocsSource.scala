@@ -158,14 +158,34 @@ private[dsv2] object GdfManifest {
     * rule: without it, an append after an equality delete either
     * resurrects the deleted rows (entries dropped) or wrongly deletes
     * the newly appended row with the same key (entries replayed). */
+  /** `colKmv` (r18): per-file, per-column KMV (bottom-k) DISTINCT
+    * sketches — the Iceberg-Puffin NDV-statistics shape, deterministic
+    * (md5-prefix hashes, engine-free arithmetic) so an oracle can
+    * recompute the estimate bit-exactly. Bottom-k sets merge by
+    * union+re-take, which is what makes per-file sketches fold into a
+    * table-level NDV from METADATA ONLY — no data read. */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
       colStats: Seq[(String, Long, Long)] = Seq.empty,
       colBlooms: Seq[(String, Array[Long])] = Seq.empty,
       dv: Option[String] = None, dvRows: Long = 0L,
-      seq: Int = 0) {
+      seq: Int = 0,
+      colKmv: Seq[(String, Seq[Long])] = Seq.empty) {
     /** Rows a scan actually serves from this file. */
     def liveRows: Long = rows - dvRows
+  }
+
+  /** KMV sketch size: 32 bottom hashes per column per file. */
+  val NdvK = 32
+
+  /** The NDV hash: md5("ndv|" + value-as-string), first 15 hex chars as
+    * a long — uniform in [0, 2^60), reproducible in any engine with an
+    * md5 (the repo's hash64 discipline). */
+  def ndvHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ndv|" + s).getBytes(StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }
 
   /** DEFAULT COLUMN VALUES (r18) — the Iceberg-v3 `initial-default` /
@@ -332,11 +352,16 @@ private[dsv2] object GdfManifest {
         else f.colBlooms.map { case (c, bits) =>
           s"""{"col":${q(c)},"bits":"${GdfBloom.toHex(bits)}"}"""
         }.mkString(""","blooms":[""", ",", "]")
+      val kmv =
+        if (f.colKmv.isEmpty) ""
+        else f.colKmv.map { case (c, hs) =>
+          s"""{"col":${q(c)},"h":"${GdfBloom.toHex(hs.toArray)}"}"""
+        }.mkString(""","kmv":[""", ",", "]")
       val dv = f.dv.map(d =>
         s""","dv":${q(d)},"dvRows":${f.dvRows}""").getOrElse("")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
         s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId},""" +
-        s""""seq":${f.seq}$stats$blooms$dv}"""
+        s""""seq":${f.seq}$stats$blooms$kmv$dv}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
@@ -584,9 +609,11 @@ private[dsv2] object GdfManifest {
       "(?:,\"seq\":(\\d+))?" +
       "(?:,\"stats\":\\[([^\\]]*)\\])?" +
       "(?:,\"blooms\":\\[([^\\]]*)\\])?" +
+      "(?:,\"kmv\":\\[([^\\]]*)\\])?" +
       "(?:,\"dv\":\"([^\"]+)\",\"dvRows\":(\\d+))?\\}").r
     val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
     val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
+    val kmvRe = "\\{\"col\":\"([^\"]+)\",\"h\":\"([0-9a-f]+)\"\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
       val colStats = Option(m.group(7)).toSeq.flatMap(s =>
         statRe.findAllMatchIn(s).map(sm =>
@@ -594,10 +621,13 @@ private[dsv2] object GdfManifest {
       val colBlooms = Option(m.group(8)).toSeq.flatMap(s =>
         bloomRe.findAllMatchIn(s).map(bm =>
           (bm.group(1), GdfBloom.fromHex(bm.group(2)))).toSeq)
+      val colKmv = Option(m.group(9)).toSeq.flatMap(s =>
+        kmvRe.findAllMatchIn(s).map(km =>
+          (km.group(1), GdfBloom.fromHex(km.group(2)).toSeq)).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
-        Option(m.group(9)), Option(m.group(10)).map(_.toLong).getOrElse(0L),
-        Option(m.group(6)).map(_.toInt).getOrElse(0))
+        Option(m.group(10)), Option(m.group(11)).map(_.toLong).getOrElse(0L),
+        Option(m.group(6)).map(_.toInt).getOrElse(0), colKmv)
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
       staged, stagedAdds, constraints)
@@ -1639,8 +1669,21 @@ private[dsv2] object GdfFormat {
     // column — point-lookup pruning where [min,max] is too wide to help
     val colBlooms = (("doc_id", ids) +: numCols.filter(_._2.nonEmpty))
       .map { case (n, vs) => (n, GdfManifest.GdfBloom.build(vs)) }
+    // per-column KMV bottom-k NDV sketches (r18): every long/int/string
+    // column — table-level distinct counts then fold from metadata only
+    val colKmv = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "bucket" &&
+          (f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == StringType) =>
+        val distinct = rows.iterator.map(_(i)).filter(_ != null).map {
+          case b: Array[Byte] => new String(b, StandardCharsets.UTF_8)
+          case v => v.toString
+        }.toSet
+        (f.name, distinct.toSeq.map(GdfManifest.ndvHash)
+          .distinct.sorted.take(GdfManifest.NdvK))
+    }.filter(_._2.nonEmpty).toSeq
     GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats,
-      colBlooms)
+      colBlooms, colKmv = colKmv)
   }
 }
 
