@@ -950,6 +950,26 @@ object DocsDsv2 {
       s"$rootDir/docs"
     }
 
+  /** The proc catalog's name for this (session, sf) — registered by
+    * [[procTablePath]]. */
+  private def procCat(dir: String): String =
+    "graftproc_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Integer.toHexString(dir.hashCode)
+
+  /** NDV through the SQL face (r18): `CALL cat.ndv('docs', '<col>')`
+    * per column over the proc catalog's table — the Iceberg-Puffin
+    * statistics CALL, answered from manifest sketches only. Shares
+    * dsv2_ndv_stats' oracle VERBATIM (the proc table holds the same
+    * corpus; compaction carried/rewrote every sketch). */
+  def sqlNdvStats(s: SparkSession, dir: String): DataFrame = {
+    procTablePath(s, dir)
+    val cat = procCat(dir)
+    Seq("doc_id", "lang", "n_chars", "text")
+      .map(c => s.sql(s"CALL $cat.ndv('docs', '$c')"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("column_name"))
+  }
+
   /** Post-CALL certification read — text_stats' oracle VERBATIM (the
     * procedure changes layout, not one output bit). */
   def sqlCompactStats(s: SparkSession, dir: String): DataFrame =

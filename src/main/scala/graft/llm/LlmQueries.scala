@@ -69,6 +69,35 @@ object LlmQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle of [[DocsDsv2.ndvStats]] AND its SQL-CALL twin
+    * ([[DocsDsv2.sqlNdvStats]]): the identical deterministic KMV fold —
+    * same md5-prefix-60-bit hash, hash-level dedup, bottom-32 and
+    * floor(31·2^60/kth) estimator — recomputed from the raw table. */
+  private val ndvOracle: String = s"""
+        WITH vals AS (
+          SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v
+          FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'text', text FROM documents),
+        d AS (SELECT DISTINCT column_name, v FROM vals WHERE v IS NOT NULL),
+        h AS (SELECT DISTINCT column_name,
+                     CAST(concat('0x', substr(md5(concat('ndv|', v)), 1, 15))
+                          AS BIGINT) AS h
+              FROM d),
+        r AS (SELECT column_name, h,
+                     row_number() OVER (PARTITION BY column_name ORDER BY h)
+                       AS rn
+              FROM h),
+        b AS (SELECT column_name, max(h) AS kth_hash, count(*) AS k_actual
+              FROM r WHERE rn <= 32 GROUP BY 1)
+        SELECT column_name, kth_hash,
+               CASE WHEN k_actual < 32 THEN k_actual
+                    ELSE CAST(floor(31.0 * power(2, 60)
+                           / CAST(kth_hash AS DOUBLE)) AS BIGINT)
+               END AS ndv_estimate
+        FROM b ORDER BY column_name"""
+
   /** Shared DuckDB CTE chain (follows [[ShinglesCte]], requires WITH
     * RECURSIVE): the exhaustive verified near-dup pair set closed with a
     * recursive min-label reachability CTE — relational transitive
@@ -1783,30 +1812,16 @@ object LlmQueries {
     // floor((k-1)·2^60/kth) estimator — bit-exact, not approximate-ish.
     QueryDef("dsv2_ndv_stats",
       (s, dir) => DocsDsv2.ndvStats(s, dir),
-      Some(s"""
-        WITH vals AS (
-          SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v
-          FROM documents
-          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
-          UNION ALL SELECT 'lang', lang FROM documents
-          UNION ALL SELECT 'text', text FROM documents),
-        d AS (SELECT DISTINCT column_name, v FROM vals WHERE v IS NOT NULL),
-        h AS (SELECT DISTINCT column_name,
-                     CAST(concat('0x', substr(md5(concat('ndv|', v)), 1, 15))
-                          AS BIGINT) AS h
-              FROM d),
-        r AS (SELECT column_name, h,
-                     row_number() OVER (PARTITION BY column_name ORDER BY h)
-                       AS rn
-              FROM h),
-        b AS (SELECT column_name, max(h) AS kth_hash, count(*) AS k_actual
-              FROM r WHERE rn <= 32 GROUP BY 1)
-        SELECT column_name, kth_hash,
-               CASE WHEN k_actual < 32 THEN k_actual
-                    ELSE CAST(floor(31.0 * power(2, 60)
-                           / CAST(kth_hash AS DOUBLE)) AS BIGINT)
-               END AS ndv_estimate
-        FROM b ORDER BY column_name""")),
+      Some(ndvOracle)),
+
+    // NDV through the SQL face (r18): `CALL cat.ndv('docs', '<col>')`
+    // over the procedure catalog — the Iceberg-Puffin statistics CALL,
+    // answered from manifest sketches only (compaction carried and
+    // rewrote every per-file sketch). Shares dsv2_ndv_stats' oracle
+    // VERBATIM.
+    QueryDef("dsv2_sql_ndv",
+      (s, dir) => DocsDsv2.sqlNdvStats(s, dir),
+      Some(ndvOracle)),
 
     // CHECK CONSTRAINTS (r18): the Delta ALTER TABLE ADD CONSTRAINT
     // shape — (name, predicate) pairs in the manifest, validated

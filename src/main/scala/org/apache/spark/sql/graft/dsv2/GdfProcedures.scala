@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[dsv2] object GdfProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "remove_orphans", "create_tag", "drop_tag", "rebucket")
+    Seq("compact", "remove_orphans", "create_tag", "drop_tag", "rebucket",
+      "publish", "add_column", "add_constraint", "drop_constraint", "ndv")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
@@ -32,6 +33,11 @@ private[dsv2] object GdfProcedures {
     case "create_tag" => new CreateTagProc(root)
     case "drop_tag" => new DropTagProc(root)
     case "rebucket" => new RebucketProc(root)
+    case "publish" => new PublishProc(root)
+    case "add_column" => new AddColumnProc(root)
+    case "add_constraint" => new AddConstraintProc(root)
+    case "drop_constraint" => new DropConstraintProc(root)
+    case "ndv" => new NdvProc(root)
     case other => throw new UnsupportedOperationException(
       s"unknown graft procedure $other (have: ${Names.mkString(", ")})")
   }
@@ -146,6 +152,140 @@ private[dsv2] object GdfProcedures {
       resultScan(
         StructType(Seq(StructField("dropped", StringType))),
         Array(InternalRow(UTF8String.fromString(tag))))
+    }
+  }
+
+  /** `CALL <cat>.publish('<table>', <staged_version>)` → the
+    * write-audit-publish verb: cherry-pick a staged append onto the
+    * current main head (the Iceberg cherrypick_snapshot CALL). */
+  private class PublishProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "cherry-pick a staged (write-audit-publish) append onto main"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("staged_version",
+          org.apache.spark.sql.types.IntegerType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val published = GdfMaintenance.publish(p, input.getInt(1))
+      resultScan(
+        StructType(Seq(StructField("published_version",
+          org.apache.spark.sql.types.IntegerType))),
+        Array(InternalRow(published)))
+    }
+  }
+
+  /** `CALL <cat>.add_column('<table>', '<name>', '<type>'[, '<default>'])`
+    * → the metadata-only ADD COLUMN ... DEFAULT verb (Iceberg-v3
+    * initial-default). Type is one of long/int/string. */
+  private class AddColumnProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "add_column"
+    override def description(): String =
+      "add a column with an optional default — metadata-only, no rewrite"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("type", StringType).build(),
+        ProcedureParameter.in("default", StringType)
+          .defaultValue("NULL").build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val column = input.getUTF8String(1).toString
+      val dt = input.getUTF8String(2).toString match {
+        case "long" => LongType
+        case "int" => org.apache.spark.sql.types.IntegerType
+        case "string" => StringType
+        case other => throw new IllegalArgumentException(
+          s"add_column type must be long/int/string, got '$other'")
+      }
+      val default =
+        if (input.isNullAt(3)) None
+        else Some(input.getUTF8String(3).toString)
+      GdfMaintenance.addColumn(p, column, dt, default)
+      resultScan(
+        StructType(Seq(StructField("column", StringType),
+          StructField("default", StringType))),
+        Array(InternalRow(UTF8String.fromString(column),
+          default.map(UTF8String.fromString).orNull)))
+    }
+  }
+
+  /** `CALL <cat>.add_constraint('<table>', '<name>', '<predicate>')` →
+    * the Delta ADD CONSTRAINT verb: validates existing rows, then
+    * enforces the CHECK on every future write-path row. */
+  private class AddConstraintProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a CHECK constraint (validates existing rows first)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("predicate", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val n = input.getUTF8String(1).toString
+      val sql = input.getUTF8String(2).toString
+      GdfMaintenance.addConstraint(SparkSession.active, p, n, sql)
+      resultScan(
+        StructType(Seq(StructField("constraint", StringType),
+          StructField("predicate", StringType))),
+        Array(InternalRow(UTF8String.fromString(n),
+          UTF8String.fromString(sql))))
+    }
+  }
+
+  /** `CALL <cat>.drop_constraint('<table>', '<name>')`. */
+  private class DropConstraintProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String = "drop a named CHECK constraint"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val n = input.getUTF8String(1).toString
+      GdfMaintenance.dropConstraint(p, n)
+      resultScan(
+        StructType(Seq(StructField("dropped", StringType))),
+        Array(InternalRow(UTF8String.fromString(n))))
+    }
+  }
+
+  /** `CALL <cat>.ndv('<table>', '<column>')` → the metadata-only
+    * distinct-count estimate folded from the per-file KMV sketches
+    * (the Iceberg-Puffin statistics CALL). */
+  private class NdvProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "ndv"
+    override def description(): String =
+      "estimate a column's distinct count from manifest sketches only"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val column = input.getUTF8String(1).toString
+      val (kth, est) = GdfMaintenance.ndvEstimate(p, column)
+      resultScan(
+        StructType(Seq(StructField("column_name", StringType),
+          StructField("kth_hash", LongType),
+          StructField("ndv_estimate", LongType))),
+        Array(InternalRow(UTF8String.fromString(column), kth, est)))
     }
   }
 

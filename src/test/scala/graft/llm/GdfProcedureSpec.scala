@@ -69,4 +69,48 @@ class GdfProcedureSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"),
       s"unknown procedure must fail loudly, got: ${e.getMessage}")
   }
+
+  test("CALL publish cherry-picks a staged append onto main") {
+    val t = fragmentedTable()
+    val dir = s"$root/$t"
+    Seq((100L, 1L)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .option("staged", "true").mode("append").save(dir)
+    val stagedV = GdfMaintenance.stagedVersions(dir).last
+    assert(spark.read.format("graftdocs").load(dir).count() == 40L)
+    val published = spark.sql(s"CALL $cat.publish('$t', $stagedV)")
+      .as[Int].head()
+    assert(published > stagedV)
+    assert(spark.read.format("graftdocs").load(dir).count() == 41L)
+  }
+
+  test("CALL add_column + add_constraint + drop_constraint round-trip") {
+    val t = fragmentedTable()
+    val dir = s"$root/$t"
+    spark.sql(s"CALL $cat.add_column('$t', 'quality', 'long', '7')").collect()
+    assert(spark.read.format("graftdocs").load(dir)
+      .where(col("doc_id") === 3L).select("quality").head().getLong(0) == 7L)
+    spark.sql(s"CALL $cat.add_constraint('$t', 'q_pos', 'quality > 0')")
+      .collect()
+    intercept[Exception] {
+      Seq((200L, 1L, -4L)).toDF("doc_id", "val", "quality")
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "4")
+        .mode("append").save(dir)
+    }
+    spark.sql(s"CALL $cat.drop_constraint('$t', 'q_pos')").collect()
+    Seq((200L, 1L, -4L)).toDF("doc_id", "val", "quality")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("append").save(dir)
+    assert(spark.read.format("graftdocs").load(dir).count() == 41L)
+  }
+
+  test("CALL ndv answers from the manifest sketches") {
+    val t = fragmentedTable()
+    val got = spark.sql(s"CALL $cat.ndv('$t', 'doc_id')")
+      .select("ndv_estimate").as[Long].head()
+    assert(got == 40L, s"40 distinct ids, below k: must be exact, got $got")
+  }
 }
