@@ -69,6 +69,24 @@ object LlmQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle of [[DocsDsv2.mvIncremental]] AND its streamed twin
+    * ([[DocsDsv2.mvStreamed]]): the lang aggregate recomputed from the
+    * FINAL table state — batch delta-refresh and CDC-stream maintenance
+    * must both land exactly here (stream-batch equivalence). */
+  private val mvOracle: String = s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM final_state GROUP BY lang ORDER BY lang"""
+
   /** Shared oracle of [[DocsDsv2.ndvStats]] AND its SQL-CALL twin
     * ([[DocsDsv2.sqlNdvStats]]): the identical deterministic KMV fold —
     * same md5-prefix-60-bit hash, hash-level dedup, bottom-32 and
@@ -1862,19 +1880,17 @@ object LlmQueries {
     // algebra (±signs, update pre/post pairing, zero-group drop) exactly.
     QueryDef("dsv2_mv_incremental",
       (s, dir) => DocsDsv2.mvIncremental(s, dir),
-      Some(s"""
-        WITH final_state AS (
-          SELECT doc_id, n_chars,
-                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
-                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
-          FROM documents
-          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
-          UNION ALL
-          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
-          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
-        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(n_chars) AS BIGINT) AS sum_val
-        FROM final_state GROUP BY lang ORDER BY lang""")),
+      Some(mvOracle)),
+
+    // The MV maintained by the CDC STREAM (r18): readStream
+    // graftdocs-cdc → foreachBatch applyDelta — the near-real-time-DW
+    // maintenance loop closed end to end, idempotent under checkpoint
+    // replay via the view watermark. Drained AvailableNow it equals the
+    // batch-refresh view bit-for-bit — SHARES dsv2_mv_incremental's
+    // oracle VERBATIM (stream-batch equivalence).
+    QueryDef("dsv2_mv_streamed",
+      (s, dir) => DocsDsv2.mvStreamed(s, dir),
+      Some(mvOracle)),
 
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join

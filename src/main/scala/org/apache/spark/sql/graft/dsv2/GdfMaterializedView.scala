@@ -106,25 +106,9 @@ object GdfMaterializedView {
           s"view at $mvPath already reflects v${m.baseVersion} > v$target " +
             "— a materialized view never rolls back")
       case Some(m) if GdfManifest.versions(basePath).contains(m.baseVersion) =>
-        val delta = GdfMaintenance.changes(spark, basePath, m.baseVersion, target)
-          .select(col(groupCol),
-            when(col("_change_type").isin("insert", "update_postimage"), 1L)
-              .otherwise(-1L).as("sgn"),
-            col(sumCol))
-          .groupBy(col(groupCol))
-          .agg(sum(col("sgn")).as("d_rows"),
-            sum(col(sumCol) * col("sgn")).as("d_sum"))
-        val state = read(spark, mvPath)
-        // null-safe group equality: a NULL group is a real group
-        val merged = state.join(delta,
-            state(groupCol) <=> delta(groupCol), "full_outer")
-          .select(
-            coalesce(state(groupCol), delta(groupCol)).as(groupCol),
-            (coalesce(state("n_rows"), lit(0L)) +
-              coalesce(delta("d_rows"), lit(0L))).as("n_rows"),
-            (coalesce(state("sum_val"), lit(0L)) +
-              coalesce(delta("d_sum"), lit(0L))).as("sum_val"))
-          .where(col("n_rows") > 0)
+        val merged = mergeDelta(spark, mvPath,
+          GdfMaintenance.changes(spark, basePath, m.baseVersion, target),
+          groupCol, sumCol)
         commitState(spark, mvPath, merged, m.stateVersion, target)
         "incremental"
       case Some(m) => // watermark expired past retention: recompute
@@ -137,6 +121,50 @@ object GdfMaterializedView {
           fullAggregate(spark, basePath, groupCol, sumCol, target), 0, target)
         "initial"
     }
+  }
+
+  /** Fold a change-feed slice into the stored state: ±1 row / ±value
+    * signed deltas aggregated by group, FULL-OUTER-merged (null-safe —
+    * a NULL group is a real group), zero-count groups dropped. */
+  private def mergeDelta(spark: SparkSession, mvPath: String,
+      feed: DataFrame, groupCol: String, sumCol: String): DataFrame = {
+    val delta = feed
+      .select(col(groupCol),
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L).as("sgn"),
+        col(sumCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("sgn")).as("d_rows"),
+        sum(col(sumCol) * col("sgn")).as("d_sum"))
+    val state = read(spark, mvPath)
+    state.join(delta, state(groupCol) <=> delta(groupCol), "full_outer")
+      .select(
+        coalesce(state(groupCol), delta(groupCol)).as(groupCol),
+        (coalesce(state("n_rows"), lit(0L)) +
+          coalesce(delta("d_rows"), lit(0L))).as("n_rows"),
+        (coalesce(state("sum_val"), lit(0L)) +
+          coalesce(delta("d_sum"), lit(0L))).as("sum_val"))
+      .where(col("n_rows") > 0)
+  }
+
+  /** NEAR-REAL-TIME maintenance (r18): apply one micro-batch of the CDC
+    * STREAM (`graftdocs-cdc` rows carrying `_commit_version`) into the
+    * view — the foreachBatch body of a continuously maintained MV.
+    * IDEMPOTENT under checkpoint replay: windows at or below the
+    * watermark are filtered out and an already-applied batch no-ops
+    * (the epoch-ledger discipline, replayed at view granularity). */
+  def applyDelta(spark: SparkSession, mvPath: String, batch: DataFrame,
+      groupCol: String, sumCol: String): Unit = {
+    val meta = readMeta(mvPath).getOrElse(throw new IllegalStateException(
+      s"no materialized view at $mvPath — build it before streaming into it"))
+    val top = batch.agg(max(col("_commit_version"))).collect().head
+    if (top.isNullAt(0)) return // empty batch
+    val target = top.getInt(0)
+    if (target <= meta.baseVersion) return // replayed batch: no-op
+    val fresh = batch.where(col("_commit_version") > meta.baseVersion)
+    commitState(spark, mvPath,
+      mergeDelta(spark, mvPath, fresh, groupCol, sumCol),
+      meta.stateVersion, target)
   }
 
   private def fullAggregate(spark: SparkSession, basePath: String,

@@ -91,6 +91,22 @@ class GdfMvSpec extends SparkSpec {
     assert(state(mv) == recompute(p))
   }
 
+  test("applyDelta folds a CDC batch and no-ops on checkpoint replay") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p) // v1
+    GdfMaterializedView.refresh(spark, p, mv, "grp", "val")
+    GdfMaintenance.mergeInto(spark, p,
+      Seq((300L, Some(1L), 5L)).toDF("doc_id", "grp", "val")) // v2
+    val batch = GdfMaintenance.changes(spark, p, 1, 2)
+      .withColumn("_commit_version", lit(2))
+    GdfMaterializedView.applyDelta(spark, mv, batch, "grp", "val")
+    val applied = state(mv)
+    assert(applied == recompute(p))
+    // a REPLAYED batch (same _commit_version) must change nothing
+    GdfMaterializedView.applyDelta(spark, mv, batch, "grp", "val")
+    assert(state(mv) == applied, "replay must no-op at the watermark")
+  }
+
   test("refresh never rolls back; unknown view read is loud") {
     val p = freshDir(); val mv = s"$p-mv"
     seed(p) // v1
