@@ -747,6 +747,56 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtLin = new graft.SessionMemo[String]
+
+  /** ROW LINEAGE (r18, the Iceberg-v3 stable row identity): ids are
+    * assigned ONCE at first commit (virtual ranges in deterministic
+    * bucket-then-doc_id order) and PRESERVED through a merge-on-read
+    * delete, a keyed CoW merge update, and compaction — each rewrite
+    * materializes the ids physically. The oracle derives every id from
+    * the v1 assignment rule (`row_number() OVER (ORDER BY bucket,
+    * doc_id) - 1`) and replays the history's survivors/updates — a hash
+    * match certifies identity STABILITY across all three rewrite kinds,
+    * not just the final values. GdfLineageSpec pins append extension,
+    * update identity, and the no-lineage loud path. */
+  def linPath(s: SparkSession, dir: String): String =
+    builtLin.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-lin/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      docs.write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p) // v1
+      val gmx = org.apache.spark.sql.graft.dsv2.GdfMaintenance
+      // v2: merge-on-read delete (ids ride physical positions)
+      val delIds: Array[Any] = docs
+        .where(pmod(col("doc_id"), lit(ChgDelMod)) === ChgDelRes)
+        .select(col("doc_id")).collect().map(_.getLong(0): Any)
+      gmx.deleteWhereMor(s, p, Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", delIds)))
+      // v3: keyed CoW merge update (rewrite materializes ids)
+      gmx.mergeInto(s, p, docs
+        .where(pmod(col("doc_id"), lit(ChgUpdMod)) === ChgUpdRes)
+        .select(col("doc_id"), col("n_chars"), lit(ChgLang).as("lang")))
+      // v4: compaction (ids travel through the bucket rewrite)
+      gmx.compact(s, p)
+      p
+    }
+
+  /** The lineage read after the full rewrite history. */
+  def linRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").option("rowlineage", "true")
+      .load(linPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("_row_id"))
+      .orderBy(col("doc_id"))
+
   /** NDV STATISTICS from metadata only (r18): per-column distinct-count
     * estimates folded from the per-file KMV sketches the writer commits
     * with every file — zero data reads (GdfNdvSpec proves it by

@@ -1821,6 +1821,30 @@ object LlmQueries {
       Some("""
         SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
 
+    // ROW LINEAGE (r18): the Iceberg-v3 stable row identity — ids
+    // assigned once at first commit (deterministic bucket-then-doc_id
+    // order), preserved through a merge-on-read delete (ids ride
+    // physical positions), a keyed CoW merge update, AND compaction
+    // (both rewrites materialize the hidden _row_id column). The oracle
+    // re-derives every id from the v1 assignment rule and replays the
+    // survivors/updates, so the hash match certifies identity stability
+    // across all three rewrite kinds.
+    QueryDef("dsv2_row_lineage",
+      (s, dir) => DocsDsv2.linRead(s, dir),
+      Some(s"""
+        WITH ids AS (
+          SELECT doc_id, n_chars, lang,
+                 row_number() OVER (ORDER BY doc_id % ${DocsDsv2.Buckets},
+                                    doc_id) - 1 AS rid
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                    THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang,
+               CAST(rid AS BIGINT) AS "_row_id"
+        FROM ids
+        WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+        ORDER BY doc_id""")),
+
     // NDV STATISTICS from metadata only (r18): the Iceberg-Puffin shape
     // — per-file KMV bottom-k sketches committed by the writer, merged
     // by union+re-take at query time; the table-level distinct-count

@@ -139,8 +139,13 @@ object GdfMaintenance {
         (eqKeys.isEmpty || !eqKeys.contains(longOf(r(keyIdx)))) =>
       schema.fields.map(fld => idx(fld.name) match {
         // a column absent from the file MATERIALIZES its default on
-        // rewrite (Iceberg initial-default semantics), else null-fills
-        case -1 => GdfManifest.defaultRaw(fld).getOrElse(null): Any
+        // rewrite (Iceberg initial-default semantics), else null-fills;
+        // _row_id (r18) synthesizes from the file's committed virtual
+        // range so REWRITES PRESERVE ROW IDENTITY
+        case -1 =>
+          if (fld.name == GdfManifest.RowIdCol)
+            (if (f.firstRowId >= 0) (f.firstRowId + pos): Any else null)
+          else GdfManifest.defaultRaw(fld).getOrElse(null): Any
         case i => r(i)
       })
     }
@@ -148,16 +153,24 @@ object GdfMaintenance {
 
   /** Rewrite one file at the CURRENT manifest schema, keeping rows the
     * transform returns. Returns the new FileStat, or None when every row
-    * was dropped. */
+    * was dropped. ROW LINEAGE (r18): the rewrite reads the hidden
+    * `_row_id` alongside the data (synthesized from the file's virtual
+    * range, or the physical block of a prior rewrite) and MATERIALIZES
+    * it into the new file — the transform sees and returns schema-shaped
+    * rows while each surviving/updated row's identity follows it. */
   private def rewriteFile(path: String, schema: StructType,
       f: GdfManifest.FileStat, newName: String,
       eqDeletes: Seq[GdfManifest.EqDelete] = Seq.empty)(
       transform: Array[Any] => Option[Array[Any]])
       : (Option[GdfManifest.FileStat], Seq[Array[Any]]) = {
-    val aligned = alignedRows(path, schema, f, eqDeletes)
-    val kept = aligned.flatMap(r => transform(r))
+    val schemaL = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType))
+    val alignedL = alignedRows(path, schemaL, f, eqDeletes)
+    val aligned = alignedL.map(_.dropRight(1))
+    val kept = alignedL.flatMap(rl =>
+      transform(rl.dropRight(1)).map(t => t :+ rl.last))
     if (kept.isEmpty) (None, aligned)
-    else (Some(GdfFormat.writeFile(path, newName, schema, f.bucket, kept)),
+    else (Some(GdfFormat.writeFile(path, newName, schemaL, f.bucket, kept)),
       aligned)
   }
 
@@ -183,14 +196,19 @@ object GdfMaintenance {
     val eqBuckets = m.eqDeletes.map(_.bucket).toSet
     val (multi, single) = byBucket.partition { case (b, fs) =>
       fs.size > 1 || fs.exists(_.dv.isDefined) || eqBuckets.contains(b) }
+    // compaction carries ROW LINEAGE (r18): ids read alongside the data
+    // (virtual range or prior physical block) and materialized into the
+    // compacted file
+    val schemaL = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType))
     val compacted: Seq[GdfManifest.FileStat] =
       if (multi.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(multi, multi.size)
         .map { case (b, fs) =>
-          val rows = fs.flatMap(f => alignedRows(path, schema, f, m.eqDeletes))
+          val rows = fs.flatMap(f => alignedRows(path, schemaL, f, m.eqDeletes))
             .sortBy(r => longOf(r(keyIdx)))
-          GdfFormat.writeFile(path, s"part-$b-c$version.gdf", schema, b, rows)
+          GdfFormat.writeFile(path, s"part-$b-c$version.gdf", schemaL, b, rows)
         }
         .collect().toSeq
     commitReplacing(path, multi.flatMap(_._2.map(_.name)).toSet, compacted,

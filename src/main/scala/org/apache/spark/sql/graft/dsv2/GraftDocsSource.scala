@@ -101,7 +101,15 @@ class GraftDocsSource extends TableProvider with DataSourceRegister {
     val p = pathOf(options)
     if (GdfManifest.versions(p).isEmpty &&
         !new File(p, "manifest.json").exists()) new StructType()
-    else manifestFor(p, options).schema
+    else {
+      val s = manifestFor(p, options).schema
+      // ROW LINEAGE (r18): the rowlineage read option surfaces the
+      // hidden stable-id column alongside the data
+      if (options.getBoolean("rowlineage", false))
+        StructType(s.fields :+
+          org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType))
+      else s
+    }
   }
 
   private def manifestFor(path: String,
@@ -164,16 +172,31 @@ private[dsv2] object GdfManifest {
     * recompute the estimate bit-exactly. Bottom-k sets merge by
     * union+re-take, which is what makes per-file sketches fold into a
     * table-level NDV from METADATA ONLY — no data read. */
+  /** `firstRowId` (r18): ROW LINEAGE — the Iceberg-v3 stable row
+    * identity. A file written without a physical `_row_id` block gets a
+    * VIRTUAL id range at commit ([[commitVersion]] assigns
+    * `firstRowId`; row id = firstRowId + physical position); every
+    * API rewrite (CoW delete, merge update, compaction) MATERIALIZES
+    * the ids into the new file as a hidden `_row_id` column
+    * (`firstRowId == PhysicalRowIds`), so identity survives the
+    * rewrite. `-1` = no lineage (legacy file). Readers surface the
+    * column under the `rowlineage` read option. */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
       colStats: Seq[(String, Long, Long)] = Seq.empty,
       colBlooms: Seq[(String, Array[Long])] = Seq.empty,
       dv: Option[String] = None, dvRows: Long = 0L,
       seq: Int = 0,
-      colKmv: Seq[(String, Seq[Long])] = Seq.empty) {
+      colKmv: Seq[(String, Seq[Long])] = Seq.empty,
+      firstRowId: Long = -1L) {
     /** Rows a scan actually serves from this file. */
     def liveRows: Long = rows - dvRows
   }
+
+  /** The hidden lineage column and the firstRowId sentinel marking a
+    * file that carries it physically. */
+  val RowIdCol = "_row_id"
+  val PhysicalRowIds = -2L
 
   /** KMV sketch size: 32 bottom hashes per column per file. */
   val NdvK = 32
@@ -268,12 +291,16 @@ private[dsv2] object GdfManifest {
     * semantics: only a FALSE evaluation violates; UNKNOWN (null)
     * passes. They survive overwrite like refs (table property, not
     * data). */
+  /** `nextRowId` (r18): the row-lineage id ALLOCATOR — the next unused
+    * stable row id; [[commitVersion]] advances it as it assigns virtual
+    * ranges to newly added files. */
   case class Manifest(schema: StructType, buckets: Int, files: Seq[FileStat],
       layout: String = "hash", epochs: Seq[Long] = Seq.empty,
       ts: Long = 0L, refs: Seq[(String, Int)] = Seq.empty,
       eqDeletes: Seq[EqDelete] = Seq.empty,
       staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      nextRowId: Long = 0L)
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -361,7 +388,7 @@ private[dsv2] object GdfManifest {
         s""","dv":${q(d)},"dvRows":${f.dvRows}""").getOrElse("")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
         s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId},""" +
-        s""""seq":${f.seq}$stats$blooms$kmv$dv}"""
+        s""""seq":${f.seq},"fr":${f.firstRowId}$stats$blooms$kmv$dv}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
@@ -379,8 +406,8 @@ private[dsv2] object GdfManifest {
       else m.constraints.map { case (n, p) => s"""{"n":${q(n)},"p":${q(p)}}""" }
         .mkString(""""constraints":[""", ",", "],")
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
-      s""""layout":${q(m.layout)},"ts":${m.ts},$wap$cons""" +
-      s""""refs":$refs,"eqd":$eqd,""" +
+      s""""layout":${q(m.layout)},"ts":${m.ts},"nextRowId":${m.nextRowId},""" +
+      s"""$wap$cons"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -441,10 +468,28 @@ private[dsv2] object GdfManifest {
       retained.flatMap(_.files.map(f => f.name -> f.seq)).toMap
     val knownEqSeq: Map[String, Int] =
       retained.flatMap(_.eqDeletes.map(e => e.file -> e.seq)).toMap
+    // ROW-LINEAGE id allocation (r18): carried files keep their range;
+    // files materializing physical _row_id keep the sentinel; genuinely
+    // new virtual files draw fresh ranges from the allocator in NAME
+    // order (one write shares one suffix token, so name order is bucket
+    // order — deterministic, which is what lets an oracle re-derive the
+    // assignment)
+    val knownFr: Map[String, Long] =
+      retained.flatMap(_.files.map(f => f.name -> f.firstRowId)).toMap
+    var rowIdCursor = retained.lastOption.map(_.nextRowId).getOrElse(0L)
+    val assigned: Map[String, Long] = m.files
+      .filter(f => !knownFr.contains(f.name) && f.firstRowId != PhysicalRowIds)
+      .sortBy(_.name)
+      .map { f => val fr = rowIdCursor; rowIdCursor += f.rows; f.name -> fr }
+      .toMap
     val stamped = m.copy(
       ts = math.max(System.currentTimeMillis(), parentTs + 1),
+      nextRowId = rowIdCursor,
       files = m.files.map(f =>
-        f.copy(seq = knownFileSeq.getOrElse(f.name, version))),
+        f.copy(seq = knownFileSeq.getOrElse(f.name, version),
+          firstRowId =
+            if (f.firstRowId == PhysicalRowIds) PhysicalRowIds
+            else knownFr.getOrElse(f.name, assigned(f.name)))),
       eqDeletes = m.eqDeletes.map(e =>
         e.copy(seq = knownEqSeq.getOrElse(e.file, version))))
     val tmp = writeTmp(dir, render(stamped))
@@ -604,9 +649,12 @@ private[dsv2] object GdfManifest {
     val stagedAdds = "\"stagedAdds\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).filter(_.nonEmpty).toSeq
       .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)))
+    val nextRowId = "\"nextRowId\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(0L)
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"seq\":(\\d+))?" +
+      "(?:,\"fr\":(-?\\d+))?" +
       "(?:,\"stats\":\\[([^\\]]*)\\])?" +
       "(?:,\"blooms\":\\[([^\\]]*)\\])?" +
       "(?:,\"kmv\":\\[([^\\]]*)\\])?" +
@@ -615,22 +663,23 @@ private[dsv2] object GdfManifest {
     val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
     val kmvRe = "\\{\"col\":\"([^\"]+)\",\"h\":\"([0-9a-f]+)\"\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
-      val colStats = Option(m.group(7)).toSeq.flatMap(s =>
+      val colStats = Option(m.group(8)).toSeq.flatMap(s =>
         statRe.findAllMatchIn(s).map(sm =>
           (sm.group(1), sm.group(2).toLong, sm.group(3).toLong)).toSeq)
-      val colBlooms = Option(m.group(8)).toSeq.flatMap(s =>
+      val colBlooms = Option(m.group(9)).toSeq.flatMap(s =>
         bloomRe.findAllMatchIn(s).map(bm =>
           (bm.group(1), GdfBloom.fromHex(bm.group(2)))).toSeq)
-      val colKmv = Option(m.group(9)).toSeq.flatMap(s =>
+      val colKmv = Option(m.group(10)).toSeq.flatMap(s =>
         kmvRe.findAllMatchIn(s).map(km =>
           (km.group(1), GdfBloom.fromHex(km.group(2)).toSeq)).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
-        Option(m.group(10)), Option(m.group(11)).map(_.toLong).getOrElse(0L),
-        Option(m.group(6)).map(_.toInt).getOrElse(0), colKmv)
+        Option(m.group(11)), Option(m.group(12)).map(_.toLong).getOrElse(0L),
+        Option(m.group(6)).map(_.toInt).getOrElse(0), colKmv,
+        Option(m.group(7)).map(_.toLong).getOrElse(-1L))
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
-      staged, stagedAdds, constraints)
+      staged, stagedAdds, constraints, nextRowId)
   }
 }
 
@@ -701,7 +750,8 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
         .getOrElse(GdfManifest.read(path)),
       Option(options.get("maxfilespertrigger")).map(_.toInt).getOrElse(0),
       Option(options.get("files")).map(
-        _.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      options.getBoolean("rowlineage", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GdfWriteBuilder(path, info.schema(),
@@ -725,11 +775,15 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
   * is a valid empty scan; aggregate pushdown refuses under a subset (the
   * manifest stats describe the whole snapshot). */
 private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
-    maxFilesPerTrigger: Int = 0, fileSubset: Option[Set[String]] = None)
+    maxFilesPerTrigger: Int = 0, fileSubset: Option[Set[String]] = None,
+    rowLineage: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private var required: StructType = manifest.schema
+  private var required: StructType =
+    if (rowLineage) StructType(manifest.schema.fields :+
+      org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType))
+    else manifest.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Boolean, Seq[AggregateFunc])] = None
 
@@ -918,13 +972,15 @@ private[dsv2] class GdfAggReaderFactory extends PartitionReaderFactory {
   * files scoped to its bucket (r18) — the unit a reader consumes:
   * physical rows minus the vector's positions minus the equality keys. */
 private[dsv2] case class GdfFileSlice(path: String, dv: Option[String],
-    eq: Seq[String] = Seq.empty)
+    eq: Seq[String] = Seq.empty, firstRowId: Long = -1L)
 
 private[dsv2] object GdfFileSlice {
   def of(dir: String, f: GdfManifest.FileStat,
       m: GdfManifest.Manifest = null): GdfFileSlice =
     GdfFileSlice(new File(dir, f.name).getAbsolutePath,
       f.dv.map(d => new File(dir, d).getAbsolutePath),
+      firstRowId = f.firstRowId,
+      eq =
       if (m == null) Seq.empty
       // the SEQUENCE RULE (r18): an equality delete reaches only data
       // files of its bucket that are STRICTLY OLDER than the delete
@@ -1330,7 +1386,8 @@ private[dsv2] class GdfColumnarPartitionReader(files: Seq[GdfFileSlice],
   * surviving columns, serve them in readSchema order; a required column
   * ABSENT from the file's directory decodes as all-null (evolution). */
 private[dsv2] object GdfDecode {
-  def decode(file: String, required: StructType): (Int, Array[Array[Any]]) = {
+  def decode(file: String, required: StructType,
+      firstRowId: Long = -1L): (Int, Array[Array[Any]]) = {
     val in = new DataInputStream(new java.io.BufferedInputStream(
       new FileInputStream(file)))
     try {
@@ -1356,8 +1413,15 @@ private[dsv2] object GdfDecode {
         }
       }
       val ordered = required.fields.map(f =>
-        decoded.getOrElse(f.name, // absent -> the column DEFAULT, else null
-          GdfManifest.defaultInternal(f) match {
+        decoded.getOrElse(f.name,
+          // ROW LINEAGE (r18): a file without the physical _row_id
+          // block synthesizes ids from its committed virtual range
+          if (f.name == GdfManifest.RowIdCol) {
+            require(firstRowId >= 0,
+              s"no row lineage for $file (written before lineage)")
+            Array.tabulate[Any](rows)(i => firstRowId + i)
+          } // absent -> the column DEFAULT, else null
+          else GdfManifest.defaultInternal(f) match {
             case Some(d) => Array.fill[Any](rows)(d)
             case None => new Array[Any](rows)
           }))
@@ -1385,7 +1449,7 @@ private[dsv2] object GdfDecode {
       if (needKey) StructType(required.fields :+
         org.apache.spark.sql.types.StructField("doc_id", LongType))
       else required
-    val (rows, cols0) = decode(slice.path, readSchema)
+    val (rows, cols0) = decode(slice.path, readSchema, slice.firstRowId)
     val dead = deadPositions(slice)
     if (slice.eq.nonEmpty) {
       val keys = new java.util.HashSet[java.lang.Long]()
@@ -1683,7 +1747,13 @@ private[dsv2] object GdfFormat {
           .distinct.sorted.take(GdfManifest.NdvK))
     }.filter(_._2.nonEmpty).toSeq
     GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats,
-      colBlooms, colKmv = colKmv)
+      colBlooms, colKmv = colKmv,
+      // a file carrying the physical lineage column keeps its ids —
+      // the commit allocator must not assign it a fresh virtual range
+      firstRowId =
+        if (schema.fieldNames.contains(GdfManifest.RowIdCol))
+          GdfManifest.PhysicalRowIds
+        else -1L)
   }
 }
 
