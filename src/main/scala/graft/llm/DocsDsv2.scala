@@ -937,6 +937,43 @@ object DocsDsv2 {
       .orderBy(col("lang"))
   }
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtRepl = new graft.SessionMemo[String]
+
+  /** CDC REPLICATION (r18): a REPLICA table seeded at the source's v1
+    * state, then brought current by APPLYING THE SOURCE'S OWN CHANGE
+    * FEED — `changes(1, 3)` routed through
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.applyChanges]]
+    * (deletes → one zero-read equality-delete commit; inserts/update
+    * postimages → the keyed merge). The oracle is the source's FINAL
+    * state row-for-row, so the hash match certifies the whole CDC
+    * round trip: feed derivation, op routing, and convergence.
+    * GdfApplyChangesSpec pins op semantics and replay idempotence. */
+  def replicaPath(s: SparkSession, dir: String): String = {
+    val src = changesPath(s, dir)
+    builtRepl.getOrElseUpdate(s, dir) {
+      val p = s"$src-replica"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      // seed with the SOURCE's v1 snapshot (time travel)
+      s.read.format("graftdocs").option("version", "1").load(src)
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p)
+      val gmx = org.apache.spark.sql.graft.dsv2.GdfMaintenance
+      gmx.applyChanges(s, p, gmx.changes(s, src, 1, 3))
+      p
+    }
+  }
+
+  /** The converged replica — oracle: the source's final state. */
+  def replicaRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(replicaPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---- runtime V2 file pruning (r18) ------------------------------------------
 
   /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod

@@ -1916,6 +1916,27 @@ object LlmQueries {
       (s, dir) => DocsDsv2.mvStreamed(s, dir),
       Some(mvOracle)),
 
+    // CDC REPLICATION (r18): a replica seeded at the source's v1
+    // snapshot converges by applying the source's OWN change feed —
+    // applyChanges routes deletes to one zero-read equality-delete
+    // commit and inserts/update-postimages to the keyed merge (the
+    // Delta APPLY CHANGES INTO shape). The oracle is the source's
+    // final state row-for-row: the hash match certifies feed
+    // derivation, op routing, and convergence end to end.
+    QueryDef("dsv2_replicate",
+      (s, dir) => DocsDsv2.replicaRead(s, dir),
+      Some(s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT doc_id, n_chars, lang FROM final_state ORDER BY doc_id""")),
+
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join
     // against a selective dim plants a dynamic-pruning subquery and the

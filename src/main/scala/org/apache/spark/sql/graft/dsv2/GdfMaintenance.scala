@@ -674,6 +674,39 @@ object GdfMaintenance {
       .select(col("c.*"))
   }
 
+  /** APPLY CHANGES (r18) — consume a CHANGE FEED into a table: the
+    * Delta APPLY CHANGES INTO / CDC-replication verb. The feed carries
+    * the table columns plus `_change_type`
+    * (insert/delete/update_preimage/update_postimage — exactly what
+    * [[changes]]/the `graftdocs-cdc` stream emit, so a table can be
+    * REPLICATED from another table's own feed):
+    *
+    *  - `delete` rows route to [[deleteByKeys]] — one zero-read
+    *    equality-delete commit;
+    *  - `insert` + `update_postimage` rows route to [[mergeInto]] —
+    *    the keyed upsert, broadcast or bucket-shuffled by size;
+    *  - `update_preimage` rows are dropped (the postimage carries the
+    *    new state).
+    *
+    * Deletes apply FIRST (a net feed never both deletes and re-inserts
+    * a key, but a composed multi-window feed may — the later upsert
+    * must win). The whole verb is IDEMPOTENT: replaying a feed re-lands
+    * identical upserts and no-op tombstones (GdfApplyChangesSpec pins
+    * it), which is what checkpoint-replay delivery needs. */
+  def applyChanges(spark: SparkSession, path: String, feed: DataFrame,
+      key: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.functions._
+    require(feed.columns.contains("_change_type"),
+      "applyChanges needs the feed's _change_type column")
+    val delKeys = feed.where(col("_change_type") === "delete")
+      .select(col(key)).collect().map(_.getLong(0))
+    if (delKeys.nonEmpty) deleteByKeys(path, delKeys.toSeq)
+    val upserts = feed
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .drop("_change_type")
+    if (!upserts.isEmpty) mergeInto(spark, path, upserts, key)
+  }
+
   /** REBUCKET — hash-layout partition evolution (r18): rewrite the
     * table at a NEW bucket count as one snapshot commit (the Iceberg
     * replace-partition-spec story in the one-spec world of a hash

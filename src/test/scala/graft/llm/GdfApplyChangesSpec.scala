@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft.dsv2
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins APPLY CHANGES (r18, the Delta APPLY CHANGES INTO / CDC
+  * replication verb): op routing (delete → equality delete, insert /
+  * update_postimage → merge, preimage dropped), delete-before-upsert
+  * ordering, replay idempotence, and the loud missing-column path. */
+class GdfApplyChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = s"/tmp/graft-apply-spec-${System.nanoTime()}"
+
+  private def plant(p: String): Unit =
+    (0L until 20L).map(i => (i, 10L * i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(p)
+
+  private def snap(p: String): Map[Long, Long] =
+    spark.read.format("graftdocs").load(p)
+      .select("doc_id", "val").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def feed(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("doc_id", "val", "_change_type")
+
+  test("mixed feed: deletes, updates, inserts; preimages dropped") {
+    val p = freshDir()
+    plant(p)
+    GdfMaintenance.applyChanges(spark, p, feed(Seq(
+      (3L, 30L, "delete"),
+      (7L, 70L, "update_preimage"),
+      (7L, 777L, "update_postimage"),
+      (100L, 5L, "insert"))))
+    val s = snap(p)
+    assert(!s.contains(3L), "deleted key must go")
+    assert(s(7L) == 777L, "postimage must win; preimage is not an upsert")
+    assert(s(100L) == 5L)
+    assert(s.size == 20)
+    // the delete landed as a zero-read equality delete
+    assert(GdfManifest.read(p).eqDeletes.nonEmpty)
+  }
+
+  test("deletes apply before upserts: a re-inserted key survives") {
+    val p = freshDir()
+    plant(p)
+    GdfMaintenance.applyChanges(spark, p, feed(Seq(
+      (5L, 0L, "delete"),
+      (5L, 555L, "insert"))))
+    assert(snap(p).get(5L).contains(555L),
+      "the later upsert must win over the tombstone (sequence rule)")
+  }
+
+  test("replaying the same feed is a no-op (idempotent delivery)") {
+    val p = freshDir()
+    plant(p)
+    val f = feed(Seq((2L, 0L, "delete"), (4L, 44L, "update_postimage"),
+      (200L, 9L, "insert")))
+    GdfMaintenance.applyChanges(spark, p, f)
+    val once = snap(p)
+    GdfMaintenance.applyChanges(spark, p, f)
+    assert(snap(p) == once, "replay must converge to the same state")
+  }
+
+  test("a feed without _change_type fails loudly") {
+    val p = freshDir()
+    plant(p)
+    val e = intercept[IllegalArgumentException] {
+      GdfMaintenance.applyChanges(spark, p,
+        Seq((1L, 1L)).toDF("doc_id", "val"))
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
+}
