@@ -974,6 +974,45 @@ object DocsDsv2 {
       .select(col("doc_id"), col("n_chars"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtReplStream = new graft.SessionMemo[String]
+
+  /** STREAMING replication (r18): the replica fed CONTINUOUSLY from the
+    * `graftdocs-cdc` stream — each micro-batch routed through
+    * applyChanges in foreachBatch (idempotent, so checkpoint replay is
+    * safe). Drained AvailableNow the replica equals the batch-applied
+    * one bit-for-bit — SHARES dsv2_replicate's oracle VERBATIM. */
+  def replicaStreamed(s: SparkSession, dir: String): DataFrame = {
+    val src = changesPath(s, dir)
+    val p = builtReplStream.getOrElseUpdate(s, dir) {
+      val out = s"$src-replica-stream"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      s.read.format("graftdocs").option("version", "1").load(src)
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(out)
+      val q = s.readStream.format("graftdocs-cdc")
+        .option("startingversion", "1")
+        .load(src)
+        .writeStream
+        .option("checkpointLocation", s"$out-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          org.apache.spark.sql.graft.dsv2.GdfMaintenance
+            .applyChanges(s, out, b.drop("_commit_version"))
+        }
+        .start()
+      q.awaitTermination()
+      out
+    }
+    s.read.format("graftdocs").load(p)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- runtime V2 file pruning (r18) ------------------------------------------
 
   /** The runtime-prune join's dim rule: doc_ids ≡ [[RtpRes]] (mod

@@ -1937,6 +1937,25 @@ object LlmQueries {
           FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
         SELECT doc_id, n_chars, lang FROM final_state ORDER BY doc_id""")),
 
+    // STREAMING replication (r18): the replica fed continuously from
+    // the graftdocs-cdc stream, each micro-batch routed through the
+    // idempotent applyChanges in foreachBatch. Drained AvailableNow it
+    // equals the batch-applied replica bit-for-bit — SHARES
+    // dsv2_replicate's oracle VERBATIM (stream-batch equivalence).
+    QueryDef("dsv2_replicate_streamed",
+      (s, dir) => DocsDsv2.replicaStreamed(s, dir),
+      Some(s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT doc_id, n_chars, lang FROM final_state ORDER BY doc_id""")),
+
     // RUNTIME V2 FILE PRUNING (r18): the main batch scan now implements
     // SupportsRuntimeV2Filtering on doc_id, so a star-shaped join
     // against a selective dim plants a dynamic-pruning subquery and the
