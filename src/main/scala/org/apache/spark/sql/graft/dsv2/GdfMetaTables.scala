@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * listed, not writable, resolved by the `$` suffix at load. */
 private[dsv2] object GdfMetaTable {
 
-  val Kinds: Set[String] = Set("files", "snapshots", "refs")
+  val Kinds: Set[String] = Set("files", "snapshots", "refs", "constraints")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType(Seq(
@@ -44,6 +44,9 @@ private[dsv2] object GdfMetaTable {
     case "refs" => StructType(Seq( // named tags (r18)
       StructField("tag", StringType),
       StructField("pinned_version", IntegerType)))
+    case "constraints" => StructType(Seq( // CHECK constraints (r18)
+      StructField("name", StringType),
+      StructField("predicate", StringType)))
     case other => throw new IllegalArgumentException(
       s"unknown graft metadata table $$$other (have: ${Kinds.mkString(", ")})")
   }
@@ -63,6 +66,10 @@ private[dsv2] object GdfMetaTable {
     case "refs" =>
       GdfManifest.read(path).refs.sortBy(_._1).map { case (t, v) =>
         InternalRow(UTF8String.fromString(t), v)
+      }.toArray
+    case "constraints" =>
+      GdfManifest.read(path).constraints.sortBy(_._1).map { case (n, p) =>
+        InternalRow(UTF8String.fromString(n), UTF8String.fromString(p))
       }.toArray
     case other => throw new IllegalArgumentException(s"unknown $$$other")
   }

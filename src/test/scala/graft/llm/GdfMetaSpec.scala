@@ -77,6 +77,17 @@ class GdfMetaSpec extends SparkSpec {
     assert(got == Seq(("audit", 1)))
   }
 
+  test("$constraints lists the CHECK constraints") {
+    table
+    GdfMaintenance.addConstraint(spark, s"$root/t", "ids_ok", "doc_id >= 0")
+    val got = spark.sql(
+      s"SELECT name, predicate FROM $cat.`$table$$constraints` ORDER BY name")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("ids_ok", "doc_id >= 0")))
+    GdfMaintenance.dropConstraint(s"$root/t", "ids_ok")
+    assert(spark.sql(s"SELECT * FROM $cat.`$table$$constraints`").count() == 0)
+  }
+
   test("the $ namespace is virtual") {
     table
     val e = intercept[Exception](
