@@ -66,7 +66,10 @@ class GraftDocsCdc extends StreamSourceProvider with DataSourceRegister {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
         finally in.close()
       } else {
-        val v = parameters.get("startingversion").map(_.toInt)
+        // a numeric string is a version; anything else resolves through
+        // the named refs (r18 — start the feed "from the release tag")
+        val v = parameters.get("startingversion")
+          .map(s => GdfMaintenance.resolveVersion(path, s))
           .getOrElse(GdfManifest.mainVersions(path).last)
         fs.mkdirs(metaDir)
         val out = fs.create(startFile, false)

@@ -59,6 +59,32 @@ class GdfCdcStreamSpec extends SparkSpec {
     assert(batches(1).toSet == Set((9L, "delete", 3)))
   }
 
+  test("startingversion accepts a TAG name: the feed starts at the ref") {
+    val p = freshDir()
+    plant(p) // v1
+    GdfMaintenance.createTag(p, "release", 1) // v2 (metadata commit)
+    GdfMaintenance.deleteByKeys(p, Seq(11L)) // v3
+    val batches = new ConcurrentLinkedQueue[Seq[(Long, String, Int)]]()
+    val q = spark.readStream.format("graftdocs-cdc")
+      .option("startingversion", "release")
+      .load(p)
+      .writeStream
+      .option("checkpointLocation", s"$p-tag-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select(col("doc_id"), col("_change_type"),
+          col("_commit_version"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+          .toSeq
+        if (rows.nonEmpty) batches.add(rows): Unit
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(batches.asScala.flatten.toSet == Set((11L, "delete", 3)),
+      "everything after the tagged snapshot must stream, nothing before")
+  }
+
   test("default start = current version: only NEW commits stream") {
     val p = freshDir()
     plant(p) // v1
