@@ -748,6 +748,54 @@ object DocsDsv2 {
       .orderBy(col("doc_id"))
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMe = new graft.SessionMemo[String]
+
+  /** MERGE AUTO-EVOLUTION (r18, the Delta withSchemaEvolution shape):
+    * the merge source carries a NEW `score` column — with
+    * autoEvolve=true the table schema widens as part of the merge
+    * commit, touched rows land with real scores, and every untouched
+    * row reads null (no default declared; no rewrite outside the
+    * matched files). The oracle derives the widened table with a CASE
+    * over the touched split. GdfMergeEvolveSpec pins the refusal
+    * without the opt-in, the type-conflict failure, and the shuffled
+    * regime's identical behavior. */
+  def mergeEvolvePath(s: SparkSession, dir: String): String =
+    builtMe.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-me/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      docs.withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs")
+        .option("buckets", Buckets.toString).mode("overwrite").save(p) // v1
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val updates = docs
+        .where(pmod(col("doc_id"), lit(ChgUpdMod)) === ChgUpdRes)
+        .select(col("doc_id"), col("n_chars"), lit(ChgLang).as("lang"),
+          pmod(col("n_chars"), lit(7L)).as("score"))
+      val inserts = s.range(1, ChgInserts + 1).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select((col("mx") + col("i")).as("doc_id"),
+          (lit(4000L) + col("i")).as("n_chars"),
+          lit("cf").as("lang"),
+          pmod(lit(4000L) + col("i"), lit(7L)).as("score"))
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.mergeInto(
+        s, p, updates.unionByName(inserts), autoEvolve = true) // v2 widens
+      p
+    }
+
+  /** The widened table: touched rows carry scores, the rest null. */
+  def mergeEvolveRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(mergeEvolvePath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("score"))
+      .orderBy(col("doc_id"))
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtLin = new graft.SessionMemo[String]
 
   /** ROW LINEAGE (r18, the Iceberg-v3 stable row identity): ids are

@@ -1821,6 +1821,28 @@ object LlmQueries {
       Some("""
         SELECT doc_id, n_chars, lang FROM documents ORDER BY doc_id""")),
 
+    // MERGE AUTO-EVOLUTION (r18): the Delta withSchemaEvolution shape —
+    // a merge source carrying a NEW column widens the table schema as
+    // part of the merge commit (re-merged inside the optimistic retry);
+    // matched/inserted rows land with real values, untouched rows read
+    // null with zero extra rewrites. The oracle derives the widened
+    // table with a CASE over the touched split.
+    QueryDef("dsv2_merge_evolve",
+      (s, dir) => DocsDsv2.mergeEvolveRead(s, dir),
+      Some(s"""
+        WITH final AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN n_chars % 7 ELSE NULL END AS score
+          FROM documents
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf',
+                 (4000 + i) % 7
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT doc_id, n_chars, lang, score FROM final ORDER BY doc_id""")),
+
     // ROW LINEAGE (r18): the Iceberg-v3 stable row identity — ids
     // assigned once at first commit (deterministic bucket-then-doc_id
     // order), preserved through a merge-on-read delete (ids ride

@@ -223,7 +223,8 @@ object GdfMaintenance {
     * validate-and-retry discipline. */
   private def commitReplacing(path: String, replaced: Set[String],
       added: Seq[GdfManifest.FileStat],
-      dropEqBuckets: Set[Int] = Set.empty): Unit =
+      dropEqBuckets: Set[Int] = Set.empty,
+      widenTo: Option[StructType] = None): Unit =
     GdfManifest.commitRetry(path) { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
@@ -235,7 +236,11 @@ object GdfMaintenance {
       Some(cur.copy(files =
         cur.files.filterNot(f => replaced.contains(f.name)) ++ added,
         eqDeletes =
-          cur.eqDeletes.filterNot(e => dropEqBuckets.contains(e.bucket))))
+          cur.eqDeletes.filterNot(e => dropEqBuckets.contains(e.bucket)),
+        // merge AUTO-EVOLUTION (r18): re-merge inside the retry so a
+        // racing widening is folded, never overwritten
+        schema = widenTo.map(w => GdfAppend.mergedSchema(cur.schema, w))
+          .getOrElse(cur.schema)))
     }
 
   /** Row-level DELETE, MERGE-ON-READ (r18, judge ask #2): instead of
@@ -407,13 +412,35 @@ object GdfMaintenance {
     vals
   }
 
+  /** The merge's working schema: the manifest schema, WIDENED by the
+    * source's genuinely new columns when `autoEvolve` (the Delta
+    * withSchemaEvolution shape — type conflicts on shared columns fail
+    * loudly through the same rule appends use). */
+  private def mergeSchema(m: GdfManifest.Manifest, source: DataFrame,
+      autoEvolve: Boolean): StructType = {
+    // new columns are forced NULLABLE (pre-evolution rows read null)
+    // and shared columns type-check through the same rule appends use —
+    // run even without evolution so a type-conflicting source fails
+    // loudly instead of corrupting the rewrite
+    val incoming = StructType(source.schema.fields.map(_.copy(nullable = true)))
+    val merged = GdfAppend.mergedSchema(m.schema, incoming)
+    if (merged.fields.length == m.schema.fields.length) m.schema else merged
+  }
+
   private def checkMergeSource(m: GdfManifest.Manifest,
-      source: DataFrame): Array[String] = {
+      source: DataFrame, autoEvolve: Boolean = false): Array[String] = {
     require(m.layout == "hash", "merge requires the hash layout")
-    val srcCols = m.schema.fields.filter(_.name != "bucket").map(_.name)
-    require(source.columns.sorted.sameElements(srcCols.sorted),
-      s"merge source must carry ${srcCols.mkString(",")}, " +
-        s"got ${source.columns.mkString(",")}")
+    val tableCols = m.schema.fields.filter(_.name != "bucket").map(_.name)
+    if (autoEvolve)
+      require(tableCols.forall(source.columns.contains),
+        s"merge source must carry every table column (minus bucket), " +
+          s"got ${source.columns.mkString(",")}")
+    else require(source.columns.sorted.sameElements(tableCols.sorted),
+      s"merge source must carry ${tableCols.mkString(",")}, " +
+        s"got ${source.columns.mkString(",")} " +
+        "(pass autoEvolve=true to widen the schema from the source)")
+    val srcCols = mergeSchema(m, source, autoEvolve).fields
+      .filter(_.name != "bucket").map(_.name)
     // CHECK constraints (r18) gate the merge source too — updates and
     // inserts alike; one pass, violations surface before any rewrite
     m.constraints.foreach { case (n, sql) =>
@@ -438,17 +465,18 @@ object GdfMaintenance {
     * driver (fact-scale CDC). */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       key: String = "doc_id",
-      maxBroadcastRows: Long = BroadcastRowGate): Unit = {
+      maxBroadcastRows: Long = BroadcastRowGate,
+      autoEvolve: Boolean = false): Unit = {
     val probed = source.limit(
       math.min(maxBroadcastRows, Int.MaxValue - 2L).toInt + 1).count()
     if (probed > maxBroadcastRows) {
       lastMergeRegime = "shuffled"
-      return mergeIntoShuffled(spark, path, source, key)
+      return mergeIntoShuffled(spark, path, source, key, autoEvolve)
     }
     lastMergeRegime = "broadcast"
     val m = GdfManifest.read(path)
-    val srcCols = checkMergeSource(m, source)
-    val schema = m.schema
+    val srcCols = checkMergeSource(m, source, autoEvolve)
+    val schema = mergeSchema(m, source, autoEvolve)
     val keyIdx = schema.fieldIndex(key)
     val version = GdfManifest.nextVersion(path)
     val align = alignSourceRow(schema, srcCols, keyIdx, m.buckets) _
@@ -500,7 +528,8 @@ object GdfMaintenance {
           rows.sortBy(r => longOf(r(keyIdx))))
       }
     commitReplacing(path, touched.map(_.name).toSet,
-      rewritten ++ insertStats)
+      rewritten ++ insertStats,
+      widenTo = if (schema == m.schema) None else Some(schema))
   }
 
   /** LARGE-SOURCE keyed MERGE (r18, the judge's #1 ask): the copy-on-
@@ -530,10 +559,10 @@ object GdfMaintenance {
     * same commit — `dsv2_merge_cow_large` certifies it against a
     * rule-derived oracle. */
   def mergeIntoShuffled(spark: SparkSession, path: String, source: DataFrame,
-      key: String = "doc_id"): Unit = {
+      key: String = "doc_id", autoEvolve: Boolean = false): Unit = {
     val m = GdfManifest.read(path)
-    val srcCols = checkMergeSource(m, source)
-    val schema = m.schema
+    val srcCols = checkMergeSource(m, source, autoEvolve)
+    val schema = mergeSchema(m, source, autoEvolve)
     val keyIdx = schema.fieldIndex(key)
     val buckets = m.buckets
     val version = GdfManifest.nextVersion(path)
@@ -590,7 +619,8 @@ object GdfMaintenance {
       }.collect()
 
     commitReplacing(path, results.flatMap(_._2).toSet,
-      results.toSeq.flatMap(_._1))
+      results.toSeq.flatMap(_._1),
+      widenTo = if (schema == m.schema) None else Some(schema))
   }
 
   /** CHANGE DATA FEED (r18): the net row-level changes between two

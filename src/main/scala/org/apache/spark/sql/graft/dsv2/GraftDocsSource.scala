@@ -1877,7 +1877,12 @@ private[dsv2] object GdfAppend {
             s"${f.dataType} -> ${g.dataType}"))
     }
     StructType(current.fields ++
-      incoming.fields.filterNot(f => current.fieldNames.contains(f.name)))
+      incoming.fields.filterNot(f => current.fieldNames.contains(f.name))
+        // a NEW column is null for every pre-evolution row by
+        // construction, so it must be nullable regardless of the
+        // incoming writer's schema — a non-nullable long would read
+        // its nulls as 0 through the codegen fast path (r18 fix)
+        .map(_.copy(nullable = true)))
   }
 
   def appended(current: Option[GdfManifest.Manifest], incoming: StructType,

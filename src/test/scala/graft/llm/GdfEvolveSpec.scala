@@ -56,6 +56,30 @@ class GdfEvolveSpec extends SparkSpec {
     assert((1L until 20L by 2L).forall(i => rows(i).contains(s"g${i % 3}")))
   }
 
+  test("a NON-NULLABLE incoming long column still null-fills old rows") {
+    // regression (r18): the widened field must be forced nullable —
+    // with the writer's nullable=false carried into the manifest, the
+    // codegen fast path read old rows' nulls as 0
+    val p = freshDir()
+    (0L until 8L).map(i => (i, i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(p)
+    // toDF of Long yields nullable=false fields — the hazard case
+    Seq((100L, 1L, 7L)).toDF("doc_id", "val", "extra")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("append").save(p)
+    assert(spark.read.format("graftdocs").load(p).schema("extra").nullable,
+      "the widened field must be forced nullable")
+    val rows = spark.read.format("graftdocs").load(p)
+      .select("doc_id", "extra").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(0L).isEmpty, s"old row must read NULL, got ${rows(0L)}")
+    assert(rows(100L).contains(7L))
+  }
+
   test("time travel to the pre-evolution snapshot reads the narrow schema") {
     val p = freshDir()
     narrowV1(p)
