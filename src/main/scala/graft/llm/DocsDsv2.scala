@@ -1034,9 +1034,14 @@ object DocsDsv2 {
     val src = changesPath(s, dir)
     val p = builtReplStream.getOrElseUpdate(s, dir) {
       val out = s"$src-replica-stream"
-      val outPath = new org.apache.hadoop.fs.Path(out)
-      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(outPath, true)
+      // the checkpoint lives OUTSIDE the table dir — drop BOTH, or a
+      // stale checkpoint from a prior JVM serves zero batches and the
+      // replica silently stays at its seed
+      Seq(out, s"$out-ckpt").foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(dp, true)
+      }
       s.read.format("graftdocs").option("version", "1").load(src)
         .withColumn("bucket",
           pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
