@@ -1357,7 +1357,7 @@ object DocsDsv2 {
     * counts. */
   def metaSnapshots(s: SparkSession, dir: String): DataFrame = {
     val cat = metaCatalog(s, dir)
-    s.sql(s"""SELECT version, n_files, n_rows, layout, buckets
+    s.sql(s"""SELECT version, operation, n_files, n_rows, layout, buckets
               FROM $cat.`docs$$snapshots` ORDER BY version""")
   }
 

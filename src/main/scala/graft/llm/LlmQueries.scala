@@ -2018,20 +2018,20 @@ object LlmQueries {
     QueryDef("dsv2_meta_snapshots",
       (s, dir) => DocsDsv2.metaSnapshots(s, dir),
       Some(s"""
-        SELECT CAST(1 AS INT) AS version,
+        SELECT CAST(1 AS INT) AS version, 'overwrite' AS operation,
                CAST(${DocsDsv2.Buckets} AS BIGINT) AS n_files,
                count(*) AS n_rows, 'hash' AS layout,
                CAST(${DocsDsv2.Buckets} AS INT) AS buckets
         FROM documents
         UNION ALL
-        SELECT CAST(2 AS INT), CAST(${DocsDsv2.Buckets} AS BIGINT),
+        SELECT CAST(2 AS INT), 'delete', CAST(${DocsDsv2.Buckets} AS BIGINT),
                count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
                                       <> ${DocsDsv2.MetaDelRes}),
                'hash', CAST(${DocsDsv2.Buckets} AS INT)
         FROM documents
         UNION ALL
         -- v3 = the tag-creation commit: metadata only, same file set
-        SELECT CAST(3 AS INT), CAST(${DocsDsv2.Buckets} AS BIGINT),
+        SELECT CAST(3 AS INT), 'tag', CAST(${DocsDsv2.Buckets} AS BIGINT),
                count(*) FILTER (WHERE doc_id % ${DocsDsv2.MetaDelMod}
                                       <> ${DocsDsv2.MetaDelRes}),
                'hash', CAST(${DocsDsv2.Buckets} AS INT)

@@ -212,7 +212,7 @@ object GdfMaintenance {
         }
         .collect().toSeq
     commitReplacing(path, multi.flatMap(_._2.map(_.name)).toSet, compacted,
-      dropEqBuckets = multi.map(_._1).toSet)
+      dropEqBuckets = multi.map(_._1).toSet, op = "compact")
   }
 
   /** Commit a copy-on-write result through the OPTIMISTIC LOOP (r18):
@@ -224,8 +224,9 @@ object GdfMaintenance {
   private def commitReplacing(path: String, replaced: Set[String],
       added: Seq[GdfManifest.FileStat],
       dropEqBuckets: Set[Int] = Set.empty,
-      widenTo: Option[StructType] = None): Unit =
-    GdfManifest.commitRetry(path) { curOpt =>
+      widenTo: Option[StructType] = None,
+      op: String = "replace"): Unit =
+    GdfManifest.commitRetry(path, op) { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       val live = cur.files.map(_.name).toSet
@@ -302,7 +303,7 @@ object GdfMaintenance {
         .collect().toSeq
     if (changes.nonEmpty)
       commitReplacing(path, changes.map(_._1).toSet,
-        changes.flatMap(_._2))
+        changes.flatMap(_._2), op = "delete")
   }
 
   /** Row-level DELETE by KEY LIST, EQUALITY-DELETE form (r18) — the
@@ -339,7 +340,7 @@ object GdfMaintenance {
       GdfFormat.writeEqDelete(path, name, ks)
       GdfManifest.EqDelete(b, name) // seq stamped at commit
     }
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "delete") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       Some(cur.copy(eqDeletes = cur.eqDeletes ++ entries))
@@ -370,7 +371,8 @@ object GdfMaintenance {
           })._1
         }
         .collect().toSeq.flatten
-    commitReplacing(path, touched.map(_.name).toSet, rewritten)
+    commitReplacing(path, touched.map(_.name).toSet, rewritten,
+      op = "delete")
   }
 
   /** Default routing gate for [[mergeInto]]: a source within this many
@@ -529,7 +531,8 @@ object GdfMaintenance {
       }
     commitReplacing(path, touched.map(_.name).toSet,
       rewritten ++ insertStats,
-      widenTo = if (schema == m.schema) None else Some(schema))
+      widenTo = if (schema == m.schema) None else Some(schema),
+      op = "merge")
   }
 
   /** LARGE-SOURCE keyed MERGE (r18, the judge's #1 ask): the copy-on-
@@ -620,7 +623,8 @@ object GdfMaintenance {
 
     commitReplacing(path, results.flatMap(_._2).toSet,
       results.toSeq.flatMap(_._1),
-      widenTo = if (schema == m.schema) None else Some(schema))
+      widenTo = if (schema == m.schema) None else Some(schema),
+      op = "merge")
   }
 
   /** CHANGE DATA FEED (r18): the net row-level changes between two
@@ -724,7 +728,7 @@ object GdfMaintenance {
     * identical upserts and no-op tombstones (GdfApplyChangesSpec pins
     * it), which is what checkpoint-replay delivery needs. */
   def applyChanges(spark: SparkSession, path: String, feed: DataFrame,
-      key: String = "doc_id"): Unit = {
+      key: String = "doc_id", autoEvolve: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(feed.columns.contains("_change_type"),
       "applyChanges needs the feed's _change_type column")
@@ -734,7 +738,10 @@ object GdfMaintenance {
     val upserts = feed
       .where(col("_change_type").isin("insert", "update_postimage"))
       .drop("_change_type")
-    if (!upserts.isEmpty) mergeInto(spark, path, upserts, key)
+    // autoEvolve lets a replica follow the SOURCE's schema evolution:
+    // a feed serving a widened source widens the replica the same way
+    if (!upserts.isEmpty) mergeInto(spark, path, upserts, key,
+      autoEvolve = autoEvolve)
   }
 
   /** REBUCKET — hash-layout partition evolution (r18): rewrite the
@@ -780,7 +787,7 @@ object GdfMaintenance {
   def addColumn(path: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,
       default: Option[String] = None): Unit =
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "add-column") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(!cur.schema.fieldNames.contains(name),
@@ -819,7 +826,7 @@ object GdfMaintenance {
       .limit(1).count()
     require(existing == 0,
       s"cannot add constraint '$name' ($sql) at $path: existing rows violate it")
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "add-constraint") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(!cur.constraints.exists(_._1 == name),
@@ -830,7 +837,7 @@ object GdfMaintenance {
 
   /** Drop a named constraint; subsequent writes stop enforcing it. */
   def dropConstraint(path: String, name: String): Unit =
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "drop-constraint") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(cur.constraints.exists(_._1 == name),
@@ -875,7 +882,7 @@ object GdfMaintenance {
       .filter(v => GdfManifest.readVersion(path, v).staged)
 
   def publish(path: String, stagedVersion: Int): Int =
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "publish") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       val s = GdfManifest.readVersion(path, stagedVersion) // loud if expired
@@ -900,7 +907,7 @@ object GdfMaintenance {
   def createTag(path: String, tag: String, version: Int): Unit = {
     require(tag.nonEmpty && !tag.forall(_.isDigit),
       s"tag '$tag' must be non-numeric (numeric strings address versions)")
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "tag") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(GdfManifest.versions(path).contains(version),
@@ -915,7 +922,7 @@ object GdfMaintenance {
     * next commit (never reaped retroactively here — expiry runs at
     * commit time, and this IS a commit, so the next one sweeps it). */
   def dropTag(path: String, tag: String): Unit =
-    GdfManifest.commitRetry(path) { curOpt =>
+    GdfManifest.commitRetry(path, "untag") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(cur.refs.exists(_._1 == tag), s"no tag '$tag' at $path")

@@ -37,6 +37,7 @@ private[dsv2] object GdfMetaTable {
       StructField("has_dv", BooleanType)))
     case "snapshots" => StructType(Seq(
       StructField("version", IntegerType),
+      StructField("operation", StringType), // the Iceberg summary field
       StructField("n_files", LongType),
       StructField("n_rows", LongType), // live rows of the snapshot
       StructField("layout", StringType),
@@ -60,7 +61,8 @@ private[dsv2] object GdfMetaTable {
     case "snapshots" =>
       GdfManifest.versions(path).map { v =>
         val m = GdfManifest.readVersion(path, v)
-        InternalRow(v, m.files.size.toLong, m.files.map(_.liveRows).sum,
+        InternalRow(v, UTF8String.fromString(m.op),
+          m.files.size.toLong, m.files.map(_.liveRows).sum,
           UTF8String.fromString(m.layout), m.buckets)
       }.toArray
     case "refs" =>

@@ -145,7 +145,7 @@ private[dsv2] class GdfRowLevelWrite(path: String, schema: StructType,
       val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
       val replaced = op.replacedFiles.toSet
       if (replaced.nonEmpty || stats.nonEmpty)
-        GdfManifest.commitRetry(path) { curOpt =>
+        GdfManifest.commitRetry(path, "replace") { curOpt =>
           val cur = curOpt.getOrElse(throw new IllegalStateException(
             s"no graftdocs table at $path"))
           val live = cur.files.map(_.name).toSet

@@ -300,7 +300,11 @@ private[dsv2] object GdfManifest {
       eqDeletes: Seq[EqDelete] = Seq.empty,
       staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
-      nextRowId: Long = 0L)
+      nextRowId: Long = 0L,
+      op: String = "write") // the OPERATION SUMMARY (r18): what kind of
+      // commit produced this snapshot (append/overwrite/delete/merge/
+      // compact/…) — the Iceberg snapshot-summary `operation` field,
+      // surfaced in `table$snapshots`
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -407,6 +411,7 @@ private[dsv2] object GdfManifest {
         .mkString(""""constraints":[""", ",", "],")
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
       s""""layout":${q(m.layout)},"ts":${m.ts},"nextRowId":${m.nextRowId},""" +
+      s""""op":${q(m.op)},""" +
       s"""$wap$cons"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
@@ -548,7 +553,8 @@ private[dsv2] object GdfManifest {
     * streaming sink's replayed-epoch no-op re-checks its ledger HERE, so
     * a replay racing a genuine commit still no-ops). Returns the
     * committed version, or -1 when update returned None. */
-  def commitRetry(path: String)(update: Option[Manifest] => Option[Manifest]): Int = {
+  def commitRetry(path: String, op: String = "write")(
+      update: Option[Manifest] => Option[Manifest]): Int = {
     var attempts = 0
     while (true) {
       val cur = if (versions(path).isEmpty) None else Some(read(path))
@@ -556,7 +562,7 @@ private[dsv2] object GdfManifest {
       update(cur) match {
         case None => return -1
         case Some(m) =>
-          try { commitVersion(path, m, v); return v }
+          try { commitVersion(path, m.copy(op = op), v); return v }
           catch {
             case _: GdfCommitConflict =>
               attempts += 1
@@ -651,6 +657,8 @@ private[dsv2] object GdfManifest {
       .flatMap(s => "\"([^\"]+)\"".r.findAllMatchIn(s).map(_.group(1)))
     val nextRowId = "\"nextRowId\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(0L)
+    val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("write")
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"seq\":(\\d+))?" +
@@ -679,7 +687,7 @@ private[dsv2] object GdfManifest {
         Option(m.group(7)).map(_.toLong).getOrElse(-1L))
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
-      staged, stagedAdds, constraints, nextRowId)
+      staged, stagedAdds, constraints, nextRowId, op)
   }
 }
 
@@ -1932,7 +1940,9 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     * overwritten. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    GdfManifest.commitRetry(path) { cur =>
+    GdfManifest.commitRetry(path,
+        if (staged) "stage" else if (truncate) "overwrite" else "append") {
+      cur =>
       if (staged) {
         // WRITE-AUDIT-PUBLISH (r18): a stage-only append — the snapshot
         // is its parent (the current main head) plus the new files, CAS-
@@ -1981,7 +1991,7 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
     * attempt, so exactly-once survives concurrency. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    val committed = GdfManifest.commitRetry(path) { cur =>
+    val committed = GdfManifest.commitRetry(path, "append") { cur =>
       if (cur.exists(_.epochs.contains(epochId))) None // replayed epoch
       else Some(GdfAppend.appended(cur, schema, buckets, layout, stats,
         Some(epochId)))

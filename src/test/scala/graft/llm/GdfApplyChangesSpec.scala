@@ -65,6 +65,20 @@ class GdfApplyChangesSpec extends SparkSpec {
     assert(snap(p) == once, "replay must converge to the same state")
   }
 
+  test("autoEvolve lets the replica follow source schema evolution") {
+    val p = freshDir()
+    plant(p)
+    GdfMaintenance.applyChanges(spark, p,
+      Seq((5L, 55L, "fresh", "insert"))
+        .toDF("doc_id", "val", "tag", "_change_type"),
+      autoEvolve = true)
+    val rows = spark.read.format("graftdocs").load(p)
+      .select("doc_id", "tag").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(5L) == "fresh" && rows(0L) == null)
+  }
+
   test("a feed without _change_type fails loudly") {
     val p = freshDir()
     plant(p)

@@ -49,13 +49,14 @@ class GdfMetaSpec extends SparkSpec {
     assert(got == want, s"files mismatch:\n${got.mkString("\n")}")
   }
 
-  test("$snapshots mirrors the retained history with live counts") {
+  test("$snapshots mirrors the retained history with live counts and ops") {
     table
     val got = spark.sql(
-      s"""SELECT version, n_files, n_rows, layout, buckets
+      s"""SELECT version, operation, n_files, n_rows, layout, buckets
           FROM $cat.`$table$$snapshots` ORDER BY version""")
-      .as[(Int, Long, Long, String, Int)].collect().toSeq
-    assert(got == Seq((1, 4L, 40L, "hash", 4), (2, 4L, 38L, "hash", 4)))
+      .as[(Int, String, Long, Long, String, Int)].collect().toSeq
+    assert(got == Seq((1, "overwrite", 4L, 40L, "hash", 4),
+      (2, "delete", 4L, 38L, "hash", 4)))
   }
 
   test("metadata queries open zero data files") {
