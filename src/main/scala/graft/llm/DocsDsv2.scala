@@ -1355,6 +1355,17 @@ object DocsDsv2 {
 
   /** `$snapshots` certification read: the retained history with live-row
     * counts. */
+  /** ROW LINEAGE through PLAIN SQL (r18): `_row_id` as a DSv2 METADATA
+    * COLUMN (SupportsMetadataColumns — the `_metadata` shape), selected
+    * through the catalog with no read option. Over the meta catalog's
+    * history (v1 write, v2 MoR delete): ids assigned at v1 in the
+    * deterministic bucket-then-doc_id order, survivors keep them — the
+    * oracle re-derives both. */
+  def sqlLineage(s: SparkSession, dir: String): DataFrame = {
+    val cat = metaCatalog(s, dir)
+    s.sql(s"""SELECT doc_id, _row_id FROM $cat.docs ORDER BY doc_id""")
+  }
+
   def metaSnapshots(s: SparkSession, dir: String): DataFrame = {
     val cat = metaCatalog(s, dir)
     s.sql(s"""SELECT version, operation, n_files, n_rows, layout, buckets

@@ -1867,6 +1867,24 @@ object LlmQueries {
         WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
         ORDER BY doc_id""")),
 
+    // ROW LINEAGE through PLAIN SQL (r18): _row_id as a DSv2 METADATA
+    // COLUMN (SupportsMetadataColumns, the _metadata shape) — selected
+    // through the catalog with no read option; the engine appends it to
+    // the scan only when referenced. Over the meta catalog's history
+    // (v1 write, v2 merge-on-read delete): ids assigned at v1 in
+    // deterministic bucket-then-doc_id order; survivors keep them.
+    QueryDef("dsv2_sql_lineage",
+      (s, dir) => DocsDsv2.sqlLineage(s, dir),
+      Some(s"""
+        WITH ids AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY doc_id % ${DocsDsv2.Buckets},
+                                    doc_id) - 1 AS rid
+          FROM documents)
+        SELECT doc_id, CAST(rid AS BIGINT) AS "_row_id" FROM ids
+        WHERE doc_id % ${DocsDsv2.MetaDelMod} <> ${DocsDsv2.MetaDelRes}
+        ORDER BY doc_id""")),
+
     // NDV STATISTICS from metadata only (r18): the Iceberg-Puffin shape
     // — per-file KMV bottom-k sketches committed by the writer, merged
     // by union+re-take at query time; the table-level distinct-count

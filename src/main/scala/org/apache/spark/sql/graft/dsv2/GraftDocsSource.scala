@@ -709,7 +709,24 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
     defaultBuckets: Int = 8)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** ROW LINEAGE as a METADATA COLUMN (r18): `SELECT _row_id FROM
+    * cat.docs` works in plain SQL — the Spark DSv2
+    * SupportsMetadataColumns surface (the `_metadata` shape); the
+    * engine appends the column to the scan's required schema only when
+    * referenced, and the readers synthesize or decode it exactly like
+    * the path API's `rowlineage` option. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GdfManifest.RowIdCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row identity (Iceberg-v3 row lineage)"
+    })
 
   /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE (r18): the
     * group-based copy-on-write surface ([[GdfRowLevelBuilder]]).

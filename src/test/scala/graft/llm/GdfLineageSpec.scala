@@ -72,6 +72,19 @@ class GdfLineageSpec extends SparkSpec {
     assert(v1 == ids.filter(_._1 < 20L), "time travel serves the v1 ids")
   }
 
+  test("_row_id is a SQL metadata column: selectable, hidden from *") {
+    val root = s"/tmp/graft-lin-cat-${System.nanoTime()}"
+    val cat = s"graftlincat${System.nanoTime() % 100000}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    plant(s"$root/t", 12L)
+    val ids = spark.sql(s"SELECT doc_id, _row_id FROM $cat.t ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.map(_._2).sorted.toSeq == (0L until 12L).toList)
+    // the metadata column never leaks into SELECT *
+    assert(!spark.sql(s"SELECT * FROM $cat.t").columns.contains("_row_id"))
+  }
+
   test("a pre-lineage file fails the lineage read loudly") {
     val p = freshDir()
     plant(p)
