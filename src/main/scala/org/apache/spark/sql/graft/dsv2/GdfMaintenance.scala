@@ -814,23 +814,42 @@ object GdfMaintenance {
     * From then on every write-path row evaluates the predicate with
     * SQL-standard three-valued semantics (only FALSE violates; UNKNOWN
     * passes) — batch appends, overwrites, streaming epochs, and merge
-    * sources alike. Validation and commit are two steps under OCC; a
-    * racing append between them is caught by ITS OWN enforcement (it
-    * re-reads constraints at write planning), so no unchecked row can
-    * land. */
+    * sources alike. Validation and commit are two steps under OCC, and
+    * BOTH race directions are closed (r19, ADVICE fix): files appended
+    * between the pre-check and our CAS claim are RE-VALIDATED inside
+    * the retry closure (a `files`-subset read — O(new files), never a
+    * rescan); a write that bound the pre-constraint set but commits
+    * AFTER us is rejected at ITS commit by
+    * [[GdfConstraints.requireCurrent]] and must re-plan. No unchecked
+    * row can land on either interleaving (GdfConstraintRaceSpec). */
   def addConstraint(spark: SparkSession, path: String,
-      name: String, sql: String): Unit = {
+      name: String, sql: String,
+      // test seam: runs between the pre-check and the commit loop —
+      // GdfConstraintRaceSpec injects a racing append here to pin the
+      // re-validation deterministically (a sleep-based race would flake)
+      afterPrecheck: () => Unit = () => ()): Unit = {
     import org.apache.spark.sql.functions._
-    val existing = spark.read.format("graftdocs").load(path)
-      .where(!coalesce(expr(sql).cast("boolean"), lit(true)))
-      .limit(1).count()
-    require(existing == 0,
+    def violated(df: DataFrame): Boolean =
+      df.where(!coalesce(expr(sql).cast("boolean"), lit(true)))
+        .limit(1).count() > 0
+    val pre = GdfManifest.read(path)
+    require(!violated(spark.read.format("graftdocs").load(path)),
       s"cannot add constraint '$name' ($sql) at $path: existing rows violate it")
+    afterPrecheck()
+    var checked: Set[String] = pre.files.map(_.name).toSet
     GdfManifest.commitRetry(path, "add-constraint") { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"no graftdocs table at $path"))
       require(!cur.constraints.exists(_._1 == name),
         s"constraint '$name' already exists at $path")
+      val fresh = cur.files.map(_.name).filterNot(checked.contains)
+      if (fresh.nonEmpty) {
+        require(!violated(spark.read.format("graftdocs")
+            .option("files", fresh.mkString(",")).load(path)),
+          s"cannot add constraint '$name' ($sql) at $path: rows committed " +
+            "while the add was validating violate it")
+        checked ++= fresh
+      }
       Some(cur.copy(constraints = cur.constraints :+ (name -> sql)))
     }
   }
@@ -892,11 +911,23 @@ object GdfMaintenance {
       val adds = s.files.filter(f => addNames.contains(f.name))
       require(adds.map(_.name).toSet == addNames,
         s"staged snapshot v$stagedVersion lost track of its adds")
+      // DURABLE double-publish guard (r19, ADVICE fix): the manifest
+      // RECORDS published staged versions — the Iceberg
+      // wap.id-in-summary approach. Inferring from live file names
+      // broke the moment a compaction renamed the published files (a
+      // second publish would re-insert the rows); the name check stays
+      // as a fast secondary for the no-rewrite window.
+      require(!cur.published.contains(stagedVersion),
+        s"staged snapshot v$stagedVersion at $path was already published")
       require(!cur.files.exists(f => addNames.contains(f.name)),
         s"staged snapshot v$stagedVersion was already published")
       // the staged write may have widened the schema (evolution rules)
       Some(cur.copy(schema = GdfAppend.mergedSchema(cur.schema, s.schema),
-        files = cur.files ++ adds))
+        files = cur.files ++ adds,
+        // prune entries whose staged manifests expired — they can never
+        // be published again anyway (readVersion fails loudly first)
+        published = cur.published
+          .filter(GdfManifest.versions(path).contains) :+ stagedVersion))
     }
 
   /** Create a named TAG pinning a retained snapshot (r18) — the Iceberg

@@ -60,6 +60,11 @@ private[dsv2] class GdfRowLevelOperation(path: String, cmd: Command)
     new WriteBuilder {
       override def build(): Write =
         new GdfRowLevelWrite(path, info.schema(),
+          // CHECK constraints bind against the row-level WRITE schema
+          // too (r19 fix, ADVICE-high): without this, SQL UPDATE/MERGE
+          // INTO landed rows that violate table constraints silently
+          GdfConstraints.bind(info.schema(),
+            GdfManifest.read(path).constraints),
           GdfRowLevelOperation.this)
     }
 
@@ -104,7 +109,7 @@ private[dsv2] class GdfCowScan(path: String, manifest: GdfManifest.Manifest,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GdfReaderFactory(manifest.schema, columnar = true)
+    new GdfReaderFactory(readSchema(), columnar = true)
 
   override def toBatch: Batch = this
 
@@ -117,6 +122,7 @@ private[dsv2] class GdfCowScan(path: String, manifest: GdfManifest.Manifest,
   * connector's one layout), committing current − replaced + written
   * through the optimistic loop. */
 private[dsv2] class GdfRowLevelWrite(path: String, schema: StructType,
+    constraints: Seq[GdfBoundConstraint],
     op: GdfRowLevelOperation)
     extends Write with RequiresDistributionAndOrdering {
 
@@ -138,8 +144,12 @@ private[dsv2] class GdfRowLevelWrite(path: String, schema: StructType,
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
+      // lineageFixup (r19): Spark's group-based ReplaceData strips the
+      // _row_id metadata attribute before the write, so the writer
+      // recovers each row's identity itself — see GdfDataWriter
       new GdfWriterFactory(path, schema, suffix,
-        if (table.layout == "hash") table.buckets else 0)
+        if (table.layout == "hash") table.buckets else 0, constraints,
+        lineageFixup = true)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
@@ -148,6 +158,7 @@ private[dsv2] class GdfRowLevelWrite(path: String, schema: StructType,
         GdfManifest.commitRetry(path, "replace") { curOpt =>
           val cur = curOpt.getOrElse(throw new IllegalStateException(
             s"no graftdocs table at $path"))
+          GdfConstraints.requireCurrent(path, curOpt, constraints) // r19
           val live = cur.files.map(_.name).toSet
           val gone = replaced.diff(live)
           require(gone.isEmpty,

@@ -301,10 +301,27 @@ private[dsv2] object GdfManifest {
       staged: Boolean = false, stagedAdds: Seq[String] = Seq.empty,
       constraints: Seq[(String, String)] = Seq.empty,
       nextRowId: Long = 0L,
-      op: String = "write") // the OPERATION SUMMARY (r18): what kind of
+      op: String = "write", // the OPERATION SUMMARY (r18): what kind of
       // commit produced this snapshot (append/overwrite/delete/merge/
       // compact/…) — the Iceberg snapshot-summary `operation` field,
       // surfaced in `table$snapshots`
+      /** Staged (WAP) versions ALREADY PUBLISHED (r19) — the durable
+        * double-publish guard (the Iceberg wap.id-in-summary shape): a
+        * name-based "are the staged files still live" check breaks the
+        * moment a compaction renames them, silently re-inserting the
+        * rows on a second publish. Carried through every commit;
+        * pruned to retained versions at publish. */
+      published: Seq[Int] = Seq.empty,
+      /** Named writable BRANCHES (r19): (name, base main version) —
+        * the Iceberg branch-ref shape. A branch commit is a snapshot
+        * in the chain marked `branch=<name>` (invisible to the main
+        * read path, like a staged one); the branch HEAD is its highest
+        * such snapshot; `fastForward` lands the head's state on main
+        * when main hasn't moved past the base (divergence fails
+        * loudly). Generalizes WAP to multi-commit audit windows. */
+      branches: Seq[(String, Int)] = Seq.empty,
+      /** Which branch this snapshot belongs to ("" = main). */
+      branch: String = "")
 
   /** Snapshots retained per table — older manifests (and the data files
     * only they reference) are expired at commit, the Iceberg
@@ -409,10 +426,18 @@ private[dsv2] object GdfManifest {
       if (m.constraints.isEmpty) ""
       else m.constraints.map { case (n, p) => s"""{"n":${q(n)},"p":${q(p)}}""" }
         .mkString(""""constraints":[""", ",", "],")
+    val pub =
+      if (m.published.isEmpty) ""
+      else s""""published":${m.published.mkString("[", ",", "]")},"""
+    val brs =
+      if (m.branches.isEmpty) ""
+      else m.branches.map { case (n, v) => s"""{"br":${q(n)},"base":$v}""" }
+        .mkString(""""branches":[""", ",", "],")
+    val br = if (m.branch.isEmpty) "" else s""""branch":${q(m.branch)},"""
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
       s""""layout":${q(m.layout)},"ts":${m.ts},"nextRowId":${m.nextRowId},""" +
       s""""op":${q(m.op)},""" +
-      s"""$wap$cons"refs":$refs,"eqd":$eqd,""" +
+      s"""$wap$cons$pub$brs$br"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -475,16 +500,17 @@ private[dsv2] object GdfManifest {
       retained.flatMap(_.eqDeletes.map(e => e.file -> e.seq)).toMap
     // ROW-LINEAGE id allocation (r18): carried files keep their range;
     // files materializing physical _row_id keep the sentinel; genuinely
-    // new virtual files draw fresh ranges from the allocator in NAME
-    // order (one write shares one suffix token, so name order is bucket
-    // order — deterministic, which is what lets an oracle re-derive the
-    // assignment)
+    // new virtual files draw fresh ranges from the allocator in
+    // NUMERIC-BUCKET-then-name order (r19 fix: names EMBED the bucket
+    // number, so lexicographic name order puts "part-10-…" before
+    // "part-2-…" at ≥10 buckets — the documented bucket-then-doc_id
+    // rule the oracle re-derives needs the numeric sort)
     val knownFr: Map[String, Long] =
       retained.flatMap(_.files.map(f => f.name -> f.firstRowId)).toMap
     var rowIdCursor = retained.lastOption.map(_.nextRowId).getOrElse(0L)
     val assigned: Map[String, Long] = m.files
       .filter(f => !knownFr.contains(f.name) && f.firstRowId != PhysicalRowIds)
-      .sortBy(_.name)
+      .sortBy(f => (f.bucket, f.name))
       .map { f => val fr = rowIdCursor; rowIdCursor += f.rows; f.name -> fr }
       .toMap
     val stamped = m.copy(
@@ -533,8 +559,14 @@ private[dsv2] object GdfManifest {
     // breaks a tag
     // the MAIN HEAD is always pinned too (r18): stacked staged commits
     // must never expire the snapshot the main read path serves
+    // BRANCH heads and bases are pinned (r19): a branch must survive
+    // main-side retention churn until it is fast-forwarded or dropped —
+    // expiry never breaks a named ref, tag or branch alike
+    val branchPins: Set[Int] = stamped.branches.flatMap { case (n, base) =>
+      base +: versions(path).filter(v => readVersion(path, v).branch == n)
+    }.toSet
     val pinned = stamped.refs.map(_._2).toSet ++
-      mainVersions(path).lastOption.toSet
+      mainVersions(path).lastOption.toSet ++ branchPins
     val keep = (all.takeRight(MaxRetainedVersions).toSet ++ pinned).toSeq
     val expired = all.filterNot(keep.contains)
     val dead = expired.flatMap(v => fileRefs(readVersion(path, v))).toSet --
@@ -584,12 +616,15 @@ private[dsv2] object GdfManifest {
   }
 
   /** Retained versions visible to the MAIN read path — staged (WAP)
-    * snapshots are excluded: they exist in the chain for auditors who
-    * address them explicitly, but never serve as anyone's "current",
-    * and the change feed never steps through them (changes surface at
-    * PUBLISH, the Iceberg stage-only contract). */
+    * snapshots and BRANCH commits (r19) are excluded: they exist in the
+    * chain for auditors who address them explicitly (by version or by
+    * branch name), but never serve as anyone's "current", and the
+    * change feed never steps through them (changes surface at
+    * PUBLISH/fast-forward, the Iceberg stage-only contract). */
   def mainVersions(path: String): Seq[Int] =
-    versions(path).filterNot(v => readVersion(path, v).staged)
+    versions(path).filterNot { v =>
+      val m = readVersion(path, v); m.staged || m.branch.nonEmpty
+    }
 
   /** Current state = the HIGHEST retained NON-STAGED snapshot. The
     * `manifest.json` pointer is only a fallback (pre-CAS tables /
@@ -659,6 +694,15 @@ private[dsv2] object GdfManifest {
       .map(_.group(1).toLong).getOrElse(0L)
     val op = "\"op\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("write")
+    val published = "\"published\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").map(_.trim.toInt))
+    val branches = "\"branches\":\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty).toSeq
+      .flatMap(s => "\\{\"br\":\"([^\"]+)\",\"base\":(\\d+)\\}".r
+        .findAllMatchIn(s).map(m => (m.group(1), m.group(2).toInt)))
+    val branch = "\"branch\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"seq\":(\\d+))?" +
@@ -687,7 +731,8 @@ private[dsv2] object GdfManifest {
         Option(m.group(7)).map(_.toLong).getOrElse(-1L))
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
-      staged, stagedAdds, constraints, nextRowId, op)
+      staged, stagedAdds, constraints, nextRowId, op, published, branches,
+      branch)
   }
 }
 
@@ -723,7 +768,11 @@ private[dsv2] class GraftDocsTable(path: String, tableSchema: StructType,
     Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = GdfManifest.RowIdCol
       override def dataType(): DataType = LongType
-      override def isNullable: Boolean = false
+      // nullable (r19): through the SQL row-level CoW path a MERGE's
+      // NOT-MATCHED insert rows carry NULL lineage (Iceberg-v3: ids for
+      // new rows are assigned at commit, which is exactly what the
+      // writer's virtual-range split implements)
+      override def isNullable: Boolean = true
       override def comment(): String =
         "stable row identity (Iceberg-v3 row lineage)"
     })
@@ -1855,6 +1904,24 @@ private[dsv2] object GdfConstraints {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
 
+  /** The commit-time half of constraint enforcement (r19): a write
+    * binds the constraint set at PLANNING; a constraint added between
+    * planning and commit would admit unchecked rows through the OCC
+    * retry (the addConstraint race ADVICE r18 named). Every data-adding
+    * commit closure calls this with the manifest it is about to build
+    * on: any constraint the write did not bind fails the commit loudly
+    * — the caller re-plans against the current set. */
+  def requireCurrent(path: String, cur: Option[GdfManifest.Manifest],
+      bound: Seq[GdfBoundConstraint]): Unit = {
+    val boundNames = bound.map(_.name).toSet
+    val missing = cur.toSeq.flatMap(_.constraints.map(_._1))
+      .filterNot(boundNames.contains)
+    if (missing.nonEmpty) throw new GdfConstraintViolation(
+      s"constraints ${missing.mkString(", ")} at $path were added after " +
+        "this write bound its constraint set — re-run the write so every " +
+        "row is checked")
+  }
+
   /** Parse + analyze + bind every table constraint against the WRITE
     * schema (driver side — the analyzer needs the session). A
     * constraint naming a column the write does not carry fails LOUDLY
@@ -1926,7 +1993,9 @@ private[dsv2] object GdfAppend {
           // deleted rows on the next append; the sequence rule keeps
           // them from touching the newly appended files
           eqDeletes = cur.eqDeletes,
-          constraints = cur.constraints)
+          constraints = cur.constraints,
+          published = cur.published, branches = cur.branches,
+          branch = cur.branch)
     }
 }
 
@@ -1960,6 +2029,11 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
     GdfManifest.commitRetry(path,
         if (staged) "stage" else if (truncate) "overwrite" else "append") {
       cur =>
+      // a CONSTRAINT added between this write's planning (which bound
+      // the then-current set) and its commit would land unchecked rows
+      // (r19, the addConstraint OCC hole): reject loudly — the caller
+      // re-plans and re-binds (the Iceberg validate-at-commit shape)
+      GdfConstraints.requireCurrent(path, cur, constraints)
       if (staged) {
         // WRITE-AUDIT-PUBLISH (r18): a stage-only append — the snapshot
         // is its parent (the current main head) plus the new files, CAS-
@@ -1972,7 +2046,9 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
       } else Some(
         if (truncate) GdfManifest.Manifest(schema, buckets, stats, layout,
           refs = cur.map(_.refs).getOrElse(Seq.empty), // tags survive overwrite
-          constraints = cur.map(_.constraints).getOrElse(Seq.empty))
+          constraints = cur.map(_.constraints).getOrElse(Seq.empty),
+          published = cur.map(_.published).getOrElse(Seq.empty),
+          branches = cur.map(_.branches).getOrElse(Seq.empty))
         else GdfAppend.appended(cur, schema, buckets, layout, stats, None))
     }
   }
@@ -2010,8 +2086,11 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
     val committed = GdfManifest.commitRetry(path, "append") { cur =>
       if (cur.exists(_.epochs.contains(epochId))) None // replayed epoch
-      else Some(GdfAppend.appended(cur, schema, buckets, layout, stats,
-        Some(epochId)))
+      else {
+        GdfConstraints.requireCurrent(path, cur, constraints) // r19
+        Some(GdfAppend.appended(cur, schema, buckets, layout, stats,
+          Some(epochId)))
+      }
     }
     if (committed < 0) { // replay: drop the regenerated orphan files
       val live = liveNames
@@ -2031,10 +2110,12 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
 
 private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
     suffix: String, hashBuckets: Int = 0,
-    constraints: Seq[GdfBoundConstraint] = Seq.empty) extends DataWriterFactory
+    constraints: Seq[GdfBoundConstraint] = Seq.empty,
+    lineageFixup: Boolean = false) extends DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GdfDataWriter(path, schema, suffix, hashBuckets, constraints)
+    new GdfDataWriter(path, schema, suffix, hashBuckets, constraints,
+      lineageFixup)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GdfDataWriter(path, schema, s"e$epochId-p$partitionId", hashBuckets,
@@ -2060,7 +2141,8 @@ private[dsv2] class GdfWriterFactory(path: String, schema: StructType,
   *    failure class). */
 private[dsv2] class GdfDataWriter(path: String, schema: StructType,
     suffix: String, hashBuckets: Int = 0,
-    constraints: Seq[GdfBoundConstraint] = Seq.empty)
+    constraints: Seq[GdfBoundConstraint] = Seq.empty,
+    lineageFixup: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val bucketIdx = schema.fieldIndex("bucket")
@@ -2113,10 +2195,57 @@ private[dsv2] class GdfDataWriter(path: String, schema: StructType,
       .append(vals)
   }
 
+  /** ROW LINEAGE through the SQL CoW path (r19, ADVICE fix): Spark's
+    * group-based ReplaceData hands the writer the TABLE schema only —
+    * the `_row_id` metadata attribute the operation requires is
+    * projected away before the write (verified against Spark 4.1's
+    * V2Writes alignment), so identity cannot arrive through the rows.
+    * The writer recovers it instead: at task commit it reads
+    * (doc_id, _row_id) of its bucket's CURRENT live files — the same
+    * files the CoW scan just read, two thin column blocks, dv/equality
+    * deletes applied so a re-inserted key never resurrects a dead id —
+    * and splits: matched rows persist their ids PHYSICALLY (the
+    * Iceberg-v3 carry-over), unmatched rows (MERGE inserts; key-changing
+    * updates, which are semantically delete+insert) land in a
+    * lineage-free file that draws a fresh virtual range at commit. */
+  private def lineageOf(bucket: Int): Map[Long, Long] = {
+    val m = GdfManifest.read(path)
+    val req = StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType)))
+    m.files.iterator
+      .filter(f => f.bucket == bucket && f.firstRowId != -1L)
+      .flatMap { f =>
+        val slice = GdfFileSlice.of(path, f, m)
+        val (n, cols, dead) = GdfDecode.decodeLive(slice, req)
+        (0 until n).iterator.filterNot(dead.get).map(i =>
+          cols(0)(i).asInstanceOf[Long] -> cols(1)(i).asInstanceOf[Long])
+      }.toMap
+  }
+
   override def commit(): WriterCommitMessage = GdfCommit(
-    perBucket.toSeq.sortBy(_._1).map { case (bucket, rows) =>
-      GdfFormat.writeFile(path, s"part-$bucket-$suffix.gdf", schema, bucket,
-        rows.toSeq)
+    perBucket.toSeq.sortBy(_._1).flatMap { case (bucket, rows) =>
+      if (!lineageFixup)
+        Seq(GdfFormat.writeFile(path, s"part-$bucket-$suffix.gdf", schema,
+          bucket, rows.toSeq))
+      else {
+        val rid = lineageOf(bucket)
+        val tagged = rows.toSeq.map(r =>
+          (r, rid.get(r(docIdx).asInstanceOf[Long])))
+        val (withId, fresh) = tagged.partition(_._2.isDefined)
+        val schemaL = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            GdfManifest.RowIdCol, LongType))
+        Seq(
+          if (withId.isEmpty) None
+          else Some(GdfFormat.writeFile(path, s"part-$bucket-$suffix.gdf",
+            schemaL, bucket, withId.map { case (r, id) => r :+ (id.get: Any) })),
+          if (fresh.isEmpty) None
+          else Some(GdfFormat.writeFile(path,
+            s"part-$bucket-$suffix-ins.gdf", schema, bucket,
+            fresh.map(_._1)))
+        ).flatten
+      }
     })
 
   override def abort(): Unit = ()

@@ -56,6 +56,22 @@ class GdfLineageSpec extends SparkSpec {
     assert(lineage(p) == afterMerge - 9L, "CoW delete must not move ids")
   }
 
+  test("ranges assign in NUMERIC bucket order at >=10 buckets (r19 fix)") {
+    val p = freshDir()
+    // 16 buckets: lexicographic file-name order would put part-10-…
+    // before part-2-… and silently diverge from the documented
+    // bucket-then-doc_id rule the oracles re-derive
+    (0L until 64L).map(i => (i, i)).toDF("doc_id", "val")
+      .withColumn("bucket", pmod(col("doc_id"), lit(16L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "16")
+      .mode("overwrite").save(p)
+    val got = lineage(p)
+    val want = (0L until 64L).sortBy(d => (d % 16, d)).zipWithIndex
+      .map { case (d, r) => d -> r.toLong }.toMap
+    assert(got == want,
+      "row ids must follow numeric (bucket, doc_id) order, not file-name order")
+  }
+
   test("appends draw fresh non-overlapping ranges; time travel serves old ids") {
     val p = freshDir()
     plant(p, 20L) // v1: ids 0..19

@@ -149,4 +149,64 @@ class GdfRowLevelSpec extends SparkSpec {
       "a no-match update must not burn a snapshot")
     assert(sql(s"SELECT count(*) FROM $cat.$t").collect()(0).getLong(0) == 40L)
   }
+
+  // ---- r19: row lineage through the SQL CoW path (ADVICE fix) ----------
+
+  private def lineage(t: String): Map[Long, Long] =
+    sql(s"SELECT doc_id, _row_id FROM $cat.$t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("SQL UPDATE preserves every row's _row_id (lineage carry-over)") {
+    val t = freshTable()
+    val before = lineage(t)
+    sql(s"UPDATE $cat.$t SET val = val + 7 WHERE doc_id IN (1, 5, 9)")
+    val after = lineage(t)
+    assert(after == before,
+      "a CoW UPDATE must carry stable row ids through the rewrite — " +
+        "updated and co-located rows alike")
+    // and the rewritten bucket's file carries the ids PHYSICALLY
+    val m = GdfManifest.read(s"$root/$t")
+    val b1 = m.files.filter(_.bucket == 1)
+    assert(b1.nonEmpty && b1.forall(_.firstRowId == GdfManifest.PhysicalRowIds),
+      s"rewritten files must materialize _row_id, got $b1")
+  }
+
+  test("SQL MERGE: matched rows keep ids, inserts draw a fresh range") {
+    val t = freshTable()
+    val before = lineage(t)
+    val cursorBefore = GdfManifest.read(s"$root/$t").nextRowId
+    Seq((2L, 999L, "m2"), (100L, 1L, "n100"), (101L, 2L, "n101"))
+      .toDF("doc_id", "val", "tag").createOrReplaceTempView("rl_lin_src")
+    sql(s"""
+      MERGE INTO $cat.$t t
+      USING rl_lin_src s
+      ON t.doc_id = s.doc_id
+      WHEN MATCHED THEN UPDATE SET val = s.val, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (doc_id, val, tag, bucket)
+        VALUES (s.doc_id, s.val, s.tag, CAST(pmod(s.doc_id, 4) AS INT))""")
+    val after = lineage(t)
+    before.foreach { case (d, rid) =>
+      assert(after(d) == rid, s"doc $d lost its row id through the merge")
+    }
+    val fresh = Seq(100L, 101L).map(after)
+    assert(fresh.forall(_ >= cursorBefore) && fresh.distinct.size == 2,
+      s"inserted rows must draw NEW virtual ids past $cursorBefore, " +
+        s"got $fresh")
+  }
+
+  test("CHECK constraints are enforced on the SQL row-level write path") {
+    val t = freshTable()
+    GdfMaintenance.addConstraint(spark, s"$root/$t",
+      "val_nonneg", "val >= 0")
+    val e = intercept[Exception] {
+      sql(s"UPDATE $cat.$t SET val = -5 WHERE doc_id = 3")
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).exists(_.isInstanceOf[GdfConstraintViolation]),
+      s"a violating SQL UPDATE must refuse with GdfConstraintViolation, got $e")
+    // nothing landed: the table still serves the pre-update state
+    assert(sql(s"SELECT val FROM $cat.$t WHERE doc_id = 3")
+      .collect()(0).getLong(0) == 30L)
+  }
 }

@@ -110,6 +110,28 @@ class GdfWapSpec extends SparkSpec {
     assert(e3.getMessage.contains("must be an APPEND"))
   }
 
+  test("double publish stays loud even after a compaction renames the files") {
+    val p = freshDir()
+    write(p, (0L until 20L).map(i => (i, i)), "overwrite") // v1
+    write(p, Seq((100L, 1L), (101L, 2L)), "append", staged = true) // v2
+    val stagedV = GdfManifest.versions(p).last
+    GdfMaintenance.publish(p, stagedV)
+    // compaction rewrites the fragmented buckets — the published staged
+    // files' NAMES disappear from the manifest (r19: the durable
+    // `published` ledger, not the live-name inference, must catch the
+    // replay; name-inference alone would silently re-insert the rows)
+    GdfMaintenance.compact(spark, p)
+    assert(!GdfManifest.read(p).files.map(_.name)
+      .exists(GdfManifest.readVersion(p, stagedV).stagedAdds.contains),
+      "fixture: compaction must have renamed the published files")
+    val e = intercept[IllegalArgumentException] {
+      GdfMaintenance.publish(p, stagedV)
+    }
+    assert(e.getMessage.contains("already published"))
+    assert(ids(spark.read.format("graftdocs").load(p))
+      == (0L until 20L).toSet ++ Set(100L, 101L), "no duplicated rows")
+  }
+
   test("stacked stages never expire the main head; main read stays served") {
     val p = freshDir()
     write(p, (0L until 10L).map(i => (i, i)), "overwrite") // v1 (main head)
