@@ -1126,6 +1126,128 @@ object DocsDsv2 {
       p
     }
 
+  // ---- rollback (r19) --------------------------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtRollback = new graft.SessionMemo[String]
+
+  /** Rollback fixture cut: docs at or above max*Num/Den get CoW-deleted
+    * at v2, then `CALL cat.rollback('docs', 1)` restores them as v3. */
+  val RbNum = 4L
+  val RbDen = 5L
+
+  /** A bad-delete-then-rollback history driven through the SQL
+    * procedure face: v1 full corpus, v2 a copy-on-write delete of the
+    * top doc_id range (the "bad commit"), v3 = `CALL rollback('docs',1)`
+    * — a NEW snapshot restoring v1's file set through the optimistic
+    * loop (Iceberg rollback_to_snapshot; no history rewrite — v2 stays
+    * time-travelable). The entry reads the post-rollback table, so the
+    * raw-corpus oracle certifies the restore bit-for-bit; the builder
+    * asserts the delete really removed rows first (a no-op history
+    * would vacuously pass). */
+  def rollbackPath(s: SparkSession, dir: String): String =
+    builtRollback.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftrb_$tag"
+      val rootDir = s"/root/repo/target/graft-rb-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val p = s"$rootDir/docs"
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs").option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // v1
+      val full = s.read.format("graftdocs").load(p).count()
+      val cut = s.read.parquet(s"$dir/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0) * RbNum / RbDen
+      org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhere(s, p,
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", cut)))
+      require(s.read.format("graftdocs").load(p).count() < full,
+        "rollback fixture: the bad delete must actually remove rows")
+      s.sql(s"CALL $cat.rollback('docs', 1)").collect()
+      p
+    }
+
+  /** Post-rollback certification read: the raw-corpus oracle matches
+    * only if the restore was exact. */
+  def rollbackRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(rollbackPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  // ---- branches + WAP-on-branch (r19) ----------------------------------------
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtBranch = new graft.SessionMemo[String]
+
+  /** Rows each branch audit commit appends (doc_ids above the corpus
+    * max, lang sentinel — the oracle re-derives them). */
+  val BranchRows = 4L
+  val BranchLang = "zz"
+
+  /** A multi-commit WRITE-AUDIT-PUBLISH window on a named BRANCH
+    * (generalizing X145's single-stage WAP): two appends land on branch
+    * `audit` (`option("branch", "audit")` — the first write forks the
+    * branch off the main head, the Iceberg write-to-new-branch shape),
+    * the builder ASSERTS main still serves the pre-branch corpus while
+    * the branch serves its commits by name, then
+    * `CALL cat.fast_forward('docs', 'audit')` lands the audited window
+    * on main as one commit. The entry reads post-fast-forward main;
+    * the oracle re-derives base ∪ branch rows. */
+  def branchPath(s: SparkSession, dir: String): String =
+    builtBranch.getOrElseUpdate(s, dir) {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + Integer.toHexString(dir.hashCode)
+      val cat = s"graftbr_$tag"
+      val rootDir = s"/root/repo/target/graft-br-catalog/$tag"
+      val rp = new org.apache.hadoop.fs.Path(rootDir)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[org.apache.spark.sql.graft.dsv2.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", rootDir)
+      val p = s"$rootDir/docs"
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      base.withColumn("bucket",
+          pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+        .write.format("graftdocs").option("buckets", Buckets.toString)
+        .mode("overwrite").save(p) // v1 (main)
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      val n = base.count()
+      def auditSlice(lo: Long, hi: Long) = {
+        import s.implicits._
+        (lo to hi).map(i => (maxId + i, (100 + i).toInt, BranchLang))
+          .toDF("doc_id", "n_chars", "lang")
+          .withColumn("n_chars", col("n_chars").cast("long"))
+          .withColumn("bucket",
+            pmod(col("doc_id"), lit(Buckets.toLong)).cast(IntegerType))
+      }
+      auditSlice(1L, BranchRows / 2)
+        .write.format("graftdocs").option("buckets", Buckets.toString)
+        .option("branch", "audit").mode("append").save(p) // branch commit 1
+      require(s.read.format("graftdocs").load(p).count() == n,
+        "main must serve the pre-branch corpus until fast-forward")
+      auditSlice(BranchRows / 2 + 1, BranchRows)
+        .write.format("graftdocs").option("buckets", Buckets.toString)
+        .option("branch", "audit").mode("append").save(p) // branch commit 2
+      require(s.read.format("graftdocs")
+          .option("version", "audit").load(p).count() == n + BranchRows,
+        "the branch must serve its audited commits by name")
+      s.sql(s"CALL $cat.fast_forward('docs', 'audit')").collect()
+      p
+    }
+
+  /** Post-fast-forward certification read of MAIN: base ∪ audit rows. */
+  def branchRead(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftdocs").load(branchPath(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ---- binpack compaction (r19) --------------------------------------------
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */

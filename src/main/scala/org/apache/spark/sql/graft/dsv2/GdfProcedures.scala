@@ -24,11 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
 private[dsv2] object GdfProcedures {
 
   val Names: Seq[String] =
-    Seq("compact", "remove_orphans", "create_tag", "drop_tag", "rebucket",
-      "publish", "add_column", "add_constraint", "drop_constraint", "ndv")
+    Seq("compact", "compact_binpack", "remove_orphans", "create_tag",
+      "drop_tag", "rebucket", "publish", "add_column", "add_constraint",
+      "drop_constraint", "ndv", "rollback", "fast_forward", "drop_branch")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
+    case "compact_binpack" => new CompactBinpackProc(root)
+    case "rollback" => new RollbackProc(root)
+    case "fast_forward" => new FastForwardProc(root)
+    case "drop_branch" => new DropBranchProc(root)
     case "remove_orphans" => new RemoveOrphansProc(root)
     case "create_tag" => new CreateTagProc(root)
     case "drop_tag" => new DropTagProc(root)
@@ -78,6 +83,108 @@ private[dsv2] object GdfProcedures {
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.compact_binpack('<table>', <target_bytes>)` → the
+    * size-targeted OPTIMIZE (r19): small files merge to ~target sorted
+    * runs, oversized ones split, deletes reconcile; returns one
+    * (files_before, files_after) summary row. */
+  private class CompactBinpackProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact_binpack"
+    override def description(): String =
+      "merge small files into ~target-byte sorted runs, split oversized " +
+        "ones, reconcile deletes (the binpack OPTIMIZE verb)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val before = GdfManifest.read(p).files.size.toLong
+      GdfMaintenance.compactBinpack(SparkSession.active, p, input.getLong(1))
+      val after = GdfManifest.read(p).files.size.toLong
+      resultScan(
+        StructType(Seq(StructField("files_before", LongType),
+          StructField("files_after", LongType))),
+        Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.rollback('<table>', <version>)` → restore a retained
+    * snapshot's data state as a NEW commit (r19, the Iceberg
+    * rollback_to_snapshot verb); returns one (from_version, to_version,
+    * new_version) row. */
+  private class RollbackProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "commit a new snapshot restoring a retained version's data state"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version",
+          org.apache.spark.sql.types.IntegerType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val from = GdfMaintenance.currentVersion(p).toLong
+      val to = input.getInt(1)
+      val nv = GdfMaintenance.rollback(p, to).toLong
+      resultScan(
+        StructType(Seq(StructField("from_version", LongType),
+          StructField("to_version", LongType),
+          StructField("new_version", LongType))),
+        Array(InternalRow(from, to.toLong, nv)))
+    }
+  }
+
+  /** `CALL <cat>.fast_forward('<table>', '<branch>')` → land a branch's
+    * audited commits on main (r19, the Iceberg fast_forward verb);
+    * loud failure when main diverged since the fork. */
+  private class FastForwardProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "fast-forward main to a branch head (divergence fails loudly)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val nv = GdfMaintenance.fastForward(p,
+        input.getUTF8String(1).toString).toLong
+      resultScan(
+        StructType(Seq(StructField("new_version", LongType))),
+        Array(InternalRow(nv)))
+    }
+  }
+
+  /** `CALL <cat>.drop_branch('<table>', '<branch>')` → retire a branch;
+    * returns the retired snapshot versions. */
+  private class DropBranchProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "retire a branch's snapshots (their unique files become orphans)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val b = input.getUTF8String(1).toString
+      val vs = GdfManifest.versions(p)
+        .filter(v => GdfManifest.readVersion(p, v).branch == b)
+      GdfMaintenance.dropBranch(p, b)
+      resultScan(
+        StructType(Seq(StructField("retired_version", LongType))),
+        vs.map(v => InternalRow(v.toLong)).toArray)
     }
   }
 
