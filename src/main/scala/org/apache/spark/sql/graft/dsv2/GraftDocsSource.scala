@@ -1149,8 +1149,14 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     * the filter runs — a conservative full file set. */
   @volatile private var runtimeKeys: Option[Set[Long]] = None
 
+  /** Runtime filtering keys on doc_id — only offered when doc_id
+    * SURVIVES column pruning (r19 fix: Spark resolves the attribute
+    * against the scan output, so advertising a pruned column fails any
+    * join over a doc_id-free projection). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("doc_id"))
+    if (required.fieldNames.contains("doc_id"))
+      Array(Expressions.column("doc_id"))
+    else Array.empty
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =

@@ -107,6 +107,114 @@ class GdfMvSpec extends SparkSpec {
     assert(state(mv) == applied, "replay must no-op at the watermark")
   }
 
+  // ---- r19: MIN/MAX/AVG stats view --------------------------------------
+
+  private def recomputeStats(p: String)
+      : Set[(Option[Long], Long, Long, Long, Long)] =
+    spark.read.format("graftdocs").load(p)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("s"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  private def statsState(mv: String)
+      : Set[(Option[Long], Long, Long, Long, Long)] =
+    GdfMaterializedView.readStats(spark, mv)
+      .select("grp", "n_rows", "sum_val", "min_val", "max_val")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+  test("stats view: deleting a group's min forces its recompute, exactly") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p) // v1: group 1's min val is 10 (doc 1)
+    assert(GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+      == "initial")
+    assert(statsState(mv) == recomputeStats(p))
+    // v2: delete doc 1 — group 1 loses its CURRENT MIN; group 2 untouched
+    GdfMaintenance.deleteWhereMor(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("doc_id", 1L)))
+    assert(GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+      == "incremental")
+    // exactly the deleted row's group was recomputed, nothing else
+    assert(GdfMaterializedView.lastRecomputedGroups == Seq(1L),
+      s"got ${GdfMaterializedView.lastRecomputedGroups}")
+    assert(statsState(mv) == recomputeStats(p),
+      "the recomputed min must be the TRUE new min, not the stale one")
+  }
+
+  test("stats view: insert-only groups fold monotonically, zero recompute") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p)
+    GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+    // v2: pure inserts — a new low in group 1, a new group 9
+    GdfMaintenance.mergeInto(spark, p,
+      Seq((100L, Some(1L), 1L), (101L, Some(9L), 777L))
+        .toDF("doc_id", "grp", "val"))
+    assert(GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+      == "incremental")
+    assert(GdfMaterializedView.lastRecomputedGroups.isEmpty,
+      "pure inserts must never trigger a base recompute")
+    assert(statsState(mv) == recomputeStats(p))
+    assert(GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+      == "noop")
+  }
+
+  test("stats view: avg derives from sum/count; expired watermark goes full") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p)
+    GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+    val gotAvg = GdfMaterializedView.readStats(spark, mv)
+      .where(col("grp") === 1L).select("avg_val").head().getDouble(0)
+    val want = spark.read.format("graftdocs").load(p)
+      .where(col("grp") === 1L)
+      .agg(avg(col("val"))).head().getDouble(0)
+    assert(math.abs(gotAvg - want) < 1e-9)
+    // churn the base past retention: the watermark expires
+    (0 until 4).foreach(k => GdfMaintenance.mergeInto(spark, p,
+      Seq((200L + k, Some(0L), 1L)).toDF("doc_id", "grp", "val")))
+    assert(GdfMaterializedView.refreshStats(spark, p, mv, "grp", "val")
+      == "full")
+    assert(statsState(mv) == recomputeStats(p))
+  }
+
+  // ---- r19: fact⋈dim join view -------------------------------------------
+
+  test("join view: maintained from the fact feed through a broadcast dim") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p)
+    // dim: grp -> parity family (covers the groups + NULL passthrough)
+    val dim = (0L until 10L).map(i => (Some(i), if (i % 2 == 0) "even" else "odd"))
+      .toDF("grp", "family")
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dim,
+      "grp", "family", "val") == "initial")
+    def recomputeJoin: Set[(String, Long, Long)] =
+      spark.read.format("graftdocs").load(p).join(broadcast(dim), "grp")
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def joinState: Set[(String, Long, Long)] =
+      GdfMaterializedView.read(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(joinState == recomputeJoin)
+    // deletes + group-moving updates + inserts, folded through the feed
+    GdfMaintenance.deleteWhereMor(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("doc_id", Array[Any](2L, 4L))))
+    GdfMaintenance.mergeInto(spark, p,
+      Seq((7L, Some(2L), 5000L), (300L, Some(4L), 9L))
+        .toDF("doc_id", "grp", "val"))
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dim,
+      "grp", "family", "val") == "incremental")
+    assert(joinState == recomputeJoin,
+      "the feed-maintained join view must equal the full join recompute")
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dim,
+      "grp", "family", "val") == "noop")
+  }
+
   test("refresh never rolls back; unknown view read is loud") {
     val p = freshDir(); val mv = s"$p-mv"
     seed(p) // v1
