@@ -2931,6 +2931,82 @@ object LlmQueries {
         FROM r WHERE rnk <= ${Similarity.TopK}
         ORDER BY query_id, rnk""")),
 
+    // FILTERED-IVF retrieval (r19, VERDICT #7): the metadata predicate
+    // COMPOSED INTO the IVF list scan (pre-filter — post-probe would
+    // under-fill k inside selective lists); queries unrestricted. The
+    // oracle re-derives assignment, probe lists, the doc-join filter,
+    // and the exact rerank.
+    QueryDef("similarity_filtered_ivf",
+      (s, dir) => Similarity.filteredIvfTopK(s, dir),
+      Some(s"""
+        WITH $ivfAssignCtes,
+        af AS (SELECT a.vec_id, a.embedding, a.cent_id
+               FROM a JOIN documents d ON a.vec_id = d.doc_id
+               WHERE d.lang = '${Similarity.FilterLang}'),
+        qp AS (SELECT vec_id AS query_id, embedding AS qv, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn
+                 FROM a0 WHERE vec_id < ${Similarity.QueryCount})
+               WHERE rn <= ${Similarity.NProbe}),
+        p AS (SELECT qp.query_id, af.vec_id AS neighbor_id,
+                     ${cosineSql("qp.qv", "af.embedding")} AS cosine
+              FROM qp JOIN af ON af.cent_id = qp.cent_id
+                             AND af.vec_id <> qp.query_id),
+        r AS (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM p)
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= ${Similarity.TopK}
+        ORDER BY query_id, rnk""")),
+
+    // Filtered-ANN RECALL (r19): per-query recall@k of the filtered-IVF
+    // scan against the FILTERED brute baseline at the same probe budget
+    // — the honest filtered-search quality row (the filter shrinks
+    // every list, so per-list misses surface exactly here).
+    QueryDef("similarity_filtered_recall",
+      (s, dir) => Similarity.filteredIvfRecall(s, dir),
+      Some(s"""
+        WITH $ivfAssignCtes,
+        af AS (SELECT a.vec_id, a.embedding, a.cent_id
+               FROM a JOIN documents d ON a.vec_id = d.doc_id
+               WHERE d.lang = '${Similarity.FilterLang}'),
+        qp AS (SELECT vec_id AS query_id, embedding AS qv, cent_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cent_id) AS rn
+                 FROM a0 WHERE vec_id < ${Similarity.QueryCount})
+               WHERE rn <= ${Similarity.NProbe}),
+        fp AS (SELECT qp.query_id, af.vec_id AS neighbor_id,
+                      ${cosineSql("qp.qv", "af.embedding")} AS cosine
+               FROM qp JOIN af ON af.cent_id = qp.cent_id
+                              AND af.vec_id <> qp.query_id),
+        fivf AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+                   FROM fp) WHERE rnk <= ${Similarity.TopK}),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < ${Similarity.QueryCount}),
+        cf AS (SELECT e.vec_id, e.embedding
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+               WHERE d.lang = '${Similarity.FilterLang}'),
+        bp AS (SELECT q.query_id, cf.vec_id AS neighbor_id,
+                      ${cosineSql("q.qv", "cf.embedding")} AS cosine
+               FROM cf JOIN q ON cf.vec_id <> q.query_id),
+        fb AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rnk
+                 FROM bp) WHERE rnk <= ${Similarity.TopK})
+        SELECT 'filtered_ivf' AS method, b.query_id,
+               CAST(count(f.query_id) AS BIGINT) AS n_hits,
+               round(CAST(count(f.query_id) AS DOUBLE)
+                     / ${Similarity.TopK}, 6) AS recall_at_k
+        FROM fb b LEFT JOIN fivf f
+          ON b.query_id = f.query_id AND b.neighbor_id = f.neighbor_id
+        GROUP BY b.query_id
+        ORDER BY b.query_id""")),
+
     // MATRYOSHKA truncation eval (r15, Kusupati et al. 2022): recall@k
     // of exact retrieval on the first-w embedding dims vs the full-width
     // baseline, per width — the truncate-the-embedding serving knob; the
