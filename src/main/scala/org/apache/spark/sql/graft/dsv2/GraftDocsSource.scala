@@ -1248,8 +1248,12 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
   override def planInputPartitions(): Array[InputPartition] =
     survivingFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (b, fs) =>
-        GdfInputPartition(fs.map(f => GdfFileSlice.of(path, f, manifest)), b)
-          : InputPartition
+        // files serve in (minDocId, name) order — when the bucket's
+        // ranges don't overlap (a binpacked sorted run) the
+        // concatenation is globally sorted, which is what lets
+        // outputOrdering (r19) claim doc_id ASC for multi-file buckets
+        GdfInputPartition(fs.sortBy(f => (f.minDocId, f.name))
+          .map(f => GdfFileSlice.of(path, f, manifest)), b): InputPartition
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1265,20 +1269,29 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     else new UnknownPartitioning(n)
   }
 
-  /** Reported per-partition ORDERING (r18): every `.gdf` file is
-    * doc_id-sorted by the write contract, so a partition holding ONE
-    * file is sorted — true for every bucket after a compaction (X121
-    * restores exactly this property) or a single overwrite. Spark's
+  /** Reported per-partition ORDERING (r18; r19 sorted-run awareness):
+    * every `.gdf` file is doc_id-sorted by the write contract, so a
+    * partition holding ONE file is sorted, and a MULTI-file partition
+    * is sorted too when its files' [min,max] doc_id ranges DO NOT
+    * OVERLAP — the reader serves files in (minDocId, name) order
+    * ([[planInputPartitions]]), so the concatenation of non-overlapping
+    * sorted runs is globally sorted. That is exactly the layout
+    * [[GdfMaintenance.compactBinpack]] produces (sequential chunks of
+    * one merged sorted run), so sort elision survives the size-targeted
+    * layout, not just the one-file [[GdfMaintenance.compact]] one.
+    * Overlapping fragments (plain appends) still report nothing. Spark's
     * `V2ScanPartitioningAndOrdering` attaches the ordering to the scan
     * relation and a downstream per-partition sort on doc_id is ELIDED
-    * (SortExec never plans). A fragmented bucket is a concatenation of
-    * sorted runs — NOT sorted — so any multi-file partition reports no
-    * ordering; the delete-vector skip preserves position order.
-    * Requires doc_id to survive pruning (an ordering on a projected-away
-    * column cannot resolve). */
+    * (SortExec never plans); the delete-vector/equality skips preserve
+    * position order. Requires doc_id to survive pruning (an ordering on
+    * a projected-away column cannot resolve). */
   override def outputOrdering(): Array[SortOrder] = {
     val groups = survivingFiles.groupBy(_.bucket)
-    if (groups.nonEmpty && groups.values.forall(_.size == 1) &&
+    def sortedRun(fs: Seq[GdfManifest.FileStat]): Boolean = {
+      val o = fs.sortBy(f => (f.minDocId, f.name))
+      o.zip(o.drop(1)).forall { case (a, b) => a.maxDocId <= b.minDocId }
+    }
+    if (groups.nonEmpty && groups.values.forall(sortedRun) &&
         required.fieldNames.contains("doc_id"))
       Array(Expressions.sort(Expressions.column("doc_id"),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
@@ -1625,9 +1638,11 @@ private[dsv2] object GdfFormat {
     * byte and pins the failure), never decodes garbage.
     *
     * Measured on the sf0.1 documents corpus (8 buckets): 1.62 MB raw
-    * block payload → 0.42 MB on disk (3.8×; sf0.01: 3.6×); `lang` and
+    * block payload → 0.42 MB on disk (3.9×; sf0.01: 3.6×); `lang` and
     * `source` pick the dictionary (their raw form is already ~4× under
-    * plain before deflate even sees it). Scan A/B (dsv2_text_stats
+    * plain before deflate even sees it); `doc_id` picks DELTA and goes
+    * 75× (vs 4.2× plain+deflate) while the random-valued `n_chars`
+    * correctly stays plain — the per-block size selection at work. Scan A/B (dsv2_text_stats
     * arithmetic, 5 warm runs, sf0.1): warm-min 0.236 s through the
     * compressed format vs 0.18-0.19 s in the r18 uncompressed bench
     * window — ~50 ms of inflate at the local job floor buys 3.8× less
@@ -1636,6 +1651,15 @@ private[dsv2] object GdfFormat {
   val CompressionLevel = java.util.zip.Deflater.BEST_SPEED
   val EncPlain: Byte = 0
   val EncDict: Byte = 1
+  /** DELTA encoding for null-free long blocks (r19): first value, then
+    * per-row differences — a SORTED column (doc_id, by the write
+    * contract) becomes a stream of small positives whose high bytes are
+    * zeros, which deflate then crushes (the parquet DELTA_BINARY_PACKED
+    * idea with the codec doing the packing). Chosen PER BLOCK by actual
+    * compressed size against plain (the parquet encoding-selection
+    * discipline), so a random-valued long column — whose deltas carry
+    * MORE entropy — never regresses. */
+  val EncDelta: Byte = 2
   /** Dictionary cap: 2-byte indexes address 65536 entries; a block with
     * more distinct values stays plain (dictionary would not pay). */
   val DictMax = 65536
@@ -1717,6 +1741,13 @@ private[dsv2] object GdfFormat {
         val wide = dictSize > 256
         Array.tabulate[Any](rows)(_ =>
           dict(if (wide) bin.readUnsignedShort() else bin.readUnsignedByte()))
+      case EncDelta =>
+        var prev = 0L
+        Array.tabulate[Any](rows) { r =>
+          val d = bin.readLong()
+          prev = if (r == 0) d else prev + d
+          prev
+        }
       case other => throw new IllegalArgumentException(
         s"unknown block encoding $other in $file")
     }
@@ -1896,6 +1927,28 @@ private[dsv2] object GdfFormat {
     (enc, bos.toByteArray)
   }
 
+  /** The DELTA candidate for a null-free long block (None otherwise) —
+    * same raw length as plain; [[writeFile]] keeps whichever deflates
+    * smaller. */
+  private def deltaBlock(tag: Byte, rows: Seq[Array[Any]], i: Int)
+      : Option[(Byte, Array[Byte])] = {
+    if (tag != TagLong || rows.isEmpty || rows.exists(_(i) == null)) None
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeByte(0) // no nulls by construction
+      var prev = 0L
+      var first = true
+      rows.foreach { r =>
+        val v = r(i).asInstanceOf[Long]
+        out.writeLong(if (first) v else v - prev)
+        prev = v
+        first = false
+      }
+      Some((EncDelta, bos.toByteArray))
+    }
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(CompressionLevel)
     try {
@@ -1923,13 +1976,16 @@ private[dsv2] object GdfFormat {
       out.writeInt(bucket)
       out.writeInt(rows.size)
       out.writeInt(schema.fields.length)
-      // per column: build the RAW block (validity + encoding-specific
-      // payload), pick the encoding, deflate, CRC — then write the
-      // directory and the compressed blocks
+      // per column: build the RAW encoding candidates (plain/dict, plus
+      // a delta form for null-free longs), deflate each, keep the
+      // SMALLEST compressed form (ties prefer plain — it's first), CRC —
+      // then write the directory and the compressed blocks
       val blocks = schema.fields.zipWithIndex.map { case (f, i) =>
         val tag = tagOf(f.dataType)
-        val (enc, raw) = rawBlock(tag, rows, i)
-        val comp = deflate(raw)
+        val candidates = Seq(rawBlock(tag, rows, i)) ++ deltaBlock(tag, rows, i)
+        val (enc, raw, comp) = candidates
+          .map { case (e, r) => (e, r, deflate(r)) }
+          .minBy(_._3.length)
         val crc = new java.util.zip.CRC32()
         crc.update(comp)
         (f.name, tag, enc, raw.length, comp, crc.getValue.toInt)

@@ -63,7 +63,8 @@ class GdfCompressSpec extends SparkSpec {
       "a 3-value lang column must dictionary-encode")
     assert(byName("text").enc == GdfFormat.EncPlain,
       "an all-distinct text column must stay plain")
-    assert(byName("doc_id").enc == GdfFormat.EncPlain)
+    assert(byName("doc_id").enc == GdfFormat.EncDelta,
+      "the sorted id column picks delta (r19)")
     // the dict block's RAW form is already far smaller than plain would
     // be: 100 rows of ~2-byte indexes + a 3-entry dict vs 100 strings
     assert(byName("lang").rawLen < byName("text").rawLen / 10)
@@ -93,6 +94,31 @@ class GdfCompressSpec extends SparkSpec {
         (c.getMessage.contains("corrupt block") ||
           c.getMessage.contains("CRC mismatch"))),
       s"expected a loud corrupt-block failure, got $e")
+  }
+
+  test("sorted long blocks pick DELTA and shrink; values round-trip (r19)") {
+    val p = freshDir()
+    plant(p)
+    val (_, dir) = headerOf(p, GdfManifest.read(p).files.head.name)
+    val byName = dir.map(m => m.name -> m).toMap
+    assert(byName("doc_id").enc == GdfFormat.EncDelta,
+      "a sorted id column must pick the delta encoding")
+    // the monotone id stream deflates far better as deltas: the block's
+    // compressed form must be well under the 8-bytes/row plain payload
+    assert(byName("doc_id").compLen < byName("doc_id").rawLen / 4,
+      s"delta ids must crush: ${byName("doc_id")}")
+    // values (incl. negatives and a random column) round-trip exactly
+    val p2 = freshDir()
+    val rows = Seq((0L, -5L, 7919L), (1L, 3L, -104729L), (2L, -5L, 0L),
+      (3L, 1000000007L, 999L))
+    rows.toDF("doc_id", "a", "b")
+      .withColumn("bucket", lit(0).cast("int"))
+      .write.format("graftdocs").option("buckets", "1")
+      .mode("overwrite").save(p2)
+    val got = spark.read.format("graftdocs").load(p2)
+      .select("doc_id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == rows, "delta-encoded longs must round-trip exactly")
   }
 
   test("round-trip with nulls, dictionary nulls, and float vectors") {
