@@ -888,7 +888,13 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val statCols = manifest.files.headOption
       .map(_.colStats.map(_._1).toSet).getOrElse(Set.empty) + "doc_id"
+    // string equality prunes through per-file string Blooms (r19) when
+    // ANY file carries one for the column (absent-bloom files simply
+    // can't prune — superset guarantee)
+    val strBloomCols = manifest.files.headOption
+      .map(_.colBlooms.map(_._1).toSet).getOrElse(Set.empty)
     pushed = filters.filter {
+      case EqualTo(c, _: String) => strBloomCols.contains(c)
       case EqualTo(c, _) => statCols.contains(c)
       case GreaterThan(c, _) => statCols.contains(c)
       case GreaterThanOrEqual(c, _) => statCols.contains(c)
@@ -1196,6 +1202,8 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
           f.minDocId <= d && d <= f.maxDocId && bloomHit("doc_id", d) &&
             (manifest.buckets <= 0 || zordered ||
               f.bucket == java.lang.Math.floorMod(d, manifest.buckets.toLong).toInt)
+        case EqualTo(c, v: String) => // string bloom probe (r19)
+          bloomHit(c, GdfManifest.ndvHash(v))
         case EqualTo(c, v) =>
           range(c).forall { case (mn, mx) =>
             mn <= longOf(v) && longOf(v) <= mx } && bloomHit(c, longOf(v))
@@ -2014,8 +2022,22 @@ private[dsv2] object GdfFormat {
     }
     // per-column Bloom filters (r17): doc_id plus every zone-mapped
     // column — point-lookup pruning where [min,max] is too wide to help
-    val colBlooms = (("doc_id", ids) +: numCols.filter(_._2.nonEmpty))
-      .map { case (n, vs) => (n, GdfManifest.GdfBloom.build(vs)) }
+    // r19: LOW-CARDINALITY STRING columns too (≤256 distinct per file —
+    // the dictionary criterion; exactly the columns equality predicates
+    // target, e.g. lang = 'en'): values hash through the deterministic
+    // ndvHash so the scan's string-EqualTo probe prunes whole files
+    // (the Iceberg string-bounds file-skipping story, bloom-shaped)
+    val strBloomCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == StringType =>
+        val hs = rows.iterator.map(_(i)).filter(_ != null)
+          .map { case b: Array[Byte] =>
+            GdfManifest.ndvHash(new String(b, StandardCharsets.UTF_8)) }
+          .toSeq
+        (f.name, hs)
+    }.filter { case (_, hs) => hs.nonEmpty && hs.distinct.size <= 256 }.toSeq
+    val colBlooms =
+      (("doc_id", ids) +: (numCols.filter(_._2.nonEmpty) ++ strBloomCols))
+        .map { case (n, vs) => (n, GdfManifest.GdfBloom.build(vs)) }
     // per-column KMV bottom-k NDV sketches (r18): every long/int/string
     // column — table-level distinct counts then fold from metadata only
     val colKmv = schema.fields.zipWithIndex.collect {

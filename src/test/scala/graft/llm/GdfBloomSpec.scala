@@ -63,4 +63,47 @@ class GdfBloomSpec extends SparkSpec {
     assert(filesRead(q) == 4)
     assert(q.count() == 21L)
   }
+
+  // ---- r19: string-equality file pruning ---------------------------------
+
+  private lazy val strDir = {
+    val p = s"/tmp/graft-bloom-str-spec-${System.nanoTime()}"
+    // lang is low-cardinality AND bucket-correlated: buckets 0/1 hold
+    // only 'aa', buckets 2/3 only 'bb' — an equality on lang can halve
+    // the file set, but only the string bloom can see it (no zone maps
+    // for strings); 'text' is all-distinct (above the 256-distinct
+    // bloom cap) so it must NOT prune
+    (0L until 1200L).map(i =>
+        (i, if (i % 4 <= 1) "aa" else "bb", s"unique-text-$i"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(p)
+    p
+  }
+
+  private def ts = spark.read.format("graftdocs").load(strDir)
+
+  test("string equality prunes whole files through the string bloom (r19)") {
+    val q = ts.where(col("lang") === "aa")
+    val read = filesRead(q)
+    assert(read <= 2, s"lang='aa' lives in 2 of 4 files, read $read")
+    assert(q.count() == 600L)
+    // an absent value prunes everything (fp odds ~0 for this constant)
+    val none = ts.where(col("lang") === "zz")
+    assert(filesRead(none) == 0, "an absent string must prune every file")
+    assert(none.count() == 0L)
+  }
+
+  test("no string false negatives; high-cardinality strings never prune") {
+    Seq("aa", "bb").foreach { v =>
+      val got = ts.where(col("lang") === v).count()
+      assert(got == 600L, s"lang=$v must serve all its rows, got $got")
+    }
+    // text is above the per-file distinct cap: no bloom, no pruning
+    val q = ts.where(col("text") === "no-such-text")
+    assert(filesRead(q) == 4,
+      "a bloom-less string column cannot prune (superset guarantee)")
+    assert(q.count() == 0L)
+  }
 }
