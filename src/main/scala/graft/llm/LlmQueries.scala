@@ -1520,6 +1520,33 @@ object LlmQueries {
                max(n_chars) AS max_chars
         FROM documents GROUP BY 1 ORDER BY bucket""")),
 
+    // Metadata-only SUM/AVG (r19): aggregate pushdown now serves SUM
+    // from the writer's per-file exact (sum, non-null count) stats —
+    // the rest of the Iceberg answer-from-manifests family beyond
+    // MIN/MAX; AVG is sum/count above the pushed scan. Zero data files
+    // open (GraftDocsSourceSpec proves it by truncating them); dv'd or
+    // equality-deleted files refuse, pre-stats files refuse.
+    QueryDef("dsv2_sum_agg",
+      (s, dir) => DocsDsv2.docs(s, dir)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("sum_chars"), col("n_docs"),
+          // DECIMAL(28,6) both sides: an integral double renders
+          // engine-dependently ('17603' vs '17603.0'); a fixed-scale
+          // decimal compares bit-stable
+          (col("sum_chars").cast("double") / col("n_docs"))
+            .cast("decimal(28,6)").as("avg_chars"))
+        .orderBy(col("bucket")),
+      Some(s"""
+        SELECT CAST(doc_id % ${DocsDsv2.Buckets} AS BIGINT) AS bucket,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(*) AS n_docs,
+               CAST(CAST(sum(n_chars) AS DOUBLE) / count(*)
+                    AS DECIMAL(28,6)) AS avg_chars
+        FROM documents GROUP BY 1 ORDER BY bucket""")),
+
     // The connector's Z-ORDER clustered layout (r16): the corpus written
     // with layout=zorder (file = Z-curve prefix cell over
     // (doc_id, n_chars), so every file's zone map is tight on BOTH

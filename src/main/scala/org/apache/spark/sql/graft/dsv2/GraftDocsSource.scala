@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -182,6 +182,15 @@ private[dsv2] object GdfManifest {
     * (`firstRowId == PhysicalRowIds`), so identity survives the
     * rewrite. `-1` = no lineage (legacy file). Readers surface the
     * column under the `rowlineage` read option. */
+  /** `colSums` (r19): per-file, per-column EXACT (sum, non-null count)
+    * for every zone-mapped numeric column — what lets aggregate
+    * pushdown answer SUM (and with COUNT, AVG) from METADATA ONLY, the
+    * rest of the Iceberg answer-from-manifests family beyond MIN/MAX.
+    * The fold is exact because writes are append-shaped (a file's sum
+    * never changes); any dv/equality delete makes the stats physical
+    * and the pushdown refuses, same rule as every other stat. Long
+    * arithmetic — a production format widens to decimal128 for
+    * overflow headroom; at any per-file scale here the fold is exact. */
   case class FileStat(name: String, bucket: Int, rows: Long,
       minDocId: Long, maxDocId: Long,
       colStats: Seq[(String, Long, Long)] = Seq.empty,
@@ -189,7 +198,8 @@ private[dsv2] object GdfManifest {
       dv: Option[String] = None, dvRows: Long = 0L,
       seq: Int = 0,
       colKmv: Seq[(String, Seq[Long])] = Seq.empty,
-      firstRowId: Long = -1L) {
+      firstRowId: Long = -1L,
+      colSums: Seq[(String, Long, Long)] = Seq.empty) {
     /** Rows a scan actually serves from this file. */
     def liveRows: Long = rows - dvRows
   }
@@ -406,11 +416,16 @@ private[dsv2] object GdfManifest {
         else f.colKmv.map { case (c, hs) =>
           s"""{"col":${q(c)},"h":"${GdfBloom.toHex(hs.toArray)}"}"""
         }.mkString(""","kmv":[""", ",", "]")
+      val sums =
+        if (f.colSums.isEmpty) ""
+        else f.colSums.map { case (c, sm, nn) =>
+          s"""{"col":${q(c)},"s":$sm,"n":$nn}"""
+        }.mkString(""","sums":[""", ",", "]")
       val dv = f.dv.map(d =>
         s""","dv":${q(d)},"dvRows":${f.dvRows}""").getOrElse("")
       s"""{"name":${q(f.name)},"bucket":${f.bucket},"rows":${f.rows},""" +
         s""""minDocId":${f.minDocId},"maxDocId":${f.maxDocId},""" +
-        s""""seq":${f.seq},"fr":${f.firstRowId}$stats$blooms$kmv$dv}"""
+        s""""seq":${f.seq},"fr":${f.firstRowId}$stats$blooms$kmv$sums$dv}"""
     }
       .mkString("[", ",", "]")
     val epochs = m.epochs.mkString("[", ",", "]")
@@ -724,10 +739,12 @@ private[dsv2] object GdfManifest {
       "(?:,\"stats\":\\[([^\\]]*)\\])?" +
       "(?:,\"blooms\":\\[([^\\]]*)\\])?" +
       "(?:,\"kmv\":\\[([^\\]]*)\\])?" +
+      "(?:,\"sums\":\\[([^\\]]*)\\])?" +
       "(?:,\"dv\":\"([^\"]+)\",\"dvRows\":(\\d+))?\\}").r
     val statRe = "\\{\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)\\}".r
     val bloomRe = "\\{\"col\":\"([^\"]+)\",\"bits\":\"([0-9a-f]+)\"\\}".r
     val kmvRe = "\\{\"col\":\"([^\"]+)\",\"h\":\"([0-9a-f]+)\"\\}".r
+    val sumRe = "\\{\"col\":\"([^\"]+)\",\"s\":(-?\\d+),\"n\":(\\d+)\\}".r
     val files = fileRe.findAllMatchIn(json).map { m =>
       val colStats = Option(m.group(8)).toSeq.flatMap(s =>
         statRe.findAllMatchIn(s).map(sm =>
@@ -738,11 +755,14 @@ private[dsv2] object GdfManifest {
       val colKmv = Option(m.group(10)).toSeq.flatMap(s =>
         kmvRe.findAllMatchIn(s).map(km =>
           (km.group(1), GdfBloom.fromHex(km.group(2)).toSeq)).toSeq)
+      val colSums = Option(m.group(11)).toSeq.flatMap(s =>
+        sumRe.findAllMatchIn(s).map(sm =>
+          (sm.group(1), sm.group(2).toLong, sm.group(3).toLong)).toSeq)
       FileStat(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, colStats, colBlooms,
-        Option(m.group(11)), Option(m.group(12)).map(_.toLong).getOrElse(0L),
+        Option(m.group(12)), Option(m.group(13)).map(_.toLong).getOrElse(0L),
         Option(m.group(6)).map(_.toInt).getOrElse(0), colKmv,
-        Option(m.group(7)).map(_.toLong).getOrElse(-1L))
+        Option(m.group(7)).map(_.toLong).getOrElse(-1L), colSums)
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
       staged, stagedAdds, constraints, nextRowId, op, published, branches,
@@ -942,11 +962,23 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
           manifest.files.forall(_.colStats.exists(_._1 == c)))
       case _ => false
     }
+    // SUM serves from per-file exact (sum, non-null count) stats (r19) —
+    // refused when any file predates them (the fold could not see its
+    // rows), same presence rule as min/max
+    def sumCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames.head
+        manifest.files.nonEmpty &&
+          manifest.files.forall(_.colSums.exists(_._1 == c))
+      case _ => false
+    }
     val ok = agg.aggregateExpressions.forall {
       case _: CountStar => true
       case c: Count => !c.isDistinct && isCol(c.column, "doc_id")
       case m: Min => statCol(m.column)
       case m: Max => statCol(m.column)
+      case sm: Sum => !sm.isDistinct && sumCol(sm.column)
       case _ => false
     }
     // a delete vector or an equality-delete file (r18) makes the
@@ -989,6 +1021,7 @@ private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
   private def colNameOf(f: AggregateFunc): String = f match {
     case m: Min => m.column.asInstanceOf[NamedReference].fieldNames.head
     case m: Max => m.column.asInstanceOf[NamedReference].fieldNames.head
+    case s: Sum => s.column.asInstanceOf[NamedReference].fieldNames.head
     case other => throw new IllegalStateException(s"no column in $other")
   }
 
@@ -1001,6 +1034,7 @@ private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
       // colStats fold stores longs; int columns narrow back at emit)
       val dt = f match {
         case _: CountStar | _: Count => LongType
+        case _: Sum => LongType // Spark's sum(int/long) result type
         case _ => manifest.schema(colNameOf(f)).dataType
       }
       org.apache.spark.sql.types.StructField(s"agg_$i", dt)
@@ -1027,6 +1061,11 @@ private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
         case m: Max =>
           val c = colNameOf(m)
           if (files.isEmpty) null else emit(c, files.map(range(_, c)._2).max)
+        case sm: Sum => // exact metadata fold; all-null -> SQL NULL (r19)
+          val c = colNameOf(sm)
+          val parts = files.map(f =>
+            f.colSums.collectFirst { case (`c`, s0, n0) => (s0, n0) }.get)
+          if (parts.map(_._2).sum == 0L) null else (parts.map(_._1).sum: Any)
         case other => throw new IllegalStateException(s"unpushable $other")
       }
       (key.map(k => k: Any).toSeq ++ aggs).toArray
@@ -2020,6 +2059,10 @@ private[dsv2] object GdfFormat {
     val colStats = numCols.collect {
       case (n, vs) if vs.nonEmpty => (n, vs.min, vs.max)
     }
+    // per-column EXACT (sum, non-null count) (r19): the SUM/AVG half of
+    // the answer-from-manifests family — all-null columns record (0, 0)
+    // so the fold can emit SQL's NULL for an empty sum
+    val colSums = numCols.map { case (n, vs) => (n, vs.sum, vs.size.toLong) }
     // per-column Bloom filters (r17): doc_id plus every zone-mapped
     // column — point-lookup pruning where [min,max] is too wide to help
     // r19: LOW-CARDINALITY STRING columns too (≤256 distinct per file —
@@ -2052,7 +2095,7 @@ private[dsv2] object GdfFormat {
           .distinct.sorted.take(GdfManifest.NdvK))
     }.filter(_._2.nonEmpty).toSeq
     GdfManifest.FileStat(name, bucket, rows.size, ids.min, ids.max, colStats,
-      colBlooms, colKmv = colKmv,
+      colBlooms, colKmv = colKmv, colSums = colSums,
       // a file carrying the physical lineage column keeps its ids —
       // the commit allocator must not assign it a fresh virtual range
       firstRowId =

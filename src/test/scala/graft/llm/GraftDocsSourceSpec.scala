@@ -164,10 +164,10 @@ class GraftDocsSourceSpec extends SparkSpec {
     assert(hasAgg(filtered), "filtered aggregate must not be pushed")
     assert(filtered.agg(sum(col("n"))).collect()(0).getLong(0) ==
       viaParquet.where(col("doc_id") < 100L).count())
-    // an unsupported aggregate (sum) keeps the real aggregation
-    val summed = viaConnector.groupBy(col("bucket"))
-      .agg(sum(col("n_chars")).as("s"))
-    assert(hasAgg(summed), "sum must not be pushed")
+    // an unsupported aggregate (distinct count) keeps the real path
+    val distinctd = viaConnector.groupBy(col("bucket"))
+      .agg(countDistinct(col("n_chars")).as("d"))
+    assert(hasAgg(distinctd), "count distinct must not be pushed")
   }
 
   test("aggregate pushdown generalizes to any zone-mapped column (r18)") {
@@ -200,6 +200,66 @@ class GraftDocsSourceSpec extends SparkSpec {
       // a column with no zone map (string) refuses -> real aggregation
       assert(hasAgg(t.agg(min(col("tag")))),
         "a stats-less column must keep the real aggregation")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("SUM/AVG serve from per-file exact sums, metadata-only (r19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gdf-agg-sum").toFile
+    try {
+      (0L until 40L).map(i =>
+          (i, if (i % 10 == 3) None else Some(i * 7 - 50)))
+        .toDF("doc_id", "score")
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "4")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      // destroy the data: only the manifest's colSums can answer
+      dir.listFiles().filter(_.getName.endsWith(".gdf"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, Array.emptyByteArray))
+      val t = spark.read.format("graftdocs").load(dir.getAbsolutePath)
+      val agg = t.groupBy(col("bucket"))
+        .agg(sum(col("score")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+      assert(!hasAgg(agg),
+        s"SUM was not pushed:\n${agg.queryExecution.optimizedPlan}")
+      val got = agg.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val want = (0L until 40L)
+        .map(i => (i % 4, if (i % 10 == 3) None else Some(i * 7 - 50)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, rs) =>
+          (b.toInt, rs.flatMap(_._2).sum, rs.size.toLong) }
+      assert(got.toSeq == want,
+        "manifest-served SUM must skip nulls and match the real fold")
+      // an all-null group's sum is SQL NULL, not 0
+      val dir2 = java.nio.file.Files.createTempDirectory("gdf-agg-sum2").toFile
+      try {
+        Seq((0L, None: Option[Long]), (1L, None))
+          .toDF("doc_id", "v")
+          .withColumn("bucket", lit(0).cast("int"))
+          .write.format("graftdocs").option("buckets", "1")
+          .mode("overwrite").save(dir2.getAbsolutePath)
+        val r = spark.read.format("graftdocs").load(dir2.getAbsolutePath)
+          .agg(sum(col("v"))).collect()(0)
+        assert(r.isNullAt(0), "sum over only nulls must be NULL")
+      } finally { dir2.listFiles().foreach(_.delete()); dir2.delete() }
+      // a MoR delete makes the stats physical: the pushdown must refuse
+      val dir3 = java.nio.file.Files.createTempDirectory("gdf-agg-sum3").toFile
+      try {
+        (0L until 8L).map(i => (i, i)).toDF("doc_id", "v")
+          .withColumn("bucket", lit(0).cast("int"))
+          .write.format("graftdocs").option("buckets", "1")
+          .mode("overwrite").save(dir3.getAbsolutePath)
+        org.apache.spark.sql.graft.dsv2.GdfMaintenance.deleteWhereMor(
+          spark, dir3.getAbsolutePath,
+          Array[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.EqualTo("doc_id", 3L)))
+        val q = spark.read.format("graftdocs").load(dir3.getAbsolutePath)
+          .agg(sum(col("v")))
+        assert(hasAgg(q), "a dv'd file must refuse the metadata sum")
+        assert(q.collect()(0).getLong(0) == 25L, "and the real sum is live")
+      } finally { dir3.listFiles().foreach(_.delete()); dir3.delete() }
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
