@@ -42,9 +42,11 @@ private[dsv2] object GdfMetaTable {
       StructField("n_rows", LongType), // live rows of the snapshot
       StructField("layout", StringType),
       StructField("buckets", IntegerType)))
-    case "refs" => StructType(Seq( // named tags (r18)
-      StructField("tag", StringType),
-      StructField("pinned_version", IntegerType)))
+    case "refs" => StructType(Seq( // named tags (r18) + branches (r19)
+      StructField("name", StringType),
+      StructField("kind", StringType), // 'tag' | 'branch'
+      StructField("version", IntegerType), // tag pin / branch HEAD
+      StructField("fork_base", IntegerType))) // branches only, else null
     case "constraints" => StructType(Seq( // CHECK constraints (r18)
       StructField("name", StringType),
       StructField("predicate", StringType)))
@@ -66,8 +68,23 @@ private[dsv2] object GdfMetaTable {
           UTF8String.fromString(m.layout), m.buckets)
       }.toArray
     case "refs" =>
-      GdfManifest.read(path).refs.sortBy(_._1).map { case (t, v) =>
-        InternalRow(UTF8String.fromString(t), v)
+      val tags = GdfManifest.read(path).refs.map { case (t, v) =>
+        (t, "tag", v, null.asInstanceOf[Any])
+      }
+      // branch refs live in the branch manifests themselves (r19) —
+      // enumerate names, then each head + its fork base
+      val branchNames = GdfManifest.versions(path)
+        .map(v => GdfManifest.readVersion(path, v).branch)
+        .filter(_.nonEmpty).distinct
+      val branches = branchNames.flatMap { b =>
+        GdfManifest.branchHead(path, b).map { case (hv, hm) =>
+          (b, "branch", hv,
+            hm.branches.collectFirst { case (n, base) if n == b => base }
+              .map(x => x: Any).orNull)
+        }
+      }
+      (tags ++ branches).sortBy(r => (r._1, r._2)).map { case (n, k, v, fb) =>
+        InternalRow(UTF8String.fromString(n), UTF8String.fromString(k), v, fb)
       }.toArray
     case "constraints" =>
       GdfManifest.read(path).constraints.sortBy(_._1).map { case (n, p) =>

@@ -69,13 +69,26 @@ class GdfMetaSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
-  test("$refs lists the named tags") {
+  test("$refs lists tags AND branches with head + fork base (r19)") {
     table
     GdfMaintenance.createTag(s"$root/t", "audit", 1)
+    // one branch commit: forks off the current main head
+    val mainHead = GdfManifest.mainVersions(s"$root/t").last
+    import spark.implicits._
+    Seq((400L, 4L)).toDF("doc_id", "val")
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .option("branch", "wip").mode("append").save(s"$root/t")
+    val bHead = GdfManifest.branchHead(s"$root/t", "wip").get._1
     val got = spark.sql(
-      s"SELECT tag, pinned_version FROM $cat.`$table$$refs` ORDER BY tag")
-      .as[(String, Int)].collect().toSeq
-    assert(got == Seq(("audit", 1)))
+      s"SELECT name, kind, version, fork_base FROM $cat.`$table$$refs` " +
+        "ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq
+    assert(got == Seq(("audit", "tag", 1, -1),
+      ("wip", "branch", bHead, mainHead)))
   }
 
   test("$constraints lists the CHECK constraints") {
