@@ -1011,7 +1011,8 @@ object LlmQueries {
     * `rel` (r16 parametrization — the OPQ∘IVF-ADC composition trains,
     * lists, and scores in the rotated space while the rerank stays on
     * the original embeddings). */
-  private def ivfAdcOracleOver(rel: String, pre: String = ""): String = {
+  private def ivfAdcOracleOver(rel: String, pre: String = "",
+      candJoin: String = ""): String = {
     val M = Similarity.PqSubspaces
     val D = Similarity.PqSubDim
     val K = Similarity.PqCodewords
@@ -1055,6 +1056,7 @@ object LlmQueries {
                         m -> l.lut[(m - 1) * $K + d.codes[m] + 1])), 9) AS score
                FROM codes d
                JOIN a ON a.vec_id = d.vec_id
+               $candJoin
                JOIN qp ON a.cent_id = qp.cent_id AND d.vec_id <> qp.query_id
                JOIN luta l ON l.query_id = qp.query_id),
         tc AS (SELECT query_id, neighbor_id FROM (
@@ -1078,6 +1080,14 @@ object LlmQueries {
     * IVF+ADC machinery over `ropq`, rerank on the originals. */
   private val opqIvfAdcOracle: String =
     ivfAdcOracleOver("ropq", opqRotCtes)
+
+  /** Filtered IVF-ADC oracle (r19): the identical machinery with the
+    * metadata predicate joined into the candidate leg BEFORE the
+    * candidate cut — the pre-filter contract at the compressed tier. */
+  private val filteredIvfAdcOracle: String =
+    ivfAdcOracleOver("embeddings",
+      candJoin = "JOIN documents fdoc ON fdoc.doc_id = d.vec_id " +
+        s"AND fdoc.lang = '${Similarity.FilterLang}'")
 
   /** Shared by events_funnel, its streamed twin, AND the sql_ surface
     * twin (the text is pure shared ANSI, so sql_events_funnel runs the
@@ -3033,6 +3043,18 @@ object LlmQueries {
           ON b.query_id = f.query_id AND b.neighbor_id = f.neighbor_id
         GROUP BY b.query_id
         ORDER BY b.query_id""")),
+
+    // FILTERED IVF-ADC (r19): the predicate composed into the
+    // COMPRESSED tier (Faiss IVF,PQ with an id-selector) — the
+    // allowed-id set joins the int-code relation BEFORE the probed-list
+    // ADC scan and the candidate cut, so the budget spends on
+    // qualifying rows only; exact rerank on originals unchanged. Served
+    // from the eval-tier store (cold build in build_eval_tiers); the
+    // oracle re-derives codebook training, codes, LUTs, the filter
+    // join, ADC, and the rerank end to end.
+    QueryDef("similarity_filtered_ivfpq",
+      (s, dir) => Similarity.servedTier(s, dir, "fivfpq"),
+      Some(filteredIvfAdcOracle)),
 
     // MATRYOSHKA truncation eval (r15, Kusupati et al. 2022): recall@k
     // of exact retrieval on the first-w embedding dims vs the full-width

@@ -426,18 +426,22 @@ object Similarity {
     // r16: + the OPQ rotated-PQ tier and the full OPQ∘IVF-ADC
     // composition (fingerprint bumped to v4 so committed stores rebuild
     // with the eighth tier)
+    // r19: + the FILTERED IVF-ADC tier (fingerprint bumped to v5 so
+    // committed v4 stores rebuild with the ninth tier)
     val names =
-      Seq("brute", "ann_lsh", "ivf", "sq", "pq", "ivfpq", "opq", "opqivf")
+      Seq("brute", "ann_lsh", "ivf", "sq", "pq", "ivfpq", "opq", "opqivf",
+        "fivfpq")
     tierCache.getOrElseUpdate(s, dir) {
       val stored = graft.IndexStore.readOrBuild(s, dir, "eval_tiers",
-        s"v4;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
+        s"v5;k=$TopK;q=$QueryCount;L=$AnnTables;b=$AnnPlanes;" +
           s"np=$NProbe;cb=$CentroidBase;c=$Centroids;sqc=$SqCandidates;" +
           s"pqm=$PqSubspaces;pqk=$PqCodewords;pqr=$PqTrainRounds;" +
           s"pqc=$PqCandidates;opq=hd+ea") {
         Seq("brute" -> bruteTopK(s, dir), "ann_lsh" -> annLshTopK(s, dir),
           "ivf" -> ivfTopK(s, dir), "sq" -> sqTopK(s, dir),
           "pq" -> pqTopK(s, dir), "ivfpq" -> ivfAdcTopK(s, dir),
-          "opq" -> opqTopK(s, dir), "opqivf" -> opqIvfAdcTopK(s, dir))
+          "opq" -> opqTopK(s, dir), "opqivf" -> opqIvfAdcTopK(s, dir),
+          "fivfpq" -> filteredIvfAdcTopK(s, dir))
           .map { case (n, df) =>
             df.select(lit(n).as("tier"), col("query_id"),
               col("neighbor_id"), col("cosine"), col("rnk"))
@@ -1317,10 +1321,15 @@ object Similarity {
     * — unit-test hook. */
   private[llm] def ivfAdcTopKOf(e: DataFrame, idx: DataFrame, cb: DataFrame,
       queryCount: Int, nProbe: Int, cand: Int, topK: Int,
-      rerankOn: Option[DataFrame] = None): DataFrame = {
-    val dcodes = pqCodesOf(e, cb)
+      rerankOn: Option[DataFrame] = None,
+      candidateFilter: Option[DataFrame] = None): DataFrame = {
+    // filtered-ANN composition (r19): the allowed-id set joins the CODE
+    // relation before the probed-list scan — pre-filter at the
+    // compressed tier, the candidate budget spends on rows that qualify
+    val dcodes0 = pqCodesOf(e, cb)
       .join(idx.where(col("rn") === 1).select(col("vec_id"), col("cent_id")),
         "vec_id")
+    val dcodes = candidateFilter.fold(dcodes0)(a => dcodes0.join(a, "vec_id"))
     val qprobe = idx.where(col("vec_id") < queryCount && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
     val scored = dcodes.as("d")
@@ -1836,6 +1845,22 @@ object Similarity {
         col("n_hits").cast(LongType).as("n_hits"),
         round(col("n_hits") / lit(TopK.toDouble), 6).as("recall_at_k"))
       .orderBy(col("query_id"))
+  }
+
+  /** FILTERED IVF-ADC (r19): the metadata predicate composed into the
+    * COMPRESSED tier — the billion-scale form of [[filteredIvfTopK]]
+    * (Faiss `IVFx,PQy` with an id-selector): the allowed-id set joins
+    * the int-code relation BEFORE the probed-list ADC scan, so the
+    * candidate budget spends entirely on qualifying rows; the exact
+    * rerank on original vectors is unchanged. Served from the
+    * [[evalTiers]] store like every ADC tier (honest cold build in
+    * `build_eval_tiers`). */
+  def filteredIvfAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val allowed = Corpus.docs(s, dir)
+      .where(col("lang") === FilterLang)
+      .select(col("doc_id").as("vec_id"))
+    ivfAdcTopKOf(emb(s, dir), ivfIndex(s, dir), pqCodebook(s, dir),
+      QueryCount, NProbe, PqCandidates, TopK, candidateFilter = Some(allowed))
   }
 
   /** Truncation widths for [[matryoshkaRecall]] — prefix lengths of the
