@@ -952,6 +952,22 @@ object GdfMaintenance {
     }
   }
 
+  /** SET the snapshot-RETENTION policy (r19) — how many snapshots
+    * expiry keeps (the Iceberg expire_snapshots `retain_last` knob as a
+    * durable table property): a metadata-only commit; the policy
+    * applies at the NEXT commit's expiry sweep (expiry only ever runs
+    * inside a commit — shrinking retention never reaps retroactively,
+    * and pins — tags, branch heads/bases, the main head — always win).
+    * `n = 0` restores the default. */
+  def setRetention(path: String, n: Int): Unit = {
+    require(n >= 0, s"retention must be >= 0 (0 = default), got $n")
+    GdfManifest.commitRetry(path, "set-retention") { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"no graftdocs table at $path"))
+      Some(cur.copy(retain = n))
+    }
+  }
+
   /** Drop a named constraint; subsequent writes stop enforcing it. */
   def dropConstraint(path: String, name: String): Unit =
     GdfManifest.commitRetry(path, "drop-constraint") { curOpt =>

@@ -26,10 +26,12 @@ private[dsv2] object GdfProcedures {
   val Names: Seq[String] =
     Seq("compact", "compact_binpack", "remove_orphans", "create_tag",
       "drop_tag", "rebucket", "publish", "add_column", "add_constraint",
-      "drop_constraint", "ndv", "rollback", "fast_forward", "drop_branch")
+      "drop_constraint", "ndv", "rollback", "fast_forward", "drop_branch",
+      "set_retention")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
+    case "set_retention" => new SetRetentionProc(root)
     case "compact_binpack" => new CompactBinpackProc(root)
     case "rollback" => new RollbackProc(root)
     case "fast_forward" => new FastForwardProc(root)
@@ -110,6 +112,31 @@ private[dsv2] object GdfProcedures {
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.set_retention('<table>', <n>)` → durable snapshot
+    * retention policy (r19, the Iceberg expire_snapshots retain_last
+    * knob); 0 restores the default; applies at the next commit. */
+  private class SetRetentionProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "set_retention"
+    override def description(): String =
+      "set how many snapshots expiry keeps (0 = default)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("retain",
+          org.apache.spark.sql.types.IntegerType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val n = input.getInt(1)
+      GdfMaintenance.setRetention(p, n)
+      resultScan(
+        StructType(Seq(StructField("retain",
+          org.apache.spark.sql.types.IntegerType))),
+        Array(InternalRow(n)))
     }
   }
 

@@ -332,11 +332,18 @@ private[dsv2] object GdfManifest {
         * loudly). Generalizes WAP to multi-commit audit windows. */
       branches: Seq[(String, Int)] = Seq.empty,
       /** Which branch this snapshot belongs to ("" = main). */
-      branch: String = "")
+      branch: String = "",
+      /** RETENTION POLICY (r19): how many snapshots expiry keeps
+        * (0 = the [[MaxRetainedVersions]] default). A table property —
+        * set by `CALL set_retention`, carried through every commit,
+        * applied by the NEXT commit's expiry sweep (never
+        * retroactively; expiry only ever runs inside a commit). */
+      retain: Int = 0)
 
-  /** Snapshots retained per table — older manifests (and the data files
-    * only they reference) are expired at commit, the Iceberg
-    * expire-snapshots verb in miniature. */
+  /** DEFAULT snapshots retained per table — older manifests (and the
+    * data files only they reference) are expired at commit, the Iceberg
+    * expire-snapshots verb in miniature. Overridable per table via the
+    * `retain` manifest property (r19, `CALL set_retention`). */
   val MaxRetainedVersions = 3
 
   /** Per-file, per-column Bloom filter over long values (r17): [[Bits]]
@@ -450,10 +457,11 @@ private[dsv2] object GdfManifest {
       else m.branches.map { case (n, v) => s"""{"br":${q(n)},"base":$v}""" }
         .mkString(""""branches":[""", ",", "],")
     val br = if (m.branch.isEmpty) "" else s""""branch":${q(m.branch)},"""
+    val ret = if (m.retain <= 0) "" else s""""retain":${m.retain},"""
     s"""{"schema":${m.schema.json},"buckets":${m.buckets},""" +
       s""""layout":${q(m.layout)},"ts":${m.ts},"nextRowId":${m.nextRowId},""" +
       s""""op":${q(m.op)},""" +
-      s"""$wap$cons$pub$brs$br"refs":$refs,"eqd":$eqd,""" +
+      s"""$wap$cons$pub$brs$br$ret"refs":$refs,"eqd":$eqd,""" +
       s""""epochs":$epochs,"files":$files}"""
   }
 
@@ -590,7 +598,9 @@ private[dsv2] object GdfManifest {
     }
     val pinned = stamped.refs.map(_._2).toSet ++
       mainVersions(path).lastOption.toSet ++ branchPins
-    val keep = (all.takeRight(MaxRetainedVersions).toSet ++ pinned).toSeq
+    val retainN = if (stamped.retain > 0) stamped.retain
+      else MaxRetainedVersions
+    val keep = (all.takeRight(retainN).toSet ++ pinned).toSeq
     val expired = all.filterNot(keep.contains)
     val dead = expired.flatMap(v => fileRefs(readVersion(path, v))).toSet --
       keep.flatMap(v => fileRefs(readVersion(path, v))) -- fileRefs(stamped)
@@ -732,6 +742,8 @@ private[dsv2] object GdfManifest {
         .findAllMatchIn(s).map(m => (m.group(1), m.group(2).toInt)))
     val branch = "\"branch\":\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("")
+    val retain = "\"retain\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
     val fileRe = ("\\{\"name\":\"([^\"]+)\",\"bucket\":(-?\\d+),\"rows\":(\\d+)," +
       "\"minDocId\":(-?\\d+),\"maxDocId\":(-?\\d+)" +
       "(?:,\"seq\":(\\d+))?" +
@@ -766,7 +778,7 @@ private[dsv2] object GdfManifest {
     }.toSeq
     Manifest(schema, buckets, files, layout, epochs, ts, refs, eqd,
       staged, stagedAdds, constraints, nextRowId, op, published, branches,
-      branch)
+      branch, retain)
   }
 }
 
@@ -2155,7 +2167,7 @@ private[dsv2] class GdfWrite(path: String, schema: StructType, buckets: Int,
     * replayed epoch a no-op (exactly-once end to end with the
     * micro-batch read face on the other side). */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new GdfStreamingWrite(path, schema, buckets, layout, constraints)
+    new GdfStreamingWrite(path, schema, buckets, layout, constraints, branch)
 }
 
 private[dsv2] case class GdfCommit(stats: Seq[GdfManifest.FileStat])
@@ -2272,7 +2284,7 @@ private[dsv2] object GdfAppend {
           eqDeletes = cur.eqDeletes,
           constraints = cur.constraints,
           published = cur.published, branches = cur.branches,
-          branch = cur.branch)
+          branch = cur.branch, retain = cur.retain)
     }
 }
 
@@ -2345,7 +2357,8 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
           refs = cur.map(_.refs).getOrElse(Seq.empty), // tags survive overwrite
           constraints = cur.map(_.constraints).getOrElse(Seq.empty),
           published = cur.map(_.published).getOrElse(Seq.empty),
-          branches = cur.map(_.branches).getOrElse(Seq.empty))
+          branches = cur.map(_.branches).getOrElse(Seq.empty),
+          retain = cur.map(_.retain).getOrElse(0))
         else GdfAppend.appended(cur, schema, buckets, layout, stats, None))
     }
   }
@@ -2360,7 +2373,7 @@ private[dsv2] class GdfBatchWrite(path: String, schema: StructType,
   * is at-least-once (GdfSinkSpec pins the replay). */
 private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
     buckets: Int, layout: String,
-    constraints: Seq[GdfBoundConstraint] = Seq.empty)
+    constraints: Seq[GdfBoundConstraint] = Seq.empty, branch: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -2374,19 +2387,45 @@ private[dsv2] class GdfStreamingWrite(path: String, schema: StructType,
     * set. */
   private def liveNames: Set[String] =
     if (GdfManifest.versions(path).isEmpty) Set.empty
-    else GdfManifest.read(path).files.map(_.name).toSet
+    else {
+      val m =
+        if (branch.isEmpty) GdfManifest.read(path)
+        else GdfManifest.branchHead(path, branch).map(_._2)
+          .getOrElse(GdfManifest.read(path))
+      m.files.map(_.name).toSet
+    }
 
   /** The replay check runs INSIDE the optimistic loop (r18): even a
     * replayed epoch racing a genuine commit re-reads the ledger on every
-    * attempt, so exactly-once survives concurrency. */
+    * attempt, so exactly-once survives concurrency. A BRANCH sink (r19)
+    * chains epochs on the branch head instead — the epoch ledger lives
+    * in the branch manifests, so replay detection follows the branch;
+    * the stream-to-audit-branch / validate / fast-forward shape every
+    * gated production pipeline wants (Delta's stream-to-staging). */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val stats = messages.toSeq.flatMap(_.asInstanceOf[GdfCommit].stats)
-    val committed = GdfManifest.commitRetry(path, "append") { cur =>
-      if (cur.exists(_.epochs.contains(epochId))) None // replayed epoch
+    val committed = GdfManifest.commitRetry(path,
+        if (branch.isEmpty) "append" else "branch-append") { cur =>
+      val baseM =
+        if (branch.isEmpty) cur
+        else {
+          require(cur.nonEmpty,
+            s"a branch sink needs an existing table at $path")
+          Some(GdfManifest.branchHead(path, branch).map(_._2)
+            .getOrElse(cur.get))
+        }
+      if (baseM.exists(_.epochs.contains(epochId))) None // replayed epoch
       else {
         GdfConstraints.requireCurrent(path, cur, constraints) // r19
-        Some(GdfAppend.appended(cur, schema, buckets, layout, stats,
-          Some(epochId)))
+        val appended = GdfAppend.appended(baseM, schema, buckets, layout,
+          stats, Some(epochId))
+        Some(
+          if (branch.isEmpty) appended
+          else appended.copy(branch = branch, branches = Seq(branch ->
+            GdfManifest.branchHead(path, branch)
+              .flatMap(_._2.branches.collectFirst {
+                case (n, v) if n == branch => v })
+              .getOrElse(GdfManifest.mainVersions(path).last))))
       }
     }
     if (committed < 0) { // replay: drop the regenerated orphan files

@@ -117,6 +117,24 @@ class GdfCommitSpec extends SparkSpec {
     assert(v == -1 && GdfManifest.versions(p) == before)
   }
 
+  test("retention policy: set_retention widens, 0 restores the default (r19)") {
+    val p = freshDir()
+    val f0 = plantFile(p, "part-0-ret.gdf", 0L, 0)
+    GdfManifest.commitRetry(p)(_ =>
+      Some(GdfManifest.Manifest(schema, 2, Seq(f0)))) // v1
+    GdfMaintenance.setRetention(p, 6) // v2
+    (1 to 4).foreach(_ =>
+      GdfManifest.commitRetry(p)(c => Some(c.get))) // v3..v6
+    assert(GdfManifest.versions(p).contains(1),
+      "retention 6 must keep v1 where the default would have swept it")
+    GdfMaintenance.setRetention(p, 0) // v7: back to the default window
+    GdfManifest.commitRetry(p)(c => Some(c.get)) // v8: sweep applies
+    val vs = GdfManifest.versions(p)
+    assert(!vs.contains(1) && !vs.contains(2),
+      s"restoring the default must let expiry sweep old snapshots: $vs")
+    assert(vs.size <= 4, s"default window (3 + pinned head) exceeded: $vs")
+  }
+
   test("orphan GC removes aged unreferenced files, never live or recent ones") {
     val p = freshDir()
     val f0 = plantFile(p, "part-0-live.gdf", 0L, 0)

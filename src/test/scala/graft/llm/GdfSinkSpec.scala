@@ -107,6 +107,48 @@ class GdfSinkSpec extends SparkSpec {
     assert(spark.read.format("graftdocs").load(p).count() == 5L)
   }
 
+  test("a BRANCH sink streams into an audit window; fast-forward lands it (r19)") {
+    import org.apache.spark.sql.graft.dsv2.GdfMaintenance
+    val src = freshDir(); plant(src)
+    val dst = freshDir()
+    // seed main with a 4-row base the audit stream must not disturb
+    (100L until 104L).map(i => (i, i, s"b$i")).toDF("doc_id", "val", "tag")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .write.format("graftdocs").option("buckets", "4")
+      .mode("overwrite").save(dst)
+    val q = spark.readStream.format("graftdocs")
+      .option("maxfilespertrigger", "2").load(src)
+      .writeStream.format("graftdocs")
+      .option("buckets", "4")
+      .option("branch", "audit")
+      .option("checkpointLocation", s"$dst-br-ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    // main untouched by the whole drained stream
+    assert(spark.read.format("graftdocs").load(dst).count() == 4L,
+      "main must serve only the base until fast-forward")
+    // the branch holds base + every streamed row, epochs in ITS ledger
+    assert(spark.read.format("graftdocs")
+      .option("version", "audit").load(dst).count() == 44L)
+    // the branch HEAD manifest (highest version tagged branch=audit)
+    // carries the epoch ledger — 2 triggers at 2 files each
+    val headJson = new File(dst).listFiles()
+      .filter(_.getName.matches("manifest-v\\d+\\.json")).toSeq
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .filter(_.contains("\"branch\":\"audit\""))
+      .last
+    val epochs = "\"epochs\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(headJson).get.group(1)
+    assert(epochs.split(",").count(_.nonEmpty) == 2,
+      s"branch epoch ledger wrong: [$epochs]")
+    GdfMaintenance.fastForward(dst, "audit")
+    assert(spark.read.format("graftdocs").load(dst).count() == 44L,
+      "fast-forward lands the audited stream on main as one commit")
+  }
+
   test("the graded sink entry equals the batch table") {
     val stats = DocsDsv2.sinkStats(spark, sf001)
       .select(col("doc_id")).collect().map(_.getLong(0))
