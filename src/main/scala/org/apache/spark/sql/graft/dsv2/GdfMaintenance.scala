@@ -1012,7 +1012,7 @@ object GdfMaintenance {
     * public face callers audit/publish through. */
   def stagedVersions(path: String): Seq[Int] =
     GdfManifest.versions(path)
-      .filter(v => GdfManifest.readVersion(path, v).staged)
+      .filter(v => GdfManifest.readVersionOpt(path, v).exists(_.staged))
 
   def publish(path: String, stagedVersion: Int): Int =
     GdfManifest.commitRetry(path, "publish") { curOpt =>
@@ -1104,7 +1104,7 @@ object GdfMaintenance {
     * of responsibilities, applied to refs. */
   def dropBranch(path: String, branch: String): Unit = {
     val vs = GdfManifest.versions(path)
-      .filter(v => GdfManifest.readVersion(path, v).branch == branch)
+      .filter(v => GdfManifest.readVersionOpt(path, v).exists(_.branch == branch))
     require(vs.nonEmpty, s"no branch '$branch' at $path")
     vs.foreach(v => new File(path, s"manifest-v$v.json").delete())
   }
@@ -1155,7 +1155,7 @@ object GdfMaintenance {
     * committed at or before the instant (the published as-of rule). */
   def resolveTimestamp(path: String, micros: Long): Int = {
     val at = GdfManifest.versions(path)
-      .map(v => v -> GdfManifest.readVersion(path, v).ts)
+      .flatMap(v => GdfManifest.readVersionOpt(path, v).map(m => v -> m.ts))
       .filter(_._2 * 1000L <= micros)
     require(at.nonEmpty,
       s"no snapshot at or before timestamp $micros at $path")

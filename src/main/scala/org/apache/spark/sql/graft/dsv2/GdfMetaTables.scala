@@ -61,11 +61,11 @@ private[dsv2] object GdfMetaTable {
           f.liveRows, f.minDocId, f.maxDocId, f.dv.isDefined)
       }.toArray
     case "snapshots" =>
-      GdfManifest.versions(path).map { v =>
-        val m = GdfManifest.readVersion(path, v)
-        InternalRow(v, UTF8String.fromString(m.op),
-          m.files.size.toLong, m.files.map(_.liveRows).sum,
-          UTF8String.fromString(m.layout), m.buckets)
+      GdfManifest.versions(path).flatMap { v =>
+        GdfManifest.readVersionOpt(path, v).map(m =>
+          InternalRow(v, UTF8String.fromString(m.op),
+            m.files.size.toLong, m.files.map(_.liveRows).sum,
+            UTF8String.fromString(m.layout), m.buckets))
       }.toArray
     case "refs" =>
       val tags = GdfManifest.read(path).refs.map { case (t, v) =>
@@ -74,7 +74,7 @@ private[dsv2] object GdfMetaTable {
       // branch refs live in the branch manifests themselves (r19) —
       // enumerate names, then each head + its fork base
       val branchNames = GdfManifest.versions(path)
-        .map(v => GdfManifest.readVersion(path, v).branch)
+        .flatMap(v => GdfManifest.readVersionOpt(path, v).map(_.branch))
         .filter(_.nonEmpty).distinct
       val branches = branchNames.flatMap { b =>
         GdfManifest.branchHead(path, b).map { case (hv, hm) =>

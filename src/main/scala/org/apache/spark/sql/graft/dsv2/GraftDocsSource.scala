@@ -506,7 +506,7 @@ private[dsv2] object GdfManifest {
     // monotonic commit timestamp (r18): TIMESTAMP AS OF resolution needs
     // a total order even when two commits land within one clock tick
     val parentTs = versions(path).lastOption
-      .map(v => readVersion(path, v).ts).getOrElse(0L)
+      .flatMap(v => readVersionOpt(path, v)).map(_.ts).getOrElse(0L)
     // DATA SEQUENCE NUMBERS stamped centrally (r18): a file name seen in
     // any retained snapshot keeps its original seq; a genuinely new name
     // (append, rewrite, compaction output) is sequenced at THIS version.
@@ -516,7 +516,7 @@ private[dsv2] object GdfManifest {
     // STAGED manifests are excluded from the known map: their files'
     // sequence becomes final only at PUBLISH (the Iceberg cherry-pick
     // re-sequences — the change "happens" when it reaches main).
-    val retained = versions(path).map(v => readVersion(path, v))
+    val retained = versions(path).flatMap(v => readVersionOpt(path, v))
       .filterNot(_.staged)
     val knownFileSeq: Map[String, Int] =
       retained.flatMap(_.files.map(f => f.name -> f.seq)).toMap
@@ -589,7 +589,8 @@ private[dsv2] object GdfManifest {
     // (intermediate branch snapshots expire normally; the head's
     // cumulative file set keeps the data)
     val branchPins: Set[Int] = {
-      val branched = versions(path).map(v => (v, readVersion(path, v)))
+      val branched = versions(path)
+        .flatMap(v => readVersionOpt(path, v).map(m => (v, m)))
         .filter(_._2.branch.nonEmpty)
       branched.groupBy(_._2.branch).flatMap { case (_, vs) =>
         val (hv, hm) = vs.maxBy(_._1)
@@ -602,8 +603,10 @@ private[dsv2] object GdfManifest {
       else MaxRetainedVersions
     val keep = (all.takeRight(retainN).toSet ++ pinned).toSeq
     val expired = all.filterNot(keep.contains)
-    val dead = expired.flatMap(v => fileRefs(readVersion(path, v))).toSet --
-      keep.flatMap(v => fileRefs(readVersion(path, v))) -- fileRefs(stamped)
+    val dead = expired.flatMap(v =>
+        readVersionOpt(path, v).toSeq.flatMap(fileRefs)).toSet --
+      keep.flatMap(v => readVersionOpt(path, v).toSeq.flatMap(fileRefs)) --
+      fileRefs(stamped)
     expired.foreach(v => new File(path, s"manifest-v$v.json").delete())
     dead.foreach(n => new File(path, n).delete())
   }
@@ -648,6 +651,21 @@ private[dsv2] object GdfManifest {
       StandardCharsets.UTF_8))
   }
 
+  /** [[readVersion]] tolerating a snapshot EXPIRED between the
+    * versions() listing and the read (r19) — the race every
+    * list-then-read scan inside the commit path has against a
+    * CONCURRENT committer's expiry sweep: a vanished manifest is
+    * "already expired", simply skipped, never a crash that loses the
+    * caller's commit. Explicit version requests (time travel) keep the
+    * loud [[readVersion]]. */
+  def readVersionOpt(path: String, version: Int): Option[Manifest] = {
+    val f = new File(path, s"manifest-v$version.json")
+    if (!f.exists()) None
+    else try Some(parse(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+  }
+
   /** Retained versions visible to the MAIN read path — staged (WAP)
     * snapshots and BRANCH commits (r19) are excluded: they exist in the
     * chain for auditors who address them explicitly (by version or by
@@ -655,14 +673,13 @@ private[dsv2] object GdfManifest {
     * change feed never steps through them (changes surface at
     * PUBLISH/fast-forward, the Iceberg stage-only contract). */
   def mainVersions(path: String): Seq[Int] =
-    versions(path).filterNot { v =>
-      val m = readVersion(path, v); m.staged || m.branch.nonEmpty
-    }
+    versions(path).filter(v => readVersionOpt(path, v)
+      .exists(m => !m.staged && m.branch.isEmpty))
 
   /** The HEAD of a named branch (r19): its highest snapshot, with the
     * version — None when no snapshot carries the name. */
   def branchHead(path: String, name: String): Option[(Int, Manifest)] =
-    versions(path).map(v => (v, readVersion(path, v)))
+    versions(path).flatMap(v => readVersionOpt(path, v).map(m => (v, m)))
       .filter(_._2.branch == name).lastOption
 
   /** Current state = the HIGHEST retained NON-STAGED snapshot. The
@@ -671,7 +688,10 @@ private[dsv2] object GdfManifest {
     * source of truth — a stale pointer can never serve an older
     * snapshot as current. */
   def read(path: String): Manifest =
-    mainVersions(path).lastOption.map(v => readVersion(path, v)).getOrElse {
+    mainVersions(path).lastOption.flatMap(v => readVersionOpt(path, v))
+      .orElse(mainVersions(path).lastOption
+        .flatMap(v => readVersionOpt(path, v))) // one retry: head moved
+      .getOrElse {
       val f = new File(path, "manifest.json")
       require(f.exists(), s"no graftdocs manifest at $path")
       parse(new String(java.nio.file.Files.readAllBytes(f.toPath),

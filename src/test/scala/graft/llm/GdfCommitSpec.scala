@@ -170,7 +170,10 @@ class GdfCommitSpec extends SparkSpec {
       try slice(lo, lo + 10L).write.format("graftdocs")
         .option("buckets", "2").mode("append").save(p)
       catch { case t: Throwable => errs.add(t) }))
-    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    // a timed-out join would read a mid-flight table and report a
+    // "lost" commit that is merely unfinished — fail THAT loudly
+    assert(ts.forall(!_.isAlive), "racing appends did not finish in time")
     assert(errs.isEmpty, s"racing appends failed: ${errs.peek()}")
     val got = spark.read.format("graftdocs").load(p)
       .select("doc_id").collect().map(_.getLong(0)).toSet
