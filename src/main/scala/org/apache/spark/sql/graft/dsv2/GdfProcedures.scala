@@ -27,11 +27,13 @@ private[dsv2] object GdfProcedures {
     Seq("compact", "compact_binpack", "remove_orphans", "create_tag",
       "drop_tag", "rebucket", "publish", "add_column", "add_constraint",
       "drop_constraint", "ndv", "rollback", "fast_forward", "drop_branch",
-      "set_retention")
+      "set_retention", "expire_snapshots", "drop_column")
 
   def load(root: String, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(root)
     case "set_retention" => new SetRetentionProc(root)
+    case "expire_snapshots" => new ExpireSnapshotsProc(root)
+    case "drop_column" => new DropColumnProc(root)
     case "compact_binpack" => new CompactBinpackProc(root)
     case "rollback" => new RollbackProc(root)
     case "fast_forward" => new FastForwardProc(root)
@@ -85,6 +87,53 @@ private[dsv2] object GdfProcedures {
         StructType(Seq(StructField("files_before", LongType),
           StructField("files_after", LongType))),
         Array(InternalRow(before, after)))
+    }
+  }
+
+  /** `CALL <cat>.expire_snapshots('<table>', <older_than_ms>)` →
+    * time-based snapshot expiry (r20, the Iceberg
+    * `expire_snapshots(older_than => ts)` verb); pins — tags, the main
+    * head, branch heads/bases — always survive, and the newest
+    * snapshot is always kept; returns the expired versions. */
+  private class ExpireSnapshotsProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "expire snapshots committed before a timestamp (pins survive)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val expired = GdfMaintenance.expireSnapshots(p, input.getLong(1))
+      resultScan(
+        StructType(Seq(StructField("expired_version", LongType))),
+        expired.map(v => InternalRow(v.toLong)).toArray)
+    }
+  }
+
+  /** `CALL <cat>.drop_column('<table>', '<column>')` → metadata-only
+    * column drop (r20); the SQL-DDL twin is
+    * `ALTER TABLE <cat>.<table> DROP COLUMN <column>`. */
+  private class DropColumnProc(root: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_column"
+    override def description(): String =
+      "drop a column from the table schema (metadata-only)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("column", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val p = tableDir(root, input)
+      val c = input.getUTF8String(1).toString
+      GdfMaintenance.dropColumn(p, c)
+      resultScan(
+        StructType(Seq(StructField("dropped", StringType))),
+        Array(InternalRow(UTF8String.fromString(c))))
     }
   }
 
@@ -206,8 +255,11 @@ private[dsv2] object GdfProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val p = tableDir(root, input)
       val b = input.getUTF8String(1).toString
+      // readVersionOpt (r20, ADVICE fix): a concurrent committer's
+      // expiry sweep can delete a version between list and read — the
+      // tolerant read matches GdfMaintenance.dropBranch.
       val vs = GdfManifest.versions(p)
-        .filter(v => GdfManifest.readVersion(p, v).branch == b)
+        .filter(v => GdfManifest.readVersionOpt(p, v).exists(_.branch == b))
       GdfMaintenance.dropBranch(p, b)
       resultScan(
         StructType(Seq(StructField("retired_version", LongType))),

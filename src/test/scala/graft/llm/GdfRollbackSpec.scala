@@ -63,6 +63,30 @@ class GdfRollbackSpec extends SparkSpec {
     assert(lin == lin1, "restored files keep their original row-id ranges")
   }
 
+  /** r20, ADVICE fix: a constraint added AFTER the target version
+    * re-validates against the restored rows — a
+    * delete-then-addConstraint-then-rollback sequence can no longer
+    * resurrect rows that were never checked. */
+  test("rollback re-validates constraints added after the target (r20)") {
+    val p = freshDir()
+    write(p, (0L until 10L).map(i => (i, i)), "overwrite") // v1: has val<5 rows
+    GdfMaintenance.createTag(p, "v1", 1) // pin v1 past retention
+    GdfMaintenance.deleteWhere(spark, p,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.LessThan("val", 5L))) // v3: only val>=5
+    GdfMaintenance.addConstraint(spark, p, "big", "val >= 5") // v4: all pass
+    val e = intercept[GdfConstraintViolation] {
+      GdfMaintenance.rollback(p, 1) // would resurrect val<5 rows unchecked
+    }
+    assert(e.getMessage.contains("big"), s"wrong failure: $e")
+    assert(ids(p) == (5L until 10L).toSet, "the refused rollback commits nothing")
+    // a constraint the target ALREADY satisfied does not block rollback
+    GdfMaintenance.dropConstraint(p, "big")
+    GdfMaintenance.addConstraint(spark, p, "nonneg", "val >= 0")
+    GdfMaintenance.rollback(p, 1)
+    assert(ids(p) == (0L until 10L).toSet)
+  }
+
   test("rollback-of-rollback; expired target and staged target fail loudly") {
     val p = freshDir()
     write(p, (0L until 8L).map(i => (i, i)), "overwrite") // v1

