@@ -33,6 +33,15 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // AMBIENT host load at launch (r20): the existing host_load samples
+    // bracket the retry stage, where the bench's OWN 32 threads dominate
+    // the 1-min average — so "was the host quiet" was unanswerable from
+    // the artifact. This sample predates any Spark work: it IS the
+    // ambient number a quiet-window claim rests on.
+    val ambientLoad =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def makeSession(): SparkSession = SparkSession.builder()
@@ -375,6 +384,7 @@ object Bench {
             "\"" + k + "\":" + ss.map(f3).mkString("[", ",", "]")
           }.mkString("{", ",", "}")},""" +
         s""""host_load":[${f2(loadBefore)},${f2(loadAfter)}],""" +
+        s""""host_load_ambient":${f2(ambientLoad)},""" +
         s""""n_passes":${passes.size},"graded_passes":$gradedJson,""" +
         s""""etl_load_sec":${f3(loadSec)},"etl_load_rows":$loadRows,""" +
         s""""sf":"$sfDir"}"""
