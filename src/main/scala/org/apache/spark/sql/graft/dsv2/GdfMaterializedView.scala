@@ -52,8 +52,10 @@ import org.apache.spark.sql.functions._
 object GdfMaterializedView {
 
   /** `stateVersion` names the live `state-v<K>` dir; `baseVersion` is
-    * the base-table snapshot the state reflects (the watermark). */
-  case class MvMeta(stateVersion: Int, baseVersion: Int)
+    * the base-table snapshot the state reflects (the watermark);
+    * `dimHash` (r20, join views only) fingerprints the dimension the
+    * state was built against — 0 for non-join views. */
+  case class MvMeta(stateVersion: Int, baseVersion: Int, dimHash: Long = 0L)
 
   private def metaFile(mvPath: String) = new File(mvPath, "mv-meta.json")
 
@@ -67,7 +69,10 @@ object GdfMaterializedView {
         s""""$k":(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
           .getOrElse(throw new IllegalStateException(
             s"corrupt mv-meta.json at $mvPath: $json"))
-      Some(MvMeta(num("stateVersion"), num("baseVersion")))
+      // tolerant: a pre-r20 meta has no dimHash — 0 forces one rebuild
+      val dh = s""""dimHash":(-?\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(0L)
+      Some(MvMeta(num("stateVersion"), num("baseVersion"), dh))
     }
   }
 
@@ -76,7 +81,8 @@ object GdfMaterializedView {
     dir.mkdirs()
     val tmp = File.createTempFile(".mv-meta", ".tmp", dir)
     java.nio.file.Files.write(tmp.toPath,
-      s"""{"stateVersion":${m.stateVersion},"baseVersion":${m.baseVersion}}"""
+      (s"""{"stateVersion":${m.stateVersion},""" +
+        s""""baseVersion":${m.baseVersion},"dimHash":${m.dimHash}}""")
         .getBytes(StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, metaFile(mvPath).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -348,9 +354,13 @@ object GdfMaterializedView {
     * maintained from the FACT's change feed alone — each feed row joins
     * the BROADCAST dim to find its group, then the COUNT/SUM ±delta
     * algebra applies unchanged (the self-maintainable-join-view result:
-    * with an immutable dimension, fact deltas suffice; a dim change
-    * would force a rebuild). Same modes/state/meta discipline as
-    * [[refresh]]. */
+    * with an immutable dimension, fact deltas suffice). The premise is
+    * ENFORCED (r20): the dim's content FINGERPRINT is stored in the
+    * view meta, and an incremental refresh against a CHANGED dim
+    * detects the mismatch and REBUILDS instead of silently folding
+    * deltas into groups the old dim assigned — the documented Delta/
+    * Materialize behavior for non-self-maintainable inputs. Same
+    * modes/state/meta discipline as [[refresh]]. */
   def refreshJoin(spark: SparkSession, basePath: String, mvPath: String,
       dim: DataFrame, joinKey: String, dimAttr: String, sumCol: String,
       toVersion: Option[Int] = None): String = {
@@ -358,31 +368,43 @@ object GdfMaterializedView {
     def joined(df: DataFrame): DataFrame =
       df.join(broadcast(dim), joinKey)
     val meta = readMeta(mvPath)
+    val fp = dimFingerprint(dim)
     def full(): DataFrame =
       joined(spark.read.format("graftdocs")
           .option("version", target.toString).load(basePath))
         .groupBy(col(dimAttr))
         .agg(count(lit(1)).as("n_rows"), sum(col(sumCol)).as("sum_val"))
     meta match {
-      case Some(m) if m.baseVersion == target => "noop"
+      case Some(m) if m.baseVersion == target && m.dimHash == fp => "noop"
       case Some(m) if m.baseVersion > target =>
         throw new IllegalArgumentException(
           s"view at $mvPath already reflects v${m.baseVersion} > v$target " +
             "— a materialized view never rolls back")
-      case Some(m) if GdfManifest.versions(basePath).contains(m.baseVersion) =>
+      case Some(m) if m.dimHash == fp &&
+          GdfManifest.versions(basePath).contains(m.baseVersion) =>
         val feed = joined(
           GdfMaintenance.changes(spark, basePath, m.baseVersion, target))
         commitState(spark, mvPath,
           mergeDelta(spark, mvPath, feed, dimAttr, sumCol),
-          m.stateVersion, target)
+          m.stateVersion, target, fp)
         "incremental"
-      case Some(m) =>
-        commitState(spark, mvPath, full(), m.stateVersion, target)
+      case Some(m) => // dim changed OR watermark expired: recompute
+        commitState(spark, mvPath, full(), m.stateVersion, target, fp)
         "full"
       case None =>
-        commitState(spark, mvPath, full(), 0, target)
+        commitState(spark, mvPath, full(), 0, target, fp)
         "initial"
     }
+  }
+
+  /** Order-independent content fingerprint of the (broadcast-small by
+    * premise) dimension: bit_xor of per-row xxhash64 over all columns —
+    * deterministic across runs, insensitive to row order/partitioning,
+    * overflow-free under ANSI arithmetic. */
+  private def dimFingerprint(dim: DataFrame): Long = {
+    val r = dim.select(xxhash64(dim.columns.map(col).toSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).collect().head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** NEAR-REAL-TIME maintenance of the JOIN view (r20, judge ask #6):
@@ -396,6 +418,15 @@ object GdfMaterializedView {
       sumCol: String): Unit = {
     val meta = readMeta(mvPath).getOrElse(throw new IllegalStateException(
       s"no materialized view at $mvPath — build it before streaming into it"))
+    // the dim-immutability premise is enforced here too (r20): a
+    // foreachBatch body has no "full rebuild" mode of its own, so a
+    // changed dim fails LOUDLY (the operator rebuilds via refreshJoin)
+    // rather than silently folding deltas into stale groups
+    val fp = dimFingerprint(dim)
+    require(meta.dimHash == fp,
+      s"the dimension behind the join view at $mvPath changed " +
+        s"(fingerprint ${meta.dimHash} -> $fp) — streamed deltas cannot " +
+        "maintain it; rebuild with refreshJoin against the new dim")
     val top = batch.agg(max(col("_commit_version"))).collect().head
     if (top.isNullAt(0)) return // empty batch
     val target = top.getInt(0)
@@ -404,15 +435,16 @@ object GdfMaterializedView {
     commitState(spark, mvPath,
       mergeDelta(spark, mvPath, fresh.join(broadcast(dim), joinKey),
         dimAttr, sumCol),
-      meta.stateVersion, target)
+      meta.stateVersion, target, fp)
   }
 
   private def commitState(spark: SparkSession, mvPath: String,
-      df: DataFrame, oldStateV: Int, baseVersion: Int): Unit = {
+      df: DataFrame, oldStateV: Int, baseVersion: Int,
+      dimHash: Long = 0L): Unit = {
     val newV = oldStateV + 1
     // group-cardinality rows: one file keeps the state read cheap
     df.coalesce(1).write.mode("overwrite").parquet(stateDir(mvPath, newV))
-    writeMeta(mvPath, MvMeta(newV, baseVersion))
+    writeMeta(mvPath, MvMeta(newV, baseVersion, dimHash))
     if (oldStateV > 0) {
       val old = new org.apache.hadoop.fs.Path(stateDir(mvPath, oldStateV))
       old.getFileSystem(spark.sparkContext.hadoopConfiguration)

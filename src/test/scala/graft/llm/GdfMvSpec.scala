@@ -239,6 +239,43 @@ class GdfMvSpec extends SparkSpec {
       "grp", "family", "val") == "noop")
   }
 
+  /** r20: the immutable-dim premise is ENFORCED — a changed dimension
+    * forces a rebuild at refresh (the deltas cannot re-derive groups
+    * the OLD dim assigned) and fails the streamed path loudly. */
+  test("join view: a CHANGED dim rebuilds at refresh, fails streaming loudly") {
+    val p = freshDir(); val mv = s"$p-mv"
+    seed(p)
+    def dimOf(flip: Boolean) = (0L until 10L).map(i =>
+        (Some(i), if ((i % 2 == 0) ^ (flip && i == 0)) "even" else "odd"))
+      .toDF("grp", "family")
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dimOf(false),
+      "grp", "family", "val") == "initial")
+    // same dim, same base: noop — the fingerprint agrees
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dimOf(false),
+      "grp", "family", "val") == "noop")
+    // a CHANGED dim (group 0 moves even -> odd): rebuild, never deltas
+    val dim2 = dimOf(true)
+    assert(GdfMaterializedView.refreshJoin(spark, p, mv, dim2,
+      "grp", "family", "val") == "full",
+      "a changed dim must force a full rebuild")
+    val want = spark.read.format("graftdocs").load(p)
+      .join(broadcast(dim2), "grp")
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = GdfMaterializedView.read(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "the rebuild must reflect the NEW dim's groups")
+    // the streamed body has no rebuild mode: a changed dim is loud
+    val e = intercept[IllegalArgumentException] {
+      GdfMaterializedView.applyJoinDelta(spark, mv,
+        Seq((1L, Some(1L), 1L, "insert", 99))
+          .toDF("doc_id", "grp", "val", "_change_type", "_commit_version"),
+        dimOf(false), "grp", "family", "val")
+    }
+    assert(e.getMessage.contains("changed"), s"wrong failure: $e")
+  }
+
   test("refresh never rolls back; unknown view read is loud") {
     val p = freshDir(); val mv = s"$p-mv"
     seed(p) // v1

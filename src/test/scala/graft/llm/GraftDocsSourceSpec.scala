@@ -264,4 +264,33 @@ class GraftDocsSourceSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  /** r20 (verdict "wrong #3"): COUNT(col) over a NULLABLE column serves
+    * the stored per-file NON-NULL counts — serving file row counts was
+    * correct only while the translate gate restricted it to doc_id. */
+  test("COUNT(nullable col) pushdown serves non-null counts, metadata-only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gdf-agg-cnt").toFile
+    try {
+      (0L until 40L).map(i =>
+          (i, if (i % 4 == 1) None else Some(i * 3)))
+        .toDF("doc_id", "score")
+        .withColumn("bucket", pmod(col("doc_id"), lit(4L)).cast("int"))
+        .write.format("graftdocs").option("buckets", "4")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      // destroy the data: only the manifest can answer
+      dir.listFiles().filter(_.getName.endsWith(".gdf"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, Array.emptyByteArray))
+      val t = spark.read.format("graftdocs").load(dir.getAbsolutePath)
+      val q = t.agg(count(col("score")).as("n"), count(lit(1)).as("all"))
+      assert(!hasAgg(q),
+        s"COUNT(col) was not pushed:\n${q.queryExecution.optimizedPlan}")
+      val r = q.collect()(0)
+      assert(r.getLong(0) == 30L,
+        s"COUNT(score) must be the NON-NULL count, got ${r.getLong(0)}")
+      assert(r.getLong(1) == 40L, "COUNT(*) stays the row count")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
