@@ -955,6 +955,104 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Bottom-k sample size for [[quantileSketch]]: 128 kept rows give a
+    * DKW rank-error bound √(ln(2/δ)/2m) ≈ 0.134 at δ = 0.02 — small
+    * enough that the sample is one cache line per shard survivor, large
+    * enough that every reported quantile lands inside the bound on the
+    * synthetic corpus (pinned by QuantileSketchSpec). */
+  val QskK = 128
+
+  /** Ranks [[quantileSketch]] reports, in per-mille (p = ‰/1000) — kept
+    * integral so the order-statistic index ⌈p·m⌉ is computed in EXACT
+    * integer arithmetic in both dialects (0.9·m in binary floating
+    * point rounds UP through ceil for some m; `(‰·m + 999) div 1000`
+    * never does). */
+  val QskPMille: Seq[Long] = Seq(250L, 500L, 750L, 900L, 990L)
+
+  /** QUANTILE SKETCH — bottom-k-by-hash rank estimation, the mergeable
+    * quantile summary next to CMS (frequency), KMV (distinct) and Bloom
+    * (membership), and the operator the sampling/DSIR Scaladocs defer to
+    * with "at 100 TB swap in percentile_approx": this is that swap,
+    * OWNED, deterministic, and oracle-certified. Keeping the [[QskK]]
+    * rows with the smallest deterministic [[Text.hash64]] keys is a
+    * uniform without-replacement sample of fixed size — so the sample's
+    * empirical CDF tracks the corpus CDF within the DKW bound
+    * ε = √(ln(2/δ)/2m), and its ⌈p·m⌉-th order statistic estimates the
+    * p-quantile of `n_chars`. Everything is visible in the output: the
+    * estimate, the sample and corpus rank fractions of that estimate,
+    * their gap, and ε — `within_bound` is the certification, computed
+    * (not asserted) per row, so the gate checks the sketch's GUARANTEE,
+    * not just its arithmetic. A corpus smaller than k IS its own sample
+    * (rank_err 0 — the small-input exactness rule, like KMV's under-k
+    * branch).
+    *
+    * 100 TB: same two-level tournament as [[kmvDistinct]] — per
+    * `h mod 64` shard bottom-k first (the global bottom-k is a subset of
+    * the shard bottom-ks by pigeonhole), union of ≤ 64·k survivors
+    * second, with the exact corpus count folding out of the srn==1
+    * survivors' shard counts in the same pass. Merging two corpora's
+    * sketches is a union + re-take (bottom-k mergeability), which is
+    * what makes fixed-k — not fixed-RATE, whose sample grows with the
+    * corpus — the distributed-quantile currency. The certification legs
+    * (rank of each estimate in the full corpus) are one broadcast of
+    * |[[QskPMille]]| rows against a single corpus pass. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame =
+    quantileSketchOf(docs(s, dir))
+
+  /** [[quantileSketch]] over any (doc_id, n_chars) relation. */
+  private[llm] def quantileSketchOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = d.select(col("n_chars"),
+        hash64(concat(lit("qsk|"), col("doc_id").cast(StringType))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(64L)))
+    val subPart = Window.partitionBy(col("shard"))
+    val sub = subPart.orderBy(col("h"))
+    // single-partition window is safe here: only tournament survivors
+    // (≤ 64·k rows) reach it, bounded by construction
+    val top = Window.orderBy(col("h"))
+    val bottom = hashed
+      .withColumn("shard_n", count(lit(1)).over(subPart))
+      .withColumn("srn", row_number().over(sub)).where(col("srn") <= QskK)
+      .withColumn("rn", row_number().over(top))
+    val base = bottom.agg(
+        sum(when(col("srn") === 1, col("shard_n")).otherwise(lit(0L)))
+          .as("n_rows"),
+        sort_array(collect_list(when(col("rn") <= QskK, col("n_chars"))))
+          .as("xs"))
+      .withColumn("sample_m", size(col("xs")).cast(LongType))
+      .select(col("n_rows"), col("sample_m"), col("xs"),
+        explode(array(QskPMille.map(lit): _*)).as("p_mille"))
+      // ⌈p·m⌉ in exact integers (see [[QskPMille]])
+      .withColumn("idx", expr(
+        "CAST((p_mille * sample_m + 999) DIV 1000 AS INT)"))
+      .withColumn("qsk_estimate", element_at(col("xs"), col("idx")))
+      .withColumn("samp_le",
+        size(filter(col("xs"), x => x <= col("qsk_estimate")))
+          .cast(LongType))
+      .drop("xs", "idx")
+    val fullLe = d.select(col("n_chars")).crossJoin(
+        broadcast(base.select(col("p_mille"), col("qsk_estimate"))))
+      .groupBy(col("p_mille"))
+      .agg(sum(when(col("n_chars") <= col("qsk_estimate"), lit(1L))
+        .otherwise(lit(0L))).as("full_le"))
+    base.join(fullLe, "p_mille")
+      // per-ln/9-dp rounding (the surprisal float discipline) so every
+      // double below is bit-identical across engines
+      .withColumn("samp_frac",
+        round(col("samp_le").cast(DoubleType) / col("sample_m"), 9))
+      .withColumn("full_frac",
+        round(col("full_le").cast(DoubleType) / col("n_rows"), 9))
+      .withColumn("rank_err",
+        round(abs(col("samp_frac") - col("full_frac")), 9))
+      .withColumn("eps", round(sqrt(round(log(lit(100.0)), 9) /
+        (col("sample_m") * lit(2.0))), 9))
+      .withColumn("within_bound", col("rank_err") <= col("eps"))
+      .select(col("p_mille"), col("qsk_estimate"), col("sample_m"),
+        col("n_rows"), col("samp_le"), col("full_le"), col("samp_frac"),
+        col("full_frac"), col("rank_err"), col("eps"), col("within_bound"))
+      .orderBy(col("p_mille"))
+  }
+
   /** The weak-label "reference quality" source set for
     * [[nbQualityClassifier]] — the published quality-filter setup labels a
     * trusted slice (Wikipedia/books in GPT-3/CCNet; a source subset here)
