@@ -69,6 +69,53 @@ object LlmQueries {
   private def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Shared oracle of the batch quantile sketch AND its streamed twin
+    * (bottom-k associativity: the drained shard states re-taken equal
+    * the batch tournament sample exactly). */
+  private val quantileSketchSql: String = s"""
+        WITH h AS (SELECT n_chars,
+                     ${hash64Sql("concat('qsk|', CAST(doc_id AS VARCHAR))")}
+                       AS h
+                   FROM documents),
+        nr AS (SELECT count(*) AS n_rows FROM documents),
+        r AS (SELECT n_chars, row_number() OVER (ORDER BY h) AS rn FROM h),
+        s AS (SELECT n_chars FROM r WHERE rn <= ${TextAnalysis.QskK}),
+        mm AS (SELECT count(*) AS sample_m FROM s),
+        ss AS (SELECT n_chars,
+                      row_number() OVER (ORDER BY n_chars) AS srn FROM s),
+        p AS (SELECT CAST(unnest([${TextAnalysis.QskPMille.mkString(", ")}])
+                       AS BIGINT) AS p_mille),
+        q AS (SELECT p_mille, sample_m, n_rows,
+                     (p_mille * sample_m + 999) // 1000 AS idx
+              FROM p CROSS JOIN mm CROSS JOIN nr),
+        est AS (SELECT q.p_mille, q.sample_m, q.n_rows,
+                       ss.n_chars AS qsk_estimate
+                FROM q JOIN ss ON ss.srn = q.idx),
+        sle AS (SELECT e.p_mille,
+                       CAST(sum(CASE WHEN s.n_chars <= e.qsk_estimate
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS samp_le
+                FROM est e CROSS JOIN s GROUP BY 1),
+        fle AS (SELECT e.p_mille,
+                       CAST(sum(CASE WHEN d.n_chars <= e.qsk_estimate
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS full_le
+                FROM est e CROSS JOIN documents d GROUP BY 1),
+        x AS (SELECT e.p_mille, e.qsk_estimate, e.sample_m, e.n_rows,
+                     samp_le, full_le,
+                     round(CAST(samp_le AS DOUBLE) / e.sample_m, 9)
+                       AS samp_frac,
+                     round(CAST(full_le AS DOUBLE) / e.n_rows, 9)
+                       AS full_frac,
+                     round(sqrt(round(ln(100), 9) / (e.sample_m * 2.0)), 9)
+                       AS eps
+              FROM est e JOIN sle USING (p_mille) JOIN fle USING (p_mille))
+        SELECT p_mille, qsk_estimate, sample_m, n_rows, samp_le, full_le,
+               samp_frac, full_frac,
+               round(abs(samp_frac - full_frac), 9) AS rank_err, eps,
+               round(abs(samp_frac - full_frac), 9) <= eps AS within_bound
+        FROM x ORDER BY p_mille"""
+
   /** Shared oracle of [[DocsDsv2.mvIncremental]] AND its streamed twin
     * ([[DocsDsv2.mvStreamed]]): the lang aggregate recomputed from the
     * FINAL table state — batch delta-refresh and CDC-stream maintenance
@@ -2624,49 +2671,18 @@ object LlmQueries {
     // sketch's rank-error GUARANTEE, not just its arithmetic.
     QueryDef("text_quantile_sketch",
       (s, dir) => TextAnalysis.quantileSketch(s, dir),
-      Some(s"""
-        WITH h AS (SELECT n_chars,
-                     ${hash64Sql("concat('qsk|', CAST(doc_id AS VARCHAR))")}
-                       AS h
-                   FROM documents),
-        nr AS (SELECT count(*) AS n_rows FROM documents),
-        r AS (SELECT n_chars, row_number() OVER (ORDER BY h) AS rn FROM h),
-        s AS (SELECT n_chars FROM r WHERE rn <= ${TextAnalysis.QskK}),
-        mm AS (SELECT count(*) AS sample_m FROM s),
-        ss AS (SELECT n_chars,
-                      row_number() OVER (ORDER BY n_chars) AS srn FROM s),
-        p AS (SELECT CAST(unnest([${TextAnalysis.QskPMille.mkString(", ")}])
-                       AS BIGINT) AS p_mille),
-        q AS (SELECT p_mille, sample_m, n_rows,
-                     (p_mille * sample_m + 999) // 1000 AS idx
-              FROM p CROSS JOIN mm CROSS JOIN nr),
-        est AS (SELECT q.p_mille, q.sample_m, q.n_rows,
-                       ss.n_chars AS qsk_estimate
-                FROM q JOIN ss ON ss.srn = q.idx),
-        sle AS (SELECT e.p_mille,
-                       CAST(sum(CASE WHEN s.n_chars <= e.qsk_estimate
-                                     THEN 1 ELSE 0 END) AS BIGINT)
-                         AS samp_le
-                FROM est e CROSS JOIN s GROUP BY 1),
-        fle AS (SELECT e.p_mille,
-                       CAST(sum(CASE WHEN d.n_chars <= e.qsk_estimate
-                                     THEN 1 ELSE 0 END) AS BIGINT)
-                         AS full_le
-                FROM est e CROSS JOIN documents d GROUP BY 1),
-        x AS (SELECT e.p_mille, e.qsk_estimate, e.sample_m, e.n_rows,
-                     samp_le, full_le,
-                     round(CAST(samp_le AS DOUBLE) / e.sample_m, 9)
-                       AS samp_frac,
-                     round(CAST(full_le AS DOUBLE) / e.n_rows, 9)
-                       AS full_frac,
-                     round(sqrt(round(ln(100), 9) / (e.sample_m * 2.0)), 9)
-                       AS eps
-              FROM est e JOIN sle USING (p_mille) JOIN fle USING (p_mille))
-        SELECT p_mille, qsk_estimate, sample_m, n_rows, samp_le, full_le,
-               samp_frac, full_frac,
-               round(abs(samp_frac - full_frac), 9) AS rank_err, eps,
-               round(abs(samp_frac - full_frac), 9) <= eps AS within_bound
-        FROM x ORDER BY p_mille""")),
+      Some(quantileSketchSql)),
+
+    // STREAMED twin (r20): the same sketch maintained ONLINE with
+    // bounded state — 64 shard groups of k pairs each via
+    // mapGroupsWithState, drained and finished by union + re-take.
+    // Bottom-k associativity makes the fold order-free, so the entry
+    // shares the batch oracle VERBATIM: the hash match certifies
+    // stream-batch equivalence for the sketch family.
+    QueryDef("text_quantile_sketch_streamed",
+      (s, dir) =>
+        graft.streaming.QuantileSketchStream.quantileSketchStreamed(s, dir),
+      Some(quantileSketchSql)),
 
     QueryDef("text_tfidf_topk",
       (s, dir) => TextAnalysis.tfidfTopK(s, dir),

@@ -1000,7 +1000,7 @@ object TextAnalysis {
     quantileSketchOf(docs(s, dir))
 
   /** [[quantileSketch]] over any (doc_id, n_chars) relation. */
-  private[llm] def quantileSketchOf(d: DataFrame): DataFrame = {
+  private[graft] def quantileSketchOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = d.select(col("n_chars"),
         hash64(concat(lit("qsk|"), col("doc_id").cast(StringType))).as("h"))
@@ -1014,11 +1014,22 @@ object TextAnalysis {
       .withColumn("shard_n", count(lit(1)).over(subPart))
       .withColumn("srn", row_number().over(sub)).where(col("srn") <= QskK)
       .withColumn("rn", row_number().over(top))
-    val base = bottom.agg(
-        sum(when(col("srn") === 1, col("shard_n")).otherwise(lit(0L)))
-          .as("n_rows"),
-        sort_array(collect_list(when(col("rn") <= QskK, col("n_chars"))))
-          .as("xs"))
+    qskResult(d, bottom.agg(
+      sum(when(col("srn") === 1, col("shard_n")).otherwise(lit(0L)))
+        .as("n_rows"),
+      sort_array(collect_list(when(col("rn") <= QskK, col("n_chars"))))
+        .as("xs")))
+  }
+
+  /** Shared finisher for the batch tournament AND the streamed fold
+    * ([[graft.streaming.QuantileSketchStream]]): `sampleAndN` is ONE row
+    * (n_rows, xs = the sorted bottom-k sample values) — estimates, rank
+    * fractions, and the DKW certification derive identically from
+    * either producer, which is what lets the streamed twin share the
+    * batch oracle VERBATIM. */
+  private[graft] def qskResult(d: DataFrame,
+      sampleAndN: DataFrame): DataFrame = {
+    val base = sampleAndN
       .withColumn("sample_m", size(col("xs")).cast(LongType))
       .select(col("n_rows"), col("sample_m"), col("xs"),
         explode(array(QskPMille.map(lit): _*)).as("p_mille"))
