@@ -406,6 +406,33 @@ object Prof {
           bench(s"cur_direct_r$r")(Corpus.curationPipelineOf(direct))
           bench(s"cur_spread_r$r")(Corpus.curationPipelineOf(spread))
         }
+      } else if (args.head == "qsk_parts") {
+        // r20: attribute text_quantile_sketch's absolute cost. Ladder:
+        // the hash+shard projection alone, the certification leg alone
+        // (corpus × 5-row broadcast), then the full entry — the gap to
+        // the DuckDB oracle is the multi-job scheduling floor
+        // (tournament windows + tiny sample agg + cert pass + final
+        // sort), not a re-scanned stage: each rung re-reads the corpus
+        // exactly once.
+        import graft.llm.{Text, TextAnalysis}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val hashed = d.select(col("n_chars"),
+            Text.hash64(concat(lit("qsk|"), col("doc_id").cast("string")))
+              .as("h"))
+          .withColumn("shard", pmod(col("h"), lit(64L)))
+        bench("qsk_hash_only")(hashed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("c")))
+        bench("qsk_cert_leg") {
+          val est = spark.createDataFrame(
+              TextAnalysis.QskPMille.map(p => (p, p * 10)))
+            .toDF("p_mille", "qsk_estimate")
+          d.select(col("n_chars")).crossJoin(broadcast(est))
+            .groupBy(col("p_mille"))
+            .agg(sum(when(col("n_chars") <= col("qsk_estimate"), 1L)
+              .otherwise(0L)).as("full_le"))
+        }
+        bench("qsk_full_entry")(TextAnalysis.quantileSketch(spark, sfDir))
       } else if (args.head == "substr_parts") {
         // r13: attribute corpus_substr_dedup's 5.15s bench cost. Ladder:
         // suffix-key explode alone → range-sort+count-window (dupPos) →
