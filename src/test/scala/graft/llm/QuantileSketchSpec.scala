@@ -60,6 +60,22 @@ class QuantileSketchSpec extends SparkSpec {
     assert(est.zip(est.tail).forall { case (a, b) => a <= b })
   }
 
+  test("degenerate inputs: all-ties certify exactly; empty corpus is empty") {
+    // every value equal: each estimate is that value, both rank
+    // fractions are 1.0, rank_err 0 — the certification degenerates
+    // gracefully instead of dividing into noise
+    val ties = sketch((1L to 10L).map(i => (i, 7L)))
+    assert(ties.forall(t => t._2 == 7L && t._5 == 0.0 && t._7),
+      s"all-ties must certify with zero rank error, got ${ties.mkString(", ")}")
+    // empty corpus: no sample rows reach the final join -> zero output
+    // rows (not a crash, not a null row) — the same contract as an
+    // empty GROUP BY
+    val empty = TextAnalysis.quantileSketchOf(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")).collect()
+    assert(empty.isEmpty,
+      s"an empty corpus must produce an empty sketch, got ${empty.length} rows")
+  }
+
   test("mergeable: re-taking bottom-k of two corpora's unions = direct") {
     def bottomK(ids: Seq[Long]): Seq[Long] =
       ids.toDF("doc_id")
