@@ -2684,6 +2684,16 @@ object LlmQueries {
         graft.streaming.QuantileSketchStream.quantileSketchStreamed(s, dir),
       Some(quantileSketchSql)),
 
+    // The sketch over the CONNECTOR read (r20): the same X175 quantile
+    // sketch computed through the `graftdocs` scan — column pruning
+    // delivers only (doc_id, n_chars) of the table's columns to the
+    // tournament and the certification legs (the GraftDocsSourceSpec
+    // pruning pins cover the scan shape). Shares the batch oracle
+    // VERBATIM — the connector changes the scan, not one output bit.
+    QueryDef("dsv2_quantile_sketch",
+      (s, dir) => TextAnalysis.quantileSketchOf(DocsDsv2.docs(s, dir)),
+      Some(quantileSketchSql)),
+
     QueryDef("text_tfidf_topk",
       (s, dir) => TextAnalysis.tfidfTopK(s, dir),
       Some("""
