@@ -25,13 +25,19 @@ object Corpus {
   val ChunkSize = 50
   val ChunkStride = 40 // 10-token overlap between consecutive chunks
 
+  // RANGE-partitioned by doc_id (r20, guide §2.4): same single exchange as
+  // the old round-robin spread, but downstream per-doc groupBys satisfy
+  // their ClusteredDistribution and doc-ordered outputs their
+  // OrderedDistribution without a second exchange — and without the range
+  // sampling pass that re-executed the whole per-row chain (see
+  // TextAnalysis.docs).
   private[llm] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("vec_id"))
 
   /** Overlapping token chunks: starts at 1, 1+stride, 1+2·stride, … while
     * ≤ n_tokens; each chunk is `ChunkSize` tokens (shorter at the tail).

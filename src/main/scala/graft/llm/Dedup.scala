@@ -67,7 +67,10 @@ object Dedup {
     * analogue of sizing `spark.sql.files.maxPartitionBytes` at 100 TB. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+      // range by doc_id, not round-robin (r20, guide §2.4): same one
+      // exchange, but per-doc groupBys and doc-ordered finishes inherit
+      // the partitioning instead of paying their own (see TextAnalysis)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Exact dedup: group by content digest, keep the smallest doc_id as
     * canonical. Emits every content group (n_copies=1 for uniques) so the

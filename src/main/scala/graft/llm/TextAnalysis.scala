@@ -19,10 +19,18 @@ import graft.llm.Text._
 object TextAnalysis {
 
   /** Single-file corpus → re-spread for per-row hash work (see
-    * [[Dedup.docs]]). */
+    * [[Dedup.docs]]). RANGE-partitioned by doc_id (r20, guide §2.4):
+    * the round-robin spread cost the same exchange but left
+    * UnknownPartitioning, so every doc-ordered output paid a SECOND
+    * range exchange whose sampling pass re-executed the whole per-row
+    * chain, and every per-doc groupBy paid a hash exchange. Range
+    * partitioning up front (sampling touches only the raw scan, before
+    * any per-row work) satisfies ClusteredDistribution(doc_id) for the
+    * per-doc aggregations AND OrderedDistribution(doc_id) for the final
+    * presentation sort — both downstream exchanges vanish. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Function-word profiles per language. Tiny by design — the operator's
     * contract is the scoring mechanism, not lexicon quality. */
@@ -345,16 +353,68 @@ object TextAnalysis {
     repetitionBatteryOf(docs(s, dir))
 
   /** [[repetitionBattery]] over any (doc_id, text) relation — unit-test
-    * hook. */
+    * hook.
+    *
+    * r20 (guide §2.4/§1.2): the battery is now ENTIRELY per-row. All of a
+    * document's n-grams live in its own row, so both signal families are
+    * row-local quantities: n = 2..4 through [[org.apache.spark.sql.graft
+    * .TopGramStats]] (r15) and n = 5..10 through the new
+    * [[org.apache.spark.sql.graft.DupGramCoverage]] position-mask kernel.
+    * The r15..r19 shape still paid one (doc_id, n, gh)-keyed count
+    * shuffle, a coverage-position explode + distinct, a join back to the
+    * per-position length relation and a re-aggregation — ~n·corpus
+    * shuffled rows to compute row-local values (plan: 5 Exchange → 1).
+    * [[dupGramCoveredRelational]] keeps the relational formulation as the
+    * independent twin RepBatterySpec pins the kernel against. */
   private[graft] def repetitionBatteryOf(d: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val m = size(t)
-    // (n, pos, gh) rows for the RELATIONAL legs only (n = 5..10 — dup
-    // coverage needs gram positions); grams travel as md5-prefix64
-    // DIGESTS, never text (the X47 substr-dedup exactness currency —
-    // slim fixed-width shuffle rows instead of ≤10-word strings). The
-    // m<n guard is required because sequence(0, m-n) runs DESCENDING
-    // when m<n.
+    // one projection: totals + all nine covered-char masses, in-row
+    val base = d.select(col("doc_id"),
+      m.cast(LongType).as("n_words"),
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("total_chars"),
+      array((2 to 4).map { nn =>
+        val st = org.apache.spark.sql.graft.functions.top_gram_stats(t, nn)
+        (st.getField("c") *
+          greatest(st.getField("gram_chars") - lit(nn - 1), lit(0L)))
+          .cast(LongType)
+      }: _*).as("topcov"),
+      org.apache.spark.sql.graft.functions.dup_gram_coverage(t, 5, 10)
+        .as("dupcov"))
+    // fractions at the published rounding; coalesce keeps the 0/0 → 0.0
+    // convention of the relational no-row case
+    val withFracs = RepBatteryThresholds.foldLeft(base) { case (df, (n, _)) =>
+      val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+      val covered =
+        if (n <= 4) element_at(col("topcov"), n - 1)
+        else element_at(col("dupcov"), n - 4)
+      df.withColumn(nm, coalesce(
+        round(covered.cast(DoubleType) / col("total_chars"), 6), lit(0.0)))
+    }
+    val flagged = RepBatteryThresholds.foldLeft(withFracs) {
+      case (df, (n, th)) =>
+        val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+        df.withColumn(s"f_$nm", col(nm) <= th)
+    }
+    flagged
+      .withColumn("passes", RepBatteryThresholds.map { case (n, _) =>
+        val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
+        col(s"f_$nm")
+      }.reduce(_ && _))
+      .drop("topcov", "dupcov")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pre-r20 RELATIONAL duplicated-gram coverage leg (explode all
+    * positions × n = 5..10 → (doc_id, n, gh) count → coverage-position
+    * explode → distinct → join per-position lengths → per-doc sum),
+    * retained as the independent formulation RepBatterySpec pins the
+    * native [[org.apache.spark.sql.graft.DupGramCoverage]] kernel
+    * against: (doc_id, n, covered), rows only where the doc has a
+    * duplicated n-gram. */
+  private[graft] def dupGramCoveredRelational(d: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val m = size(t)
     val ns = array((5 to 10).map(lit(_)): _*)
     val gramRows = flatten(transform(ns, n =>
       when(m >= n,
@@ -369,34 +429,11 @@ object TextAnalysis {
       .select(col("doc_id"), explode(gramRows).as("g"))
       .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
         col("g.gh").as("gh"))
-    // per-doc word-char totals + per-position word lengths
-    val docTotals = base.select(col("doc_id"),
-      m.cast(LongType).as("n_words"),
-      aggregate(t, lit(0L), (acc, w) => acc + length(w)).as("total_chars"))
     val tok = base.select(col("doc_id"),
       posexplode(t).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), length(col("w")).cast(LongType)
         .as("wlen"))
-    // n = 2..4: the most common gram's occurrence chars (gram word chars
-    // = gram length − (n−1) separators), computed IN-ROW by the native
-    // top_gram_stats kernel (r15 — count + argmax per doc, no shuffle;
-    // the kernel's (0,0) for m<n collapses to the same 0.0 fraction the
-    // relational no-row case coalesced to)
-    val top = base.select(col("doc_id"),
-      explode(array((2 to 4).map { nn =>
-        val st = org.apache.spark.sql.graft.functions.top_gram_stats(t, nn)
-        struct(lit(nn).as("n"),
-          (st.getField("c") *
-            greatest(st.getField("gram_chars") - lit(nn - 1), lit(0L)))
-            .cast(LongType).as("covered"))
-      }: _*)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.covered").as("covered"))
-    // n = 5..10: distinct word positions covered by duplicated grams.
-    // ONE gram-keyed shuffle: positions ride the count aggregation as a
-    // collected list (set semantics — coverage ranges are deduped by the
-    // distinct below), replacing the r14 count-then-join-back that
-    // shuffled every gram occurrence a second time.
-    val dupCov = grams
+    grams
       .groupBy(col("doc_id"), col("n"), col("gh"))
       .agg(collect_list(col("pos")).as("ps"))
       .where(size(col("ps")) >= 2)
@@ -407,33 +444,6 @@ object TextAnalysis {
       .join(tok.withColumnRenamed("pos", "cp"), Seq("doc_id", "cp"))
       .groupBy(col("doc_id"), col("n"))
       .agg(sum(col("wlen")).as("covered"))
-    val fracs = top.unionByName(dupCov)
-    // assemble one row per doc: conditional aggregation over the fixed n
-    // set, then the published thresholds
-    val aggs = RepBatteryThresholds.map { case (n, _) =>
-      val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
-      max(when(col("n") === n, col("frac"))).as(nm)
-    }
-    val out = docTotals.join(
-        fracs.join(docTotals.select(col("doc_id"), col("total_chars")),
-            "doc_id")
-          .select(col("doc_id"), col("n"),
-            round(col("covered").cast(DoubleType) / col("total_chars"), 6)
-              .as("frac")),
-        Seq("doc_id"), "left")
-      .groupBy(col("doc_id"), col("n_words"), col("total_chars"))
-      .agg(aggs.head, aggs.tail: _*)
-    val flagged = RepBatteryThresholds.foldLeft(out) { case (df, (n, th)) =>
-      val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
-      df.withColumn(nm, coalesce(col(nm), lit(0.0)))
-        .withColumn(s"f_$nm", col(nm) <= th)
-    }
-    flagged
-      .withColumn("passes", RepBatteryThresholds.map { case (n, _) =>
-        val nm = if (n <= 4) s"top_${n}_frac" else s"dup_${n}_frac"
-        col(s"f_$nm")
-      }.reduce(_ && _))
-      .orderBy(col("doc_id"))
   }
 
   /** The pre-r15 RELATIONAL top-gram leg (explode → (doc_id, n, gram)

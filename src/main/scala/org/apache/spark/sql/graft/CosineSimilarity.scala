@@ -101,6 +101,10 @@ object functions {
   def top_gram_stats(toks: Column, k: Int): Column =
     ExpressionUtils.column(TopGramStats(ExpressionUtils.expression(toks), k))
 
+  def dup_gram_coverage(toks: Column, nMin: Int, nMax: Int): Column =
+    ExpressionUtils.column(
+      DupGramCoverage(ExpressionUtils.expression(toks), nMin, nMax))
+
   def winnow_select(hashes: Column, w: Int): Column =
     ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hashes), w))
 

@@ -84,6 +84,51 @@ case class TopGramStats(child: Expression, k: Int)
       newChild: Expression): TopGramStats = copy(child = newChild)
 }
 
+/** Native Catalyst expression: `dup_gram_coverage(tokens, nMin, nMax)` —
+  * for each n in [nMin, nMax], the total word-character mass of the
+  * distinct token positions covered by any word n-gram occurring MORE
+  * THAN ONCE in the row (the Gopher duplicated-n-gram signal, Rae et al.
+  * 2021 Table A1, n = 5..10), returned as an array indexed by n − nMin.
+  *
+  * All of a document's grams live in its own row, so the quantity is
+  * per-row by construction; the relational formulation it replaces
+  * (r20 — explode all positions × 6 n values → (doc_id, n, gh) count
+  * shuffle → coverage-position explode → distinct → join against the
+  * per-position length relation → per-doc sum) shuffled n·corpus rows
+  * to compute a row-local value. One hash-counting loop per (row, n):
+  * gram → first occurrence position, second occurrence marks both
+  * ranges in a boolean position mask (set semantics — overlapping
+  * duplicated grams count each position once, exactly the relational
+  * DISTINCT). Exact gram identity (no digests). Fewer than n tokens
+  * scores 0 for that n — same as the relational no-row case after its
+  * coalesce-to-0. RepBatterySpec pins kernel/relational equality.
+  *
+  * Whole-stage codegen via [[doGenCode]] (static call); interpreted
+  * [[nullSafeEval]] shares the same kernel.
+  */
+case class DupGramCoverage(child: Expression, nMin: Int, nMax: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nMin >= 1 && nMax >= nMin, s"bad gram range [$nMin, $nMax]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "dup_gram_coverage"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    GramStats.dupCoverage(toks.asInstanceOf[ArrayData], nMin, nMax)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GramStats.dupCoverage($c, $nMin, $nMax)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DupGramCoverage = copy(child = newChild)
+}
+
 /** Static kernel shared by the interpreted and generated paths. */
 object GramStats {
 
@@ -120,6 +165,59 @@ object GramStats {
       }
     }
     InternalRow(bestC, best.numChars().toLong)
+  }
+
+  def dupCoverage(toks: ArrayData, nMin: Int, nMax: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val out = new Array[Long](nMax - nMin + 1)
+    if (nTok >= nMin) {
+      // per-position word char lengths, computed once for all n
+      val wlen = new Array[Int](nTok)
+      var p = 0
+      while (p < nTok) {
+        wlen(p) = toks.getUTF8String(p).numChars(); p += 1
+      }
+      val covered = new Array[Boolean](nTok)
+      var n = nMin
+      while (n <= nMax) {
+        val m = nTok - n + 1
+        if (m >= 1) {
+          java.util.Arrays.fill(covered, false)
+          val parts = new Array[UTF8String](n)
+          // gram -> first occurrence position; -1 once that first
+          // occurrence's range has been marked (gram known duplicated)
+          val first = new java.util.HashMap[UTF8String, Integer](m * 2)
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+            val gram = UTF8String.concatWs(Space,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(parts): _*)
+            val prev = first.get(gram)
+            if (prev == null) {
+              first.put(gram, Integer.valueOf(i))
+            } else {
+              if (prev.intValue() >= 0) {
+                var q = prev.intValue()
+                val e0 = prev.intValue() + n
+                while (q < e0) { covered(q) = true; q += 1 }
+                first.put(gram, Integer.valueOf(-1))
+              }
+              var q = i
+              val e1 = i + n
+              while (q < e1) { covered(q) = true; q += 1 }
+            }
+            i += 1
+          }
+          var s = 0L
+          p = 0
+          while (p < nTok) { if (covered(p)) s += wlen(p); p += 1 }
+          out(n - nMin) = s
+        }
+        n += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def maxFreq(toks: ArrayData, k: Int): Long = {

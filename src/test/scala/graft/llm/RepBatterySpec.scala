@@ -84,6 +84,28 @@ class RepBatterySpec extends SparkSpec {
     }
   }
 
+  test("native dup_gram_coverage kernel == relational explode/count/cover twin (r20)") {
+    import org.apache.spark.sql.functions._
+    val df = fixture.toDF("doc_id", "text")
+    val rel = TextAnalysis.dupGramCoveredRelational(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val t = Text.tokens(col("text"))
+    val kern = df.select(col("doc_id"),
+        org.apache.spark.sql.graft.functions.dup_gram_coverage(t, 5, 10)
+          .as("cov"))
+      .collect()
+    assert(kern.nonEmpty)
+    kern.foreach { r =>
+      val id = r.getLong(0)
+      val cov = r.getSeq[Long](1)
+      (5 to 10).foreach { n =>
+        // the relational twin emits NO row where nothing is duplicated;
+        // there the kernel must report 0
+        assert(cov(n - 5) == rel.getOrElse((id, n), 0L), s"doc $id n=$n")
+      }
+    }
+  }
+
   test("composite verdict applies the published thresholds") {
     assert(!rows(1L).getAs[Boolean]("passes")) // 0.8 > 0.20 top-2
     assert(!rows(2L).getAs[Boolean]("passes"))
