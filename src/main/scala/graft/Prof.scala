@@ -156,6 +156,51 @@ object Prof {
           println(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode).take(6000))
         }
+      } else if (args.head == "jobs") {
+        // r20 (guide §1.1/§7.1): per-entry JOB attribution. The local
+        // bench floor is dominated by scheduling — count the Spark jobs
+        // one warm execution of each named entry submits, with per-job
+        // wall time and stage/task counts, so "N-job floor" claims in
+        // OPTIMIZATION_r20.md rest on a measured number, not a guess.
+        import org.apache.spark.scheduler.{SparkListener,
+          SparkListenerJobEnd, SparkListenerJobStart,
+          SparkListenerStageCompleted}
+        import scala.collection.mutable
+        val jobStart = mutable.Map[Int, Long]()
+        val jobs = mutable.ListBuffer[(Int, Double, String)]()
+        var stages = 0
+        var tasks = 0
+        val listener = new SparkListener {
+          override def onJobStart(e: SparkListenerJobStart): Unit = {
+            jobStart(e.jobId) = e.time
+          }
+          override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+            val dur = (e.time - jobStart.getOrElse(e.jobId, e.time)) / 1e3
+            jobs += ((e.jobId, dur, ""))
+          }
+          override def onStageCompleted(
+              e: SparkListenerStageCompleted): Unit = {
+            stages += 1
+            tasks += e.stageInfo.numTasks
+          }
+        }
+        Warehouse.tables(spark, sfDir)
+        args.tail.foreach { name =>
+          def run(): Unit = SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          run() // warm: builds/memos populated, codegen compiled
+          spark.sparkContext.addSparkListener(listener)
+          jobs.clear(); jobStart.clear(); stages = 0; tasks = 0
+          val t0 = System.nanoTime()
+          run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.removeSparkListener(listener)
+          // listener bus is async; give it a beat to drain
+          Thread.sleep(200)
+          println(f"[prof] jobs $name exec=$sec%.3f n_jobs=${jobs.size} " +
+            f"n_stages=$stages n_tasks=$tasks " +
+            s"job_secs=[${jobs.map(j => f"${j._2}%.3f").mkString(",")}]")
+        }
       } else if (args.head == "r15_ab") {
         // r15 (r14 VERDICT #2/#4): native winnow kernel vs the HOF form;
         // in-row top-gram kernel battery vs ladder components. Also the

@@ -489,8 +489,32 @@ object Dedup {
 
   /** Per-doc 60-bit SimHash over shingle features: bit b is the sign of
     * Σ_features (±1 by feature-hash bit b). */
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val h = shingleIndex(s, dir).select(col("doc_id"), hash64(col("sh")).as("h"))
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    simhashOf(shingleSets(s, dir))
+
+  /** Per-doc SimHash signature IN-ROW (r20, guide §1.2/§4): one native
+    * kernel call per doc over the persisted shingle-set cache — the
+    * signature is a row-local quantity, so the old explode +
+    * 60-conditional-sum HashAggregate (60 shift/mask/compare expression
+    * trees per shingle ROW, ~190× row explosion) shuffled and
+    * aggregated to compute what one tight loop per doc produces. Plan:
+    * Generate + 2 HashAggregate → 1 Project; the cache (already built
+    * for the X2-X4 near-dup family) replaces the per-entry re-shingling
+    * scan. The `size >= 1` guard in the cache preserves the relational
+    * no-group rule for sub-width docs. SimhashKernelSpec pins this form
+    * equal to [[simhashSignaturesRelational]] on corpus data. */
+  private[llm] def simhashOf(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      org.apache.spark.sql.graft.functions
+        .simhash_of_set(col("sset"), SimhashBits).as("simhash"))
+
+  /** The pre-r20 relational twin (explode + 60-bit-sum aggregate) —
+    * kept as the independent formulation SimhashKernelSpec pins the
+    * kernel against. */
+  private[llm] def simhashSignaturesRelational(d: DataFrame): DataFrame = {
+    val h = d.select(col("doc_id"),
+        explode(shingles(col("text"), ShingleK)).as("sh"))
+      .select(col("doc_id"), hash64(col("sh")).as("h"))
     val bitSums = h.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as("s0"),
       (1 until SimhashBits).map(b =>

@@ -105,6 +105,9 @@ object functions {
     ExpressionUtils.column(
       DupGramCoverage(ExpressionUtils.expression(toks), nMin, nMax))
 
+  def simhash_of_set(sset: Column, bits: Int): Column =
+    ExpressionUtils.column(SimhashOfSet(ExpressionUtils.expression(sset), bits))
+
   def winnow_select(hashes: Column, w: Int): Column =
     ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hashes), w))
 
