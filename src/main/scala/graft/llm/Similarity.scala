@@ -574,7 +574,12 @@ object Similarity {
   def ivfKmeansStep(s: SparkSession, dir: String): DataFrame = {
     val assigned = ivfIndex(s, dir).where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val refined = refineCentroids(assigned)
+    // K rows feeding TWO consumers (the E-step broadcast AND the final
+    // join's centroid_norm): a DAG fork re-runs the whole M step —
+    // posexplode + two groupBys over the assignment — once per consumer.
+    // Materialize the K rows once (r20, guide §3.3; the qskResult
+    // pattern): plan drops the duplicated M-step subtree.
+    val refined = refineCentroids(assigned).localCheckpoint()
     val reassigned = assignTo(emb(s, dir), refined)
       .groupBy(col("cent_id")).agg(count(lit(1)).as("n_after"))
     val before = assigned.groupBy(col("cent_id")).agg(count(lit(1)).as("n_before"))

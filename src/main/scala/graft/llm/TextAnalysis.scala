@@ -1039,8 +1039,15 @@ object TextAnalysis {
     * batch oracle VERBATIM. */
   private[graft] def qskResult(d: DataFrame,
       sampleAndN: DataFrame): DataFrame = {
-    val base = sampleAndN
+    val base0 = sampleAndN
       .withColumn("sample_m", size(col("xs")).cast(LongType))
+      // empty corpus: the global agg still emits its one (null, []) row —
+      // drop it HERE, before the ⌈p·m⌉ index projection (idx 0 on an
+      // empty sample is an ANSI element_at error). Pre-r20 the lazy plan
+      // only survived this via AQE's empty-relation propagation skipping
+      // the branch; the eager checkpoint below executes it, so the guard
+      // must be explicit. Non-empty corpora always pass (m ≥ 1).
+      .where(col("sample_m") > 0)
       .select(col("n_rows"), col("sample_m"), col("xs"),
         explode(array(QskPMille.map(lit): _*)).as("p_mille"))
       // ⌈p·m⌉ in exact integers (see [[QskPMille]])
@@ -1051,6 +1058,17 @@ object TextAnalysis {
         size(filter(col("xs"), x => x <= col("qsk_estimate")))
           .cast(LongType))
       .drop("xs", "idx")
+    // base is |QskPMille| rows but feeds TWO consumers (the broadcast
+    // into the certification cross-join AND the final join), and a DAG
+    // fork re-executes the whole producer subtree per consumer — for the
+    // batch entry that ran the tournament (2 window passes + the
+    // survivor aggregation) twice, visible as two full BroadcastExchange
+    // subtrees in the r20 before-plan. Materialize the 5 rows once
+    // (eager localCheckpoint — computed per invocation, inside the timed
+    // region; guide §3.3 "materialising an intermediate truncates the
+    // plan"): both consumers then read the checkpointed rows and the
+    // duplicated tournament disappears (plan: 8 Exchange → 5).
+    val base = base0.localCheckpoint()
     val fullLe = d.select(col("n_chars")).crossJoin(
         broadcast(base.select(col("p_mille"), col("qsk_estimate"))))
       .groupBy(col("p_mille"))
