@@ -201,6 +201,34 @@ object Prof {
             f"n_stages=$stages n_tasks=$tasks " +
             s"job_secs=[${jobs.map(j => f"${j._2}%.3f").mkString(",")}]")
         }
+      } else if (args.head == "sortpin_ab") {
+        // r20: a final orderBy's range-boundary sampling job re-executes
+        // the plan UP TO the sort's child — when the child stage is the
+        // expensive one (a window pass, an as-of union-window), the whole
+        // stage runs twice per execution. A/B: the registered form vs the
+        // same plan with an explicit exchange pinned between the
+        // expensive stage and the sort (sampling then triggers the map
+        // stage once and the real job REUSES its shuffle output).
+        import graft.streaming.Events
+        import graft.operators.AsOfJoin
+        val w = spark.sparkContext.defaultParallelism
+        def asofBody = {
+          val ev = Events.events(spark, sfDir)
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          val clicks = ev.where(col("event_type") === "click")
+            .groupBy(col("user_id"), col("ts"))
+            .agg(max(col("event_id")).as("click_event_id"))
+          AsOfJoin.backward(purchases, clicks, "user_id", "ts")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+              col("prev_click_event_id").as("click_event_id"),
+              col("prev_ts").as("click_ts"))
+        }
+        (1 to 2).foreach { r =>
+          bench(s"asof_plain_r$r")(asofBody.orderBy(col("event_id")))
+          bench(s"asof_pinned_r$r")(asofBody
+            .repartition(w, col("event_id")).orderBy(col("event_id")))
+        }
       } else if (args.head == "r15_ab") {
         // r15 (r14 VERDICT #2/#4): native winnow kernel vs the HOF form;
         // in-row top-gram kernel battery vs ladder components. Also the

@@ -249,8 +249,13 @@ object Corpus {
     // joining after would multiply the join work by grams per doc
     val ex = sets.join(src, "doc_id")
       .select(col("doc_id"), col("source"), explode(col("sset")).as("sh"))
+    // eval-suite-bounded (it already broadcasts) and feeding TWO
+    // consumers — the hit-join broadcast AND the per-source totals, each
+    // of which re-ran the bench-doc explode+distinct subtree (r20, the
+    // qskResult/sourceOverlap materialization discipline)
     val bench = ex.where(isBench)
       .select(col("source").as("eval_source"), col("sh")).distinct()
+      .localCheckpoint()
     val evalTot = bench.groupBy(col("eval_source"))
       .agg(count(lit(1)).as("n_eval_grams"))
     val cells = ex.where(!isBench)

@@ -302,6 +302,14 @@ object Dedup {
       .where(col("rn") <= col("n") - reqOverlap + lit(1L))
       .select(col("doc_id"), col("n"), col("sh"))
       .repartition(width, col("sh"))
+      // prefixA feeds TWO consumers (the candidate join's A side and the
+      // pv vocabulary broadcast below), and the asymmetric B side blocks
+      // the exchange reuse the symmetric ngramJaccard self-join gets —
+      // the r20 before-plan shows the whole explode+df-join+rank-window
+      // subtree twice. Materialize the prefix index once (r20, the
+      // qskResult discipline; materializing the prefix index is standard
+      // AllPairs/PPJoin practice — it is ~(1−τ)·Σn rows of slim keys).
+      .localCheckpoint()
     // two further EXACT prunes on the containing side (locally
     // cost-neutral — sf0.1 min 2.4 s vs the 1.2 s brute oracle, a 1.9x
     // job-floor-dominated ratio either way — but the right shape where
