@@ -1633,23 +1633,32 @@ object Similarity {
       .select(col("x.vec_id").as("va"), col("x.label").as("la"),
         col("y.vec_id").as("vb"), col("y.label").as("lb"),
         cosine(col("x.embedding"), col("y.embedding")).as("cos"))
-    val both = pr.union(
-      pr.select(col("vb"), col("lb"), col("va"), col("la"), col("cos")))
-    val wPos = Window.partitionBy(col("va"))
+    // both orientations IN-ROW (r20, guide §1.2): the old
+    // `pr.union(pr.flipped)` re-executed the cluster self-join + cosine
+    // once per union branch, and the separate pos/neg windows re-ran the
+    // union again — 4 executions of the pair stage for one logical pass.
+    // An explode emits both orientations from ONE pair row, and one
+    // window partitioned by (anchor, same-label) IS the two role
+    // rankings (each rank is computed within its own partition, exactly
+    // the per-leg filter+window it replaces; HardNegativesSpec pins the
+    // fixture behavior unchanged).
+    val both = pr.select(explode(array(
+        struct(col("va"), col("la"), col("vb"), col("lb")),
+        struct(col("vb").as("va"), col("lb").as("la"),
+          col("va").as("vb"), col("la").as("lb")))).as("p"),
+        col("cos"))
+      .select(col("p.va").as("va"), col("p.la").as("la"),
+        col("p.vb").as("vb"), col("p.lb").as("lb"), col("cos"))
+      .withColumn("same", col("la") === col("lb"))
+    val w = Window.partitionBy(col("va"), col("same"))
       .orderBy(col("cos").desc, col("vb"))
-    val pos = both.where(col("la") === col("lb"))
-      .withColumn("rank", row_number().over(wPos))
-      .where(col("rank") === 1)
-      .select(col("va").as("vec_id"), lit("pos").as("role"),
+    both.withColumn("rank", row_number().over(w))
+      .where((col("same") && col("rank") === 1) ||
+        (!col("same") && col("rank") <= negK))
+      .select(col("va").as("vec_id"),
+        when(col("same"), lit("pos")).otherwise(lit("neg")).as("role"),
         col("rank").cast(LongType).as("rank"),
         col("vb").as("partner_id"), col("cos").as("cosine"))
-    val neg = both.where(col("la") =!= col("lb"))
-      .withColumn("rank", row_number().over(wPos))
-      .where(col("rank") <= negK)
-      .select(col("va").as("vec_id"), lit("neg").as("role"),
-        col("rank").cast(LongType).as("rank"),
-        col("vb").as("partner_id"), col("cos").as("cosine"))
-    pos.union(neg)
       .orderBy(col("vec_id"), col("role"), col("rank"))
   }
 
@@ -2017,8 +2026,17 @@ object Similarity {
       .where(cosine(col("x.embedding"), col("y.embedding")) >= tau)
       .select(col("x.vec_id").as("va"), col("x.csim").as("ca"),
         col("y.vec_id").as("vb"), col("y.csim").as("cb"))
+    // both orientations in-row (r20): the union form re-executed the
+    // cluster self-join + cosine filter once per branch — the Scaladoc's
+    // "computed ONCE" promise only held per BRANCH. One explode per
+    // surviving pair keeps it literally once.
     val both = pr
-      .union(pr.select(col("vb"), col("cb"), col("va"), col("ca")))
+      .select(explode(array(
+        struct(col("va"), col("ca"), col("vb"), col("cb")),
+        struct(col("vb").as("va"), col("cb").as("ca"),
+          col("va").as("vb"), col("ca").as("cb")))).as("p"))
+      .select(col("p.va").as("va"), col("p.ca").as("ca"),
+        col("p.vb").as("vb"), col("p.cb").as("cb"))
     val stats = both.groupBy(col("va"))
       .agg(count(lit(1)).as("n_near"),
         max(when(col("cb") < col("ca") ||
