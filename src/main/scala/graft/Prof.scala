@@ -201,6 +201,31 @@ object Prof {
             f"n_stages=$stages n_tasks=$tasks " +
             s"job_secs=[${jobs.map(j => f"${j._2}%.3f").mkString(",")}]")
         }
+      } else if (args.head == "wh_codec_ab") {
+        // r20: attribute the warehouse_setup entry (the biggest single
+        // bench entry, ~1.8 s of it the salefact bucketed write) — is the
+        // parquet encode codec-bound? A/B the same bucketed write under
+        // snappy (default) / lz4 / zstd / uncompressed.
+        import graft.star.Star
+        Seq("snappy", "lz4", "zstd", "uncompressed").foreach { codec =>
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            Star.saleFact(spark, sfDir)
+              .repartition(32, col("order_id"))
+              .write.mode("overwrite")
+              .option("compression", codec)
+              .option("path", s"/tmp/prof_wh_codec/$codec")
+              .bucketBy(32, "order_id")
+              .sortBy("order_id", "product_id")
+              .format("parquet")
+              .saveAsTable(s"prof_codec_$codec")
+            println(f"[prof] salefact_write codec=$codec run$i " +
+              f"exec=${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+          val du = new java.io.File(s"/tmp/prof_wh_codec/$codec")
+            .listFiles().map(_.length()).sum / 1024 / 1024
+          println(s"[prof] salefact_write codec=$codec size=${du}MB")
+        }
       } else if (args.head == "sortpin_ab") {
         // r20: a final orderBy's range-boundary sampling job re-executes
         // the plan UP TO the sort's child — when the child stage is the
