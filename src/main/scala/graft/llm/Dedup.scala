@@ -231,7 +231,11 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.sset"), col("sb.sset"))))
+      // intersect_count == size(array_intersect) (IntersectCountSpec) but
+      // allocation-free: the verify leg runs once per candidate pair over
+      // two full shingle sets — the hot inner loop of the entry (r20, §4)
+      .withColumn("inter", org.apache.spark.sql.graft.functions
+        .intersect_count(col("sa.sset"), col("sb.sset")).cast(IntegerType))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
@@ -338,8 +342,8 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("inter",
-        size(array_intersect(col("sa.sset"), col("sb.sset"))).cast(LongType))
+      .withColumn("inter", org.apache.spark.sql.graft.functions
+        .intersect_count(col("sa.sset"), col("sb.sset")))
       // qualifying compare in exact integers: inter·den ≥ num·n_a
       .where(col("inter") * lit(ContainmentDen) >=
         lit(ContainmentNum) * col("sa.n"))
@@ -449,10 +453,11 @@ object Dedup {
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", org.apache.spark.sql.graft.functions
+        .intersect_count(col("sa.sset"), col("sb.sset")).cast(IntegerType))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sset"), col("sb.sset"))).cast(DoubleType) /
-          (col("sa.n") + col("sb.n") -
-            size(array_intersect(col("sa.sset"), col("sb.sset"))))).as("jaccard"))
+        (col("inter").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -105,6 +105,10 @@ object functions {
     ExpressionUtils.column(
       DupGramCoverage(ExpressionUtils.expression(toks), nMin, nMax))
 
+  def intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def simhash_of_set(sset: Column, bits: Int): Column =
     ExpressionUtils.column(SimhashOfSet(ExpressionUtils.expression(sset), bits))
 
