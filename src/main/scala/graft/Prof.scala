@@ -194,9 +194,11 @@ object Prof {
           val t0 = System.nanoTime()
           run()
           val sec = (System.nanoTime() - t0) / 1e9
+          // drain the async listener bus BEFORE detaching (r20 ADVICE #4:
+          // a fixed sleep silently undercounts under load — exactly what
+          // this mode exists to measure)
+          org.apache.spark.sql.graft.ListenerBusUtil.drain(spark.sparkContext)
           spark.sparkContext.removeSparkListener(listener)
-          // listener bus is async; give it a beat to drain
-          Thread.sleep(200)
           println(f"[prof] jobs $name exec=$sec%.3f n_jobs=${jobs.size} " +
             f"n_stages=$stages n_tasks=$tasks " +
             s"job_secs=[${jobs.map(j => f"${j._2}%.3f").mkString(",")}]")
@@ -492,6 +494,26 @@ object Prof {
         // isolated min-of-5 re-measure; if it lands back near the r12
         // 0.57s the bench drift was suite co-tenancy, not a plan change.
         bench("pct_full")(SparkEntry.queries("percentiles_by_store")(spark, sfDir))
+      } else if (args.head == "norm_ab") {
+        // r21: the single-pass norm_text kernel vs the relational
+        // two-regex+trim chain, interleaved min-of-5 on the same relation
+        // (the full normalizeOf shape: sort + length/md5 consumers).
+        import graft.llm.TextAnalysis
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        def shape(norm: org.apache.spark.sql.Column) = d
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            length(norm).cast("long").as("n_chars_norm"),
+            md5(norm).as("norm_md5"))
+        (1 to 2).foreach { r =>
+          bench(s"norm_kernel_r$r")(
+            shape(org.apache.spark.sql.graft.functions.norm_text(col("text"))))
+          bench(s"norm_regex_r$r")(
+            shape(trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+        }
       } else if (args.head == "curation_ab") {
         // r13: does the scan re-spread pay for curationPipeline (regex
         // passes are scan-side) the way it does for substr_dedup, or is it

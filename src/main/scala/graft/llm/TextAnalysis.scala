@@ -489,8 +489,21 @@ object TextAnalysis {
   /** THE normalization expression (lowercase → strip non-alphanumerics →
     * collapse space runs → trim) — single definition shared by
     * [[normalizeOf]], [[Corpus.curationPipelineOf]], and the property
-    * spec, so the three call sites can't drift silently (r7 ADVICE #3). */
+    * spec, so the three call sites can't drift silently (r7 ADVICE #3).
+    *
+    * r21 (guide §4.2, r20 VERDICT top-next item): one native byte-level
+    * pass ([[org.apache.spark.sql.graft.NormalizeText]]) instead of two
+    * regexp_replace automata + trim over every byte. The regex chain is
+    * kept below as [[normExprRelational]]; NormalizeTextKernelSpec pins
+    * the two char-identical on corpus data + Unicode fixtures. */
   def normExpr(text: Column): Column =
+    org.apache.spark.sql.graft.functions.norm_text(text)
+
+  /** The pre-r21 relational twin (two regexp_replace passes + trim) —
+    * kept as the independent formulation NormalizeTextKernelSpec pins
+    * the kernel against (and the form the sql_text_normalize twin's SQL
+    * text mirrors). */
+  private[llm] def normExprRelational(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 

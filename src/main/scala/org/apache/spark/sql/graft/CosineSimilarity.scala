@@ -112,6 +112,9 @@ object functions {
   def simhash_of_set(sset: Column, bits: Int): Column =
     ExpressionUtils.column(SimhashOfSet(ExpressionUtils.expression(sset), bits))
 
+  def norm_text(text: Column): Column =
+    ExpressionUtils.column(NormalizeText(ExpressionUtils.expression(text)))
+
   def winnow_select(hashes: Column, w: Int): Column =
     ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hashes), w))
 

@@ -60,6 +60,12 @@ object GraftExtensions {
         BloomBuildAgg(args.head,
           num(args(1).eval(null)).toLong, num(args(2).eval(null)))
       }),
+    (new FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "norm_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "norm_text expects exactly 1 argument")
+        NormalizeText(args.head)
+      }),
     (new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName,
         "bloom_might_contain"),
