@@ -373,7 +373,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"total":${f3(total)},"builds":$buildsJson,""" +
+      s"""{"total":${f3(total)},"cpus":$cpus,"builds":$buildsJson,""" +
         s""""build_samples":$buildSamplesJson,""" +
         s""""builds_store_read":$buildsStoreJson,""" +
         s""""mins":$qs,"samples":$samplesJson,""" +
@@ -391,19 +391,29 @@ object Bench {
     // Anchored to an explicit dir (env) or the JVM's cwd made absolute —
     // never a bare relative path that lands wherever the launcher happened
     // to chdir; the absolute path written is logged either way.
-    val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", sys.props("user.dir")),
-      "BENCH_DETAIL.json").toAbsolutePath
-    // The detail file is auxiliary: a missing/unwritable dir must never
+    // r21 (r20 VERDICT "What's wrong" #1): BENCH_DETAIL.json was
+    // overwritten by every run, so the driver's 8-core scaling run
+    // clobbered the graded 32-core detail and the 32c contamination
+    // evidence was unrecoverable. Write BOTH the legacy path (whatever
+    // consumer greps for it keeps working, and the JSON now carries
+    // "cpus") and a per-config BENCH_DETAIL_c${cpus}.json that a
+    // different-core-count run never touches.
+    val detailDir =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", sys.props("user.dir"))
+    // The detail files are auxiliary: a missing/unwritable dir must never
     // suppress the headline JSON line below (it is the graded artifact).
-    try {
-      Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(
-        detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] detail written to $detailPath")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[bench] detail write failed ($detailPath): $e")
+    Seq("BENCH_DETAIL.json", s"BENCH_DETAIL_c$cpus.json").foreach { fn =>
+      val detailPath =
+        java.nio.file.Paths.get(detailDir, fn).toAbsolutePath
+      try {
+        Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(
+          detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] detail written to $detailPath")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] detail write failed ($detailPath): $e")
+      }
     }
     val sfName = new java.io.File(sfDir).getName
     val full =
@@ -417,10 +427,27 @@ object Bench {
     // prints (human-readable record) but the LAST line becomes a compact
     // summary that always fits — per-query mins then live in
     // BENCH_DETAIL.json's "mins" map.
-    val compact =
+    // r21 (r20 VERDICT "What's wrong" #2): an empty compact "queries" map
+    // left the driver per-query-blind (PERF per_query {}, geomean null,
+    // empty scaling map). The ~30 slowest entries carry all the signal
+    // and DO fit the tail window, so the compact line now carries the
+    // top-N SLOWEST entries by graded min (stable rule: sort by -min,
+    // then name; add while the line stays within budget). Every entry
+    // still lives in BENCH_DETAIL*.json's "mins".
+    val compactBudget = 1800
+    def compactWith(qsJson: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-        s""""queries":{},"queries_detail":"BENCH_DETAIL.json","failed":$failedJson,""" +
+        s""""queries":$qsJson,"queries_detail":"BENCH_DETAIL.json","failed":$failedJson,""" +
         s""""etl_rows_per_sec":${loadRate.round},"sf":"$sfName"}"""
+    val rankedSlowest = timings.filter(_._2 >= 0)
+      .sortBy { case (name, t) => (-t, name) }
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    // largest prefix of the slowest-first ranking that fits the budget
+    val fittingPrefix = rankedSlowest.inits
+      .map(p => p.mkString("{", ",", "}"))
+      .find(j => compactWith(j).length <= compactBudget)
+      .getOrElse("{}")
+    val compact = compactWith(fittingPrefix)
     // (the main session was already stopped before the store-read
     // sample; nothing prints after the graded JSON line)
     val lastLine = if (full.length <= 1800) full else compact

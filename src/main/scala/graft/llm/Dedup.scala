@@ -677,21 +677,33 @@ object Dedup {
         // materialize + cut lineage (the k-means loop discipline; stale
         // checkpoint blocks are ContextCleaner-reclaimed).
         val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-        val step = large.join(smins, "u")
+        val stepRaw = large.join(smins, "u")
           .where(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .union(smins.select(col("u"), col("m").as("v")))
-          .distinct()
+        // r21 (r20 VERDICT "Next round" #3): the step's distinct and the
+        // convergence check used to be TWO jobs — distinct+checkpoint,
+        // then a symmetric-difference union+groupBy over old∪new. One
+        // (u,v)-keyed aggregation now does both: the old edge set rides
+        // the same exchange with a side marker, max() collapses stepRaw's
+        // duplicates (the old distinct), and the convergence scalar —
+        // how many pairs sit in exactly one of the two sets — is observed
+        // ON the checkpoint action itself, so no second job runs at all.
+        // new set = rows with in_new=1 (== distinct(stepRaw) exactly);
+        // converged ⇔ no row has in_new ≠ in_old (both sides distinct).
+        val obs = org.apache.spark.sql.Observation()
+        val merged = stepRaw
+          .select(col("u"), col("v"), lit(1).as("nw"), lit(0).as("od"))
+          .union(edges.select(col("u"), col("v"), lit(0).as("nw"),
+            lit(1).as("od")))
+          .groupBy(col("u"), col("v"))
+          .agg(max(col("nw")).as("in_new"), max(col("od")).as("in_old"))
+          .observe(obs,
+            count(when(col("in_new") =!= col("in_old"), 1)).as("diff"))
           .localCheckpoint()
-        // exact symmetric difference in one job: every canonical pair seen
-        // exactly twice across old ∪ new ⇔ the sets are equal (both sides
-        // are distinct sets)
-        converged = step
-          .union(edges.select(col("u"), col("v")))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .where(col("c") === 1).isEmpty
+        converged = obs.get("diff").asInstanceOf[Long] == 0L
         if (round == 1) initial.unpersist()
-        edges = step
+        edges = merged.where(col("in_new") === 1).select(col("u"), col("v"))
         if (converged)
           System.err.println(s"[graft.twostar] converged after $round rounds")
       }
@@ -805,14 +817,19 @@ object Dedup {
           s"label propagation did not converge in $ClusterMaxRounds rounds")
       val viaNbr = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // carry the previous label through the step so the convergence check
-      // reads the SAME materialized relation (no extra old⋈new join per
-      // round)
+      // r21 (r20 VERDICT "Next round" #3): the changed-label scalar is
+      // OBSERVED on the checkpoint action itself (count of label <
+      // old_label rows) instead of a separate per-round isEmpty job —
+      // halves the loop's job count; count() is never null on an empty
+      // relation, so a degenerate input still converges.
+      val obs = org.apache.spark.sql.Observation()
       val step = labels.join(viaNbr, col("doc_id") === col("src"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .observe(obs,
+          count(when(col("label") < col("old_label"), 1)).as("changed"))
         .localCheckpoint()
-      converged = step.where(col("label") < col("old_label")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = step.select(col("doc_id"), col("label"))
     }
     // operational stderr log (never stdout — the bench JSON line owns it):
