@@ -871,7 +871,14 @@ object Dedup {
       .select(col("source"), hash64(col("sh")).as("h"))
       .distinct()
       .localCheckpoint()
+    // r21 (r20 VERDICT "Next round" #5): `per` feeds TWO broadcast joins;
+    // un-materialized, each broadcast build re-scanned the corpus-vocab-
+    // sized checkpoint through its own aggregation (two of the entry's
+    // three post-build ~0.4 s jobs). The rollup is |sources| rows —
+    // bounded by the source domain — so materializing it once is the
+    // 5-row/K-row checkpoint rule, not a scale hazard.
     val per = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -2223,8 +2223,67 @@ object Similarity {
   }
 
   /** The greedy selection over a prepared (pool, pairwise) — unit-test
-    * hook via [[mmrPoolOf]]. */
+    * hook via [[mmrPoolOf]].
+    *
+    * r21 (r20 VERDICT "Next round" #3 — the iterative family's job
+    * count): the K−1 unrolled DataFrame rounds each paid broadcast
+    * builds + an eager localCheckpoint job to select ONE row per query
+    * from relations that are ≤ Q·C² rows by construction. The greedy
+    * loop is QUERY-LOCAL — after one groupBy(query_id) the entire pool
+    * and pairwise matrix of a query sit in one row — so the selection
+    * now runs in-row: collect the (sorted) candidate and pairwise
+    * arrays per query, fold the identical exact-integer greedy
+    * (score_u = λ₁₀·rel_u − μ₁₀·max sim_u, ties to lower neighbor_id)
+    * over them, explode the K picks. One aggregation replaces ~3 jobs ×
+    * (K−1) rounds; the corpus-scale work (the top-C pool scan) is
+    * untouched. The unrolled relational form is kept below
+    * ([[mmrSelectRelational]]) and MmrKernelSpec pins the two identical
+    * on the sf0.001 pool plus degenerate fixtures. The in-row closure is
+    * NOT a hot-path UDF: it runs once per query row (Q rows total), on
+    * broadcast-sized arrays. */
   private[llm] def mmrSelect(pool: (DataFrame, DataFrame)): DataFrame = {
+    val (cand, pw) = pool
+    // parallel arrays sorted by neighbor/pair ids: collect_list order is
+    // nondeterministic, the sort pins it (the bpeApplyOf discipline)
+    val candAgg = cand.groupBy(col("query_id")).agg(
+      transform(array_sort(collect_list(struct(
+          col("neighbor_id"), col("relevance"), col("rel_u")))),
+        x => x.getField("neighbor_id")).as("c_ids"),
+      transform(array_sort(collect_list(struct(
+          col("neighbor_id"), col("relevance"), col("rel_u")))),
+        x => x.getField("relevance")).as("c_rels"),
+      transform(array_sort(collect_list(struct(
+          col("neighbor_id"), col("relevance"), col("rel_u")))),
+        x => x.getField("rel_u")).as("c_relus"))
+    val pwAgg = pw.groupBy(col("query_id")).agg(
+      transform(array_sort(collect_list(struct(
+          col("a_id"), col("b_id"), col("sim_u")))),
+        x => x.getField("a_id")).as("p_as"),
+      transform(array_sort(collect_list(struct(
+          col("a_id"), col("b_id"), col("sim_u")))),
+        x => x.getField("b_id")).as("p_bs"),
+      transform(array_sort(collect_list(struct(
+          col("a_id"), col("b_id"), col("sim_u")))),
+        x => x.getField("sim_u")).as("p_sus"))
+    val empty = typedLit(Array.empty[Long])
+    val sel = candAgg.join(pwAgg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        explode(MmrGreedy.udf(col("c_ids"), col("c_rels"), col("c_relus"),
+          coalesce(col("p_as"), empty), coalesce(col("p_bs"), empty),
+          coalesce(col("p_sus"), empty))).as("pick"))
+      .select(col("query_id"), col("pick._1").as("neighbor_id"),
+        col("pick._2").as("mmr_rank"), col("pick._3").as("relevance"),
+        col("pick._4").as("score_u"))
+    sel.select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+        col("relevance"),
+        (col("score_u").cast(DoubleType) / lit(1.0e7)).as("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** The pre-r21 unrolled-rounds formulation — kept as the independent
+    * twin MmrKernelSpec pins [[mmrSelect]] against (and the shape the
+    * oracle's K−1 generated CTEs mirror). */
+  private[llm] def mmrSelectRelational(pool: (DataFrame, DataFrame)): DataFrame = {
     val (cand, pw) = pool
     // greedy rounds, unrolled: rank 1 = relevance argmax
     val w1 = Window.partitionBy(col("query_id"))
@@ -2386,4 +2445,73 @@ object Similarity {
         coalesce(col("was_feedback"), lit(false)).as("was_feedback"))
       .orderBy(col("query_id"), col("rnk"))
   }
+}
+
+/** In-row greedy MMR selection (r21) — the exact-integer greedy fold
+  * [[Similarity.mmrSelect]] applies per query row. Kept as a named
+  * object (not an inline lambda) so MmrKernelSpec can call [[select]]
+  * directly on hand-built pools. Arithmetic is IDENTICAL to the
+  * unrolled relational rounds ([[Similarity.mmrSelectRelational]]):
+  * rank 1 maximizes rel_u (ties to lower neighbor_id; rel_u is the
+  * bijective 6-dp lift of relevance, so the order is the same), later
+  * ranks maximize score_u = λ₁₀·rel_u − μ₁₀·max_{s∈S} sim_u — and a
+  * remaining candidate participates in round r only if it has at least
+  * one pairwise entry to the selected set (the relational inner join's
+  * semantics, exact on degenerate pools). */
+private[llm] object MmrGreedy {
+
+  def select(cIds: Seq[Long], cRels: Seq[Double], cRelus: Seq[Long],
+      pAs: Seq[Long], pBs: Seq[Long], pSus: Seq[Long])
+      : Seq[(Long, Long, Double, Long)] = {
+    val n = cIds.length
+    if (n == 0) return Seq.empty
+    val sims = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    var j = 0
+    while (j < pAs.length) { sims((pAs(j), pBs(j))) = pSus(j); j += 1 }
+    val selected = new scala.collection.mutable.ArrayBuffer[Int](Similarity.MmrK)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)](Similarity.MmrK)
+    // max sim to the selected set per candidate; Long.MinValue = "no
+    // pairwise entry yet" (the relational inner join drops such rows)
+    val ms = Array.fill(n)(Long.MinValue)
+    // rank 1: relevance desc, neighbor_id asc (ids sorted asc, so the
+    // first strict max wins ties)
+    var best = 0
+    var i = 1
+    while (i < n) { if (cRelus(i) > cRelus(best)) best = i; i += 1 }
+    selected += best
+    out += ((cIds(best), 1L, cRels(best), Similarity.MmrLambdaTenths * cRelus(best)))
+    var rank = 2L
+    while (rank <= Similarity.MmrK && selected.length < n) {
+      // fold the newest selection into every remaining candidate's max
+      val s = cIds(selected.last)
+      i = 0
+      while (i < n) {
+        if (!selected.contains(i)) {
+          sims.get((cIds(i), s)).foreach { su =>
+            if (su > ms(i)) ms(i) = su
+          }
+        }
+        i += 1
+      }
+      var bi = -1
+      var bScore = 0L
+      i = 0
+      while (i < n) {
+        if (!selected.contains(i) && ms(i) != Long.MinValue) {
+          val score = Similarity.MmrLambdaTenths * cRelus(i) -
+            Similarity.MmrMuTenths * ms(i)
+          if (bi < 0 || score > bScore) { bi = i; bScore = score }
+        }
+        i += 1
+      }
+      if (bi < 0) return out.toSeq // no candidate has a pairwise entry
+      selected += bi
+      out += ((cIds(bi), rank, cRels(bi), bScore))
+      rank += 1
+    }
+    out.toSeq
+  }
+
+  val udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(select _)
 }

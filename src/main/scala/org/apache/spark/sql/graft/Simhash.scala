@@ -68,13 +68,24 @@ object SimhashKernel {
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val h = Md5Hash.prefix64(sset.getUTF8String(i))
+      // null elements are SKIPPED (r20 ADVICE #1): the relational twin's
+      // md5(null) hashes to null and contributes -1 to every bit; a
+      // dropped element contributes 0 — both leave the `>= 0` signature
+      // unchanged only for balanced inputs, so the twin semantics for
+      // nulls are genuinely different. Text.shingles never yields null
+      // elements (concat_ws), so no caller observes the difference; the
+      // kernel simply must not NPE when exposed as a general function.
+      val u = sset.getUTF8String(i)
+      if (u == null) { i += 1 }
+      else {
+      val h = Md5Hash.prefix64(u)
       var b = 0
       while (b < bits) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var b = 0

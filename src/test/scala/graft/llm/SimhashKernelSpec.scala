@@ -54,11 +54,33 @@ class SimhashKernelSpec extends SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString("x y z"),
         org.apache.spark.unsafe.types.UTF8String.fromString("y z w")))
     val viaKernel = org.apache.spark.sql.graft.SimhashKernel.ofSet(sset, 60)
+    // genuinely interpreted path (r20 ADVICE #2: the old DF leg ALSO
+    // compiled to the kernel, proving nothing about nullSafeEval):
+    // Expression.eval on a literal child never goes through codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val viaInterpreted = org.apache.spark.sql.graft
+      .SimhashOfSet(Literal(sset, ArrayType(StringType)), 60).eval(null)
+    assert(viaInterpreted == viaKernel)
     val viaDf = Dedup.simhashOf(
         Seq((1L, "x y z w")).toDF("doc_id", "text")
           .select(col("doc_id"),
             graft.llm.Text.shingles(col("text"), 3).as("sset")))
       .collect().head.getLong(1)
     assert(viaKernel == viaDf)
+  }
+
+  test("null array elements are skipped, not NPE (general-function use)") {
+    val withNull = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x y z"),
+        null,
+        org.apache.spark.unsafe.types.UTF8String.fromString("y z w")))
+    val noNull = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString("x y z"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("y z w")))
+    assert(org.apache.spark.sql.graft.SimhashKernel.ofSet(withNull, 60) ==
+      org.apache.spark.sql.graft.SimhashKernel.ofSet(noNull, 60))
   }
 }
