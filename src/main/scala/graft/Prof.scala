@@ -228,6 +228,83 @@ object Prof {
             .listFiles().map(_.length()).sum / 1024 / 1024
           println(s"[prof] salefact_write codec=$codec size=${du}MB")
         }
+      } else if (args.head == "wh_split") {
+        // r21 (r20 VERDICT "Next round" #4, codec adjudicated dead):
+        // attribute the salefact write's remaining split — join compute
+        // vs bucket exchange vs in-bucket sort vs parquet encode vs
+        // catalog/commit machinery. Ladder of noop/real writes over the
+        // identical source.
+        import graft.star.Star
+        (1 to 3).foreach { i =>
+          def t(label: String)(body: => Unit): Unit = {
+            val t0 = System.nanoTime()
+            body
+            println(f"[prof] wh_split $label run$i " +
+              f"exec=${(System.nanoTime() - t0) / 1e9}%.3f")
+          }
+          t("a_join_noop") {
+            Star.saleFact(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          t("b_repart_noop") {
+            Star.saleFact(spark, sfDir).repartition(32, col("order_id"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          t("c_repart_sort_noop") {
+            Star.saleFact(spark, sfDir).repartition(32, col("order_id"))
+              .sortWithinPartitions(col("order_id"), col("product_id"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          t("d_plain_parquet_path") {
+            Star.saleFact(spark, sfDir).repartition(32, col("order_id"))
+              .write.mode("overwrite").parquet("/tmp/prof_wh_split/plain")
+          }
+          t("e_sorted_parquet_path") {
+            Star.saleFact(spark, sfDir).repartition(32, col("order_id"))
+              .sortWithinPartitions(col("order_id"), col("product_id"))
+              .write.mode("overwrite").parquet("/tmp/prof_wh_split/sorted")
+          }
+          t("f_bucketed_saveAsTable") {
+            Star.saleFact(spark, sfDir).repartition(32, col("order_id"))
+              .write.mode("overwrite")
+              .option("path", "/tmp/prof_wh_split/bucketed")
+              .bucketBy(32, "order_id")
+              .sortBy("order_id", "product_id")
+              .format("parquet")
+              .saveAsTable("prof_wh_split_bucketed")
+          }
+        }
+      } else if (args.head == "wh_fact_parts") {
+        // r21: attribute saleFact's ~1.0 s noop (the wh_split ladder's
+        // dominant term). Ladder: lineitem scan alone, + broadcast join,
+        // + the cheap projections, + each expensive expression
+        // (format_string product_id, dateId, decimal amount) separately.
+        import graft.star.Star
+        val dir = sfDir
+        def li = Star.table(spark, dir, "lineitem")
+        def o = Star.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        def joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        (1 to 2).foreach { r =>
+          bench(s"scan_r$r")(li.select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_shipdate"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")))
+          bench(s"join_r$r")(joined.select(col("l_orderkey"), col("o_custkey")))
+          bench(s"join_cheap_r$r")(joined.select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"),
+            col("l_orderkey"), col("o_custkey"), col("l_quantity").cast("long")))
+          bench(s"fmt_r$r")(joined.select(
+            format_string("P%08d", col("l_partkey"))))
+          bench(s"lpad_r$r")(joined.select(
+            concat(lit("P"), lpad(col("l_partkey").cast("string"), 8, "0"))))
+          bench(s"dateid_r$r")(joined.select(
+            Star.dateId(col("l_shipdate").cast("date"))))
+          bench(s"decimal_r$r")(joined.select(
+            (col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount").cast("decimal(4,2)")))
+              .cast("decimal(14,4)")))
+          bench(s"full_r$r")(Star.saleFact(spark, dir))
+        }
       } else if (args.head == "sortpin_ab") {
         // r20: a final orderBy's range-boundary sampling job re-executes
         // the plan UP TO the sort's child — when the child stage is the
@@ -806,6 +883,47 @@ object Prof {
           .where(col("jaccard") >= 0.5)
         bench("verify_only_shj")(verifyOnlyShj)
         bench("entry_full")(Dedup.ngramJaccard(spark, sfDir))
+      } else if (args.head == "ic_ab") {
+        // r21 (r20 VERDICT "Next round" #9): the intersect_count kernel
+        // vs size(array_intersect) on the IDENTICAL persisted candidate
+        // set, interleaved min-of-5 — at the largest local SF (sf1 does
+        // not exist in this sandbox; pass SPARK_GRAFT_SF_DIR to pick).
+        import org.apache.spark.sql.expressions.Window
+        import graft.llm.Dedup
+        val sets = Dedup.shingleSets(spark, sfDir)
+        val ex = sets.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+        val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+        val prefix = ex.join(dfreq, "sh")
+          .withColumn("rn", row_number().over(byRarity))
+          .where(col("rn") <= col("n") - ceil(col("n") * lit(0.5)) + 1)
+          .select(col("doc_id"), col("n"), col("rn"), col("sh"))
+        val alpha = ceil((col("a.n") + col("b.n")) * lit(0.5 / 1.5))
+        val candP = prefix.as("a")
+          .join(prefix.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") >= ceil(col("a.n") * lit(0.5)) &&
+              col("b.n") <= floor(col("a.n") / lit(0.5)) &&
+              lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >= alpha)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .persist()
+        println(s"[prof] ic_ab candidates=${candP.count()}")
+        def verifyWith(inter: org.apache.spark.sql.Column) = candP
+          .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
+          .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+          .withColumn("inter", inter)
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.n") + col("sb.n") - col("inter"))).as("jaccard"))
+          .where(col("jaccard") >= 0.5)
+        (1 to 3).foreach { r =>
+          bench(s"ic_kernel_r$r")(verifyWith(
+            org.apache.spark.sql.graft.functions
+              .intersect_count(col("sa.sset"), col("sb.sset")).cast("int")))
+          bench(s"ic_arrayintersect_r$r")(verifyWith(
+            size(array_intersect(col("sa.sset"), col("sb.sset")))))
+        }
       } else if (args.head == "q15_parts") {
         import org.apache.spark.sql.types._
         val t = Warehouse.tables(spark, sfDir)

@@ -66,7 +66,7 @@ object EtlFixtures {
         col("l_orderkey").cast(IntegerType).as("orderID"),
         date_format(col("l_shipdate").cast(DateType), "M/d/yyyy").as("date"),
         col("o_custkey").cast(IntegerType).as("Customer_ID"),
-        format_string("P%08d", col("l_partkey")).as("Product_ID"),
+        Star.productIdOf(col("l_partkey")).as("Product_ID"),
         col("l_quantity").cast(IntegerType).as("quantity"))
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).option("header", "true")

@@ -914,6 +914,8 @@ object Corpus {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
       .withColumn("rnk",
+        // partition-less window is BOUNDED: ranks the already-limited
+        // Bm25TopK rows, never the corpus (r21 window audit)
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast(LongType))
       .select(col("doc_id"), col("score"), col("n_matched_terms"), col("rnk"))
@@ -1409,6 +1411,8 @@ object Corpus {
       .orderBy(col("priority"), col("doc_id"))
       .limit(ReservoirK)
       .withColumn("rnk",
+        // partition-less window is BOUNDED: ranks the already-limited
+        // ReservoirK rows, never the corpus (r21 window audit)
         row_number().over(Window.orderBy(col("priority"), col("doc_id")))
           .cast(LongType))
       .orderBy(col("rnk"))
@@ -1656,6 +1660,8 @@ object Corpus {
     val ct = docBuck.groupBy(col("b"))
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct_t"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("ct_r"))
+    // partition-less window is BOUNDED: ct is the per-hash-bucket
+    // rollup (≤ DsirBuckets rows), never the corpus (r21 window audit)
     val wtot = org.apache.spark.sql.expressions.Window.partitionBy()
     val w = ct
       .select(col("b"), col("ct_t"), col("ct_r"),

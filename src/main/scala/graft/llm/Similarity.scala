@@ -1439,6 +1439,9 @@ object Similarity {
         round((col("sq").cast(DoubleType) -
           col("sv").cast(DoubleType) * col("sv").cast(DoubleType) /
             col("n")) / col("n"), 9).as("variance"))
+    // partition-less window is BOUNDED: it ranks the per-dimension
+    // variance relation (exactly Dims rows), never the corpus (r21
+    // window audit)
     val w = Window.orderBy(col("variance").desc, col("pos"))
     val r0 = row_number().over(w) - 1
     val rnd = floor(r0 / lit(m)).cast(IntegerType)
@@ -2096,6 +2099,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(HybridTopK)
       .withColumn("sem_rank",
+        // partition-less window is BOUNDED: it ranks the already-limited
+        // HybridTopK rows, never the corpus (r21 window audit)
         row_number().over(Window.orderBy(col("cosine").desc, col("doc_id")))
           .cast(LongType))
       .select(col("doc_id"), col("sem_rank"))

@@ -78,7 +78,7 @@ object Star {
       .join(broadcast(s.select(col("s_suppkey"), col("s_name").as("supplier_name"))),
         col("supplier_id") === col("s_suppkey"))
       .select(
-        format_string("P%08d", col("p_partkey")).as("product_id"),
+        productIdOf(col("p_partkey")).as("product_id"),
         col("p_brand").as("product_category"),
         col("p_retailprice").cast(DecimalType(10, 2)).as("price"),
         (pmod(col("p_partkey"), lit(8)) + 1).cast(IntegerType).as("store_id"),
@@ -87,6 +87,20 @@ object Star {
         col("supplier_id"),
         col("supplier_name")
       )
+  }
+
+  /** Reference-style product id: 'P' + the key left-padded to AT LEAST 8
+    * digits — value-identical to `format_string("P%08d", key)` for the
+    * non-negative keys the TPC-H data carries, but ~3× cheaper per row
+    * (r21, measured in Prof wh_fact_parts: the format_string projection
+    * alone added 0.22 s to the 600 k-row fact pass at sf0.1 vs 0.08 s
+    * for this form — java.util.Formatter allocates and re-parses the
+    * format per call). The length guard preserves %08d's never-truncate
+    * semantics (lpad alone TRUNCATES past 8 chars), so 9+-digit keys at
+    * larger scale factors still render identically. */
+  def productIdOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = key.cast(StringType)
+    concat(lit("P"), when(length(s) >= 8, s).otherwise(lpad(s, 8, "0")))
   }
 
   /** Deterministic surrogate date key: yyyyMMdd as a long. Replaces the
@@ -142,7 +156,7 @@ object Star {
         (col("l_orderkey") * 10 + col("l_linenumber")).cast(LongType).as("sales_id"),
         col("l_orderkey").as("order_id"),
         col("o_custkey").as("customer_id"),
-        format_string("P%08d", col("l_partkey")).as("product_id"),
+        productIdOf(col("l_partkey")).as("product_id"),
         dateId(col("l_shipdate").cast(DateType)).as("date_id"),
         col("l_quantity").cast(LongType).as("quantity"),
         (col("l_extendedprice").cast(DecimalType(12, 2)) *
