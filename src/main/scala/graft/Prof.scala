@@ -228,6 +228,16 @@ object Prof {
             .listFiles().map(_.length()).sum / 1024 / 1024
           println(s"[prof] salefact_write codec=$codec size=${du}MB")
         }
+      } else if (args.head == "wh_rebuild") {
+        // r21: wall time of the full warehouse rebuild (what the bench's
+        // warehouse_setup entry measures), warm JVM.
+        Warehouse.tables(spark, sfDir)
+        (1 to 4).foreach { i =>
+          val t0 = System.nanoTime()
+          Warehouse.rebuild(spark, sfDir)
+          println(f"[prof] wh_rebuild run$i " +
+            f"exec=${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
       } else if (args.head == "wh_split") {
         // r21 (r20 VERDICT "Next round" #4, codec adjudicated dead):
         // attribute the salefact write's remaining split — join compute

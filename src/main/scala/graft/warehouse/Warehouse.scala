@@ -105,6 +105,21 @@ object Warehouse {
     * want a salted pre-aggregate) — the query shape is unchanged. */
   private val slimCache = new graft.SessionMemo[DataFrame]
 
+  /** Fixed 4-thread pool for the overlapped table loads (one per table;
+    * bounded so a rebuild can never fan out further). Daemon threads —
+    * the pool must not keep the JVM alive. */
+  private lazy val loadPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          override def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-warehouse-load-${n.getAndIncrement()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
   def factStoreSlim(spark: SparkSession, dir: String): DataFrame = synchronized {
     slimCache.getOrElseUpdate(spark, dir) {
       val t = tables(spark, dir)
@@ -135,36 +150,52 @@ object Warehouse {
 
     def path(table: String) = s"$warehouseRoot/$t/$table"
 
-    // Fact: the one big-big join (lineitem⋈orders) runs exactly once, then
-    // lands bucketed+sorted by order_id — one file per bucket (the
-    // repartition below aligns write tasks with buckets: both use
-    // pmod(murmur3(order_id), n)).
-    timed("salefact") {
-      Star.saleFact(spark, dir)
-        .repartition(factBuckets, col("order_id"))
-        .write.mode("overwrite")
-        .option("path", path("salefact"))
-        .bucketBy(factBuckets, "order_id")
-        .sortBy("order_id", "product_id")
-        .format("parquet")
-        .saveAsTable(factName)
-    }
-
+    // The four table loads are INDEPENDENT jobs (each reads raw parquet,
+    // none reads another's output) — overlap them so the three small dim
+    // writes back-fill the executors the fact write's tail leaves idle
+    // (guide §2.6 "overlap independent jobs"; r21 — measured, Prof
+    // wh_rebuild warm min-of-4 at sf0.1/32c: sequential 3.30 s vs 2.51 s
+    // overlapped on the same host window). Job descriptions
+    // are thread-local, so each load stays labeled in the UI; failures
+    // propagate through Await.
+    def loadFact(): Unit =
+      // Fact: the one big-big join (lineitem⋈orders) runs exactly once,
+      // then lands bucketed+sorted by order_id — one file per bucket (the
+      // repartition below aligns write tasks with buckets: both use
+      // pmod(murmur3(order_id), n)).
+      timed("salefact") {
+        Star.saleFact(spark, dir)
+          .repartition(factBuckets, col("order_id"))
+          .write.mode("overwrite")
+          .option("path", path("salefact"))
+          .bucketBy(factBuckets, "order_id")
+          .sortBy("order_id", "product_id")
+          .format("parquet")
+          .saveAsTable(factName)
+      }
     // Dims: orders-of-magnitude smaller than the fact; single-file parquet.
-    timed("product_dim") {
-      Star.productDim(spark, dir).coalesce(1)
-        .write.mode("overwrite").option("path", path("product_dim"))
-        .format("parquet").saveAsTable(prodName)
-    }
-    timed("customer_dim") {
-      Star.customerDim(spark, dir).coalesce(1)
-        .write.mode("overwrite").option("path", path("customer_dim"))
-        .format("parquet").saveAsTable(custName)
-    }
-    timed("time_dim") {
-      Star.timeDim(spark, dir).coalesce(1)
-        .write.mode("overwrite").option("path", path("time_dim"))
-        .format("parquet").saveAsTable(timeName)
+    val dimLoads: Seq[() => Unit] = Seq(
+      () => timed("product_dim") {
+        Star.productDim(spark, dir).coalesce(1)
+          .write.mode("overwrite").option("path", path("product_dim"))
+          .format("parquet").saveAsTable(prodName)
+      },
+      () => timed("customer_dim") {
+        Star.customerDim(spark, dir).coalesce(1)
+          .write.mode("overwrite").option("path", path("customer_dim"))
+          .format("parquet").saveAsTable(custName)
+      },
+      () => timed("time_dim") {
+        Star.timeDim(spark, dir).coalesce(1)
+          .write.mode("overwrite").option("path", path("time_dim"))
+          .format("parquet").saveAsTable(timeName)
+      })
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = Warehouse.loadPool
+      val work = ((loadFact _) +: dimLoads).map(f => Future(f()))
+      work.foreach(w => Await.result(w, Duration.Inf))
     }
 
     // Dimensions are pinned in the columnar cache: they are re-broadcast by
