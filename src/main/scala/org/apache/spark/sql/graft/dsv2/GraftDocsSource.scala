@@ -929,6 +929,7 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
       org.apache.spark.sql.types.StructField(GdfManifest.RowIdCol, LongType))
     else manifest.schema
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(Boolean, Seq[AggregateFunc])] = None
 
   /** Comparisons on doc_id or ANY numeric column with a manifest zone
@@ -960,7 +961,17 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
       case LessThanOrEqual(c, _) => statCols.contains(c)
       case _ => false
     }
-    filters
+    // r21 (r20 VERDICT "Next round" #8): a FILE-ALIGNED pruning filter
+    // (every file either fully inside the predicate and null-free, or
+    // fully pruned) is enforced EXACTLY by the pruning itself, so it is
+    // CONSUMED — no residual. Consumption is what lets Spark attempt
+    // aggregate pushdown on the filtered scan (it requires zero
+    // post-scan filters), and the surviving files' stats fold is then
+    // the exact filtered answer. Everything else stays residual (Spark
+    // re-evaluates row-level, the parquet model).
+    consumed = pushed.filter(
+      GdfFilePrune.fileAligned(_, manifest.files, manifest))
+    filters.filterNot(consumed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -1027,8 +1038,15 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
     // a delete vector or an equality-delete file (r18) makes the
     // manifest stats PHYSICAL, not exact — the metadata-only answer
     // would overcount, so the pushdown refuses and Spark keeps the real
-    // aggregation
-    byBucket.filter(_ => ok && pushed.isEmpty && fileSubset.isEmpty &&
+    // aggregation.
+    // r21: pushed FILTERS no longer force a refusal when every one of
+    // them is file-aligned-consumed — pruning then enforces them
+    // exactly, and the fold over the SURVIVING files is the exact
+    // filtered answer (GdfAggScan receives that file set below). A
+    // pushed-but-residual filter still refuses (Spark would not attempt
+    // the pushdown anyway — residuals leave a post-scan Filter).
+    byBucket.filter(_ => ok && pushed.forall(consumed.contains) &&
+        fileSubset.isEmpty &&
         manifest.files.forall(_.dv.isEmpty) && manifest.eqDeletes.isEmpty)
       .map(b => (b, agg.aggregateExpressions.toSeq))
   }
@@ -1047,7 +1065,8 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
     if (pushedAgg.isEmpty) required = requiredSchema
 
   override def build(): Scan = pushedAgg match {
-    case Some((byBucket, funcs)) => new GdfAggScan(path, manifest, byBucket, funcs)
+    case Some((byBucket, funcs)) => new GdfAggScan(path, manifest, byBucket,
+      funcs, GdfFilePrune.statics(manifest.files, pushed, manifest), pushed)
     case None => new GdfScan(path, manifest, required, pushed, maxFilesPerTrigger,
       fileSubset)
   }
@@ -1059,7 +1078,9 @@ private[dsv2] class GdfScanBuilder(path: String, manifest: GdfManifest.Manifest,
   * aggregating anyway). Output schema/rows are group column first, then
   * the aggregate results, positionally — the complete-pushdown contract. */
 private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
-    byBucket: Boolean, funcs: Seq[AggregateFunc]) extends Scan with Batch {
+    byBucket: Boolean, funcs: Seq[AggregateFunc],
+    files: Seq[GdfManifest.FileStat],
+    pushedFilters: Array[Filter] = Array.empty) extends Scan with Batch {
 
   private def colNameOf(f: AggregateFunc): String = f match {
     case m: Min => m.column.asInstanceOf[NamedReference].fieldNames.head
@@ -1124,10 +1145,15 @@ private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
       }
       (key.map(k => k: Any).toSeq ++ aggs).toArray
     }
+    // fold over the filter-SURVIVING files (r21): with every pushed
+    // filter file-aligned-consumed, pruning enforces the predicate
+    // exactly, so this fold IS the filtered aggregate; with no filters,
+    // `files` is the whole snapshot. A bucket whose files all pruned
+    // away correctly produces NO group (no matching rows).
     if (byBucket)
-      manifest.files.groupBy(_.bucket).toSeq.sortBy(_._1)
+      files.groupBy(_.bucket).toSeq.sortBy(_._1)
         .map { case (b, fs) => rowFor(fs, Some(b)) }
-    else Seq(rowFor(manifest.files, None))
+    else Seq(rowFor(files, None))
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -1140,7 +1166,12 @@ private[dsv2] class GdfAggScan(path: String, manifest: GdfManifest.Manifest,
 
   override def description(): String =
     s"graftdocs $path, PushedAggregation: " +
-      s"[groupByBucket=$byBucket, ${funcs.mkString(", ")}] (metadata-only)"
+      s"[groupByBucket=$byBucket, ${funcs.mkString(", ")}]" +
+      (if (pushedFilters.nonEmpty)
+        s", PushedFilters: [${pushedFilters.mkString(", ")}]" +
+          s" (${files.size}/${manifest.files.size} files)"
+      else "") +
+      " (metadata-only)"
 }
 
 private[dsv2] case class GdfAggPartition(rows: Array[Seq[Any]])
@@ -1234,6 +1265,104 @@ private[dsv2] object GdfKeyPrune {
   }
 }
 
+/** Static (manifest-time) file pruning shared by the row/columnar scan
+  * and the filtered aggregate pushdown (r21 — the agg path must prune
+  * with the IDENTICAL arithmetic or its stats fold answers a different
+  * file set than the scan would read). */
+private[dsv2] object GdfFilePrune {
+
+  private def longOf(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => other.toString.toLong
+  }
+
+  /** The files that may hold rows matching every pushed filter —
+    * superset-safe: a file only drops when its [min,max]/bloom/bucket
+    * PROVE no row can match. */
+  def statics(subset: Seq[GdfManifest.FileStat], pushed: Array[Filter],
+      manifest: GdfManifest.Manifest): Seq[GdfManifest.FileStat] = {
+    val zordered = manifest.layout != "hash"
+    subset.filter { f =>
+      // [min,max] for any zone-mapped column of this file (None -> the
+      // filter cannot prune, keep the file — superset guarantee)
+      def range(c: String): Option[(Long, Long)] =
+        if (c == "doc_id") Some((f.minDocId, f.maxDocId))
+        else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }
+      // per-file Bloom probe (r17): an EqualTo whose value the column's
+      // bloom rejects cannot match — prunes inside wide [min,max] spans;
+      // no bloom for the column -> cannot prune (superset guarantee)
+      def bloomHit(c: String, v: Long): Boolean =
+        f.colBlooms.collectFirst { case (`c`, bits) => bits }
+          .forall(GdfManifest.GdfBloom.mightContain(_, v))
+      pushed.forall {
+        case EqualTo("doc_id", v) =>
+          val d = longOf(v)
+          f.minDocId <= d && d <= f.maxDocId && bloomHit("doc_id", d) &&
+            (manifest.buckets <= 0 || zordered ||
+              f.bucket == java.lang.Math.floorMod(d, manifest.buckets.toLong).toInt)
+        case EqualTo(c, v: String) => // string bloom probe (r19)
+          bloomHit(c, GdfManifest.ndvHash(v))
+        case EqualTo(c, v) =>
+          range(c).forall { case (mn, mx) =>
+            mn <= longOf(v) && longOf(v) <= mx } && bloomHit(c, longOf(v))
+        case GreaterThan(c, v) => range(c).forall(_._2 > longOf(v))
+        case GreaterThanOrEqual(c, v) => range(c).forall(_._2 >= longOf(v))
+        case LessThan(c, v) => range(c).forall(_._1 < longOf(v))
+        case LessThanOrEqual(c, v) => range(c).forall(_._1 <= longOf(v))
+        case _ => true
+      }
+    }
+  }
+
+  /** Is `flt` FILE-ALIGNED over these files — i.e. does every file
+    * either fully satisfy it (every row matches: [min,max] strictly
+    * inside the predicate AND provably null-free in the column) or get
+    * pruned by [[statics]]? A file-aligned filter is enforced EXACTLY
+    * by file pruning alone, so the scan may CONSUME it (report it
+    * pushed, return no residual) — the Iceberg partition-aligned-
+    * predicate rule generalized to zone maps. That consumption is what
+    * legalizes aggregate pushdown on a filtered scan: the surviving
+    * files' stats fold IS the filtered answer (r21, r20 VERDICT "Next
+    * round" #8). */
+  def fileAligned(flt: Filter, files: Seq[GdfManifest.FileStat],
+      manifest: GdfManifest.Manifest): Boolean = {
+    def numericCol(c: String): Boolean =
+      manifest.schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == IntegerType))
+    def numericLit(v: Any): Boolean =
+      v.isInstanceOf[Long] || v.isInstanceOf[Int]
+    // (min, max, provably-null-free) — doc_id is the table key (never
+    // null by construction); other columns prove null-freedom through
+    // the exact colSums non-null count. A file missing the needed stat
+    // is neither provably inside nor prunable -> not aligned.
+    def stat(f: GdfManifest.FileStat, c: String): Option[(Long, Long, Boolean)] =
+      if (c == "doc_id") Some((f.minDocId, f.maxDocId, true))
+      else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }.map {
+        case (mn, mx) =>
+          val noNulls = f.colSums
+            .collectFirst { case (`c`, _, n) => n }.contains(f.rows)
+          (mn, mx, noNulls)
+      }
+    def aligned(c: String, v: Any)(
+        inside: (Long, Long, Long) => Boolean): Boolean =
+      numericCol(c) && numericLit(v) && files.forall { f =>
+        val pruned = statics(Seq(f), Array(flt), manifest).isEmpty
+        pruned || stat(f, c).exists { case (mn, mx, noNulls) =>
+          noNulls && inside(mn, mx, longOf(v))
+        }
+      }
+    flt match {
+      case EqualTo(c, v) => aligned(c, v)((mn, mx, d) => mn == d && mx == d)
+      case GreaterThan(c, v) => aligned(c, v)((mn, _, d) => mn > d)
+      case GreaterThanOrEqual(c, v) => aligned(c, v)((mn, _, d) => mn >= d)
+      case LessThan(c, v) => aligned(c, v)((_, mx, d) => mx < d)
+      case LessThanOrEqual(c, v) => aligned(c, v)((_, mx, d) => mx <= d)
+      case _ => false
+    }
+  }
+}
+
 private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Int = 0,
     fileSubset: Option[Set[String]] = None)
@@ -1267,46 +1396,11 @@ private[dsv2] class GdfScan(path: String, manifest: GdfManifest.Manifest,
     * first (the incremental-read primitive); runtime join keys (r18)
     * prune last. */
   private def survivingFiles: Seq[GdfManifest.FileStat] = {
-    val zordered = manifest.layout != "hash"
-    def longOf(v: Any): Long = v match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case other => other.toString.toLong
-    }
     val subset = fileSubset match {
       case None => manifest.files
       case Some(names) => manifest.files.filter(f => names.contains(f.name))
     }
-    val statics = subset.filter { f =>
-      // [min,max] for any zone-mapped column of this file (None -> the
-      // filter cannot prune, keep the file — superset guarantee)
-      def range(c: String): Option[(Long, Long)] =
-        if (c == "doc_id") Some((f.minDocId, f.maxDocId))
-        else f.colStats.collectFirst { case (`c`, mn, mx) => (mn, mx) }
-      // per-file Bloom probe (r17): an EqualTo whose value the column's
-      // bloom rejects cannot match — prunes inside wide [min,max] spans;
-      // no bloom for the column -> cannot prune (superset guarantee)
-      def bloomHit(c: String, v: Long): Boolean =
-        f.colBlooms.collectFirst { case (`c`, bits) => bits }
-          .forall(GdfManifest.GdfBloom.mightContain(_, v))
-      pushed.forall {
-        case EqualTo("doc_id", v) =>
-          val d = longOf(v)
-          f.minDocId <= d && d <= f.maxDocId && bloomHit("doc_id", d) &&
-            (manifest.buckets <= 0 || zordered ||
-              f.bucket == java.lang.Math.floorMod(d, manifest.buckets.toLong).toInt)
-        case EqualTo(c, v: String) => // string bloom probe (r19)
-          bloomHit(c, GdfManifest.ndvHash(v))
-        case EqualTo(c, v) =>
-          range(c).forall { case (mn, mx) =>
-            mn <= longOf(v) && longOf(v) <= mx } && bloomHit(c, longOf(v))
-        case GreaterThan(c, v) => range(c).forall(_._2 > longOf(v))
-        case GreaterThanOrEqual(c, v) => range(c).forall(_._2 >= longOf(v))
-        case LessThan(c, v) => range(c).forall(_._1 < longOf(v))
-        case LessThanOrEqual(c, v) => range(c).forall(_._1 <= longOf(v))
-        case _ => true
-      }
-    }
+    val statics = GdfFilePrune.statics(subset, pushed, manifest)
     runtimeKeys match {
       case None => statics
       case Some(keys) =>

@@ -293,4 +293,57 @@ class GraftDocsSourceSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("FILTERED aggregate pushes when the predicate is file-aligned (r21)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gdf-agg-flt").toFile
+    try {
+      // two appends with DISJOINT doc_id ranges -> two files whose zone
+      // maps tile the id space: [0,19] and [20,39] (single bucket)
+      def batch(lo: Long, hi: Long) =
+        (lo until hi).map(i => (i, i * 3))
+          .toDF("doc_id", "score").withColumn("bucket", lit(0).cast("int"))
+      batch(0L, 20L).write.format("graftdocs").option("buckets", "1")
+        .mode("overwrite").save(dir.getAbsolutePath)
+      batch(20L, 40L).write.format("graftdocs").option("buckets", "1")
+        .mode("append").save(dir.getAbsolutePath)
+      // destroy the data: only the manifest can answer
+      dir.listFiles().filter(_.getName.endsWith(".gdf"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, Array.emptyByteArray))
+      val t = spark.read.format("graftdocs").load(dir.getAbsolutePath)
+      // doc_id >= 20 lands ON the file boundary: file 1 fully pruned,
+      // file 2 fully inside -> the filter is CONSUMED and the aggregate
+      // pushes; the fold over the surviving file is the filtered answer
+      val q = t.where(col("doc_id") >= 20L)
+        .agg(count(lit(1)).as("n"), min(col("score")).as("mn"),
+          max(col("score")).as("mx"), sum(col("score")).as("s"))
+      assert(!hasAgg(q),
+        s"file-aligned filtered aggregate was not pushed:\n" +
+          s"${q.queryExecution.optimizedPlan}")
+      val desc = v2scan(q).description()
+      assert(desc.contains("PushedAggregation") &&
+        desc.contains("PushedFilters") && desc.contains("1/2 files"),
+        s"description missing the filtered pushdown evidence: $desc")
+      val r = q.collect()(0)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((20L, 60L, 117L, (20L until 40L).map(_ * 3).sum)),
+        "filtered metadata fold diverged from ground truth")
+      // a MISALIGNED bound (cuts inside file 2) must refuse: the filter
+      // stays residual and the aggregation keeps the real (row) path
+      val mis = t.where(col("doc_id") >= 25L).agg(count(lit(1)).as("n"))
+      assert(hasAgg(mis), "misaligned filtered aggregate must not push")
+      // a filter that prunes EVERYTHING still answers exactly: count 0,
+      // null min — one global row, zero groups in the grouped form
+      val empty = t.where(col("doc_id") >= 1000L)
+        .agg(count(lit(1)).as("n"), min(col("score")).as("mn"))
+      assert(!hasAgg(empty), "all-pruned filtered aggregate should push")
+      val er = empty.collect()(0)
+      assert(er.getLong(0) == 0L && er.isNullAt(1))
+      val emptyGrouped = t.where(col("doc_id") >= 1000L)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      assert(!hasAgg(emptyGrouped) && emptyGrouped.collect().isEmpty)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
