@@ -481,7 +481,7 @@ object TextAnalysis {
     * before hashing/dedup (lowercase → strip non-alphanumerics → collapse
     * runs of spaces → trim). Emits the normalized text's md5 plus
     * before/after lengths so the compare harness stays text-free. Per-row
-    * and shuffle-free: the whole pipeline is three codegen'd regex passes
+    * and shuffle-free: the whole pipeline is one codegen'd native pass (norm_text, r21)
     * fused into the corpus scan. */
   def normalize(s: SparkSession, dir: String): DataFrame =
     normalizeOf(docs(s, dir))
@@ -521,7 +521,7 @@ object TextAnalysis {
     * Floor question CLOSED (r12 VERDICT #3, same-session ladder — Prof
     * text_floor at sf0.1, min-of-5 warm): noop scan 0.20 s → scan +
     * total-order sort skeleton 0.58 s → this entry 0.64 s. The actual
-    * normalization work (three fused regex passes + md5) is the 0.06 s
+    * normalization work (the fused normalize pass + md5; regex-chain form pre-r21) is the 0.06 s
     * delta over the skeleton; the 6.7× vs DuckDB is the distributed
     * total-order exchange plus the fixed job floor against a 90 ms
     * single-process run, not regex cost. Off the weak list. */

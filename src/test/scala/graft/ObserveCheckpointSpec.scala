@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.Observation
 import org.apache.spark.sql.functions._
 
-/** Scratch: does Observation deliver metrics when the action is an eager
+/** Mechanism pin for the r21 loop fusion: does Observation deliver metrics when the action is an eager
   * localCheckpoint? (r21 loop-fusion mechanism probe) */
-class ObserveCheckpointScratchSpec extends SparkSpec {
+class ObserveCheckpointSpec extends SparkSpec {
   import spark.implicits._
 
   test("observe metrics fire on eager localCheckpoint") {
